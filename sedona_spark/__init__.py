@@ -1,0 +1,55 @@
+"""sedona_spark — a from-scratch PySpark-native spatial-join + tiling engine.
+
+Reproduces the query semantics of Apache Sedona (reference snapshot at
+/root/reference, studied in SURVEY.md) with an idiomatic Spark architecture:
+
+* geometry = plain DataFrame columns (x/y doubles for points, packed
+  ``array<double>`` rings for polygons, WKB ``binary`` for interop) — no UDT,
+  no JVM extension (cf. reference ``GeometryUDT.scala`` which we deliberately
+  do NOT port);
+* spatial indexing = an int64 hierarchical lon/lat cell grid computed with
+  pure Column arithmetic (whole-stage-codegen'd, zero Python in the hot
+  path) — the columnar analog of ``Functions.java:1675 s2CellIDs`` /
+  ``:1714 h3CellIDs``;
+* spatial partitioning = hash shuffle on the cell id (replacing the
+  reference's sampled KDB-tree/quadtree partitioners,
+  ``core/spatialPartitioning/``) — data-independent, deterministic,
+  resumable;
+* joins = cell equi-joins + vectorized exact refine + replicate-dedup by
+  reference point (semantics of ``core/joinJudgement/DuplicatesFilter.java``);
+* the only Python on the hot path is Arrow-batched pandas UDFs for
+  general-polygon tests and image tiling (numpy ufuncs, never per-row).
+"""
+
+from sedona_spark.cells import (
+    cell_id,
+    cell_of,
+    cell_x,
+    cell_y,
+    cell_level,
+    cell_parent,
+    cover_bbox,
+    grid_disk_cells,
+    level_for_extent,
+    CELL_L_SHIFT,
+    CELL_X_SHIFT,
+)
+from sedona_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "cell_id",
+    "cell_of",
+    "cell_x",
+    "cell_y",
+    "cell_level",
+    "cell_parent",
+    "cell_parent",
+    "cover_bbox",
+    "grid_disk_cells",
+    "level_for_extent",
+    "CELL_L_SHIFT",
+    "CELL_X_SHIFT",
+]

@@ -1,0 +1,224 @@
+"""Hierarchical int64 lon/lat cell grid — the engine's spatial index.
+
+Columnar analog of the reference's cell-index functions
+(``common/src/main/java/org/apache/sedona/common/Functions.java:1675-1694
+s2CellIDs``, ``:1714-1735 h3CellIDs``, k-ring ``:1773-1779``): every geometry
+maps to one or more int64 cell ids; spatial joins become equi-joins on the
+cell id; "spatial partitioning" is the hash shuffle Catalyst already does on
+the join key. Unlike H3/S2 the grid is equirectangular (it need not be
+equal-area — it only has to be a *consistent, hierarchical, data-independent*
+bucketing; correctness always comes from the exact refine step, cf. the
+reference's envelope-prefilter + exact-predicate two-phase judgement,
+``core/joinJudgement/JudgementBase.java:202-286``).
+
+Layout of a cell id (fits in a positive int64):
+
+    bits 54..58  level L (0..26)
+    bits 27..52  x index (0 .. 2^L-1), lon in [-180, 180)
+    bits  0..25  y index (0 .. 2^L-1), lat in [-90, 90]
+
+Everything here is implemented three ways with identical semantics:
+
+* :func:`cell_id` etc. — pure Spark ``Column`` arithmetic (JVM-side,
+  whole-stage codegen; the hot path has **zero Python**);
+* ``np_*`` — vectorized numpy mirrors for use inside pandas UDFs;
+* ``sql_*`` — ANSI-SQL text generators so DuckDB oracles can reproduce the
+  exact same ids (integer arithmetic is engine-portable).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 26
+CELL_L_SHIFT = 54
+CELL_X_SHIFT = 27
+_L_MULT = 1 << CELL_L_SHIFT
+_X_MULT = 1 << CELL_X_SHIFT
+
+LON_MIN, LON_SPAN = -180.0, 360.0
+LAT_MIN, LAT_SPAN = -90.0, 180.0
+
+
+def cell_width(level: int) -> float:
+    """Cell width in degrees of longitude at ``level``."""
+    return LON_SPAN / (1 << level)
+
+
+def cell_height(level: int) -> float:
+    """Cell height in degrees of latitude at ``level``."""
+    return LAT_SPAN / (1 << level)
+
+
+def min_cell_dim(level: int) -> float:
+    return min(cell_width(level), cell_height(level))
+
+
+def level_for_extent(extent_deg: float, max_cells_per_side: int = 4) -> int:
+    """Pick the coarsest level at which a geometry of the given extent
+    covers at most ``max_cells_per_side`` cells per axis.
+
+    Replaces the reference's sampled-tree partition sizing
+    (``SpatialRDD.java:246-325``) with a closed-form, data-independent rule:
+    at 100 TB nothing is collected to the driver to decide layout.
+    """
+    if extent_deg <= 0:
+        return MAX_LEVEL
+    level = int(math.floor(math.log2(LAT_SPAN * max_cells_per_side / extent_deg)))
+    return max(0, min(MAX_LEVEL, level))
+
+
+# ---------------------------------------------------------------------------
+# Column API (JVM-side, codegen)
+# ---------------------------------------------------------------------------
+
+
+def _grid_x(lon: Column, level: int) -> Column:
+    n = 1 << level
+    raw = F.floor((lon - F.lit(LON_MIN)) / F.lit(LON_SPAN) * F.lit(float(n)))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def _grid_y(lat: Column, level: int) -> Column:
+    n = 1 << level
+    raw = F.floor((lat - F.lit(LAT_MIN)) / F.lit(LAT_SPAN) * F.lit(float(n)))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+
+def cell_of(x_idx: Column, y_idx: Column, level: int) -> Column:
+    """Pack grid indices into a cell id (pure integer arithmetic)."""
+    return (F.lit(level * _L_MULT) + x_idx * F.lit(_X_MULT) + y_idx).cast("long")
+
+
+def cell_id(lon: Column, lat: Column, level: int) -> Column:
+    """Point → cell id. Pure Column math; codegen'd JVM-side."""
+    return cell_of(_grid_x(lon, level), _grid_y(lat, level), level)
+
+
+def cell_x(cell: Column) -> Column:
+    return ((cell % F.lit(_L_MULT)) / F.lit(_X_MULT)).cast("long")
+
+
+def cell_y(cell: Column) -> Column:
+    return (cell % F.lit(_X_MULT)).cast("long")
+
+
+def cell_level(cell: Column) -> Column:
+    return (cell / F.lit(_L_MULT)).cast("long")
+
+
+def cell_parent(cell: Column, level: int, parent_level: int) -> Column:
+    """Coarsen a cell id; the analog of taking an H3 parent. Used as the
+    shuffle/partition prefix key (north_rule "cell-prefix hash-partitioned
+    joins")."""
+    d = level - parent_level
+    if d < 0:
+        raise ValueError("parent_level must be <= level")
+    px = F.floor(cell_x(cell) / F.lit(1 << d)).cast("long")
+    py = F.floor(cell_y(cell) / F.lit(1 << d)).cast("long")
+    return cell_of(px, py, parent_level)
+
+
+def cover_bbox(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: int
+) -> tuple[Column, Column, Column, Column]:
+    """Grid-index ranges (gx0, gx1, gy0, gy1) of the cells covering an
+    envelope. Explode with::
+
+        df.withColumn("cx", F.explode(F.sequence(gx0, gx1)))
+          .withColumn("cy", F.explode(F.sequence(gy0, gy1)))
+          .withColumn("cell", cell_of(F.col("cx"), F.col("cy"), level))
+
+    This is the replicate-to-overlapping-cells placement of the reference
+    (``EqualPartitioning.placeObject``, ``EqualPartitioning.java:98-124``)
+    as a pure Column pipeline.
+    """
+    return (
+        _grid_x(xmin, level),
+        _grid_x(xmax, level),
+        _grid_y(ymin, level),
+        _grid_y(ymax, level),
+    )
+
+
+def grid_disk_cells(cell: Column, level: int, kx: int, ky: int) -> tuple[Column, Column]:
+    """Grid-index ranges for the (2kx+1)×(2ky+1) Chebyshev disk around a
+    cell, clamped to the grid — the analog of ``ST_H3KRing``
+    (``Functions.java:1773-1779``). Returns (xs, ys) sequence Columns to
+    explode."""
+    n = 1 << level
+    cx, cy = cell_x(cell), cell_y(cell)
+    xs = F.sequence(F.greatest(F.lit(0), cx - kx), F.least(F.lit(n - 1), cx + kx))
+    ys = F.sequence(F.greatest(F.lit(0), cy - ky), F.least(F.lit(n - 1), cy + ky))
+    return xs, ys
+
+
+def disk_radii_for_distance(r: float, level: int) -> tuple[int, int]:
+    """Cell radii (kx, ky) so that disk(kx, ky) around a point's cell
+    contains every point within planar distance ``r`` — the cell-grid
+    analog of the reference's envelope-expansion distance-join rewrite
+    (``DistanceJoinExec.scala:30-42``)."""
+    return (
+        int(math.ceil(r / cell_width(level))),
+        int(math.ceil(r / cell_height(level))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors (for pandas UDF internals)
+# ---------------------------------------------------------------------------
+
+
+def np_grid_x(lon: np.ndarray, level: int) -> np.ndarray:
+    n = 1 << level
+    raw = np.floor((lon - LON_MIN) / LON_SPAN * float(n)).astype(np.int64)
+    return np.clip(raw, 0, n - 1)
+
+
+def np_grid_y(lat: np.ndarray, level: int) -> np.ndarray:
+    n = 1 << level
+    raw = np.floor((lat - LAT_MIN) / LAT_SPAN * float(n)).astype(np.int64)
+    return np.clip(raw, 0, n - 1)
+
+
+def np_cell_id(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    return (
+        np.int64(level) * np.int64(_L_MULT)
+        + np_grid_x(lon, level) * np.int64(_X_MULT)
+        + np_grid_y(lat, level)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text mirrors (for DuckDB oracles; plain integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def sql_grid_x(lon_expr: str, level: int) -> str:
+    # e-notation literals: parsed as DOUBLE by both Spark and DuckDB
+    # (plain `360.0` is DECIMAL in Spark SQL → different rounding!)
+    n = 1 << level
+    return (
+        f"least({n - 1}, greatest(0, "
+        f"cast(floor(({lon_expr} - (-180e0)) / 360e0 * {n}e0) as bigint)))"
+    )
+
+
+def sql_grid_y(lat_expr: str, level: int) -> str:
+    n = 1 << level
+    return (
+        f"least({n - 1}, greatest(0, "
+        f"cast(floor(({lat_expr} - (-90e0)) / 180e0 * {n}e0) as bigint)))"
+    )
+
+
+def sql_cell_id(lon_expr: str, lat_expr: str, level: int) -> str:
+    return (
+        f"(cast({level * _L_MULT} as bigint)"
+        f" + {sql_grid_x(lon_expr, level)} * cast({_X_MULT} as bigint)"
+        f" + {sql_grid_y(lat_expr, level)})"
+    )

@@ -1,0 +1,71 @@
+"""Minimal WKB/WKT support (Point, LineString, Polygon), numpy-vectorized
+where it matters.
+
+The reference stores geometry as a custom compact binary serde inside a UDT
+(``GeometrySerializer.java:36-72``); its own Python bindings fall back to
+WKB + shapely (``python/sedona/spark/utils/geometry_serde.py:29-100``). We
+standardize on little-endian ISO WKB in plain ``BinaryType`` columns — no
+UDT — and decode inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def wkb_linestring(coords) -> bytes:
+    a = np.asarray(coords, dtype="<f8").reshape(-1, 2)
+    return struct.pack("<BII", 1, WKB_LINESTRING, len(a)) + a.tobytes()
+
+
+def wkb_polygon(ring) -> bytes:
+    """Single-ring polygon; closes the ring if open."""
+    a = np.asarray(ring, dtype="<f8").reshape(-1, 2)
+    if len(a) == 0:
+        return struct.pack("<BII", 1, WKB_POLYGON, 0)
+    if not (a[0] == a[-1]).all():
+        a = np.vstack([a, a[:1]])
+    return struct.pack("<BIII", 1, WKB_POLYGON, 1, len(a)) + a.tobytes()
+
+
+def parse_wkb(buf: bytes):
+    """→ (kind:str, coords ndarray (n,2)). Little- or big-endian input."""
+    bo = "<" if buf[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", buf, 1)
+    gtype &= 0xFF  # strip SRID/Z flags if present in high bits
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", buf, 5)
+        return "point", np.array([[x, y]])
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", buf, 5)
+        a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=9).reshape(-1, 2)
+        return "linestring", a.copy()
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", buf, 5)
+        if nrings == 0:
+            return "polygon", np.empty((0, 2))
+        (n,) = struct.unpack_from(bo + "I", buf, 9)
+        a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=13).reshape(-1, 2)
+        return "polygon", a.copy()  # outer ring only (v1: no holes)
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkt(buf: bytes) -> str:
+    """WKB → WKT string (ST_AsText analog, ``Catalog.scala`` output block)."""
+    kind, a = parse_wkb(buf)
+    pts = ", ".join(f"{x:g} {y:g}" for x, y in a)
+    if kind == "point":
+        return f"POINT ({pts})"
+    if kind == "linestring":
+        return f"LINESTRING ({pts})"
+    return f"POLYGON (({pts}))"

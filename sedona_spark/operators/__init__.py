@@ -1,0 +1,23 @@
+from sedona_spark.operators.range_query import range_query
+from sedona_spark.operators.spatial_join import (
+    pip_join,
+    pip_join_rect,
+    polygon_overlap_join,
+    with_envelope,
+)
+from sedona_spark.operators.distance_join import distance_join
+from sedona_spark.operators.knn import knn_join, knn_query
+from sedona_spark.operators.tile import tile_grid, tile_assign
+
+__all__ = [
+    "range_query",
+    "pip_join",
+    "pip_join_rect",
+    "polygon_overlap_join",
+    "with_envelope",
+    "distance_join",
+    "knn_join",
+    "knn_query",
+    "tile_grid",
+    "tile_assign",
+]

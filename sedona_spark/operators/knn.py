@@ -1,0 +1,198 @@
+"""kNN query and kNN join (exact, partitioning-invariant, with tie option).
+
+Reference semantics: ``JoinQuery.knnJoin`` (``JoinQuery.java:769-963``) —
+exact k nearest per query, EUCLIDEAN metric, optional ties
+(``sedona.join.knn.includeTieBreakers``); completeness enforced via Simba
+distance bounds (``QuadTreeRTPartitioner.java:32-61``) and per-query local
+heaps (``InMemoryKNNJoinIterator.java:99-154``).
+
+Our algorithm (north_rule: "iterative k-ring expansion + per-partition
+bounded heap"):
+
+1. index objects by grid cell at ``level``;
+2. each unresolved query explodes to the Chebyshev disk of radius ``ring``
+   around its cell; equi-join on cell; rank candidates per query by
+   (dist², object id) with a window — Spark's window TopK is the
+   "bounded heap" (partial aggregation keeps state ≤ k per query);
+3. a query is *resolved* when it has ≥ k candidates and its kth distance is
+   ≤ the guaranteed-complete bound: any object outside disk(ring) is at
+   least ``ring`` full cell-widths away on some axis, so kth_dist ≤
+   ring·min(cell_w, cell_h) proves no closer object exists outside the
+   disk. (Same invariant as the reference's γᵢ = 2uᵢ + |crᵢ,sₖ| bound —
+   ours is the grid form.)
+4. unresolved queries double ``ring`` and repeat. Termination: the disk
+   eventually covers the whole grid.
+
+The loop is driver-side control flow over DataFrame ops (a count per round)
+— no data ever collects to the driver, so it holds at 10^12 rows; rounds are
+O(log grid) worst case and 1-2 in practice when ``level`` fits the density.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sedona_spark import cells
+from sedona_spark.functions import st
+
+
+def knn_query(
+    points: DataFrame,
+    qx: float,
+    qy: float,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Single-point kNN: global TakeOrderedAndProject, exactly how the
+    reference collapses to ``takeOrdered(k)`` (``KNNQuery.java:47-79``).
+    ``tiebreak`` names a column used to order equal distances
+    deterministically."""
+    d2 = st.st_distance_sq(F.col(x), F.col(y), F.lit(float(qx)), F.lit(float(qy)))
+    order = [F.col("dist_sq").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return points.withColumn("dist_sq", d2).orderBy(*order).limit(k)
+
+
+def _disk_join(
+    queries: DataFrame,
+    objects_c: DataFrame,
+    level: int,
+    qx: str,
+    qy: str,
+    ox: str,
+    oy: str,
+) -> DataFrame:
+    """Join each query to all objects within its per-query cell disk
+    (``_ring`` column — data-adaptively sized per round)."""
+    n = 1 << level
+    home = cells.cell_id(F.col(qx), F.col(qy), level)
+    cx, cy = cells.cell_x(home), cells.cell_y(home)
+    rng = F.col("_ring")
+    xs = F.sequence(F.greatest(F.lit(0), cx - rng), F.least(F.lit(n - 1), cx + rng))
+    ys = F.sequence(F.greatest(F.lit(0), cy - rng), F.least(F.lit(n - 1), cy + rng))
+    qc = (
+        queries.withColumn("_gx", F.explode(xs))
+        .withColumn("_gy", F.explode(ys))
+        .withColumn("cell", cells.cell_of(F.col("_gx"), F.col("_gy"), level))
+        .drop("_gx", "_gy")
+    )
+    j = qc.join(objects_c, "cell").drop("cell")
+    return j.withColumn(
+        "dist_sq", st.st_distance_sq(F.col(qx), F.col(qy), F.col(ox), F.col(oy))
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    level: int = 7,
+    query_id: str = "qid",
+    qx: str = "x",
+    qy: str = "y",
+    obj_x: str = "ox",
+    obj_y: str = "oy",
+    include_ties: bool = False,
+    initial_ring: int = 1,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Exact kNN join. Returns query columns + object columns + ``dist_sq``
+    + ``knn_rank`` (1-based). With ``include_ties`` rows tied with the kth
+    distance are all kept (reference tie semantics,
+    ``InMemoryKNNJoinIterator.java:123-154``); otherwise ties break by the
+    object-id ordering column for determinism."""
+    obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
+    objects_c = objects.withColumn(
+        "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
+    ).persist()
+    objects_c.count()  # materialize once; reused every round
+
+    min_dim = cells.min_cell_dim(level)
+    n_side = 1 << level
+    results: list[DataFrame] = []
+    unresolved = queries.withColumn("_ring", F.lit(max(1, int(initial_ring))))
+    rank_fn = F.rank() if include_ties else F.row_number()
+
+    for _ in range(max_rounds):
+        if include_ties:
+            # rank() over distance ONLY: every row tied with the kth
+            # distance shares its rank and survives the <= k filter
+            # (InMemoryKNNJoinIterator.java:123-154 tie expansion)
+            w = Window.partitionBy(query_id).orderBy(F.col("dist_sq").asc())
+        else:
+            w = Window.partitionBy(query_id).orderBy(
+                F.col("dist_sq").asc(), *[F.col(c).asc() for c in obj_order]
+            )
+        cand = (
+            _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y)
+            .withColumn("knn_rank", rank_fn.over(w))
+            .filter(F.col("knn_rank") <= k)
+            .persist()
+        )
+        # per-query completeness: kth distance ≤ ring · min_dim guarantees no
+        # closer object outside the disk; a disk covering the whole grid is
+        # complete by definition
+        stats = cand.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("dist_sq").alias("_kth"),
+            F.first("_ring").alias("_r"),
+        )
+        bound_sq = (F.col("_r") * F.lit(min_dim)) * (F.col("_r") * F.lit(min_dim))
+        stats = stats.withColumn(
+            "_done",
+            ((F.col("_cnt") >= k) & (F.col("_kth") <= bound_sq))
+            | (F.col("_r") >= n_side),
+        ).persist()
+        ok = stats.filter(F.col("_done")).select(query_id)
+        # localCheckpoint truncates lineage — without it the logical plan
+        # doubles per round and Catalyst analysis time explodes (on a
+        # cluster use checkpoint() with a reliable dir instead)
+        results.append(
+            cand.join(ok, query_id, "left_semi").localCheckpoint(eager=True)
+        )
+
+        # adaptive growth: with ≥k candidates the kth distance is an upper
+        # bound on the true kth ⇒ the exactly-sufficient ring is
+        # ceil(sqrt(kth)/min_dim); with <k candidates grow 4× blind
+        remaining = (
+            unresolved.drop("_ring")
+            .join(stats.filter(~F.col("_done")), query_id, "inner")
+            .withColumn(
+                "_ring",
+                F.when(
+                    F.col("_cnt") >= k,
+                    F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1,
+                )
+                .otherwise(F.col("_r") * 4)
+                .cast("int"),
+            )
+            .drop("_cnt", "_kth", "_r", "_done")
+        )
+        # queries with ZERO candidates produce no stats row: widen them too
+        # (unless their disk already covered the whole grid — then there is
+        # genuinely nothing to return and they are done)
+        missing = (
+            unresolved.join(stats.select(query_id), query_id, "left_anti")
+            .filter(F.col("_ring") < n_side)
+            .withColumn("_ring", (F.col("_ring") * 4).cast("int"))
+        )
+        nxt = remaining.unionByName(missing).localCheckpoint(eager=True)
+        n_rem = nxt.count()
+        cand.unpersist()
+        stats.unpersist()
+        unresolved = nxt
+        if n_rem == 0:
+            unresolved = None
+            break
+
+    if unresolved is not None:
+        raise RuntimeError("knn_join failed to converge (max_rounds exceeded)")
+    objects_c.unpersist()
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.drop("_ring")

@@ -1,0 +1,168 @@
+"""Distributed spatial joins: point-in-polygon and polygon-overlaps.
+
+Reference semantics: ``JoinQuery.SpatialJoinQueryFlat``
+(``core/spatialOperator/JoinQuery.java:164-298, 676-732``) — replicate each
+geometry to every partition cell its envelope overlaps, per-partition
+envelope-index probe, exact-predicate refine, then duplicate elimination by
+reference point (``core/joinJudgement/DuplicatesFilter.java:46-71``,
+``GeomUtils.java:359-382``).
+
+Spark-first re-expression:
+
+* replication  = ``explode(sequence(gx0,gx1)) × explode(sequence(gy0,gy1))``
+  over the envelope's covering cells — pure Column math;
+* partitioning = the hash shuffle of the cell equi-join itself (no custom
+  partitioner; AQE handles skew/coalesce);
+* refine       = envelope test (SQL) + exact kernel (rect: pure SQL;
+  general polygon: ONE Arrow-batched pandas UDF);
+* dedup        = emit a pair only from the cell containing the reference
+  point (max of the two envelope mins) — a pure Column predicate, exactly
+  ``GeomUtils.isDuplicate``'s rule re-expressed on the grid. Points occupy
+  a single cell, so point-side joins are duplicate-free by construction
+  (same shortcut as ``GeomUtils.java:361-364``).
+
+Scale notes (100 TB posture): both inputs shuffle once, on an int64 key;
+the zone side is usually small → Catalyst auto-broadcasts it, removing the
+big side's shuffle entirely. No sampling, no driver-side tree build — layout
+is closed-form from ``level``, which also makes checkpoint/resume sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sedona_spark import cells
+from sedona_spark.functions import st
+
+
+def _explode_cover(
+    df: DataFrame, level: int, xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Replicate each row to all cells its envelope covers (pure SQL)."""
+    gx0, gx1, gy0, gy1 = cells.cover_bbox(
+        F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax), level
+    )
+    return (
+        df.withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn(cell_col, cells.cell_of(F.col("_gx"), F.col("_gy"), level))
+        .drop("_gx", "_gy")
+    )
+
+
+def with_envelope(df: DataFrame, ring: str = "ring") -> DataFrame:
+    """Materialize envelope columns from a packed ring (pure SQL)."""
+    return df.select("*", *st.st_envelope_cols(F.col(ring)))
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+    ring: str = "ring",
+    broadcast_zones: bool | None = None,
+) -> DataFrame:
+    """Join point rows to polygon rows whose polygon contains/covers them.
+
+    ``points`` needs (x, y) columns; ``zones`` needs a packed ``ring``
+    column (``array<double>``) — envelopes derived if absent. All other
+    columns pass through (ensure disjoint names).
+
+    predicate: 'contains' (interior only) or 'covers'/'intersects'
+    (boundary counts) — reference boundary split,
+    ``SpatialPredicateEvaluators.java:25-80``.
+    """
+    if "xmin" not in zones.columns:
+        zones = with_envelope(zones, ring)
+    zc = _explode_cover(zones, level)
+    pc = points.withColumn("cell", cells.cell_id(F.col(x), F.col(y), level))
+    if broadcast_zones is True:
+        zc = F.broadcast(zc)
+
+    j = pc.join(zc, "cell")
+    # envelope prefilter (cheap, codegen'd) before the exact kernel
+    j = j.filter(
+        st.env_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col(x), F.col(y),
+        )
+    )
+    cls = st.pip_class(F.col(ring), F.col(x), F.col(y))
+    keep = cls == 2 if predicate == "contains" else cls >= 1
+    return j.filter(keep).drop("cell", "xmin", "ymin", "xmax", "ymax")
+
+
+def pip_join_rect(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+    broadcast_zones: bool | None = None,
+) -> DataFrame:
+    """PIP join against axis-aligned rectangles (xmin..ymax columns) —
+    the zcta510-style rectangle-window join of the reference fixtures
+    (``test_point_join.py:35-37``). 100% JVM-side, zero Python."""
+    zc = _explode_cover(rects, level)
+    pc = points.withColumn("cell", cells.cell_id(F.col(x), F.col(y), level))
+    if broadcast_zones is True:
+        zc = F.broadcast(zc)
+    j = pc.join(zc, "cell")
+    px, py = F.col(x), F.col(y)
+    x0, y0, x1, y1 = F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+    if predicate == "contains":
+        keep = (px > x0) & (px < x1) & (py > y0) & (py < y1)
+    else:
+        keep = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+    return j.filter(keep).drop("cell")
+
+
+def polygon_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    level: int = 7,
+    left_ring: str = "l_ring",
+    right_ring: str = "r_ring",
+) -> DataFrame:
+    """Polygon×polygon INTERSECTS join with replicate-dedup.
+
+    Both sides replicate to their envelope-cover cells; a matched pair is
+    emitted only from the cell that contains the pair's reference point
+    (min corner of the envelope intersection) — the exact dedup rule of
+    ``DuplicatesFilter.java:46-71`` as a Column predicate, no second pass.
+    """
+    lf = with_envelope(left.withColumnRenamed(left_ring, "_lring"), "_lring")
+    lf = lf.withColumnsRenamed(
+        {"xmin": "_lxmin", "ymin": "_lymin", "xmax": "_lxmax", "ymax": "_lymax"}
+    )
+    rf = with_envelope(right.withColumnRenamed(right_ring, "_rring"), "_rring")
+    rf = rf.withColumnsRenamed(
+        {"xmin": "_rxmin", "ymin": "_rymin", "xmax": "_rxmax", "ymax": "_rymax"}
+    )
+    lc = _explode_cover(lf, level, "_lxmin", "_lymin", "_lxmax", "_lymax")
+    rc = _explode_cover(rf, level, "_rxmin", "_rymin", "_rxmax", "_rymax")
+
+    j = lc.join(rc, "cell")
+    j = j.filter(
+        st.env_intersects(
+            F.col("_lxmin"), F.col("_lymin"), F.col("_lxmax"), F.col("_lymax"),
+            F.col("_rxmin"), F.col("_rymin"), F.col("_rxmax"), F.col("_rymax"),
+        )
+    )
+    # reference-point dedup (GeomUtils.isDuplicate:359-382)
+    ref_x = F.greatest(F.col("_lxmin"), F.col("_rxmin"))
+    ref_y = F.greatest(F.col("_lymin"), F.col("_rymin"))
+    j = j.filter(F.col("cell") == cells.cell_id(ref_x, ref_y, level))
+    j = j.filter(st.st_intersects_polygons(F.col("_lring"), F.col("_rring")))
+    return (
+        j.drop("cell", "_lxmin", "_lymin", "_lxmax", "_lymax",
+               "_rxmin", "_rymin", "_rxmax", "_rymax")
+        .withColumnRenamed("_lring", left_ring)
+        .withColumnRenamed("_rring", right_ring)
+    )

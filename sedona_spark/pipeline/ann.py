@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: dot products via
+  ``F.zip_with`` + ``F.aggregate`` (JVM codegen, no Python), global top-k via
+  TakeOrderedAndProject (same shape as the spatial kNN query collapse,
+  ``KNNQuery.java:47-79``);
+* LSH-bucketed variant — the 100 TB path: random-hyperplane sign buckets
+  turn all-pairs scan into an equi-join on an int bucket key (identical
+  architecture to the cell-join spatial engine: bucket = cell);
+* near-dup pairs — blocked self-join + exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector. Scan + codegen'd fold +
+    TakeOrderedAndProject: no shuffle at all (each partition keeps k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, _lit_vec(q)) / (F.sqrt(_norm_sq(v)) * F.lit(qn))
+    return (
+        embeddings.withColumn("cosine", cos)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane sign bucket (int64) — pure Column arithmetic."""
+    v = vec.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(v, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: scan only vectors whose sign-bucket is
+    within ``probe_hamming`` bits of the query's bucket (multi-probe LSH).
+    At scale the table is written bucketed/partitioned by ``lsh_bucket`` so
+    this becomes partition pruning, not a scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qbits = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
+    probe = [qbits]
+    if probe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    b = lsh_bucket(F.col(vec_col), planes)
+    pruned = embeddings.withColumn("bucket", b).filter(F.col("bucket").isin(probe))
+    return cosine_topk_bruteforce(pruned, q, k, vec_col, id_col).drop("bucket")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate (cosine ≥ threshold) pairs via blocked self-join.
+
+    Blocking key = ``block_col`` if given (e.g. a cluster/label column) else
+    the LSH sign bucket; exact cosine verifies each candidate. One shuffle
+    per side on the block key; AQE splits hot blocks."""
+    if block_col is None:
+        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        embeddings = embeddings.withColumn("_blk", lsh_bucket(F.col(vec_col), planes))
+        key = "_blk"
+    else:
+        key = block_col
+    a = embeddings.select(
+        F.col(key).alias("_k"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(key).alias("_k"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    j = a.join(b, "_k").filter(F.col("id_a") < F.col("id_b"))
+    va = F.col("_va").cast("array<double>")
+    vb = F.col("_vb").cast("array<double>")
+    cos = _dot(va, vb) / (F.sqrt(_norm_sq(va)) * F.sqrt(_norm_sq(vb)))
+    return (
+        j.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,264 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over a
+``documents(doc_id, text, ...)`` table. Shapes chosen for 100 TB:
+
+* shingling/hashing are Column expressions (JVM codegen) or Arrow-batched
+  vectorized hashes — never per-row Python;
+* LSH turns the quadratic all-pairs problem into an equi-join on
+  (band, band_hash) — the same "make it a shuffle join on an int key" move
+  the spatial engine makes with cells;
+* candidate pairs are verified with exact set arithmetic before being
+  reported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact text hash. Hash-groupBy:
+    one shuffle on the md5 key; partial aggregation map-side."""
+    h = F.md5(F.col(text).cast("binary")).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Array of n-char shingles — pure Column (transform over sequence)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text) - (n - 1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """→ (id, sig: array of ``num_hashes`` min-hash values).
+
+    Fast path hashes shingles with ``xxhash64(shingle, seed)`` (JVM
+    built-in). ``portable=True`` instead takes ``min(md5(seed || shingle))``
+    hex strings — bit-identical reproducible in any SQL engine (used by the
+    DuckDB oracle)."""
+    sh = char_shingles(F.col(text), shingle)
+    if portable:
+        mins = [
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(i) + ":"), s).cast("binary")))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))).alias(
+                f"mh_{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    return docs.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash) →
+    distinct candidate pairs (id_a < id_b). The self-join is an equi-join
+    on a hashed key: Catalyst shuffles once per side, AQE splits skewed
+    buckets (a viral shingle = a hot cell)."""
+    sig_len = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
+    rows_per_band = max(1, sig_len // bands)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact shingle-set Jaccard.
+    Returns (id_a, id_b, inter_size, union_size)."""
+    sigs = minhash_signatures(docs, num_hashes, shingle, text, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    sets_ = docs.select(
+        F.col(id_col), char_shingles(F.col(text), shingle).alias("shingles")
+    )
+    j = (
+        cands.join(sets_.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sets_.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("inter_size", inter.cast("long"))
+        .withColumn("union_size", union.cast("long"))
+        .filter(F.col("inter_size") >= F.lit(threshold) * F.col("union_size"))
+        .select("id_a", "id_b", "inter_size", "union_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens. Vectorized: pandas'
+    deterministic C siphash for token→uint64, numpy bincount for bit votes.
+    """
+    out = np.zeros(len(text), dtype=np.int64)
+    toks_per_row = text.fillna("").str.split()
+    lens = toks_per_row.str.len().to_numpy()
+    flat = [t for row in toks_per_row for t in row]
+    if flat:
+        hashes = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64
+        row_id = np.repeat(np.arange(len(text)), lens)
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int32)
+        votes = np.zeros((len(text), 64), dtype=np.int64)
+        np.add.at(votes, row_id, 2 * bits - 1)
+        sim = (votes > 0).astype(np.uint64)
+        vals = np.zeros(len(text), dtype=np.uint64)
+        for b in range(64):
+            vals |= sim[:, b] << np.uint64(b)
+        out = vals.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash column (near-dup via small hamming distance)."""
+    return _simhash_udf(text)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Block on 4×16-bit SimHash chunks (any pair within hamming ≤ 3 of a
+    64-bit hash shares at least one exact 16-bit quarter — pigeonhole), then
+    verify exact hamming distance. Classic scalable SimHash join."""
+    with_h = docs.select(F.col(id_col), simhash64(F.col(text)).alias("sh"))
+    chunks = with_h.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk", "c.ck")
+    a = chunks.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
+    b = chunks.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (word level)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - n))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 1,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word n-gram Jaccard for given (id_a, id_b) pairs — pure SQL set
+    arithmetic. Returns pairs + inter_size/union_size (integers: hash-stable)."""
+    sets_ = docs.select(F.col(id_col), word_ngrams(F.col(text), n).alias("grams"))
+    j = (
+        pairs.join(sets_.withColumnsRenamed({id_col: "id_a", "grams": "g_a"}), "id_a")
+        .join(sets_.withColumnsRenamed({id_col: "id_b", "grams": "g_b"}), "id_b")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("g_a", "g_b")).cast("long").alias("inter_size"),
+        F.size(F.array_union("g_a", "g_b")).cast("long").alias("union_size"),
+    )

@@ -1,0 +1,80 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All JVM-side Column expressions (regex/aggregation built-ins) — at 100 TB of
+documents none of these leave whole-stage codegen. Oracle-portable: each has
+an ANSI-SQL twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# languages × their most frequent marker words (lowercase, space-delimited)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "que"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens, empty-safe. (BPE-ish subword counting lives in
+    ``doc_fingerprint``'s shingling; this is the canonical token count.)"""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    return F.size(toks).alias("n_tokens")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — portable length-difference
+    trick (identical semantics in any SQL engine)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def quality_stats(text: Column) -> list[Column]:
+    """Quality-scoring signals as integer columns (ratios are left to the
+    consumer so results stay hash-stable across engines)."""
+    return [
+        F.length(text).cast("long").alias("n_chars"),
+        token_count(text).cast("long").alias("n_tokens"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))).cast(
+            "long"
+        ).alias("n_punct"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))).cast(
+            "long"
+        ).alias("n_digits"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))).cast(
+            "long"
+        ).alias("n_upper"),
+    ]
+
+
+def language_id(text: Column) -> Column:
+    """N-gram-heuristic language ID: count per-language marker words in the
+    lowercased text, pick the argmax (deterministic tie order en>de>fr>es).
+    """
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(lowered, f" {m} ") for m in markers),
+            start=F.lit(0).cast("long"),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr.alias("lang_pred")
+
+
+def doc_fingerprint(text: Column, width: int = 16) -> Column:
+    """Rolling-hash document fingerprint: first ``width`` hex chars of the
+    md5 of the whitespace-normalized text — a cheap content-defined id for
+    exact-dup grouping at scale (md5 is engine-portable)."""
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    return F.substring(F.md5(norm.cast("binary")), 1, width).alias("fingerprint")

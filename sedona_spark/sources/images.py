@@ -1,0 +1,189 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md F1) + codec.
+
+The target table shape is fixed by BASELINE.json input_hint:
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` (+ geotag lon/lat). No image libraries exist
+in this environment, so the codec is our own deterministic format pair —
+real compression (zlib), real lossy quantization, real PSNR — with the
+external-format decode path stubbed behind ``NotImplementedError`` as a
+clearly-marked seam:
+
+* ``fpng``: lossless — header + zlib(raw HxWx3 uint8);
+* ``fjpg``: lossy — 6-bit uniform quantization then zlib. Quantization MSE
+  ≈ 4²/12 → PSNR ≈ 46.9 dB, comfortably over the ≥40 dB fidelity gate.
+
+Encoded bytes are canonical (generate → encode once; decode for checks),
+matching the reference-fixture philosophy in FIXTURES.md F1.
+
+Synthesis is ``spark.range(n)`` + ``mapInPandas`` — distributed, seeded,
+batch-vectorized; the Spider synthetic source plays the same role in the
+reference (``SpiderDataSource.scala:36-60``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC_LOSSLESS = b"FPNG"
+_MAGIC_LOSSY = b"FJPG"
+_HDR = struct.Struct("<4sHHB")
+
+_WORDS = (
+    "granite harbor umbra lattice meridian copper fjord zenith tundra "
+    "monsoon basalt aurora quartz savanna atoll caldera isthmus steppe "
+    "delta mesa"
+).split()
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """uint8 (h, w, 3) → canonical bytes."""
+    h, w, c = arr.shape
+    if fmt == "fpng":
+        return _HDR.pack(_MAGIC_LOSSLESS, w, h, c) + zlib.compress(arr.tobytes(), 6)
+    if fmt == "fjpg":
+        q = (arr & 0xFC) | 0x02  # 6-bit quantize, bucket-centered
+        return _HDR.pack(_MAGIC_LOSSY, w, h, c) + zlib.compress(q.tobytes(), 6)
+    # seam for real formats (PIL/libjpeg not present in this environment)
+    raise NotImplementedError(f"external codec {fmt!r} requires an image library")
+
+
+def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
+    """canonical bytes → (uint8 (h, w, 3), fmt)."""
+    magic, w, h, c = _HDR.unpack_from(buf, 0)
+    if magic not in (_MAGIC_LOSSLESS, _MAGIC_LOSSY):
+        raise NotImplementedError("external codec decode requires an image library")
+    raw = zlib.decompress(buf[_HDR.size:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+    fmt = "fpng" if magic == _MAGIC_LOSSLESS else "fjpg"
+    return arr, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def make_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-photo for image id ``i`` (no PRNG object, pure
+    broadcasting: gradient + id-keyed interference pattern)."""
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    v = (i * 31 + xs * 3 + ys * 5 + cs * 7) % 251
+    v = v + ((xs * ys * (i % 13 + 1)) % 67)
+    return (v % 256).astype(np.uint8)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual-hash-like value: 8×8 block-mean luminance vs global
+    mean (deterministic, rotation of the classic average-hash)."""
+    lum = arr.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    yb = (np.arange(h) * 8 // h).astype(np.int64)
+    xb = (np.arange(w) * 8 // w).astype(np.int64)
+    sums = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(sums, (yb[:, None].repeat(w, 1), xb[None, :].repeat(h, 0)), lum)
+    np.add.at(counts, (yb[:, None].repeat(w, 1), xb[None, :].repeat(h, 0)), 1.0)
+    blocks = sums / np.maximum(counts, 1.0)
+    bits = (blocks > blocks.mean()).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+_IMG_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("caption", StringType(), False),
+        StructField("phash", LongType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+    ]
+)
+
+
+def _caption(i: int) -> str:
+    ws = [_WORDS[(i * 7 + j * 13) % len(_WORDS)] for j in range(4)]
+    return f"caption of image {i}: " + " ".join(ws)
+
+
+def _geotag(i: int) -> tuple[float, float]:
+    """Lattice + deterministic jitter over [0, 100) (FIXTURES.md F3: image
+    geotags sit on the closed-form lattice domain)."""
+    gx = (i * 2654435761) % 1000
+    gy = (i * 2246822519) % 1000
+    return (gx + 0.5) / 10.0, (gy + 0.5) / 10.0
+
+
+def _rows_for_ids(ids: np.ndarray) -> pd.DataFrame:
+    recs = []
+    for i in map(int, ids):
+        w = (32, 64, 48)[i % 3]
+        h = (32, 48, 96)[i % 3]
+        fmt = "fpng" if i % 4 else "fjpg"
+        arr = make_pixels(i, w, h)
+        lon, lat = _geotag(i)
+        recs.append(
+            (
+                f"img_{i:012d}",
+                encode_image(arr, fmt),
+                w,
+                h,
+                fmt,
+                _caption(i),
+                phash64(arr),
+                lon,
+                lat,
+            )
+        )
+    return pd.DataFrame(recs, columns=[f.name for f in _IMG_SCHEMA.fields])
+
+
+def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Distributed deterministic image table of ``n`` rows."""
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _rows_for_ids(b["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=_IMG_SCHEMA)
+
+
+def images_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image table keyed off the driver testdata ``part`` table (so oracle
+    SQL can reproduce the metadata side deterministically)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ids = part.select(F.col("p_partkey").cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _rows_for_ids(b["id"].to_numpy())
+
+    return ids.mapInPandas(gen, schema=_IMG_SCHEMA)

@@ -1,0 +1,85 @@
+"""Checkpoint/lineage/resume (FIXTURES.md F7) and streaming cell ops."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark import checkpoint as ckpt
+from sedona_spark import cells
+from sedona_spark.streaming import cellify_stream, windowed_cell_counts
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "snapshots")
+
+
+def _df(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 360 - 180 + 0.5).cast("double").alias("lon"),
+        (F.col("id") % 180 - 90 + 0.5).cast("double").alias("lat"),
+    ).withColumn("cell", cells.cell_id(F.col("lon"), F.col("lat"), 7))
+
+
+def test_checkpoint_manifest_and_idempotence(spark, root):
+    df = _df(spark)
+    m1 = ckpt.checkpoint_stage(df, root, "s1", "cell", n_buckets=8)
+    assert sum(p["rows"] for p in m1["partitions"].values()) == 1000
+    assert all(p["bytes"] > 0 for p in m1["partitions"].values())
+    # second call is a no-op returning the same manifest
+    m2 = ckpt.checkpoint_stage(df, root, "s1", "cell", n_buckets=8)
+    assert m2["partitions"] == m1["partitions"]
+    back = ckpt.read_stage(spark, root, "s1")
+    assert back.count() == 1000
+
+
+def test_resume_replays_only_missing_buckets(spark, root):
+    df = _df(spark)
+    ckpt.checkpoint_stage(df, root, "s2", "cell", n_buckets=8)
+    base = os.path.join(root, "s2")
+    # simulate crash: drop the commit marker and two bucket dirs
+    os.remove(os.path.join(base, ckpt._MARKER))
+    for b in (1, 5):
+        shutil.rmtree(os.path.join(base, "data", f"part_bucket={b}"))
+    missing = ckpt.incomplete_buckets(root, "s2", 8)
+    assert set(missing) == {1, 5}
+
+    m = ckpt.resume_stage(df, root, "s2", "cell", n_buckets=8)
+    assert set(m["resumed_buckets"]) == {1, 5}
+    back = ckpt.read_stage(spark, root, "s2")
+    assert back.count() == 1000  # byte-complete again
+    assert back.select("id").distinct().count() == 1000  # no double-writes
+
+
+def test_cellify_stream_and_windowed_counts(spark, tmp_path):
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .withColumn("lon", (F.col("value") % 360 - 180 + 0.5).cast("double"))
+        .withColumn("lat", (F.col("value") % 180 - 90 + 0.5).cast("double"))
+        .withColumnRenamed("timestamp", "ts")
+    )
+    agg = windowed_cell_counts(src, level=5, ts="ts", window="2 seconds",
+                               watermark="2 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        time.sleep(2.5)
+        q.processAllAvailable()
+        out = spark.sql("select * from cellcounts")
+        assert out.count() > 0
+        levels = out.select((F.col("cell") / (1 << 54)).cast("long").alias("l")).distinct().collect()
+        assert [r.l for r in levels] == [5]
+    finally:
+        q.stop()

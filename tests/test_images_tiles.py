@@ -1,0 +1,123 @@
+"""Image fixture + codec fidelity (PSNR ≥ 40 dB gate) + tiling semantics
+(FIXTURES.md F1/F6, reference RasterConstructors.generateTiles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark.functions.raster import rs_decode_stats, rs_psnr, rs_tile_explode
+from sedona_spark.operators.tile import tile_assign, tile_grid
+from sedona_spark.sources.images import (
+    decode_image,
+    encode_image,
+    make_pixels,
+    phash64,
+    psnr,
+    synthesize_images,
+)
+
+
+def test_codec_lossless_roundtrip():
+    arr = make_pixels(7, 64, 48)
+    buf = encode_image(arr, "fpng")
+    dec, fmt = decode_image(buf)
+    assert fmt == "fpng" and (dec == arr).all()
+
+
+def test_codec_lossy_psnr():
+    arr = make_pixels(11, 64, 48)
+    buf = encode_image(arr, "fjpg")
+    dec, fmt = decode_image(buf)
+    assert fmt == "fjpg"
+    assert psnr(arr, dec) >= 40.0  # the BASELINE.json fidelity gate
+
+
+def test_codec_external_stub():
+    with pytest.raises(NotImplementedError):
+        encode_image(make_pixels(1, 8, 8), "jpeg")
+
+
+def test_phash_deterministic_and_discriminative():
+    a = phash64(make_pixels(1, 64, 48))
+    b = phash64(make_pixels(1, 64, 48))
+    c = phash64(make_pixels(999, 64, 48))
+    assert a == b
+    assert a != c
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+def test_synthesize_images_deterministic(spark):
+    df1 = synthesize_images(spark, 20).orderBy("image_id").collect()
+    df2 = synthesize_images(spark, 20, partitions=4).orderBy("image_id").collect()
+    assert [r.image_id for r in df1] == [f"img_{i:012d}" for i in range(20)]
+    for r1, r2 in zip(df1, df2):
+        assert r1.bytes == r2.bytes  # bytes canonical across partitionings
+        assert r1.caption == r2.caption and r1.phash == r2.phash
+
+
+def test_tile_grid_counts(spark):
+    imgs = synthesize_images(spark, 12)
+    t = tile_grid(imgs.select("image_id", "w", "h"), 16, 16)
+    got = {
+        r.image_id: r.n
+        for r in t.groupBy("image_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in imgs.select("image_id", "w", "h").collect():
+        assert got[r.image_id] == -(-r.w // 16) * -(-r.h // 16)
+
+
+def test_tile_explode_pixels_match_numpy_oracle(spark):
+    imgs = synthesize_images(spark, 6)
+    tiles = rs_tile_explode(imgs, 20, 24).collect()
+    src = {r.image_id: r for r in imgs.collect()}
+    seen = {}
+    for t in tiles:
+        arr, _ = decode_image(bytes(src[t.image_id].bytes))
+        expected = arr[
+            t.tile_y * 24 : (t.tile_y + 1) * 24, t.tile_x * 20 : (t.tile_x + 1) * 20
+        ]
+        dec, fmt = decode_image(bytes(t.tile_bytes))
+        assert dec.shape == expected.shape
+        if fmt == "fpng":
+            assert (dec == expected).all()
+        else:
+            assert psnr(expected, dec) >= 40.0
+        seen.setdefault(t.image_id, 0)
+        seen[t.image_id] += 1
+    for iid, r in src.items():
+        assert seen[iid] == -(-r.w // 20) * -(-r.h // 24)
+
+
+def test_tile_explode_padding(spark):
+    imgs = synthesize_images(spark, 3)  # 32x32, 64x48, 48x96
+    tiles = rs_tile_explode(imgs, 20, 20, pad=True, pad_value=0).collect()
+    for t in tiles:
+        assert (t.tile_w, t.tile_h) == (20, 20)
+        dec, _ = decode_image(bytes(t.tile_bytes))
+        assert dec.shape[:2] == (20, 20)
+
+
+def test_tile_assign_cells(spark):
+    imgs = synthesize_images(spark, 30)
+    t = tile_assign(
+        imgs.select("image_id", "w", "h", "lon", "lat"), 16, 16, level=10
+    )
+    rows = t.collect()
+    assert all(r.tile_cell // (1 << 54) == 10 for r in rows)
+    # tile centers of one image stay within ~span of the anchor: cells near
+    anchor = {r.image_id: (r.lon, r.lat) for r in imgs.collect()}
+    from sedona_spark import cells as C
+
+    for r in rows:
+        x = (r.tile_cell % (1 << 54)) // (1 << 27)
+        lon0 = -180 + (x + 0.5) * C.cell_width(10)
+        assert abs(lon0 - anchor[r.image_id][0]) < 1.0
+
+
+def test_rs_decode_stats_and_psnr_udf(spark):
+    imgs = synthesize_images(spark, 8).cache()
+    stats = rs_decode_stats(imgs)
+    j = imgs.join(stats, "image_id")
+    assert j.filter((F.col("dec_w") != F.col("w")) | (F.col("dec_h") != F.col("h"))).count() == 0
+    p = imgs.select(rs_psnr(F.col("bytes"), F.col("bytes")).alias("p")).collect()
+    assert all(r.p == float("inf") for r in p)

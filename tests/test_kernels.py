@@ -1,0 +1,96 @@
+"""Pure-numpy kernel tests (no Spark): PIP ternary semantics, polygon
+intersection, envelopes, WKB round-trip, cell math vs SQL mirror."""
+
+import numpy as np
+import pytest
+
+from sedona_spark import cells
+from sedona_spark.geometry import kernels, wkb
+
+SQUARE = np.array([0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0])
+TRIANGLE = np.array([0.0, 0.0, 4.0, 0.0, 0.0, 4.0])
+
+
+def test_pip_ternary():
+    rings = [SQUARE] * 6
+    px = [5.0, 0.0, 10.0, 5.0, -0.1, 20.0]
+    py = [5.0, 0.0, 5.0, 0.0, 5.0, 20.0]
+    res = kernels.point_in_polygon_batch(rings, px, py)
+    assert list(res) == [2, 1, 1, 1, 0, 0]
+
+
+def test_pip_closed_ring_equiv():
+    closed = np.concatenate([SQUARE, SQUARE[:2]])
+    a = kernels.point_in_polygon_batch([SQUARE, closed], [5, 5], [5, 5])
+    assert list(a) == [2, 2]
+
+
+def test_pip_nonconvex():
+    # L-shape: (0,0)-(4,0)-(4,2)-(2,2)-(2,4)-(0,4)
+    ell = np.array([0, 0, 4, 0, 4, 2, 2, 2, 2, 4, 0, 4], dtype=float)
+    res = kernels.point_in_polygon_batch(
+        [ell] * 4, [1.0, 3.0, 3.0, 2.0], [3.0, 1.0, 3.0, 3.0]
+    )
+    assert list(res) == [2, 2, 0, 1]
+
+
+def test_points_in_one_polygon_matches_batch():
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-2, 12, 500)
+    py = rng.uniform(-2, 12, 500)
+    one = kernels.points_in_one_polygon(SQUARE, px, py)
+    many = kernels.point_in_polygon_batch([SQUARE] * 500, px, py)
+    assert (one == many).all()
+
+
+def test_polygons_intersect():
+    a = SQUARE
+    shifted = SQUARE + 5.0  # overlaps
+    touching = SQUARE + np.array([10.0, 0.0] * 4)  # shares an edge
+    disjoint = SQUARE + 100.0
+    containing = np.array([-1.0, -1, 20, -1, 20, 20, -1, 20])
+    crossing = np.array([-1.0, 4.0, 11.0, 4.0, 11.0, 6.0, -1.0, 6.0])  # band across
+    res = kernels.polygons_intersect_batch(
+        [a, a, a, a, a], [shifted, touching, disjoint, containing, crossing]
+    )
+    assert list(res) == [True, True, False, True, True]
+
+
+def test_ring_envelope():
+    env = kernels.ring_envelope([TRIANGLE, SQUARE + 1.0])
+    assert env[0].tolist() == [0.0, 0.0, 4.0, 4.0]
+    assert env[1].tolist() == [1.0, 1.0, 11.0, 11.0]
+
+
+def test_wkb_roundtrip():
+    b = wkb.wkb_point(1.5, -2.5)
+    kind, a = wkb.parse_wkb(b)
+    assert kind == "point" and a.tolist() == [[1.5, -2.5]]
+    b = wkb.wkb_polygon(SQUARE)
+    kind, a = wkb.parse_wkb(b)
+    assert kind == "polygon" and len(a) == 5 and (a[0] == a[-1]).all()
+    assert wkb.wkt(wkb.wkb_point(1, 2)) == "POINT (1 2)"
+
+
+def test_cell_math_numpy():
+    lon = np.array([-180.0, 0.0, 179.999, 12.3])
+    lat = np.array([-90.0, 0.0, 89.999, 45.6])
+    for level in (0, 3, 7, 12):
+        ids = cells.np_cell_id(lon, lat, level)
+        n = 1 << level
+        x = (ids % (1 << cells.CELL_L_SHIFT)) // (1 << cells.CELL_X_SHIFT)
+        y = ids % (1 << cells.CELL_X_SHIFT)
+        assert (x < n).all() and (y < n).all()
+        assert (ids // (1 << cells.CELL_L_SHIFT) == level).all()
+
+
+def test_disk_radii():
+    # at level 7 cell width = 2.8125°, height = 1.40625°
+    kx, ky = cells.disk_radii_for_distance(3.0, 7)
+    assert kx == 2 and ky == 3
+
+
+def test_level_for_extent():
+    lv = cells.level_for_extent(5.0, max_cells_per_side=4)
+    assert 0 <= lv <= cells.MAX_LEVEL
+    assert cells.cell_height(lv) * 4 >= 5.0 > cells.cell_height(lv + 1) * 4

@@ -1,0 +1,207 @@
+"""Operator correctness: closed-form lattice fixture (reference
+test_join_query_correctness.py semantics), brute-force numpy oracles on
+seeded uniform samples, and partitioning invariance (reference tests every
+case across GridType × index; ours across cell levels & parallelism)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark.geometry import kernels
+from sedona_spark.operators import (
+    distance_join,
+    knn_join,
+    knn_query,
+    pip_join,
+    pip_join_rect,
+    polygon_overlap_join,
+    range_query,
+)
+from sedona_spark.sources.zones import lattice_fixture, synthesize_zones
+
+
+@pytest.fixture(scope="module")
+def lattice(spark):
+    wdf, pdf = lattice_fixture(spark)
+    return wdf.cache(), pdf.cache()
+
+
+# ---------------------------------------------------------------------------
+# lattice (closed-form expected counts, cf. reference 200-pair cases)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("level", [5, 7, 9])
+def test_lattice_pip_counts(lattice, level):
+    wdf, pdf = lattice
+    inside = pdf.filter(F.col("role") == "inside")
+    outside = pdf.filter(F.col("role") == "outside")
+    boundary = pdf.filter(F.col("role") == "boundary")
+
+    assert pip_join(inside, wdf, "covers", level=level).count() == 200
+    assert pip_join(inside, wdf, "contains", level=level).count() == 200
+    assert pip_join(outside, wdf, "covers", level=level).count() == 0
+    # every corner is shared by the window; covers counts it, contains doesn't
+    assert pip_join(boundary, wdf, "covers", level=level).count() == 400
+    assert pip_join(boundary, wdf, "contains", level=level).count() == 0
+
+
+def test_lattice_pip_rect_fast_path(lattice):
+    wdf, pdf = lattice
+    inside = pdf.filter(F.col("role") == "inside")
+    got = pip_join_rect(inside, wdf.drop("ring", "kind"), "covers", level=7)
+    assert got.count() == 200
+
+
+def test_lattice_range_query(lattice):
+    _, pdf = lattice
+    # window covering the first lattice column: x in [0,5], y in [0,100]
+    ring = [0.0, 0.0, 5.0, 0.0, 5.0, 100.0, 0.0, 100.0]
+    got = range_query(pdf.filter(F.col("role") == "inside"), ring, "intersects")
+    assert got.count() == 20  # 10 windows in the column × 2 inside points
+
+
+# ---------------------------------------------------------------------------
+# brute-force oracles on seeded uniform data
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def uniform(spark):
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 100, size=(1000, 2))
+    pdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id int, x double, y double",
+    ).cache()
+    return pts, pdf
+
+
+def test_pip_join_vs_oracle(spark, uniform):
+    pts, pdf = uniform
+    zones = synthesize_zones(spark, 60, seed=1).cache()
+    zrows = zones.collect()
+
+    expected = set()
+    for z in zrows:
+        cls = kernels.points_in_one_polygon(np.array(z.ring), pts[:, 0], pts[:, 1])
+        for pid in np.nonzero(cls >= 1)[0]:
+            expected.add((int(pid), z.zone_id))
+
+    for level in (6, 8):
+        got = {
+            (r.point_id, r.zone_id)
+            for r in pip_join(pdf, zones, "covers", level=level)
+            .select("point_id", "zone_id")
+            .collect()
+        }
+        assert got == expected
+
+
+def test_distance_join_vs_oracle(spark, uniform):
+    pts, pdf = uniform
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 100, size=(50, 2))
+    cdf = spark.createDataFrame(
+        [(j, float(x), float(y)) for j, (x, y) in enumerate(centers)],
+        "center_id int, bx double, by double",
+    )
+    r = 3.0
+    d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    expected = {(int(i), int(j)) for i, j in zip(*np.nonzero(d2 <= r * r))}
+
+    for level in (6, 8):
+        got = {
+            (r_.point_id, r_.center_id)
+            for r_ in distance_join(pdf, cdf, r, level=level)
+            .select("point_id", "center_id")
+            .collect()
+        }
+        assert got == expected
+
+
+def test_knn_join_vs_oracle(spark, uniform):
+    pts, pdf = uniform
+    rng = np.random.default_rng(9)
+    qs = np.vstack([rng.uniform(0, 100, size=(20, 2)),
+                    [[500.0, 500.0]]])  # far query forces ring expansion
+    qdf = spark.createDataFrame(
+        [(j, float(x), float(y)) for j, (x, y) in enumerate(qs)],
+        "qid int, qx double, qy double",
+    )
+    k = 5
+    d2 = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1, kind="stable")
+    expected = {(j, int(order[j, m])) for j in range(len(qs)) for m in range(k)}
+
+    for level in (6, 8):
+        res = knn_join(
+            qdf, pdf.withColumnsRenamed({"x": "ox", "y": "oy"}),
+            k=k, level=level, query_id="qid", qx="qx", qy="qy",
+        )
+        got = {(r.qid, r.point_id) for r in res.select("qid", "point_id").collect()}
+        assert got == expected
+
+
+def test_knn_join_ties(spark):
+    # 4 equidistant objects around origin, k=2 → ties must return all 4
+    objs = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, -1.0, 0.0), (2, 0.0, 1.0), (3, 0.0, -1.0), (4, 5.0, 5.0)],
+        "oid int, ox double, oy double",
+    )
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "qid int, qx double, qy double")
+    no_ties = knn_join(q, objs, k=2, level=5, query_id="qid", qx="qx", qy="qy")
+    assert no_ties.count() == 2
+    with_ties = knn_join(
+        q, objs, k=2, level=5, query_id="qid", qx="qx", qy="qy", include_ties=True
+    )
+    assert with_ties.count() == 4
+
+
+def test_knn_query(spark, uniform):
+    pts, pdf = uniform
+    got = [r.point_id for r in knn_query(pdf, 50.0, 50.0, 7).collect()]
+    d2 = ((pts - [50.0, 50.0]) ** 2).sum(axis=1)
+    assert got == list(np.argsort(d2, kind="stable")[:7])
+
+
+def test_polygon_overlap_join_vs_oracle(spark):
+    za = synthesize_zones(spark, 40, seed=3)
+    zb = synthesize_zones(spark, 40, seed=4)
+    a_rows = za.collect()
+    b_rows = zb.collect()
+    expected = set()
+    ra = [np.array(r.ring) for r in a_rows]
+    rb = [np.array(r.ring) for r in b_rows]
+    for i, r1 in enumerate(ra):
+        hits = kernels.polygons_intersect_batch([r1] * len(rb), rb)
+        for j in np.nonzero(hits)[0]:
+            expected.add((a_rows[i].zone_id, b_rows[int(j)].zone_id))
+
+    la = za.select(F.col("zone_id").alias("l_id"), F.col("ring").alias("l_ring"))
+    rb_df = zb.select(F.col("zone_id").alias("r_id"), F.col("ring").alias("r_ring"))
+    for level in (5, 7):
+        got = {
+            (r.l_id, r.r_id)
+            for r in polygon_overlap_join(la, rb_df, level=level)
+            .select("l_id", "r_id")
+            .collect()
+        }
+        assert got == expected
+
+
+def test_parallelism_invariance(spark, uniform):
+    """Same results regardless of partition count (reference requirement:
+    partitioning-invariant joins, test_point_join.py parameterization)."""
+    pts, pdf = uniform
+    zones = synthesize_zones(spark, 30, seed=5)
+    base = {
+        (r.point_id, r.zone_id)
+        for r in pip_join(pdf, zones, "covers", level=7).collect()
+    }
+    re = {
+        (r.point_id, r.zone_id)
+        for r in pip_join(pdf.repartition(13), zones.repartition(7), "covers", level=7)
+        .collect()
+    }
+    assert base == re

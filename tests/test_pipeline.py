@@ -1,0 +1,166 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/jaccard), text
+analysis, ANN — verified against in-process numpy/python oracles on the
+driver testdata `documents` / `embeddings` tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark.pipeline.ann import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from sedona_spark.pipeline.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from sedona_spark.pipeline.text import (
+    doc_fingerprint,
+    language_id,
+    quality_stats,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    # add a guaranteed duplicate
+    dup = docs.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    d = exact_dedup(docs.unionByName(dup))
+    total = docs.count() + 1
+    assert d.agg(F.sum("n_copies")).collect()[0][0] == total
+    assert d.filter(F.col("n_copies") > 1).count() >= 1
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", token_count(F.col("text"))).collect()
+    for r in rows[:200]:
+        assert r.n_tokens == len(r.text.split()), r.doc_id
+
+
+def test_quality_stats(spark, docs):
+    out = docs.select("doc_id", "text", *quality_stats(F.col("text"))).collect()
+    for r in out[:100]:
+        assert r.n_chars == len(r.text)
+        assert r.n_digits == sum(c.isdigit() for c in r.text)
+        assert r.n_punct == sum(c in ".,;:!?" for c in r.text)
+
+
+def test_language_id_runs(spark, docs):
+    out = docs.select("doc_id", language_id(F.col("text"))).collect()
+    assert all(r.lang_pred in ("en", "de", "fr", "es", "unknown") for r in out)
+
+
+def test_fingerprint_groups_exact_dups(spark, docs):
+    two = docs.limit(2).select("text").collect()
+    df = spark.createDataFrame(
+        [(1, two[0].text), (2, two[0].text + "  "), (3, two[1].text)],
+        "doc_id int, text string",
+    )
+    fp = df.select("doc_id", doc_fingerprint(F.col("text"))).collect()
+    vals = {r.doc_id: r.fingerprint for r in fp}
+    assert vals[1] == vals[2]  # whitespace-normalized match
+    assert vals[1] != vals[3]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    base = docs.limit(50).select("doc_id", "text")
+    # plant near-duplicates: append a token to a copy
+    dups = base.limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+    )
+    corpus = base.unionByName(dups)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.6, num_hashes=48, bands=12)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1_000_000) for (i,) in base.limit(10).select("doc_id").collect()}
+    assert planted <= got
+
+
+def test_minhash_portable_matches_xxhash_shape(spark, docs):
+    s1 = minhash_signatures(docs.limit(5), num_hashes=8, portable=False)
+    s2 = minhash_signatures(docs.limit(5), num_hashes=8, portable=True)
+    assert s1.select(F.size("sig")).distinct().collect()[0][0] == 8
+    assert s2.select(F.size("sig")).distinct().collect()[0][0] == 8
+
+
+def test_simhash_near_dup(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    clones = base.limit(5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), F.col("text")
+    )
+    pairs = simhash_near_dup_pairs(base.unionByName(clones), max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 500_000) for (i,) in base.limit(5).select("doc_id").collect()}
+    assert planted <= got
+    assert all(r.hamming <= 3 for r in pairs.collect())
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown dog")],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    r = ngram_jaccard_pairs(pairs, df, n=1).collect()[0]
+    assert (r.inter_size, r.union_size) == (3, 5)
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    expected = [int(ids[i]) for i in order]
+    got = [r.vec_id for r in cosine_topk_bruteforce(emb, q, 10).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_recall_on_planted_cluster(spark, emb):
+    """On uniform-random data sign-LSH recall is necessarily weak (nothing
+    is 'near'); the meaningful property is that genuinely-near vectors land
+    in probed buckets. Plant 10 noisy copies of the query and require the
+    approximate top-10 to find most of them."""
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = mat[3]
+    rng = np.random.default_rng(11)
+    planted = [
+        (900_000 + i, [float(v) for v in (q + rng.normal(0, 0.01, len(q)))], -1)
+        for i in range(10)
+    ]
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    approx = {r.vec_id for r in lsh_bucketed_topk(aug, q, 10, n_planes=8).collect()}
+    assert len({p[0] for p in planted} & approx) >= 8
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant an exact duplicate vector under a new id, same label
+    one = emb.limit(1).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding", "label"
+    )
+    dups = embedding_near_dup_pairs(emb.unionByName(one), threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in dups.collect()}
+    vid = emb.limit(1).collect()[0].vec_id
+    assert (vid, vid + 777_000) in got
