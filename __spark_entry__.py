@@ -132,6 +132,121 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_nationkey", "r_regionkey")
 
 
+def q_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountByKey join (JoinQuery.java:116-134): per-zone match counts."""
+    from sedona_spark.operators import join_count_by_key
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    return join_count_by_key(pts, zones, "n_nationkey", level=_LEVEL)
+
+
+def q_collect_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-flat GroupByKey join (JoinQuery.java:97-114): per-zone sorted
+    match lists (as a string for engine-portable hashing)."""
+    from sedona_spark.operators import join_collect_by_key
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    out = join_collect_by_key(pts, zones, "n_nationkey", "event_id", level=_LEVEL)
+    return out.select(
+        "n_nationkey", F.concat_ws(",", F.col("matches")).alias("match_ids")
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_ZonalStats analog over points (integer sums: hash-stable)."""
+    from sedona_spark.operators import zonal_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    pts = points_from_events(spark, sf_dir).join(ev, "event_id")
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    return zonal_stats(pts, zones, "n_nationkey", "user_id", level=_LEVEL)
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DBSCAN analog (DBSCAN.scala:60-68); cluster = min core id of the
+    component — deterministic, but connected components are not
+    ANSI-SQL-expressible → rows-only check (pytest holds the brute-force
+    oracle)."""
+    from sedona_spark.operators import dbscan
+
+    pts = points_from_events(spark, sf_dir)
+    return dbscan(pts, eps=0.25, min_pts=4, id_col="event_id", level=8).select(
+        "event_id", "cluster"
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftSemi spatial join (BroadcastIndexJoinExec.scala:155)."""
+    from sedona_spark.operators.spatial_join import pip_semi_join
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    return pip_semi_join(pts, zones, "covers", level=_LEVEL).select("event_id")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftAnti spatial join."""
+    from sedona_spark.operators.spatial_join import pip_anti_join
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    return pip_anti_join(pts, zones, "covers", level=_LEVEL).select("event_id")
+
+
+def q_st_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Perimeter / ST_Centroid over zone rectangles — pure
+    higher-order-function folds (Functions.java measure analogs). Exact
+    IEEE arithmetic both sides (no trig)."""
+    from sedona_spark.functions.st_measures import st_area, st_centroid, st_perimeter
+
+    z = rect_zones_from_nation(spark, sf_dir)
+    cx, cy = st_centroid(F.col("ring"))
+    return z.select(
+        "n_nationkey",
+        st_area(F.col("ring")).alias("area"),
+        st_perimeter(F.col("ring")).alias("perimeter"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+
+
+def q_distance_sphere_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine top-20 (ST_DistanceSphere + TakeOrdered); meters rounded
+    to 3 decimals — JVM libm vs DuckDB libm agree far beyond that."""
+    from sedona_spark.functions.st_measures import st_distance_sphere
+
+    pts = points_from_events(spark, sf_dir)
+    d = st_distance_sphere(F.col("x"), F.col("y"), F.lit(12.5), F.lit(47.3))
+    return (
+        pts.withColumn("dist_m", F.round(d, 3))
+        .orderBy(F.col("dist_m").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "dist_m")
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (token-counting at
+    corpus scale: explode → count → top-k)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= 100)
+        .select("token", "n", "rank_n")
+    )
+
+
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     return (
@@ -276,6 +391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_query": q_knn_query,
         "overlap_join": q_overlap_join,
+        "count_by_key": q_count_by_key,
+        "collect_by_key": q_collect_by_key,
+        "zonal_stats": q_zonal_stats,
+        "dbscan": q_dbscan,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "st_measures": q_st_measures,
+        "distance_sphere_knn": q_distance_sphere_knn,
+        "vocab_topk": q_vocab_topk,
         "cell_counts": q_cell_counts,
         "envelope_aggr": q_envelope_aggr,
         "tile_assign": q_tile_assign,
@@ -334,6 +458,46 @@ def oracle_sql() -> dict[str, str]:
             f"select z.n_nationkey, g.r_regionkey from {zon} z, {reg} g "
             "where z.zcx - z.hx <= g.rcx + g.rhx and g.rcx - g.rhx <= z.zcx + z.hx "
             "and z.zcy - z.hy <= g.rcy + g.rhy and g.rcy - g.rhy <= z.zcy + z.hy"
+        ),
+        "count_by_key": (
+            f"select z.n_nationkey, count(*) as n_matches from {pts} p, {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy "
+            "group by z.n_nationkey"
+        ),
+        "collect_by_key": (
+            f"select z.n_nationkey, string_agg(cast(p.event_id as varchar), ',' order by p.event_id) "
+            f"as match_ids from {pts} p, {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy "
+            "group by z.n_nationkey"
+        ),
+        "zonal_stats": (
+            f"select z.n_nationkey, count(*) as n, cast(sum(e.user_id) as bigint) as val_sum, "
+            "min(e.user_id) as val_min, max(e.user_id) as val_max "
+            f"from {pts} p join events e using (event_id), {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy "
+            "group by z.n_nationkey"
+        ),
+        "semi_join": (
+            f"select p.event_id from {pts} p where exists (select 1 from {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy)"
+        ),
+        "anti_join": (
+            f"select p.event_id from {pts} p where not exists (select 1 from {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy)"
+        ),
+        "st_measures": _st_measures_sql(),
+        "distance_sphere_knn": _haversine_sql(),
+        "vocab_topk": (
+            "with t as (select unnest(list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '')) as token from documents), "
+            "c as (select token, count(*) as n from t group by token) "
+            "select token, n, rank_n from (select token, n, row_number() over "
+            "(order by n desc, token asc) as rank_n from c) where rank_n <= 100"
         ),
         "cell_counts": (
             f"select {cells.sql_cell_id('p.x', 'p.y', 8)} as cell, "
@@ -422,6 +586,50 @@ select pk, tile_x, tile_y,
         + {gx} * cast({1 << 27} as bigint)
         + {gy}) as tile_cell
 from geo
+"""
+
+
+def _st_measures_sql() -> str:
+    # mirrors st_area/st_perimeter/st_centroid's fold arithmetic OP-FOR-OP
+    # on the rectangle ring [x0,y0, x1,y0, x1,y1, x0,y1] so doubles are
+    # bit-identical (shoelace terms in fold order, left-assoc addition)
+    return f"""
+with z as ({SQL_ZONES}),
+c as (select n_nationkey,
+             zcx - hx as x0, zcy - hy as y0,
+             zcx + hx as x1, zcy + hy as y1 from z),
+s as (select n_nationkey, x0, y0, x1, y1,
+             (((0e0 + (x0*y0 - x1*y0)) + (x1*y1 - x1*y0)) + (x1*y1 - x0*y1))
+              + (x0*y0 - x0*y1) as s2,
+             (((0e0 + sqrt((x1-x0)*(x1-x0) + (y0-y0)*(y0-y0)))
+                   + sqrt((x1-x1)*(x1-x1) + (y1-y0)*(y1-y0)))
+                   + sqrt((x0-x1)*(x0-x1) + (y1-y1)*(y1-y1)))
+                   + sqrt((x0-x0)*(x0-x0) + (y0-y1)*(y0-y1)) as perim,
+             (((0e0 + (x0+x1)*(x0*y0 - x1*y0)) + (x1+x1)*(x1*y1 - x1*y0))
+                   + (x1+x0)*(x1*y1 - x0*y1)) + (x0+x0)*(x0*y0 - x0*y1) as sx,
+             (((0e0 + (y0+y0)*(x0*y0 - x1*y0)) + (y0+y1)*(x1*y1 - x1*y0))
+                   + (y1+y1)*(x1*y1 - x0*y1)) + (y1+y0)*(x0*y0 - x0*y1) as sy
+      from c)
+select n_nationkey, abs(s2) / 2e0 as area, perim as perimeter,
+       sx / (3e0 * s2) as cx, sy / (3e0 * s2) as cy from s
+"""
+
+
+def _haversine_sql() -> str:
+    import math as _m
+
+    rad = _m.pi / 180.0
+    r2 = 2.0 * 6371008.8
+    return f"""
+with p as ({SQL_POINTS}),
+h as (select event_id,
+             sin((47.3e0 - p.y) * {rad!r} / 2) * sin((47.3e0 - p.y) * {rad!r} / 2)
+             + cos(p.y * {rad!r}) * cos(47.3e0 * {rad!r})
+               * sin((12.5e0 - p.x) * {rad!r} / 2) * sin((12.5e0 - p.x) * {rad!r} / 2)
+             as a
+      from p)
+select event_id, round({r2!r} * asin(sqrt(a)), 3) as dist_m from h
+order by dist_m asc, event_id asc limit 20
 """
 
 

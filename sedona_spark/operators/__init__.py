@@ -8,6 +8,12 @@ from sedona_spark.operators.spatial_join import (
 from sedona_spark.operators.distance_join import distance_join
 from sedona_spark.operators.knn import knn_join, knn_query
 from sedona_spark.operators.tile import tile_grid, tile_assign
+from sedona_spark.operators.zonal import (
+    join_count_by_key,
+    join_collect_by_key,
+    zonal_stats,
+)
+from sedona_spark.operators.dbscan import dbscan
 
 __all__ = [
     "range_query",
@@ -20,4 +26,8 @@ __all__ = [
     "knn_query",
     "tile_grid",
     "tile_assign",
+    "join_count_by_key",
+    "join_collect_by_key",
+    "zonal_stats",
+    "dbscan",
 ]

@@ -123,6 +123,40 @@ def pip_join_rect(
     return j.filter(keep).drop("cell")
 
 
+def pip_semi_join(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Points matching AT LEAST ONE rectangle zone (LeftSemi spatial join —
+    reference ``BroadcastIndexJoinExec.semiJoin``, ``:155``). Output = the
+    point rows, deduplicated by construction via left_semi on the matched
+    id set."""
+    matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y)
+    # left_semi against the matched id set keeps each point row exactly once
+    return points.join(
+        matched.select(points.columns[0]).distinct(), points.columns[0], "left_semi"
+    )
+
+
+def pip_anti_join(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Points matching NO zone (LeftAnti spatial join)."""
+    matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y)
+    return points.join(
+        matched.select(points.columns[0]).distinct(), points.columns[0], "left_anti"
+    )
+
+
 def polygon_overlap_join(
     left: DataFrame,
     right: DataFrame,

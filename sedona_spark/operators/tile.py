@@ -85,4 +85,6 @@ def tile_assign(
     cy = (F.col("py0") + F.col("ph") / F.lit(2.0)) / F.col(h)
     tlon = F.col(lon) + cx * slon
     tlat = F.col(lat) - cy * slat
-    return t.withColumn("tile_cell", cells.cell_id(tlon, tlat, level))
+    return t.withColumn("tile_lon", tlon).withColumn("tile_lat", tlat).withColumn(
+        "tile_cell", cells.cell_id(F.col("tile_lon"), F.col("tile_lat"), level)
+    )

@@ -114,6 +114,17 @@ def test_tile_assign_cells(spark):
         assert abs(lon0 - anchor[r.image_id][0]) < 1.0
 
 
+def test_tile_explode_passthrough(spark):
+    imgs = synthesize_images(spark, 5)
+    tiles = rs_tile_explode(imgs, 16, 16, passthrough=("lon", "lat", "w", "h"))
+    src = {r.image_id: r for r in imgs.collect()}
+    rows = tiles.collect()
+    assert {"lon", "lat", "w", "h"} <= set(tiles.columns)
+    for t in rows:
+        s = src[t.image_id]
+        assert (t.lon, t.lat, t.w, t.h) == (s.lon, s.lat, s.w, s.h)
+
+
 def test_rs_decode_stats_and_psnr_udf(spark):
     imgs = synthesize_images(spark, 8).cache()
     stats = rs_decode_stats(imgs)
