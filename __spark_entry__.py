@@ -115,6 +115,30 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as pip_rect_join but through the salted two-stage path
+    (skew splitter) — must produce the identical pair set."""
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    out = pip_join_rect(pts, zones, "covers", level=_LEVEL, salt=4)
+    return out.select("event_id", "n_nationkey")
+
+
+def q_distance_join_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance join (meters; haversine refine, per-row
+    latitude-adjusted disk expansion — JoinedGeometry.scala parity)."""
+    from sedona_spark.operators.distance_geo import distance_join_meters
+
+    pts = points_from_events(spark, sf_dir).withColumnsRenamed(
+        {"x": "lon", "y": "lat"}
+    )
+    z = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("blon"), F.col("zcy").alias("blat")
+    )
+    out = distance_join_meters(pts, z, r_m=300000.0, level=7)
+    return out.select("event_id", "n_nationkey")
+
+
 def q_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.operators import knn_query
 
@@ -388,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": q_pip_rect_join,
         "pip_poly_join": q_pip_poly_join,
         "distance_join": q_distance_join,
+        "pip_join_salted": q_pip_join_salted,
+        "distance_join_meters": q_distance_join_meters,
         "knn_join": q_knn_join,
         "knn_query": q_knn_query,
         "overlap_join": q_overlap_join,
@@ -441,6 +467,12 @@ def oracle_sql() -> dict[str, str]:
             "where (p.x - z.zcx) * (p.x - z.zcx) + (p.y - z.zcy) * (p.y - z.zcy) "
             "<= z.r * z.r"
         ),
+        "pip_join_salted": (
+            f"select p.event_id, z.n_nationkey from {pts} p, {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
+        ),
+        "distance_join_meters": _haversine_join_sql(),
         "knn_join": (
             "select n_nationkey, event_id, knn_rank from ("
             f"select z.n_nationkey, p.event_id, row_number() over ("
@@ -630,6 +662,22 @@ h as (select event_id,
       from p)
 select event_id, round({r2!r} * asin(sqrt(a)), 3) as dist_m from h
 order by dist_m asc, event_id asc limit 20
+"""
+
+
+def _haversine_join_sql() -> str:
+    import math as _m
+
+    rad = _m.pi / 180.0
+    r2 = 2.0 * 6371008.8
+    return f"""
+select p.event_id, z.n_nationkey
+from ({SQL_POINTS}) p, ({SQL_ZONES}) z
+where {r2!r} * asin(sqrt(
+        sin((z.zcy - p.y) * {rad!r} / 2) * sin((z.zcy - p.y) * {rad!r} / 2)
+        + cos(p.y * {rad!r}) * cos(z.zcy * {rad!r})
+          * sin((z.zcx - p.x) * {rad!r} / 2) * sin((z.zcx - p.x) * {rad!r} / 2)
+      )) <= 300000e0
 """
 
 

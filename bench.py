@@ -142,7 +142,13 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        "bench", cpus=cpus, shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+        },
+    )
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     # warm the JVM + python workers once

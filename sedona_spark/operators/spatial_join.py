@@ -105,15 +105,30 @@ def pip_join_rect(
     x: str = "x",
     y: str = "y",
     broadcast_zones: bool | None = None,
+    salt: int = 0,
 ) -> DataFrame:
     """PIP join against axis-aligned rectangles (xmin..ymax columns) —
     the zcta510-style rectangle-window join of the reference fixtures
-    (``test_point_join.py:35-37``). 100% JVM-side, zero Python."""
+    (``test_point_join.py:35-37``). 100% JVM-side, zero Python.
+
+    ``salt > 0`` enables the salted two-stage join for hot cells (a dense
+    city cell at 10^12 rows): the big side adds a deterministic salt bucket
+    ``pmod(hash(x, y), salt)``, the small side replicates each cover-cell
+    row to every salt value, and the join key becomes (cell, salt) — the
+    skew splitter that replaces the reference's sample-adaptive KDB-tree
+    splits (``KDB.java``), composing with AQE's runtime skew-join."""
     zc = _explode_cover(rects, level)
     pc = points.withColumn("cell", cells.cell_id(F.col(x), F.col(y), level))
+    join_keys = ["cell"]
+    if salt > 0:
+        pc = pc.withColumn("_salt", F.pmod(F.hash(F.col(x), F.col(y)), F.lit(salt)))
+        zc = zc.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        join_keys = ["cell", "_salt"]
     if broadcast_zones is True:
         zc = F.broadcast(zc)
-    j = pc.join(zc, "cell")
+    j = pc.join(zc, join_keys)
+    if salt > 0:
+        j = j.drop("_salt")
     px, py = F.col(x), F.col(y)
     x0, y0, x1, y1 = F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
     if predicate == "contains":

@@ -1,0 +1,90 @@
+"""End-to-end checkpointed image pipeline (the north-rule production job).
+
+Stages (each a durable snapshot via :mod:`sedona_spark.checkpoint`, with
+per-partition lineage + row/byte metrics; a crash resumes by replaying only
+incomplete buckets):
+
+    images (stored table)
+      → [stage tiles]   rs_tile_explode + per-tile cell      (python+JVM)
+      → [stage assign]  cell equi-join to zone cover cells    (JVM only)
+      → [stage zonal]   per-zone tile counts + byte totals    (JVM only)
+
+The lineage/bucket key is the tile cell — deterministic closed-form math,
+so replays are idempotent (SURVEY §7.1 pillar 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sedona_spark import cells, checkpoint
+from sedona_spark.functions.raster import rs_tile_explode
+from sedona_spark.operators.spatial_join import _explode_cover
+
+
+def _tiles_stage(spark: SparkSession, images_path: str, tile: int, level: int) -> DataFrame:
+    imgs = spark.read.parquet(images_path)
+    t = rs_tile_explode(imgs, tile, tile, passthrough=("lon", "lat", "w", "h"))
+    cx = (F.col("tile_x") * tile + F.col("tile_w") / F.lit(2.0)) / F.col("w")
+    cy = (F.col("tile_y") * tile + F.col("tile_h") / F.lit(2.0)) / F.col("h")
+    return (
+        t.withColumn("tile_lon", F.col("lon") + cx * F.lit(0.05))
+        .withColumn("tile_lat", F.col("lat") - cy * F.lit(0.05))
+        .withColumn(
+            "cell", cells.cell_id(F.col("tile_lon"), F.col("tile_lat"), level)
+        )
+        .drop("lon", "lat", "w", "h")
+    )
+
+
+def run_image_pipeline(
+    spark: SparkSession,
+    images_path: str,
+    zones: DataFrame,
+    out_root: str,
+    tile: int = 16,
+    level: int = 8,
+    n_buckets: int = 32,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns {stage: manifest}.
+
+    ``zones`` needs (zone key, xmin/ymin/xmax/ymax). Each stage is skipped
+    if already committed under ``out_root`` — rerunning after a crash only
+    replays missing buckets of the interrupted stage.
+    """
+    manifests = {}
+
+    manifests["tiles"] = checkpoint.resume_stage(
+        _tiles_stage(spark, images_path, tile, level),
+        out_root, "tiles", bucket_col="cell", n_buckets=n_buckets,
+    )
+    tiles = checkpoint.read_stage(spark, out_root, "tiles")
+
+    zone_key = zones.columns[0]
+    zc = F.broadcast(_explode_cover(zones, level))
+    assigned = (
+        tiles.join(zc, "cell")
+        .filter(
+            (F.col("tile_lon") >= F.col("xmin"))
+            & (F.col("tile_lon") <= F.col("xmax"))
+            & (F.col("tile_lat") >= F.col("ymin"))
+            & (F.col("tile_lat") <= F.col("ymax"))
+        )
+        .select("image_id", "tile_x", "tile_y", "cell",
+                F.length("tile_bytes").alias("tile_nbytes"), zone_key)
+    )
+    manifests["assign"] = checkpoint.resume_stage(
+        assigned, out_root, "assign", bucket_col="cell", n_buckets=n_buckets
+    )
+    assigned_t = checkpoint.read_stage(spark, out_root, "assign")
+
+    zonal = assigned_t.groupBy(zone_key).agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.countDistinct("image_id").alias("n_images"),
+        F.sum("tile_nbytes").alias("total_bytes"),
+    )
+    manifests["zonal"] = checkpoint.resume_stage(
+        zonal, out_root, "zonal", bucket_col=zone_key, n_buckets=min(8, n_buckets)
+    )
+    return manifests
