@@ -271,6 +271,18 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hotspot_gstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G* hotspots (GetisOrd.scala analog). Aggregation-order-
+    dependent floats (stddev) → rows-only check; pytest holds the numpy
+    oracle."""
+    from sedona_spark.operators.hotspot import getis_ord_gstar
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    pts = points_from_events(spark, sf_dir).join(ev, "event_id")
+    return getis_ord_gstar(pts, radius=3.0, value_col="value",
+                           id_col="event_id", level=7)
+
+
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     return (
@@ -421,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_by_key": q_collect_by_key,
         "zonal_stats": q_zonal_stats,
         "dbscan": q_dbscan,
+        "hotspot_gstar": q_hotspot_gstar,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "st_measures": q_st_measures,

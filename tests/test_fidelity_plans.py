@@ -1,0 +1,97 @@
+"""Per-row fidelity gate (BASELINE.json input_hint) and physical-plan
+shape assertions (the 100 TB posture is only real if the plans show it)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark import checkpoint
+from sedona_spark.operators import pip_join_rect, range_query
+from sedona_spark.operators.tile import tile_assign
+from sedona_spark.sources.images import decode_image, psnr, synthesize_images
+from sedona_spark.sources.testdata import points_from_events, rect_zones_from_nation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_image_fidelity_across_checkpoint(spark, tmp_path):
+    """Canonical bytes survive checkpoint/read-back byte-identically;
+    decoded pixels meet the PSNR ≥ 40 dB gate vs the generator's pixels;
+    captions compare exactly (input_hint per-row invariant)."""
+    imgs = synthesize_images(spark, 30)
+    root = str(tmp_path / "snap")
+    checkpoint.checkpoint_stage(imgs, root, "images", bucket_col="phash", n_buckets=4)
+    back = checkpoint.read_stage(spark, root, "images")
+
+    orig = {r.image_id: r for r in imgs.collect()}
+    rows = back.collect()
+    assert len(rows) == 30
+    from sedona_spark.sources.images import make_pixels
+
+    for r in rows:
+        o = orig[r.image_id]
+        assert bytes(r.bytes) == bytes(o.bytes)  # bytes canonical
+        assert r.caption == o.caption  # exact caption equality
+        dec, fmt = decode_image(bytes(r.bytes))
+        i = int(r.image_id.split("_")[1])
+        src = make_pixels(i, r.w, r.h)
+        if fmt == "fpng":
+            assert (dec == src).all()
+        else:
+            assert psnr(src, dec) >= 40.0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_plan_broadcasts_zones(spark):
+    pts = points_from_events(spark, SF)
+    zones = rect_zones_from_nation(spark, SF).drop("ring")
+    plan = _plan(pip_join_rect(pts, zones, level=6))
+    # small zone side must broadcast: the fact table never shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_query_pushes_filters_to_scan(spark):
+    pts = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.col("value") + 1).alias("y"),
+    )
+    # a filter on raw parquet columns must reach the scan
+    got = spark.read.parquet(f"{SF}/events.parquet").filter(
+        (F.col("value") >= 0.2) & (F.col("value") <= 0.4)
+    )
+    plan = _plan(got)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value" in plan
+
+
+def test_tile_assign_plan_is_pure_codegen(spark):
+    imgs = synthesize_images(spark, 10).select("image_id", "w", "h", "lon", "lat")
+    plan = _plan(tile_assign(imgs, 16, 16, level=10))
+    # metadata tiling must not touch Python (no ArrowEval/BatchEval nodes)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the tile-grid explode
+
+
+def test_knn_plan_no_cartesian(spark):
+    from sedona_spark.operators import knn_join
+
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in
+         enumerate(rng.uniform(0, 50, size=(200, 2)))],
+        "oid int, ox double, oy double",
+    )
+    qs = spark.createDataFrame(
+        [(j, float(a), float(b)) for j, (a, b) in
+         enumerate(rng.uniform(0, 50, size=(5, 2)))],
+        "qid int, qx double, qy double",
+    )
+    res = knn_join(qs, pts, k=3, level=6, query_id="qid", qx="qx", qy="qy")
+    assert res.count() == 15
+    # the executed shape is cell equi-joins; a cartesian product would mean
+    # the candidate pruning failed entirely
+    assert "CartesianProduct" not in _plan(res)
