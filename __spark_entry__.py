@@ -190,14 +190,13 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_DBSCAN analog (DBSCAN.scala:60-68); cluster = min core id of the
-    component — deterministic, but connected components are not
-    ANSI-SQL-expressible → rows-only check (pytest holds the brute-force
-    oracle)."""
+    component (deterministic). Oracle: recursive-CTE transitive closure
+    over the core-core eps-graph — full value parity, not rows-only."""
     from sedona_spark.operators import dbscan
 
     pts = points_from_events(spark, sf_dir)
-    return dbscan(pts, eps=0.25, min_pts=4, id_col="event_id", level=8).select(
-        "event_id", "cluster"
+    return dbscan(pts, eps=2.0, min_pts=3, id_col="event_id", level=7).select(
+        "event_id", F.col("cluster").cast("long").alias("cluster")
     )
 
 
@@ -535,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
             "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
             "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy)"
         ),
+        "dbscan": _dbscan_sql(),
         "st_measures": _st_measures_sql(),
         "distance_sphere_knn": _haversine_sql(),
         "vocab_topk": (
@@ -631,6 +631,37 @@ select pk, tile_x, tile_y,
         + {gx} * cast({1 << 27} as bigint)
         + {gy}) as tile_cell
 from geo
+"""
+
+
+def _dbscan_sql() -> str:
+    # eps=2.0 (compare squared), min_pts=3 (self-pair included, like the
+    # engine); clusters = min id of the core component (recursive-CTE
+    # transitive closure); border = min core neighbor's cluster; noise -1
+    return f"""
+with recursive
+pts as ({SQL_POINTS}),
+pairs as (
+  select a.event_id as ia, b.event_id as ib from pts a, pts b
+  where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4e0),
+core as (select ia as id from pairs group by ia having count(*) >= 3),
+ce as (select p.ia as a, p.ib as b from pairs p
+       join core c1 on p.ia = c1.id join core c2 on p.ib = c2.id),
+reach(a, b) as (
+  select id, id from core
+  union
+  select r.a, e.b from reach r join ce e on r.b = e.a),
+lbl as (select a as id, min(b) as cluster from reach group by a),
+border as (
+  select p.ia as id, min(l.cluster) as cluster
+  from pairs p
+  join core c on p.ib = c.id
+  join lbl l on l.id = p.ib
+  where p.ia not in (select id from core)
+  group by p.ia),
+assigned as (select * from lbl union all select * from border)
+select p.event_id, coalesce(a.cluster, -1) as cluster
+from pts p left join assigned a on p.event_id = a.id
 """
 
 
