@@ -282,6 +282,15 @@ def q_hotspot_gstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                            id_col="event_id", level=7)
 
 
+def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalOutlierFactor (LocalOutlierFactor.scala analog) — kNN-join
+    composition; float densities aggregation-order-dependent → rows-only."""
+    from sedona_spark.operators.outlier import local_outlier_factor
+
+    pts = points_from_events(spark, sf_dir).withColumnRenamed("event_id", "point_id")
+    return local_outlier_factor(pts, k=5, level=7)
+
+
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     return (
@@ -433,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "dbscan": q_dbscan,
         "hotspot_gstar": q_hotspot_gstar,
+        "lof": q_lof,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "st_measures": q_st_measures,

@@ -14,6 +14,9 @@ from sedona_spark.operators.zonal import (
     zonal_stats,
 )
 from sedona_spark.operators.dbscan import dbscan
+from sedona_spark.operators.hotspot import getis_ord_gstar
+from sedona_spark.operators.outlier import local_outlier_factor
+from sedona_spark.operators.distance_geo import distance_join_meters
 
 __all__ = [
     "range_query",
@@ -30,4 +33,7 @@ __all__ = [
     "join_collect_by_key",
     "zonal_stats",
     "dbscan",
+    "getis_ord_gstar",
+    "local_outlier_factor",
+    "distance_join_meters",
 ]
