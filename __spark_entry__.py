@@ -291,6 +291,15 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_outlier_factor(pts, k=5, level=7)
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (Moran.scala analog) — rows-only (float stat)."""
+    from sedona_spark.operators.autocorrelation import morans_i
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    pts = points_from_events(spark, sf_dir).join(ev, "event_id")
+    return morans_i(pts, radius=3.0, value_col="value", id_col="event_id", level=7)
+
+
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     return (
@@ -443,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "hotspot_gstar": q_hotspot_gstar,
         "lof": q_lof,
+        "morans_i": q_morans_i,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "st_measures": q_st_measures,

@@ -17,6 +17,7 @@ from sedona_spark.operators.dbscan import dbscan
 from sedona_spark.operators.hotspot import getis_ord_gstar
 from sedona_spark.operators.outlier import local_outlier_factor
 from sedona_spark.operators.distance_geo import distance_join_meters
+from sedona_spark.operators.autocorrelation import morans_i
 
 __all__ = [
     "range_query",
@@ -36,4 +37,5 @@ __all__ = [
     "getis_ord_gstar",
     "local_outlier_factor",
     "distance_join_meters",
+    "morans_i",
 ]
