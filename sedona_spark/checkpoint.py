@@ -33,6 +33,25 @@ from pyspark.sql import functions as F
 
 _MARKER = "_SUCCESS.sedona_spark"
 _MANIFEST = "_manifest.json"
+_PREMANIFEST = "_premanifest.json"
+
+
+def _bucket_rows_durable(data_dir: str, entry: str) -> int:
+    """Actual rows durably present in a bucket dir, read from parquet file
+    footers (pyarrow) — no Spark session needed, and a torn/partial file
+    (crash mid-write) fails the footer read and counts as 0."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(data_dir, entry)
+    total = 0
+    for f in os.listdir(p):
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+        except Exception:
+            return -1  # torn file → bucket not durable
+    return total
 
 
 def _stage_paths(root: str, stage: str) -> tuple[str, str, str]:
@@ -66,7 +85,21 @@ def checkpoint_stage(
     out = df.withColumn(
         "part_bucket", F.pmod(F.col(bucket_col).cast("long"), F.lit(n_buckets))
     )
+    # pre-manifest BEFORE the data write: expected rows per bucket make
+    # bucket durability *verifiable* — a bucket dir left by a crashed commit
+    # (v2 committer, object-store direct write) is only trusted on resume if
+    # its actual footer row count matches. persist() so the expected counts
+    # and the write share one computation of df.
+    out = out.persist()
+    expected = {
+        int(r["part_bucket"]): int(r["n"])
+        for r in out.groupBy("part_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, _PREMANIFEST), "w") as f:
+        json.dump({str(b): n for b, n in sorted(expected.items())}, f)
     out.write.mode("overwrite").partitionBy("part_bucket").parquet(data_dir)
+    out.unpersist()
 
     spark = df.sparkSession
     written = spark.read.parquet(data_dir)
@@ -113,19 +146,41 @@ def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
 def incomplete_buckets(root: str, stage: str, n_buckets: int) -> list[int]:
     """Buckets not yet durably written (crash mid-stage). With the
     deterministic bucket mapping, a resume recomputes ONLY these: filter the
-    stage input on ``bucket % n == b`` for the missing b's and append."""
+    stage input on ``bucket % n == b`` for the missing b's and append.
+
+    Durability is verified, not inferred: when the pre-manifest (written
+    before the data write) exists, a bucket counts as complete only if its
+    parquet-footer row total equals the expected count — a dir merely
+    *containing* files (v1 committer crash mid-rename, v2/direct committers)
+    is otherwise silently partial. Without a pre-manifest (legacy stage) the
+    weaker any-parquet-file heuristic applies."""
     base, data_dir, man_path = _stage_paths(root, stage)
     if os.path.exists(os.path.join(base, _MARKER)):
         return []
-    present = set()
+    pre_path = os.path.join(base, _PREMANIFEST)
+    expected: dict[int, int] | None = None
+    if os.path.exists(pre_path):
+        with open(pre_path) as f:
+            expected = {int(k): int(v) for k, v in json.load(f).items()}
+
+    actual: dict[int, int] = {}
     if os.path.exists(data_dir):
         for entry in os.listdir(data_dir):
             if entry.startswith("part_bucket="):
-                # a bucket dir without files is not durable
-                p = os.path.join(data_dir, entry)
-                if any(f.endswith(".parquet") for f in os.listdir(p)):
-                    present.add(int(entry.split("=", 1)[1]))
-    return [b for b in range(n_buckets) if b not in present]
+                b = int(entry.split("=", 1)[1])
+                actual[b] = _bucket_rows_durable(data_dir, entry)
+
+    if expected is None:
+        present = {b for b, n in actual.items() if n > 0}
+        return [b for b in range(n_buckets) if b not in present]
+    missing = []
+    for b in range(n_buckets):
+        exp = expected.get(b, 0)
+        if exp == 0:
+            continue  # nothing was ever expected in this bucket
+        if actual.get(b, 0) != exp:
+            missing.append(b)
+    return missing
 
 
 def resume_stage(
@@ -146,6 +201,12 @@ def resume_stage(
         return checkpoint_stage(df, root, stage, bucket_col, n_buckets)
 
     t0 = time.time()
+    # delete any PARTIAL bucket dirs being replayed — appending into a
+    # half-written bucket would duplicate its surviving rows
+    for b in missing:
+        p = os.path.join(data_dir, f"part_bucket={b}")
+        if os.path.exists(p):
+            shutil.rmtree(p)
     todo = df.withColumn(
         "part_bucket", F.pmod(F.col(bucket_col).cast("long"), F.lit(n_buckets))
     ).filter(F.col("part_bucket").isin([int(b) for b in missing]))

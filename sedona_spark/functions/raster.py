@@ -144,8 +144,12 @@ def rs_decode_stats(
             recs = []
             for iid, buf in zip(b[id_col], b[bytes_col]):
                 arr, fmt = decode_image(bytes(buf))
+                # exact integer sum / exact size: the mean is then ONE IEEE
+                # division of exact operands — bit-reproducible in any
+                # engine (powers the DuckDB pixel-sum oracle)
+                s = int(arr.sum(dtype=np.int64))
                 recs.append(
-                    (iid, arr.shape[1], arr.shape[0], fmt, float(arr.mean()))
+                    (iid, arr.shape[1], arr.shape[0], fmt, s / arr.size)
                 )
             yield pd.DataFrame(recs, columns=[f.name for f in _META_SCHEMA.fields])
 

@@ -75,6 +75,15 @@ def point_in_polygon_batch(rings, px, py) -> np.ndarray:
     coords, offsets, lengths = _flatten_rings(rings)
     if coords.shape[0] == 0:
         return out
+    # empty/null rings classify PIP_OUT directly; they must not reach
+    # reduceat (a trailing empty ring's offset == len(edges) → IndexError)
+    valid = lengths > 0
+    if not valid.all():
+        idx = np.flatnonzero(valid)
+        out[idx] = point_in_polygon_batch(
+            [rings[i] for i in idx], px[idx], py[idx]
+        )
+        return out
     a, b, ring_id = _edges(coords, offsets, lengths)
     qx = px[ring_id]
     qy = py[ring_id]
@@ -97,10 +106,7 @@ def point_in_polygon_batch(rings, px, py) -> np.ndarray:
     seg_starts = offsets.copy()
     crossings = np.add.reduceat(crossing.astype(np.int64), seg_starts)
     boundary = np.add.reduceat(on_seg.astype(np.int64), seg_starts) > 0
-    # reduceat quirk: zero-length rings reuse the next segment; mask them out
-    valid = lengths > 0
-    inside = (crossings % 2 == 1) & valid
-    boundary = boundary & valid
+    inside = crossings % 2 == 1
     out[inside] = PIP_IN
     out[boundary] = PIP_BOUNDARY
     return out

@@ -26,19 +26,29 @@ def morans_i(
     level: int = 8,
 ) -> DataFrame:
     """→ one row (n, w_sum, moran_i). Binary weights over the inclusive
-    distance band, self-pairs excluded."""
+    distance band, self-pairs excluded.
+
+    The z-product sum is EXPANDED into raw moments so every distributed
+    aggregate is an exact integer for integer-valued attributes (order-free
+    ⇒ engine-bit-reproducible):
+
+        Σ zᵢzⱼ = Σ xᵢxⱼ − x̄·Σ(xᵢ+xⱼ) + W·x̄²,   Σ zᵢ² = Σ xᵢ² − n·x̄².
+    """
     stats = points.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("mean")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sv"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("sx2"),
     ).collect()[0]
-    n, mean = int(stats["n"]), float(stats["mean"])
+    n, sv, sx2 = int(stats["n"]), stats["sv"], stats["sx2"]
+    mean = sv / n
 
     a = points.select(
         F.col(id_col).alias("_ida"), F.col(x).alias("_xa"), F.col(y).alias("_ya"),
-        (F.col(value_col) - F.lit(mean)).alias("_za"),
+        F.col(value_col).alias("_va"),
     )
     b = points.select(
         F.col(id_col).alias("_idb"), F.col(x).alias("_xb"), F.col(y).alias("_yb"),
-        (F.col(value_col) - F.lit(mean)).alias("_zb"),
+        F.col(value_col).alias("_vb"),
     )
     band = distance_join(
         a, b, radius, level=level,
@@ -46,15 +56,16 @@ def morans_i(
     ).filter(F.col("_ida") != F.col("_idb"))
 
     num = band.agg(
-        F.sum(F.col("_za") * F.col("_zb")).alias("cross"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("p1"),
+        F.sum(F.col("_va") + F.col("_vb")).alias("p2"),
         F.count(F.lit(1)).alias("w_sum"),
     ).collect()[0]
-    denom = points.agg(
-        F.sum((F.col(value_col) - F.lit(mean)) * (F.col(value_col) - F.lit(mean)))
-    ).collect()[0][0]
+    w = int(num["w_sum"])
+    cross = num["p1"] - mean * num["p2"] + w * mean * mean
+    denom = sx2 - n * mean * mean
 
     spark = points.sparkSession
-    i_val = (n / float(num["w_sum"])) * float(num["cross"]) / float(denom)
+    i_val = (n / w) * cross / denom
     return spark.createDataFrame(
-        [(n, int(num["w_sum"]), float(i_val))], "n long, w_sum long, moran_i double"
+        [(n, w, float(i_val))], "n long, w_sum long, moran_i double"
     )

@@ -58,8 +58,17 @@ def dbscan(
         .select("_ida", "_idb")
     )
 
-    # iterative min-label propagation
-    labels = core.select(F.col("_id"), F.col("_id").cast("long").alias("_lbl"))
+    # iterative min-label propagation. Numeric ids label directly (keeps
+    # cluster == min member id, oracle-friendly); arbitrary ids (the
+    # reference accepts any type via sha2) get an int64 xxhash64 surrogate —
+    # a NULL-producing cast would silently degenerate propagation.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(points.schema[id_col].dataType, NumericType):
+        init_lbl = F.col("_id").cast("long")
+    else:
+        init_lbl = F.xxhash64(F.col("_id"))
+    labels = core.select(F.col("_id"), init_lbl.alias("_lbl"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         prop = (

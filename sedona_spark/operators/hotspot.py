@@ -33,13 +33,20 @@ def getis_ord_gstar(
     level: int = 8,
 ) -> DataFrame:
     """→ (id_col, n_band, band_sum, g_star) per point. Binary weights over
-    the inclusive distance band; self included (G*)."""
+    the inclusive distance band; self included (G*).
+
+    Global mean/std are derived from count/sum/sum-of-squares: for an
+    integer-valued attribute all three aggregates are EXACT (order-free), so
+    the statistic is bit-reproducible across engines — the trick that turns
+    the driver check from rows-only into full value parity."""
     stats = points.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(value_col).alias("mean"),
-        F.stddev_pop(value_col).alias("sd"),
+        F.sum(value_col).alias("sv"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("sx2"),
     ).collect()[0]
-    n_total, mean, sd = int(stats["n"]), float(stats["mean"]), float(stats["sd"])
+    n_total = int(stats["n"])
+    mean = stats["sv"] / n_total
+    sd = math.sqrt(stats["sx2"] / n_total - mean * mean)
 
     a = points.select(
         F.col(id_col).alias("_ida"), F.col(x).alias("_xa"), F.col(y).alias("_ya")

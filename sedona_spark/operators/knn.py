@@ -99,12 +99,17 @@ def knn_join(
     include_ties: bool = False,
     initial_ring: int = 1,
     max_rounds: int = 32,
+    exclude_pair: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Exact kNN join. Returns query columns + object columns + ``dist_sq``
     + ``knn_rank`` (1-based). With ``include_ties`` rows tied with the kth
     distance are all kept (reference tie semantics,
     ``InMemoryKNNJoinIterator.java:123-154``); otherwise ties break by the
-    object-id ordering column for determinism."""
+    object-id ordering column for determinism.
+
+    ``exclude_pair=(qcol, ocol)`` drops candidates with ``qcol == ocol``
+    BEFORE ranking — the self-exclusion a kNN *self*-join needs (excluding
+    after ranking under-counts when >k coincident points exist)."""
     obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
@@ -127,8 +132,11 @@ def knn_join(
             w = Window.partitionBy(query_id).orderBy(
                 F.col("dist_sq").asc(), *[F.col(c).asc() for c in obj_order]
             )
+        disk = _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y)
+        if exclude_pair is not None:
+            disk = disk.filter(F.col(exclude_pair[0]) != F.col(exclude_pair[1]))
         cand = (
-            _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y)
+            disk
             .withColumn("knn_rank", rank_fn.over(w))
             .filter(F.col("knn_rank") <= k)
             .persist()

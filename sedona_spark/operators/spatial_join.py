@@ -145,16 +145,19 @@ def pip_semi_join(
     level: int = 7,
     x: str = "x",
     y: str = "y",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Points matching AT LEAST ONE rectangle zone (LeftSemi spatial join —
     reference ``BroadcastIndexJoinExec.semiJoin``, ``:155``). Output = the
     point rows, deduplicated by construction via left_semi on the matched
-    id set."""
+    id set.
+
+    ``id_col`` names the unique point identity (defaults to the first
+    column); semi/anti semantics are keyed on it, so it MUST be unique."""
+    key = id_col or points.columns[0]
     matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y)
     # left_semi against the matched id set keeps each point row exactly once
-    return points.join(
-        matched.select(points.columns[0]).distinct(), points.columns[0], "left_semi"
-    )
+    return points.join(matched.select(key).distinct(), key, "left_semi")
 
 
 def pip_anti_join(
@@ -164,12 +167,13 @@ def pip_anti_join(
     level: int = 7,
     x: str = "x",
     y: str = "y",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Points matching NO zone (LeftAnti spatial join)."""
+    """Points matching NO zone (LeftAnti spatial join). ``id_col`` as in
+    :func:`pip_semi_join` — must be a unique point identity."""
+    key = id_col or points.columns[0]
     matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y)
-    return points.join(
-        matched.select(points.columns[0]).distinct(), points.columns[0], "left_anti"
-    )
+    return points.join(matched.select(key).distinct(), key, "left_anti")
 
 
 def polygon_overlap_join(

@@ -86,32 +86,43 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
+    sigs: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    num_hashes: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash) →
     distinct candidate pairs (id_a < id_b). The self-join is an equi-join
     on a hashed key: Catalyst shuffles once per side, AQE splits skewed
-    buckets (a viral shingle = a hot cell)."""
-    sig_len = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
-    rows_per_band = max(1, sig_len // bands)
+    buckets (a viral shingle = a hot cell).
+
+    ``num_hashes`` is the signature length — pass it (the caller always
+    knows it); falling back to a driver-side probe costs an extra job.
+    ``portable=True`` hashes bands with md5 of the joined signature text
+    (engine-portable; pairs with ``minhash_signatures(portable=True)``)."""
+    if num_hashes is None:
+        num_hashes = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
+    rows_per_band = max(1, num_hashes // bands)
+
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        if portable:
+            return F.md5(joined.cast("binary"))
+        return F.xxhash64(joined)
 
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -136,14 +147,22 @@ def minhash_dedup_pairs(
     shingle: int = 5,
     text: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact shingle-set Jaccard.
-    Returns (id_a, id_b, inter_size, union_size)."""
-    sigs = minhash_signatures(docs, num_hashes, shingle, text, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
-    sets_ = docs.select(
-        F.col(id_col), char_shingles(F.col(text), shingle).alias("shingles")
-    )
+    Returns (id_a, id_b, inter_size, union_size).
+
+    The verify stage carries ``array<long>`` of xxhash64'd shingles, not the
+    shingle strings — set arithmetic on int64 is ~8× less shuffle bytes and
+    exact modulo 64-bit hash collisions (≈0 at any real corpus size).
+    ``portable=True`` switches every hash to md5 (bit-reproducible in any
+    SQL engine — the DuckDB oracle path) and verifies on the raw strings."""
+    sigs = minhash_signatures(docs, num_hashes, shingle, text, id_col, portable)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes, portable)
+    sh = char_shingles(F.col(text), shingle)
+    if not portable:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    sets_ = docs.select(F.col(id_col), sh.alias("shingles"))
     j = (
         cands.join(sets_.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sets_.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
@@ -211,6 +230,71 @@ def simhash_near_dup_pairs(
                         F.lit(c).alias("chunk"),
                         F.shiftrightunsigned(F.col("sh"), 16 * c)
                         .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk", "c.ck")
+    a = chunks.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
+    b = chunks.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_portable(
+    docs: DataFrame, n_bits: int = 60, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable SimHash: token hash = first 60 bits of md5 (exactly
+    reproducible in any SQL engine), bit votes as integer SUM aggregates —
+    100% Column expressions, zero Python, and every aggregate is an exact
+    integer so the result is bit-identical across engines (the DuckDB
+    oracle twin lives in ``__spark_entry__._simhash_portable_sql``).
+
+    Docs with zero tokens produce no row (nothing to vote)."""
+    toks = F.filter(F.split(F.col(text), r"\s+"), lambda t: t != F.lit(""))
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    ex = ex.select(id_col, h.alias("_h"))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(n_bits)
+    ]
+    per = ex.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sh = sh + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b)
+        ).otherwise(F.lit(0)).cast("long")
+    return per.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_near_dup_pairs_portable(
+    docs: DataFrame, max_hamming: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable SimHash near-dup: 4×15-bit pigeonhole blocking (any pair
+    within hamming ≤ 3 of a 60-bit hash shares an exact 15-bit quarter),
+    exact hamming verify — fully mirrorable in DuckDB."""
+    with_h = simhash_portable(docs, 60, text, id_col)
+    chunks = with_h.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), 15 * c)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("ck"),
                     )
                     for c in range(4)

@@ -55,6 +55,26 @@ def test_resume_replays_only_missing_buckets(spark, root):
     assert back.select("id").distinct().count() == 1000  # no double-writes
 
 
+def test_resume_detects_partial_bucket(spark, root):
+    """A bucket dir that still CONTAINS parquet files but lost one (crash
+    mid-commit) must be detected as incomplete via the pre-manifest row
+    check, deleted, and replayed without duplicating surviving rows."""
+    df = _df(spark)
+    ckpt.checkpoint_stage(df, root, "s3", "cell", n_buckets=8)
+    base = os.path.join(root, "s3")
+    os.remove(os.path.join(base, ckpt._MARKER))
+    bdir = os.path.join(base, "data", "part_bucket=2")
+    files = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+    os.remove(os.path.join(bdir, files[0]))
+    missing = ckpt.incomplete_buckets(root, "s3", 8)
+    assert 2 in missing
+
+    ckpt.resume_stage(df, root, "s3", "cell", n_buckets=8)
+    back = ckpt.read_stage(spark, root, "s3")
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000  # no double-writes
+
+
 def test_cellify_stream_and_windowed_counts(spark, tmp_path):
     src = (
         spark.readStream.format("rate").option("rowsPerSecond", "500").load()

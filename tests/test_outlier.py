@@ -15,7 +15,7 @@ def _lof_oracle(xy, k):
     lrd = np.empty(n)
     for i in range(n):
         reach = np.maximum(d[i, nn[i]], kdist[nn[i]])
-        lrd[i] = k / reach.sum()
+        lrd[i] = 1.0 / (reach.mean() + 1e-10)
     lof = np.empty(n)
     for i in range(n):
         lof[i] = lrd[nn[i]].mean() / lrd[i]
@@ -39,3 +39,15 @@ def test_lof_vs_numpy(spark):
     for i in range(150):
         assert got[i] == pytest.approx(exp[i], rel=1e-9), i
     assert max(got, key=got.get) == 0  # the planted outlier tops LOF
+
+
+def test_lof_coincident_points(spark):
+    """>k coincident points: reach distances are all 0 → lrd = 1/1e-10 and
+    LOF = 1.0 exactly (not NULL), per the sklearn/reference epsilon rule."""
+    rows = [(i, 5.0, 5.0) for i in range(8)] + [(100, 40.0, 40.0)]
+    df = spark.createDataFrame(rows, "point_id int, x double, y double")
+    got = {r.point_id: r.lof for r in local_outlier_factor(df, 5, level=6).collect()}
+    for i in range(8):
+        assert got[i] is not None
+        assert got[i] == pytest.approx(1.0, abs=1e-9), i
+    assert got[100] > 10.0  # far point is a strong outlier
