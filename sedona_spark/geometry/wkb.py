@@ -23,6 +23,24 @@ def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, x, y)
 
 
+def wkb_points_batch(x, y) -> list[bytes]:
+    """Vectorized point-WKB encoder: one (n, 21)-byte numpy assembly, no
+    per-row struct.pack (the row-at-a-time anti-pattern the north rule
+    bans). The residual per-row cost is only the bytes-object split."""
+    x = np.asarray(x, dtype="<f8")
+    y = np.asarray(y, dtype="<f8")
+    n = len(x)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(
+        struct.pack("<I", WKB_POINT), dtype=np.uint8
+    )
+    buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    flat = buf.tobytes()
+    return [flat[i * 21 : (i + 1) * 21] for i in range(n)]
+
+
 def wkb_linestring(coords) -> bytes:
     a = np.asarray(coords, dtype="<f8").reshape(-1, 2)
     return struct.pack("<BII", 1, WKB_LINESTRING, len(a)) + a.tobytes()

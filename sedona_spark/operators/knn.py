@@ -30,11 +30,16 @@ O(log grid) worst case and 1-2 in practice when ``level`` fits the density.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sedona_spark import cells
 from sedona_spark.functions import st
+from sedona_spark.functions.st_measures import _EARTH_RADIUS_M, st_distance_sphere
+
+_RAD = math.pi / 180.0
 
 
 def knn_query(
@@ -65,6 +70,7 @@ def _disk_join(
     qy: str,
     ox: str,
     oy: str,
+    metric: str = "euclid",
 ) -> DataFrame:
     """Join each query to all objects within its per-query cell disk
     (``_ring`` column — data-adaptively sized per round)."""
@@ -81,6 +87,11 @@ def _disk_join(
         .drop("_gx", "_gy")
     )
     j = qc.join(objects_c, "cell").drop("cell")
+    if metric == "sphere":
+        return j.withColumn(
+            "dist_m",
+            st_distance_sphere(F.col(qx), F.col(qy), F.col(ox), F.col(oy)),
+        )
     return j.withColumn(
         "dist_sq", st.st_distance_sq(F.col(qx), F.col(qy), F.col(ox), F.col(oy))
     )
@@ -100,6 +111,7 @@ def knn_join(
     initial_ring: int = 1,
     max_rounds: int = 32,
     exclude_pair: tuple[str, str] | None = None,
+    metric: str = "euclid",
 ) -> DataFrame:
     """Exact kNN join. Returns query columns + object columns + ``dist_sq``
     + ``knn_rank`` (1-based). With ``include_ties`` rows tied with the kth
@@ -109,7 +121,19 @@ def knn_join(
 
     ``exclude_pair=(qcol, ocol)`` drops candidates with ``qcol == ocol``
     BEFORE ranking — the self-exclusion a kNN *self*-join needs (excluding
-    after ranking under-counts when >k coincident points exist)."""
+    after ranking under-counts when >k coincident points exist).
+
+    ``metric='sphere'`` ranks by haversine METERS (``dist_m`` replaces
+    ``dist_sq``) — the reference's ``DistanceMetric.HAVERSINE``
+    (``KnnJoinIndexJudgement.java:49``). Completeness bound (exact, incl.
+    antimeridian + poles): an object outside the Chebyshev disk is either
+    ≥ ring cells away in LATITUDE (distance ≥ R·Δφ — haversine is minimized
+    at Δλ=0), or ≥ ring cells away in grid LONGITUDE, whose true angular
+    separation is ≥ min(ring·cell_w, 180−|qlon|) (wraparound floor) and
+    whose distance is ≥ 2R·cos(φ_max)·sin(Δλ/2) with φ_max the largest
+    |lat| reachable inside the disk's lat band. Near poles/antimeridian the
+    longitude bound degrades to 0 and resolution falls back to the latitude
+    bound or the full-grid disk — conservative, never wrong."""
     obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
@@ -117,7 +141,9 @@ def knn_join(
     objects_c.count()  # materialize once; reused every round
 
     min_dim = cells.min_cell_dim(level)
+    ch, cw = cells.cell_height(level), cells.cell_width(level)
     n_side = 1 << level
+    dcol = "dist_m" if metric == "sphere" else "dist_sq"
     results: list[DataFrame] = []
     unresolved = queries.withColumn("_ring", F.lit(max(1, int(initial_ring))))
     rank_fn = F.rank() if include_ties else F.row_number()
@@ -127,12 +153,12 @@ def knn_join(
             # rank() over distance ONLY: every row tied with the kth
             # distance shares its rank and survives the <= k filter
             # (InMemoryKNNJoinIterator.java:123-154 tie expansion)
-            w = Window.partitionBy(query_id).orderBy(F.col("dist_sq").asc())
+            w = Window.partitionBy(query_id).orderBy(F.col(dcol).asc())
         else:
             w = Window.partitionBy(query_id).orderBy(
-                F.col("dist_sq").asc(), *[F.col(c).asc() for c in obj_order]
+                F.col(dcol).asc(), *[F.col(c).asc() for c in obj_order]
             )
-        disk = _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y)
+        disk = _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y, metric)
         if exclude_pair is not None:
             disk = disk.filter(F.col(exclude_pair[0]) != F.col(exclude_pair[1]))
         cand = (
@@ -141,18 +167,30 @@ def knn_join(
             .filter(F.col("knn_rank") <= k)
             .persist()
         )
-        # per-query completeness: kth distance ≤ ring · min_dim guarantees no
+        # per-query completeness: kth distance ≤ bound(ring) guarantees no
         # closer object outside the disk; a disk covering the whole grid is
         # complete by definition
         stats = cand.groupBy(query_id).agg(
             F.count(F.lit(1)).alias("_cnt"),
-            F.max("dist_sq").alias("_kth"),
+            F.max(dcol).alias("_kth"),
             F.first("_ring").alias("_r"),
+            F.first(qx).alias("_qlon"),
+            F.first(qy).alias("_qlat"),
         )
-        bound_sq = (F.col("_r") * F.lit(min_dim)) * (F.col("_r") * F.lit(min_dim))
+        rr = F.col("_r").cast("double")
+        if metric == "sphere":
+            r_earth = F.lit(_EARTH_RADIUS_M)
+            y_bound = r_earth * (rr * F.lit(ch * _RAD))
+            phi_max = F.least(F.lit(90.0), F.abs(F.col("_qlat")) + (rr + 1) * F.lit(ch))
+            cmin = F.cos(phi_max * F.lit(_RAD))
+            ang = F.least(rr * F.lit(cw), F.lit(180.0) - F.abs(F.col("_qlon")))
+            x_bound = F.lit(2.0) * r_earth * cmin * F.sin(ang * F.lit(_RAD) / 2)
+            bound = F.least(y_bound, x_bound)
+        else:
+            bound = (rr * F.lit(min_dim)) * (rr * F.lit(min_dim))
         stats = stats.withColumn(
             "_done",
-            ((F.col("_cnt") >= k) & (F.col("_kth") <= bound_sq))
+            ((F.col("_cnt") >= k) & (F.col("_kth") <= bound))
             | (F.col("_r") >= n_side),
         ).persist()
         ok = stats.filter(F.col("_done")).select(query_id)
@@ -164,21 +202,37 @@ def knn_join(
         )
 
         # adaptive growth: with ≥k candidates the kth distance is an upper
-        # bound on the true kth ⇒ the exactly-sufficient ring is
-        # ceil(sqrt(kth)/min_dim); with <k candidates grow 4× blind
+        # bound on the true kth ⇒ size the ring so bound(ring) ≥ kth; with
+        # <k candidates grow 4× blind
+        if metric == "sphere":
+            kth = F.col("_kth")
+            ring_y = kth / F.lit(_EARTH_RADIUS_M * ch * _RAD)
+            phi_max = F.least(
+                F.lit(90.0), F.abs(F.col("_qlat")) + (F.col("_r") + 1) * F.lit(ch)
+            )
+            cmin = F.greatest(F.cos(phi_max * F.lit(_RAD)), F.lit(1e-12))
+            ang_needed = (
+                F.lit(2.0 / _RAD)
+                * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0 * _EARTH_RADIUS_M) * cmin)))
+            )
+            ring_x = ang_needed / F.lit(cw)
+            grown = F.least(
+                F.lit(float(n_side)),
+                F.greatest(F.ceil(F.greatest(ring_y, ring_x)) + 1,
+                           F.col("_r").cast("double") * 2),
+            )
+        else:
+            grown = F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1
         remaining = (
             unresolved.drop("_ring")
             .join(stats.filter(~F.col("_done")), query_id, "inner")
             .withColumn(
                 "_ring",
-                F.when(
-                    F.col("_cnt") >= k,
-                    F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1,
-                )
+                F.when(F.col("_cnt") >= k, grown)
                 .otherwise(F.col("_r") * 4)
                 .cast("int"),
             )
-            .drop("_cnt", "_kth", "_r", "_done")
+            .drop("_cnt", "_kth", "_r", "_done", "_qlon", "_qlat")
         )
         # queries with ZERO candidates produce no stats row: widen them too
         # (unless their disk already covered the whole grid — then there is

@@ -176,6 +176,146 @@ def pip_anti_join(
     return points.join(matched.select(key).distinct(), key, "left_anti")
 
 
+def pip_join_multi(
+    points: DataFrame,
+    zones: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+    geom: str = "geom",
+) -> DataFrame:
+    """PIP join against MULTI-RING geometries (polygons with holes,
+    MultiPolygon): ``geom`` is ``array<array<double>>`` of packed rings,
+    even-odd semantics. Same plan shape as :func:`pip_join` — cell
+    equi-join + envelope prefilter + ONE Arrow-batched refine; the envelope
+    is the min/max over all rings (flatten, pure SQL)."""
+    if "xmin" not in zones.columns:
+        zones = zones.select("*", *st.st_envelope_cols(F.flatten(F.col(geom))))
+    zc = _explode_cover(zones, level)
+    pc = points.withColumn("cell", cells.cell_id(F.col(x), F.col(y), level))
+    j = pc.join(zc, "cell")
+    j = j.filter(
+        st.env_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col(x), F.col(y),
+        )
+    )
+    cls = st.pip_class_multi(F.col(geom), F.col(x), F.col(y))
+    keep = cls == 2 if predicate == "contains" else cls >= 1
+    return j.filter(keep).drop("cell", "xmin", "ymin", "xmax", "ymax")
+
+
+def pip_left_outer_join(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+    id_col: str | None = None,
+) -> DataFrame:
+    """LeftOuter spatial join (``BroadcastIndexJoinExec.scala:62-66``):
+    every point row survives; zone columns are NULL for points in no zone.
+
+    Shape: the inner cell join finds matches (zone side broadcastable),
+    then ONE left join of points against the match set on the unique point
+    id — the stream-side outer completion the reference does per-partition,
+    re-expressed relationally. ``id_col`` must be unique per point."""
+    key = id_col or points.columns[0]
+    zone_cols = [c for c in rects.columns if c not in ("xmin", "ymin", "xmax", "ymax")]
+    matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y).select(
+        key, *zone_cols
+    )
+    return points.join(matched, key, "left")
+
+
+def linestring_polygon_join(
+    lines: DataFrame,
+    zones: DataFrame,
+    level: int = 7,
+    line: str = "line",
+    geom: str = "geom",
+) -> DataFrame:
+    """LineString × polygon INTERSECTS join with replicate-dedup — the
+    line-fixture joins of ``SpatialJoinSuite.scala`` (LineStringRDD).
+
+    Both sides replicate to envelope-cover cells; pairs deduplicate by the
+    reference-point rule; refine = ONE Arrow-batched segment/PIP kernel."""
+    lf = lines.select("*", *st.st_envelope_cols(F.col(line)))
+    lf = lf.withColumnsRenamed(
+        {"xmin": "_lxmin", "ymin": "_lymin", "xmax": "_lxmax", "ymax": "_lymax"}
+    )
+    rf = zones.select("*", *st.st_envelope_cols(F.flatten(F.col(geom))))
+    rf = rf.withColumnsRenamed(
+        {"xmin": "_rxmin", "ymin": "_rymin", "xmax": "_rxmax", "ymax": "_rymax"}
+    )
+    lc = _explode_cover(lf, level, "_lxmin", "_lymin", "_lxmax", "_lymax")
+    rc = _explode_cover(rf, level, "_rxmin", "_rymin", "_rxmax", "_rymax")
+    j = lc.join(rc, "cell")
+    j = j.filter(
+        st.env_intersects(
+            F.col("_lxmin"), F.col("_lymin"), F.col("_lxmax"), F.col("_lymax"),
+            F.col("_rxmin"), F.col("_rymin"), F.col("_rxmax"), F.col("_rymax"),
+        )
+    )
+    ref_x = F.greatest(F.col("_lxmin"), F.col("_rxmin"))
+    ref_y = F.greatest(F.col("_lymin"), F.col("_rymin"))
+    j = j.filter(F.col("cell") == cells.cell_id(ref_x, ref_y, level))
+    j = j.filter(st.st_intersects_line_polygon(F.col(line), F.col(geom)))
+    return j.drop("cell", "_lxmin", "_lymin", "_lxmax", "_lymax",
+                  "_rxmin", "_rymin", "_rxmax", "_rymax")
+
+
+def polygon_predicate_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str,
+    level: int = 7,
+    left_ring: str = "l_ring",
+    right_ring: str = "r_ring",
+) -> DataFrame:
+    """Polygon×polygon join under ANY areal DE-9IM predicate (touches /
+    overlaps / st_equals / within / contains / covers / covered_by /
+    intersects) — the 28-variant join-condition surface of
+    ``SpatialJoinSuite.scala:42-75``. Candidate generation is identical to
+    :func:`polygon_overlap_join` (every non-disjoint predicate implies
+    envelope overlap); refine computes the four primitive flags once and
+    derives the requested predicate as a Column expression."""
+    lf = with_envelope(left.withColumnRenamed(left_ring, "_lring"), "_lring")
+    lf = lf.withColumnsRenamed(
+        {"xmin": "_lxmin", "ymin": "_lymin", "xmax": "_lxmax", "ymax": "_lymax"}
+    )
+    rf = with_envelope(right.withColumnRenamed(right_ring, "_rring"), "_rring")
+    rf = rf.withColumnsRenamed(
+        {"xmin": "_rxmin", "ymin": "_rymin", "xmax": "_rxmax", "ymax": "_rymax"}
+    )
+    lc = _explode_cover(lf, level, "_lxmin", "_lymin", "_lxmax", "_lymax")
+    rc = _explode_cover(rf, level, "_rxmin", "_rymin", "_rxmax", "_rymax")
+    j = lc.join(rc, "cell")
+    j = j.filter(
+        st.env_intersects(
+            F.col("_lxmin"), F.col("_lymin"), F.col("_lxmax"), F.col("_lymax"),
+            F.col("_rxmin"), F.col("_rymin"), F.col("_rxmax"), F.col("_rymax"),
+        )
+    )
+    ref_x = F.greatest(F.col("_lxmin"), F.col("_rxmin"))
+    ref_y = F.greatest(F.col("_lymin"), F.col("_rymin"))
+    j = j.filter(F.col("cell") == cells.cell_id(ref_x, ref_y, level))
+    flags = st.st_relate_flags(F.col("_lring"), F.col("_rring"))
+    j = j.withColumn("_flags", flags)
+    preds = st.st_predicates_from_flags(F.col("_flags"))
+    if predicate not in preds:
+        raise ValueError(f"unsupported join predicate {predicate!r}")
+    j = j.filter(preds[predicate])
+    return (
+        j.drop("cell", "_flags", "_lxmin", "_lymin", "_lxmax", "_lymax",
+               "_rxmin", "_rymin", "_rxmax", "_rymax")
+        .withColumnRenamed("_lring", left_ring)
+        .withColumnRenamed("_rring", right_ring)
+    )
+
+
 def polygon_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -92,6 +92,92 @@ def diamond_zones_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("n_nationkey", ring.alias("ring"))
 
 
+def holed_zones_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-with-hole zones: shell = nation rect, hole = the centered
+    half-extent rect. ``geom`` = array of packed rings (even-odd)."""
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    ix0, ix1 = cx - hx * F.lit(0.5), cx + hx * F.lit(0.5)
+    iy0, iy1 = cy - hy * F.lit(0.5), cy + hy * F.lit(0.5)
+    shell = F.array(x0, y0, x1, y0, x1, y1, x0, y1)
+    hole = F.array(ix0, iy0, ix1, iy0, ix1, iy1, ix0, iy1)
+    return z.select("n_nationkey", F.array(shell, hole).alias("geom"))
+
+
+def multipolygon_zones_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPolygon zones: the nation rect plus a disjoint translated copy
+    at +3h..+5h on both axes."""
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    a = F.array(cx - hx, cy - hy, cx + hx, cy - hy,
+                cx + hx, cy + hy, cx - hx, cy + hy)
+    bx0, bx1 = cx + F.lit(3.0) * hx, cx + F.lit(5.0) * hx
+    by0, by1 = cy + F.lit(3.0) * hy, cy + F.lit(5.0) * hy
+    b = F.array(bx0, by0, bx1, by0, bx1, by1, bx0, by1)
+    return z.select("n_nationkey", F.array(a, b).alias("geom"))
+
+
+def segments_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 2-point LineString per event: (x, y) → (x+3, y+2)."""
+    p = points_from_events(spark, sf_dir)
+    line = F.array(F.col("x"), F.col("y"),
+                   F.col("x") + F.lit(3.0), F.col("y") + F.lit(2.0))
+    return p.select("event_id", line.alias("line"))
+
+
+def predicate_pairs_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(A, B) polygon-pair fixtures exercising every areal DE-9IM relation
+    exactly: B is derived from A by ``n_nationkey % 6`` —
+    0 equals · 1 edge-touch · 2 overlap · 3 B-within-A · 4 disjoint ·
+    5 corner-touch. Shared edges/corners are built from the IDENTICAL
+    float expressions on both engines, so boundary contact is exact."""
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    m = F.col("n_nationkey") % 6
+    ax0, ax1, ay0, ay1 = cx - hx, cx + hx, cy - hy, cy + hy
+    bx0 = (
+        F.when(m == 0, ax0).when(m == 1, cx + hx).when(m == 2, cx)
+        .when(m == 3, cx - hx * F.lit(0.5)).when(m == 4, cx + F.lit(3.0) * hx)
+        .otherwise(cx + hx)
+    )
+    bx1 = (
+        F.when(m == 0, ax1).when(m == 1, cx + F.lit(3.0) * hx)
+        .when(m == 2, cx + F.lit(2.0) * hx).when(m == 3, cx + hx * F.lit(0.5))
+        .when(m == 4, cx + F.lit(5.0) * hx).otherwise(cx + F.lit(3.0) * hx)
+    )
+    by0 = (
+        F.when(m == 0, ay0).when(m == 1, cy - hy).when(m == 2, cy - hy)
+        .when(m == 3, cy - hy * F.lit(0.5)).when(m == 4, cy - hy)
+        .otherwise(cy + hy)
+    )
+    by1 = (
+        F.when(m == 0, ay1).when(m == 1, cy + hy).when(m == 2, cy + hy)
+        .when(m == 3, cy + hy * F.lit(0.5)).when(m == 4, cy + hy)
+        .otherwise(cy + F.lit(3.0) * hy)
+    )
+    ring_a = F.array(ax0, ay0, ax1, ay0, ax1, ay1, ax0, ay1)
+    ring_b = F.array(bx0, by0, bx1, by0, bx1, by1, bx0, by1)
+    return z.select("n_nationkey", ring_a.alias("ring_a"), ring_b.alias("ring_b"))
+
+
+# SQL twin of predicate_pairs_from_nation's B-corner derivation
+SQL_PRED_B = (
+    "case n_nationkey % 6 when 0 then zcx - hx when 1 then zcx + hx "
+    "when 2 then zcx when 3 then zcx - hx * 5e-1 when 4 then zcx + 3e0 * hx "
+    "else zcx + hx end as bx0, "
+    "case n_nationkey % 6 when 0 then zcx + hx when 1 then zcx + 3e0 * hx "
+    "when 2 then zcx + 2e0 * hx when 3 then zcx + hx * 5e-1 "
+    "when 4 then zcx + 5e0 * hx else zcx + 3e0 * hx end as bx1, "
+    "case n_nationkey % 6 when 0 then zcy - hy when 1 then zcy - hy "
+    "when 2 then zcy - hy when 3 then zcy - hy * 5e-1 when 4 then zcy - hy "
+    "else zcy + hy end as by0, "
+    "case n_nationkey % 6 when 0 then zcy + hy when 1 then zcy + hy "
+    "when 2 then zcy + hy when 3 then zcy + hy * 5e-1 when 4 then zcy + hy "
+    "else zcy + 3e0 * hy end as by1"
+)
+
+
 def rects_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = spark.read.parquet(f"{sf_dir}/region.parquet")
     d = re.select(
