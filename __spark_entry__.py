@@ -94,10 +94,14 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     z = zones_from_nation(spark, sf_dir)
     # per-zone radius: expand by the max radius, refine per-row (the
-    # expression-bound-to-one-side case of DistanceJoinExec.scala:30-42)
+    # expression-bound-to-one-side case of DistanceJoinExec.scala:30-42).
+    # The SMALL side is the probe (it explodes to the cell disk and gets
+    # broadcast); the big point side keeps its single home cell → the
+    # 10^12-row side never shuffles.
     centers = z.select("n_nationkey", F.col("zcx").alias("bx"),
                        F.col("zcy").alias("by"), "r")
-    out = distance_join(pts, centers, r=5.51, level=_LEVEL)  # max r = 4.5+1.00231
+    out = distance_join(centers, pts, r=5.51, level=_LEVEL,  # max r = 4.5+1.00231
+                        probe_x="bx", probe_y="by", build_x="x", build_y="y")
     dx = F.col("x") - F.col("bx")
     dy = F.col("y") - F.col("by")
     d2 = dx * dx + dy * dy
@@ -140,7 +144,11 @@ def q_distance_join_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = zones_from_nation(spark, sf_dir).select(
         "n_nationkey", F.col("zcx").alias("blon"), F.col("zcy").alias("blat")
     )
-    out = distance_join_meters(pts, z, r_m=300000.0, level=7)
+    # zone side probes (explodes + broadcasts); the big point side keeps its
+    # home cell and never shuffles
+    out = distance_join_meters(z, pts, r_m=300000.0, level=7,
+                               probe_lon="blon", probe_lat="blat",
+                               build_lon="lon", build_lat="lat")
     return out.select("event_id", "n_nationkey")
 
 
@@ -481,6 +489,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", w.alias("rank_n"))
 
 
+def q_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform 4326→3857 (spherical Mercator, pure Column math) with a
+    round-trip residual check; round(6) absorbs cross-engine libm ulps."""
+    from sedona_spark.functions.crs import (
+        st_transform_from_mercator,
+        st_transform_to_mercator,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    mx, my = st_transform_to_mercator(F.col("zcx"), F.col("zcy"))
+    z2 = z.select("n_nationkey", "zcx", "zcy", mx.alias("mx"), my.alias("my"))
+    lon2, lat2 = st_transform_from_mercator(F.col("mx"), F.col("my"))
+    return z2.select(
+        "n_nationkey",
+        F.round("mx", 6).alias("mx"),
+        F.round("my", 6).alias("my"),
+        F.round(F.abs(lon2 - F.col("zcx")), 9).alias("lon_resid"),
+    )
+
+
 def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_GeoHash (Functions.java:743): per-geohash-cell point counts —
     pure Column bit interleave + base32, full DuckDB value parity."""
@@ -598,26 +626,35 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")
 
 
+def _spread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet is a single small file at test SFs → one input
+    split → zero parallelism for the CPU-heavy shingling/hashing (work per
+    byte is ~1000× a normal scan). Spread it across the cluster first; at
+    real scale the reader already yields thousands of splits and callers
+    use the table as-is."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast path (xxhash64 sigs/banding) — rows-only; the portable twin
     below oracle-checks the identical banding/verify pipeline."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=32, bands=8)
+    return minhash_dedup_pairs(
+        _spread_docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=8
+    )
 
 
 def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH with md5 hashing end-to-end — bit-reproducible in DuckDB,
     so LSH banding + exact-Jaccard verify get a full value-parity oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=4,
-                               portable=True)
+    return minhash_dedup_pairs(_spread_docs(spark, sf_dir), threshold=0.5,
+                               num_hashes=16, bands=4, portable=True)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast path (vectorized pandas siphash) — rows-only; portable twin
     below is oracle-checked."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(_spread_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,8 +662,7 @@ def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×15-bit pigeonhole blocking — fully mirrored in DuckDB."""
     from sedona_spark.pipeline.dedup import simhash_near_dup_pairs_portable
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = simhash_near_dup_pairs_portable(docs, max_hamming=3)
+    out = simhash_near_dup_pairs_portable(_spread_docs(spark, sf_dir), max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -636,6 +672,54 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (full decode-correctness oracle, not just dims)."""
     imgs = images_from_part(spark, sf_dir)
     return rs_decode_stats(imgs)
+
+
+def q_rs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Value: pixel lookups at deterministic coordinates — the DuckDB
+    twin regenerates the exact decoded value (incl. lossy quantization)."""
+    from sedona_spark.functions.raster import rs_value
+
+    imgs = images_from_part(spark, sf_dir)
+    i = F.substring("image_id", 5, 12).cast("long")  # img_%012d → key
+    px = i % 32  # deterministic in-bounds coords (min w=32, min h=32)
+    py = i % 31
+    band = i % 3
+    return imgs.select(
+        "image_id",
+        px.cast("long").alias("px"),
+        py.cast("long").alias("py"),
+        band.cast("long").alias("band"),
+        rs_value(F.col("bytes"), px, py, band).cast("long").alias("val"),
+    )
+
+
+def q_rs_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Clip: window crop metadata + exact pixel sum (clip bytes
+    round-trip is pytest-gated; the sum is the value oracle)."""
+    from sedona_spark.functions.raster import rs_clip
+
+    imgs = images_from_part(spark, sf_dir)
+    out = rs_clip(imgs, 4, 4, 16, 16)
+    return out.select(
+        "image_id",
+        F.col("clip_w").cast("long").alias("clip_w"),
+        F.col("clip_h").cast("long").alias("clip_h"),
+        "clip_sum",
+    )
+
+
+def q_rs_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_MapAlgebra (clamp2x = min(2v, 255)): per-raster output stats,
+    exact-integer oracle over regenerated pixels."""
+    from sedona_spark.functions.raster import rs_map_algebra
+
+    imgs = images_from_part(spark, sf_dir)
+    out = rs_map_algebra(imgs, "clamp2x")
+    return out.select(
+        "image_id", "out_sum",
+        F.col("out_min").cast("long").alias("out_min"),
+        F.col("out_max").cast("long").alias("out_max"),
+    )
 
 
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_sphere_knn": q_distance_sphere_knn,
         "vocab_topk": q_vocab_topk,
         "cell_counts": q_cell_counts,
+        "st_transform": q_st_transform,
         "geohash_counts": q_geohash_counts,
         "geohash_neighbors": q_geohash_neighbors,
         "zonal_overlay_area": q_zonal_overlay_area,
@@ -712,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "image_decode": q_image_decode,
+        "rs_value": q_rs_value,
+        "rs_clip_stats": q_rs_clip_stats,
+        "rs_map_algebra": q_rs_map_algebra,
         "tile_bytes": q_tile_bytes,
     }
 
@@ -838,6 +926,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_portable": _minhash_portable_sql(),
         "simhash_pairs_portable": _simhash_portable_sql(),
         "image_decode": _image_decode_sql(),
+        "rs_value": _rs_value_sql(),
+        "rs_clip_stats": _rs_clip_sql(),
+        "rs_map_algebra": _rs_map_algebra_sql(),
         "tile_bytes": _tile_grid_sql(),
         "st_measures": _st_measures_sql(),
         "distance_sphere_knn": _haversine_sql(),
@@ -852,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             f"select {cells.sql_cell_id('p.x', 'p.y', 8)} as cell, "
             f"count(*) as n_points from {pts} p group by 1"
         ),
+        "st_transform": _st_transform_sql(),
         "geohash_counts": _geohash_counts_sql(),
         "geohash_neighbors": _geohash_neighbors_sql(),
         "zonal_overlay_area": (
@@ -985,6 +1077,20 @@ border as (
 assigned as (select * from lbl union all select * from border)
 select p.event_id, coalesce(a.cluster, -1) as cluster
 from pts p left join assigned a on p.event_id = a.id
+"""
+
+
+def _st_transform_sql() -> str:
+    from sedona_spark.functions.crs import _R, _RAD, sql_to_mercator
+
+    mx, my = sql_to_mercator("z.zcx", "z.zcy")
+    # inverse lon = (mx / R) / rad; residual vs the original, rounded
+    return f"""
+with z as ({SQL_ZONES}),
+m as (select n_nationkey, zcx, {mx} as mx, {my} as my from z)
+select n_nationkey, round(mx, 6) as mx, round(my, 6) as my,
+       round(abs((mx / {_R!r}) / {_RAD!r} - zcx), 9) as lon_resid
+from m
 """
 
 
@@ -1311,6 +1417,64 @@ dec as (select i, w, h, fmt,
 select printf('img_%012d', i) as image_id, w as dec_w, h as dec_h,
        fmt as dec_fmt, cast(sum(dv) as double) / count(*) as mean_lum
 from dec group by i, w, h, fmt
+"""
+
+
+_PIX = (
+    "((i * 31 + {x} * 3 + {y} * 5 + c.v * 7) % 251"
+    " + ({x} * {y} * (i % 13 + 1)) % 67) % 256"
+)
+_DECODED = "case when fmt = 'fjpg' then ({v} // 4) * 4 + 2 else {v} end"
+
+
+def _rs_value_sql() -> str:
+    v = _PIX.format(x="(i % 32)", y="(i % 31)")
+    # inline band: replace the c.v channel term with (i % 3)
+    v = v.replace("c.v * 7", "(i % 3) * 7")
+    dv = _DECODED.format(v=f"({v})")
+    return f"""
+with img as ({_img_meta_sql()})
+select printf('img_%012d', i) as image_id,
+       i % 32 as px, i % 31 as py, i % 3 as band,
+       cast({dv} as bigint) as val
+from img
+"""
+
+
+def _rs_clip_sql() -> str:
+    v = _PIX.format(x="x.v", y="y.v")
+    dv = _DECODED.format(v=f"({v})")
+    return f"""
+with img as ({_img_meta_sql()}),
+pix as (
+  select i, fmt, {dv} as dv
+  from img,
+       lateral (select unnest(range(4, 20)) as v) x,
+       lateral (select unnest(range(4, 20)) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c)
+select printf('img_%012d', i) as image_id,
+       cast(16 as bigint) as clip_w, cast(16 as bigint) as clip_h,
+       cast(sum(dv) as bigint) as clip_sum
+from pix group by i
+"""
+
+
+def _rs_map_algebra_sql() -> str:
+    v = _PIX.format(x="x.v", y="y.v")
+    dv = _DECODED.format(v=f"({v})")
+    return f"""
+with img as ({_img_meta_sql()}),
+pix as (
+  select i, least(2 * ({dv}), 255) as ov
+  from img,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c)
+select printf('img_%012d', i) as image_id,
+       cast(sum(ov) as bigint) as out_sum,
+       cast(min(ov) as bigint) as out_min,
+       cast(max(ov) as bigint) as out_max
+from pix group by i
 """
 
 

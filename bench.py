@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "jaccard_adjacent",
     "ann_topk",
     "ann_lsh_topk",
+    "st_transform",
+    "rs_value",
+    "rs_map_algebra",
     "minhash_pairs",
     "simhash_pairs",
 ]

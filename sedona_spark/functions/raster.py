@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -154,6 +155,126 @@ def rs_decode_stats(
             yield pd.DataFrame(recs, columns=[f.name for f in _META_SCHEMA.fields])
 
     return cols.mapInPandas(gen, schema=_META_SCHEMA)
+
+
+@F.pandas_udf(IntegerType())
+def _rs_value_udf(buf: pd.Series, x: pd.Series, y: pd.Series, band: pd.Series) -> pd.Series:
+    out = np.empty(len(buf), dtype=np.int32)
+    for i, (b, xi, yi, ci) in enumerate(zip(buf, x, y, band)):
+        arr, _ = decode_image(bytes(b))
+        out[i] = int(arr[int(yi), int(xi), int(ci)])
+    return pd.Series(out)
+
+
+def rs_value(buf, x, y, band) -> "F.Column":
+    """RS_Value(raster, x, y, band): pixel value at (x, y) of band
+    (``RasterBandAccessors.java`` analog; 0-based indices)."""
+    return _rs_value_udf(buf, x, y, band)
+
+
+_CLIP_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("clip_bytes", BinaryType(), False),
+        StructField("clip_w", IntegerType(), False),
+        StructField("clip_h", IntegerType(), False),
+        StructField("clip_sum", LongType(), False),
+    ]
+)
+
+
+def rs_clip(
+    images: DataFrame,
+    x0: int,
+    y0: int,
+    w: int,
+    h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """RS_Clip analog: crop every raster to the window [x0, x0+w) × [y0,
+    y0+h) (clamped to the raster), re-encode with the source format, and
+    report exact integer pixel sums (the oracle handle)."""
+    cols = images.select(id_col, bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b[id_col], b[bytes_col]):
+                arr, fmt = decode_image(bytes(buf))
+                hh, ww = arr.shape[:2]
+                t = arr[y0:min(y0 + h, hh), x0:min(x0 + w, ww)]
+                recs.append(
+                    (
+                        iid,
+                        encode_image(np.ascontiguousarray(t), fmt),
+                        t.shape[1],
+                        t.shape[0],
+                        int(t.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in _CLIP_SCHEMA.fields])
+
+    return cols.mapInPandas(gen, schema=_CLIP_SCHEMA)
+
+
+_ALGEBRA_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("out_bytes", BinaryType(), False),
+        StructField("out_sum", LongType(), False),
+        StructField("out_min", IntegerType(), False),
+        StructField("out_max", IntegerType(), False),
+    ]
+)
+
+
+def rs_map_algebra(
+    images: DataFrame,
+    expr: str = "clamp2x",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """RS_MapAlgebra analog: per-pixel arithmetic over the decoded bands,
+    re-encoded losslessly. Supported expressions (vectorized numpy):
+
+    * ``clamp2x``   — min(2·v, 255)
+    * ``invert``    — 255 − v
+    * ``band_mean`` — per-pixel mean over bands, broadcast back (grayscale)
+
+    Exact integer ops only, so the DuckDB oracle regenerates the same
+    values closed-form (``_image_decode_sql`` pattern)."""
+    cols = images.select(id_col, bytes_col)
+
+    def apply(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.int64)
+        if expr == "clamp2x":
+            return np.minimum(a * 2, 255).astype(np.uint8)
+        if expr == "invert":
+            return (255 - a).astype(np.uint8)
+        if expr == "band_mean":
+            m = a.sum(axis=2) // a.shape[2]
+            return np.repeat(m[:, :, None], a.shape[2], axis=2).astype(np.uint8)
+        raise ValueError(f"unknown map-algebra expr {expr!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b[id_col], b[bytes_col]):
+                arr, _ = decode_image(bytes(buf))
+                t = apply(arr)
+                recs.append(
+                    (
+                        iid,
+                        encode_image(t, "fpng"),
+                        int(t.sum(dtype=np.int64)),
+                        int(t.min()),
+                        int(t.max()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in _ALGEBRA_SCHEMA.fields])
+
+    return cols.mapInPandas(gen, schema=_ALGEBRA_SCHEMA)
 
 
 @F.pandas_udf(DoubleType())

@@ -221,6 +221,17 @@ def knn_join(
                 F.greatest(F.ceil(F.greatest(ring_y, ring_x)) + 1,
                            F.col("_r").cast("double") * 2),
             )
+            # pole/antimeridian: the x-bound is capped by the wrap floor
+            # ang ≤ 180−|qlon| and by cos(φ_max); if even that ceiling cannot
+            # certify kth, no finite ring ever will — jump straight to the
+            # full-grid disk instead of doubling through useless rounds
+            x_cap = (
+                F.lit(2.0 * _EARTH_RADIUS_M)
+                * cmin
+                * F.sin((F.lit(180.0) - F.abs(F.col("_qlon"))) * F.lit(_RAD) / 2)
+            )
+            hopeless_x = x_cap < kth
+            grown = F.when(hopeless_x, F.lit(float(n_side))).otherwise(grown)
         else:
             grown = F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1
         remaining = (

@@ -1,0 +1,62 @@
+"""Spatially-pruned storage (GeoParquet-bbox analog) and CRS transform."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark.sources.geoparquet import read_spatial_range, write_spatial
+from sedona_spark.sources.testdata import points_from_events
+
+
+def test_write_read_spatial_prunes(spark, tmp_path):
+    path = str(tmp_path / "geo")
+    pts = points_from_events(spark, "/root/testdata/sf0.001")
+    write_spatial(pts, path, level=3)
+
+    bbox = (-30.0, -20.0, 10.0, 25.0)
+    got = read_spatial_range(spark, path, bbox, level=3)
+    brute = pts.filter(
+        (F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+        & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])
+    )
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in brute.collect()
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition pruning (file-bbox analog) reaches the scan...
+    assert "PartitionFilters: [" in plan and "part_cell" in plan
+    # ...and the residual coordinate range pushes to parquet row groups
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(x" in plan
+
+
+def test_crs_transform_roundtrip_and_check(spark):
+    from sedona_spark.functions.crs import (
+        require_same_crs,
+        st_transform_from_mercator,
+        st_transform_to_mercator,
+        tag_crs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 13.4, 52.5), (3, -179.9, -85.0), (4, 100.0, 84.9)],
+        "id int, lon double, lat double",
+    )
+    mx, my = st_transform_to_mercator(F.col("lon"), F.col("lat"))
+    m = df.select("id", "lon", "lat", mx.alias("x"), my.alias("y"))
+    lon2, lat2 = st_transform_from_mercator(F.col("x"), F.col("y"))
+    back = m.select("id", "lon", "lat", lon2.alias("lon2"), lat2.alias("lat2"))
+    for r in back.collect():
+        assert r.lon2 == pytest.approx(r.lon, abs=1e-9)
+        assert r.lat2 == pytest.approx(r.lat, abs=1e-9)
+    # known vector: Berlin (13.4, 52.5) → x ≈ 1491681.3, y ≈ 6887893.5
+    b = {r.id: r for r in m.collect()}
+    assert b[2].x == pytest.approx(13.4 * math.pi / 180 * 6378137.0)
+    assert b[2].y == pytest.approx(6886418.0, rel=1e-3)
+
+    a = tag_crs(df, "EPSG:4326", ("lon", "lat"))
+    c = tag_crs(m, "EPSG:3857", ("x", "y"))
+    require_same_crs(a, "lon", a, "lon")  # same → ok
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        require_same_crs(a, "lon", c, "x")

@@ -132,3 +132,34 @@ def test_rs_decode_stats_and_psnr_udf(spark):
     assert j.filter((F.col("dec_w") != F.col("w")) | (F.col("dec_h") != F.col("h"))).count() == 0
     p = imgs.select(rs_psnr(F.col("bytes"), F.col("bytes")).alias("p")).collect()
     assert all(r.p == float("inf") for r in p)
+
+
+def test_rs_clip_and_map_algebra_bytes(spark):
+    """Clip bytes decode to the exact numpy slice; invert∘invert = id."""
+    import numpy as np
+
+    from sedona_spark.functions.raster import rs_clip, rs_map_algebra
+    from sedona_spark.sources.images import decode_image, make_pixels, synthesize_images
+
+    imgs = synthesize_images(spark, 8)
+    out = {r.image_id: r for r in rs_clip(imgs, 4, 4, 16, 16).collect()}
+    for i in range(8):
+        iid = f"img_{i:012d}"
+        w = (32, 64, 48)[i % 3]
+        h = (32, 48, 96)[i % 3]
+        ref = make_pixels(i, w, h)
+        if i % 4:  # lossless rows: byte-exact slice
+            arr, _ = decode_image(bytes(out[iid].clip_bytes))
+            assert (arr == ref[4:20, 4:20]).all()
+        assert out[iid].clip_w == 16 and out[iid].clip_h == 16
+
+    inv1 = rs_map_algebra(imgs, "invert").withColumnRenamed("out_bytes", "bytes")
+    inv2 = {r.image_id: r for r in rs_map_algebra(inv1, "invert").collect()}
+    for i in range(8):
+        if i % 4 == 0:
+            continue  # lossy source: quantized, not byte-identical
+        iid = f"img_{i:012d}"
+        w = (32, 64, 48)[i % 3]
+        h = (32, 48, 96)[i % 3]
+        arr, _ = decode_image(bytes(inv2[iid].out_bytes))
+        assert (arr == make_pixels(i, w, h)).all()
