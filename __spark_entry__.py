@@ -152,6 +152,44 @@ def q_distance_join_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "n_nationkey")
 
 
+def q_knn_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-query-side kNN join (BroadcastQuerySideKNNJoinExec analog):
+    identical result contract as knn_join — same oracle — but the object
+    side is scanned once with ZERO shuffle."""
+    from sedona_spark.operators.knn import knn_join_broadcast
+
+    pts = points_from_events(spark, sf_dir).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("qx"), F.col("zcy").alias("qy")
+    )
+    out = knn_join_broadcast(
+        qs, pts, k=_KNN_K, query_id="n_nationkey", qx="qx", qy="qy"
+    )
+    return out.select(
+        "n_nationkey", "event_id", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
+def q_knn_join_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join with tie expansion (InMemoryKNNJoinIterator.java:123-154):
+    rank() semantics — every row tied with the kth distance survives."""
+    pts = points_from_events(spark, sf_dir).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("qx"), F.col("zcy").alias("qy")
+    )
+    out = knn_join(
+        qs, pts, k=_KNN_K, level=_LEVEL,
+        query_id="n_nationkey", qx="qx", qy="qy", include_ties=True,
+    )
+    return out.select(
+        "n_nationkey", "event_id", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
 def q_knn_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join under the HAVERSINE metric (DistanceMetric.HAVERSINE,
     KnnJoinIndexJudgement.java:49) — exact geodesic completeness bound
@@ -236,6 +274,20 @@ def q_pip_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_nationkey").cast("long"), F.lit(-1)).alias(
             "n_nationkey"
         ),
+    )
+
+
+def q_pip_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightOuter spatial join: every zone, -1 for point when unmatched."""
+    from sedona_spark.operators.spatial_join import pip_right_outer_join
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    out = pip_right_outer_join(pts, zones, "covers", level=_LEVEL,
+                               id_col="event_id", zone_key="n_nationkey")
+    return out.select(
+        "n_nationkey",
+        F.coalesce(F.col("event_id").cast("long"), F.lit(-1)).alias("event_id"),
     )
 
 
@@ -755,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": q_pip_join_salted,
         "distance_join_meters": q_distance_join_meters,
         "knn_join": q_knn_join,
+        "knn_join_broadcast": q_knn_join_broadcast,
+        "knn_join_ties": q_knn_join_ties,
         "knn_join_sphere": q_knn_join_sphere,
         "knn_query": q_knn_query,
         "overlap_join": q_overlap_join,
@@ -762,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipolygon_join": q_multipolygon_join,
         "linestring_join": q_linestring_join,
         "pip_left_outer_join": q_pip_left_outer_join,
+        "pip_right_outer_join": q_pip_right_outer_join,
         "predicate_matrix": q_predicate_matrix,
         "overlaps_join": q_overlaps_join,
         "count_by_key": q_count_by_key,
@@ -855,6 +910,12 @@ def oracle_sql() -> dict[str, str]:
             "on p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
             "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
         ),
+        "pip_right_outer_join": (
+            f"select z.n_nationkey, cast(coalesce(p.event_id, -1) as bigint) "
+            f"as event_id from {zon} z left join {pts} p "
+            "on p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
+        ),
         "predicate_matrix": _predicate_matrix_sql(),
         "overlaps_join": (
             # A = [zcx-hx, zcx+hx]; B = shifted twin [zcx, zcx+2hx] of s_key
@@ -875,6 +936,22 @@ def oracle_sql() -> dict[str, str]:
             "partition by z.n_nationkey order by "
             "(p.x - z.zcx) * (p.x - z.zcx) + (p.y - z.zcy) * (p.y - z.zcy) asc, "
             f"p.event_id asc) as knn_rank from {pts} p, {zon} z) "
+            f"where knn_rank <= {_KNN_K}"
+        ),
+        "knn_join_broadcast": (
+            "select n_nationkey, event_id, knn_rank from ("
+            f"select z.n_nationkey, p.event_id, row_number() over ("
+            "partition by z.n_nationkey order by "
+            "(p.x - z.zcx) * (p.x - z.zcx) + (p.y - z.zcy) * (p.y - z.zcy) asc, "
+            f"p.event_id asc) as knn_rank from {pts} p, {zon} z) "
+            f"where knn_rank <= {_KNN_K}"
+        ),
+        "knn_join_ties": (
+            "select n_nationkey, event_id, knn_rank from ("
+            f"select z.n_nationkey, p.event_id, rank() over ("
+            "partition by z.n_nationkey order by "
+            "(p.x - z.zcx) * (p.x - z.zcx) + (p.y - z.zcy) * (p.y - z.zcy) asc"
+            f") as knn_rank from {pts} p, {zon} z) "
             f"where knn_rank <= {_KNN_K}"
         ),
         "knn_join_sphere": _knn_sphere_sql(),

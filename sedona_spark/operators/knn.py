@@ -97,6 +97,85 @@ def _disk_join(
     )
 
 
+def knn_join_broadcast(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    qx: str = "x",
+    qy: str = "y",
+    obj_x: str = "ox",
+    obj_y: str = "oy",
+    metric: str = "euclid",
+) -> DataFrame:
+    """Broadcast-QUERY-side kNN join (``BroadcastQuerySideKNNJoinExec``):
+    the query set is small by contract — ship it to every partition, scan
+    the object side ONCE with zero shuffle, keep per-(query, partition)
+    top-k locally (numpy argpartition = the bounded heap), then one global
+    per-query top-k over the tiny candidate set.
+
+    Candidate volume ≤ k · |queries| · n_partitions, so the final window
+    is negligible; the object side is never replicated or shuffled — the
+    right plan when |queries| ≪ |objects| (reverse of the k-ring path).
+
+    Returns (query cols…, object id cols…, dist_sq|dist_m, knn_rank).
+    Deterministic ties: (distance, first object column)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, qx, qy).collect()
+    if not qrows:
+        raise ValueError("knn_join_broadcast requires a non-empty query side")
+    q_ids = [r[query_id] for r in qrows]
+    q_xy = np.array([[float(r[qx]), float(r[qy])] for r in qrows])
+    obj_cols = objects.columns
+    dcol = "dist_m" if metric == "sphere" else "dist_sq"
+
+    out_schema = ", ".join(
+        [f"`{query_id}` {queries.schema[query_id].dataType.simpleString()}"]
+        + [f"`{c}` {objects.schema[c].dataType.simpleString()}" for c in obj_cols]
+        + [f"{dcol} double"]
+    )
+
+    def gen(batches):
+        for b in batches:
+            ox = b[obj_x].to_numpy(dtype=np.float64)
+            oy = b[obj_y].to_numpy(dtype=np.float64)
+            if metric == "sphere":
+                rad = _RAD
+                dlat = (oy[None, :] - q_xy[:, 1:2]) * rad
+                dlon = (ox[None, :] - q_xy[:, 0:1]) * rad
+                a = (
+                    np.sin(dlat / 2) ** 2
+                    + np.cos(q_xy[:, 1:2] * rad)
+                    * np.cos(oy[None, :] * rad)
+                    * np.sin(dlon / 2) ** 2
+                )
+                d = 2.0 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+            else:
+                d = (ox[None, :] - q_xy[:, 0:1]) ** 2 + (
+                    oy[None, :] - q_xy[:, 1:2]
+                ) ** 2
+            kk = min(k, d.shape[1])
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = {query_id: np.repeat(q_ids, kk)}
+            flat = idx.ravel()
+            for c in obj_cols:
+                rows[c] = b[c].to_numpy()[flat]
+            rows[dcol] = np.take_along_axis(d, idx, axis=1).ravel()
+            yield pd.DataFrame(rows)
+
+    cand = objects.mapInPandas(gen, schema=out_schema)
+    order_cols = [c for c in obj_cols if c not in (obj_x, obj_y)]
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(dcol).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     objects: DataFrame,

@@ -230,6 +230,27 @@ def pip_left_outer_join(
     return points.join(matched, key, "left")
 
 
+def pip_right_outer_join(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    x: str = "x",
+    y: str = "y",
+    id_col: str | None = None,
+    zone_key: str | None = None,
+) -> DataFrame:
+    """RightOuter spatial join: every ZONE row survives; point columns are
+    NULL for zones containing no point (the build-side outer completion of
+    ``BroadcastIndexJoinExec.scala:62-66``)."""
+    pkey = id_col or points.columns[0]
+    zkey = zone_key or rects.columns[0]
+    matched = pip_join_rect(points, rects, predicate, level=level, x=x, y=y).select(
+        pkey, zkey
+    )
+    return rects.join(matched, zkey, "left")
+
+
 def linestring_polygon_join(
     lines: DataFrame,
     zones: DataFrame,

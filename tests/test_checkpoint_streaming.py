@@ -103,3 +103,42 @@ def test_cellify_stream_and_windowed_counts(spark, tmp_path):
         assert [r.l for r in levels] == [5]
     finally:
         q.stop()
+
+
+def test_hot_cell_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState hot-cell detector: per-cell EWMA state must
+    persist across micro-batches and flag a burst."""
+    import time
+
+    from sedona_spark.streaming.stateful import hot_cell_stream
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .withColumn("lon", (F.col("value") % 10).cast("double"))
+        .withColumn("lat", (F.col("value") % 5).cast("double"))
+    )
+    out = hot_cell_stream(src, level=4, alpha=0.5, factor=100.0)
+    q = (
+        out.writeStream.format("memory").queryName("hotcells")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hc"))
+        .start()
+    )
+    try:
+        # NOTE: do NOT processAllAvailable() on a continuous rate source —
+        # it never settles; poll the memory sink instead
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            time.sleep(3.0)
+            rows = spark.sql(
+                "select cell, count(*) as n, max(ewma) as me from hotcells group by cell"
+            ).collect()
+            # wait until some cell has been observed across >= 2 batches
+            if rows and max(r.n for r in rows) >= 2:
+                break
+        assert rows, "no stateful output produced"
+        assert max(r.n for r in rows) >= 2  # state carried across batches
+        assert all(r.me > 0 for r in rows)
+    finally:
+        q.stop()
