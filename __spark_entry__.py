@@ -411,6 +411,30 @@ def q_st_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accessor-function family (ST_NPoints/PointN/Start/End/IsClosed/
+    Reverse/Azimuth…) over diamond rings — all pure Column array math."""
+    from sedona_spark.functions import st_accessors as acc
+
+    z = diamond_zones_from_nation(spark, sf_dir)
+    ring = F.col("ring")
+    sx, sy = acc.st_start_point(ring)
+    ex, ey = acc.st_end_point(ring)
+    p2x, p2y = acc.st_point_n(ring, 2)
+    rev = acc.st_reverse(ring)
+    rx1, ry1 = acc.st_point_n(rev, 1)
+    return z.select(
+        "n_nationkey",
+        acc.st_npoints(ring).cast("long").alias("npoints"),
+        sx.alias("startx"), sy.alias("starty"),
+        ex.alias("endx"), ey.alias("endy"),
+        p2x.alias("p2x"), p2y.alias("p2y"),
+        acc.st_is_closed(ring).alias("is_closed"),
+        rx1.alias("rev_x1"), ry1.alias("rev_y1"),
+        F.round(acc.st_azimuth(sx, sy, p2x, p2y), 9).alias("azimuth"),
+    )
+
+
 def q_distance_sphere_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine top-20 (ST_DistanceSphere + TakeOrdered); meters rounded
     to 3 decimals — JVM libm vs DuckDB libm agree far beyond that."""
@@ -829,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "st_measures": q_st_measures,
+        "st_accessors": q_st_accessors,
         "distance_sphere_knn": q_distance_sphere_knn,
         "vocab_topk": q_vocab_topk,
         "cell_counts": q_cell_counts,
@@ -1008,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "rs_map_algebra": _rs_map_algebra_sql(),
         "tile_bytes": _tile_grid_sql(),
         "st_measures": _st_measures_sql(),
+        "st_accessors": _st_accessors_sql(),
         "distance_sphere_knn": _haversine_sql(),
         "vocab_topk": (
             "with t as (select unnest(list_filter(string_split_regex(lower(text), "
@@ -1565,6 +1591,28 @@ select printf('img_%012d', i) as image_id,
 from img,
      lateral (select unnest(range(0, cast(ceil(w / 16e0) as bigint))) as v) tx,
      lateral (select unnest(range(0, cast(ceil(h / 16e0) as bigint))) as v) ty
+"""
+
+
+def _st_accessors_sql() -> str:
+    # diamond ring = [cx-hx,cy, cx,cy-hy, cx+hx,cy, cx,cy+hy]: the accessor
+    # results are closed-form; azimuth(start -> p2) mirrored op-for-op
+    import math as _m
+
+    two_pi = 2.0 * _m.pi
+    az = "atan2(zcx - (zcx - hx), (zcy - hy) - zcy)"
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(4 as bigint) as npoints,
+       zcx - hx as startx, zcy as starty,
+       zcx as endx, zcy + hy as endy,
+       zcx as p2x, zcy - hy as p2y,
+       false as is_closed,
+       zcx as rev_x1, zcy + hy as rev_y1,
+       round(case when {az} < 0 then {az} + {two_pi!r} else {az} end, 9)
+         as azimuth
+from z
 """
 
 

@@ -39,10 +39,13 @@ BENCH_QUERIES = [
     "multipolygon_join",
     "linestring_join",
     "pip_left_outer_join",
+    "pip_right_outer_join",
     "predicate_matrix",
     "overlaps_join",
     "distance_join",
     "knn_join",
+    "knn_join_broadcast",
+    "knn_join_ties",
     "knn_join_sphere",
     "overlap_join",
     "pip_join_salted",
@@ -54,6 +57,7 @@ BENCH_QUERIES = [
     "semi_join",
     "anti_join",
     "st_measures",
+    "st_accessors",
     "hotspot_gstar",
     "vocab_topk",
     "cell_counts",

@@ -178,9 +178,16 @@ def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataF
 
 def images_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image table keyed off the driver testdata ``part`` table (so oracle
-    SQL can reproduce the metadata side deterministically)."""
+    SQL can reproduce the metadata side deterministically).
+
+    ``part.parquet`` is one tiny file at test SFs → one input split; image
+    synthesis+encode is ~10⁴× CPU per input byte, so spread the ids across
+    the cluster first (at real scale the stored image table already has
+    thousands of splits — see bench.py's ``_ensure_images``)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    ids = part.select(F.col("p_partkey").cast("long").alias("id"))
+    ids = part.select(F.col("p_partkey").cast("long").alias("id")).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
