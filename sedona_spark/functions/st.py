@@ -13,11 +13,14 @@ the same CONTAINS/COVERS/INTERSECTS split the reference encodes in
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     BooleanType,
     ByteType,
     StringType,
@@ -207,9 +210,61 @@ def st_predicates_from_flags(flags: Column) -> dict[str, Column]:
     }
 
 
+# --- editors: ST_Simplify / ST_ConvexHull (constructor tier) -----------------
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _simplify_udf(path: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for p, t in zip(path, tol):
+        out.append(
+            kernels.simplify_dp(
+                np.asarray(p, dtype=np.float64).reshape(-1, 2), float(t)
+            ).ravel()
+        )
+    return pd.Series(out)
+
+
+def st_simplify(path: Column, tol: float) -> Column:
+    """ST_Simplify (Douglas-Peucker, endpoints kept): packed polyline/ring →
+    simplified packed array. Per-geometry recursion like the reference's
+    JTS ``DouglasPeuckerSimplifier`` — constructor tier, not a join refine."""
+    return _simplify_udf(path, F.lit(float(tol)))
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _hull_udf(pts: pd.Series) -> pd.Series:
+    out = []
+    for p in pts:
+        out.append(
+            kernels.convex_hull(
+                np.asarray(p, dtype=np.float64).reshape(-1, 2)
+            ).ravel()
+        )
+    return pd.Series(out)
+
+
+def st_convex_hull(pts: Column) -> Column:
+    """ST_ConvexHull of a packed coordinate array → CCW hull ring."""
+    return _hull_udf(pts)
+
+
 # ---------------------------------------------------------------------------
 # WKB interop (constructors / output, cf. Catalog.scala constructor block)
 # ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def st_geom_from_wkt(wkt_s: pd.Series) -> pd.Series:
+    """ST_GeomFromWKT for POINT / LINESTRING / POLYGON (shell ring) → packed
+    ``array<double>``. Number extraction is vectorized pandas string ops;
+    the residual per-row float conversion is the same per-geometry parse the
+    reference's WKTReader does."""
+    inner = wkt_s.str.strip().str.extract(r"\(+\s*(.*?)\s*\)+")[0]
+    toks = inner.str.replace(",", " ", regex=False).str.split()
+    return toks.apply(
+        lambda v: np.array([float(t) for t in v]) if isinstance(v, list) else None
+    )
 
 
 @F.pandas_udf(BinaryType())

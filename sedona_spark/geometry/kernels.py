@@ -552,6 +552,65 @@ def polygon_pair_flags_batch(rings_a, rings_b):
     return {"intersects": intersects, "ii": ii, "a_in_b": a_in_b, "b_in_a": b_in_a}
 
 
+# ---------------------------------------------------------------------------
+# geometry editors (constructor/simplification tier — these run per geometry
+# like the reference's JTS calls, NOT inside join refine hot paths)
+# ---------------------------------------------------------------------------
+
+
+def simplify_dp(path: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (ST_Simplify semantics:
+    endpoints kept; every dropped vertex is within ``tol`` of the kept
+    chain). ``path`` is (n, 2); returns the kept (m, 2) subset."""
+    a = np.asarray(path, dtype=np.float64).reshape(-1, 2)
+    n = len(a)
+    if n <= 2:
+        return a
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = a[j] - a[i]
+        mid = a[i + 1 : j]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:
+            d = np.sqrt(((mid - a[i]) ** 2).sum(axis=1))
+        else:
+            # perpendicular distance of interior vertices to chord (i, j)
+            d = np.abs(np.cross(seg, mid - a[i])) / np.sqrt(L2)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return a[keep]
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull (ST_ConvexHull). ``points`` is
+    (n, 2); returns hull vertices CCW (no closing duplicate)."""
+    a = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    a = np.unique(a, axis=0)  # sorts lexicographically
+    if len(a) <= 2:
+        return a
+
+    def half(pts):
+        out = []
+        for p in pts:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(a)
+    upper = half(a[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
 def ring_envelope(rings) -> np.ndarray:
     """(n,4) array of [xmin, ymin, xmax, ymax] per ring."""
     coords, offsets, lengths = _flatten_rings(rings)

@@ -95,3 +95,56 @@ def test_knn_plan_no_cartesian(spark):
     # the executed shape is cell equi-joins; a cartesian product would mean
     # the candidate pruning failed entirely
     assert "CartesianProduct" not in _plan(res)
+
+
+def test_multi_ring_join_plan_broadcasts_zones(spark):
+    from sedona_spark.operators.spatial_join import pip_join_multi
+    from sedona_spark.sources.testdata import holed_zones_from_nation
+
+    pts = points_from_events(spark, SF)
+    zones = holed_zones_from_nation(spark, SF)
+    plan = _plan(pip_join_multi(pts, zones, level=6))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly ONE Arrow refine stage (the even-odd kernel)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_knn_broadcast_plan_no_object_shuffle(spark):
+    """The broadcast-query-side kNN must not shuffle the object side: the
+    only Exchange is the per-query top-k over the tiny candidate set."""
+    from sedona_spark.operators.knn import knn_join_broadcast
+
+    pts = points_from_events(spark, SF).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = rect_zones_from_nation(spark, SF).select(
+        "n_nationkey", F.col("xmin").alias("qx"), F.col("ymin").alias("qy")
+    ).limit(5)
+    res = knn_join_broadcast(qs, pts, k=3, query_id="n_nationkey",
+                             qx="qx", qy="qy")
+    plan = _plan(res)
+    # one exchange total (rank over candidates); the scan side feeds
+    # mapInPandas directly
+    assert plan.count("Exchange") <= 2  # hashpartitioning for the window
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_join_meters_small_side_probes(spark):
+    """After the probe/build swap the BIG point side must not explode or
+    shuffle: its scan feeds the broadcast join directly."""
+    from sedona_spark.operators.distance_geo import distance_join_meters
+    from sedona_spark.sources.testdata import zones_from_nation
+
+    pts = points_from_events(spark, SF).withColumnsRenamed(
+        {"x": "lon", "y": "lat"}
+    )
+    z = zones_from_nation(spark, SF).select(
+        "n_nationkey", F.col("zcx").alias("blon"), F.col("zcy").alias("blat")
+    )
+    out = distance_join_meters(z, pts, r_m=300000.0, level=7,
+                               probe_lon="blon", probe_lat="blat",
+                               build_lon="lon", build_lat="lat")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -180,3 +180,79 @@ def test_spark_predicate_join(spark):
     assert t_ == {11}
     ct = {r.rid for r in polygon_predicate_join(left, right, "contains", level=4).collect()}
     assert ct == {12}
+
+
+def test_simplify_dp_properties():
+    rng = np.random.default_rng(9)
+    n = 200
+    t = np.linspace(0, 10, n)
+    path = np.stack([t, np.sin(t) + rng.normal(0, 0.01, n)], axis=1)
+    for tol in (0.05, 0.3, 1.0):
+        out = K.simplify_dp(path, tol)
+        assert (out[0] == path[0]).all() and (out[-1] == path[-1]).all()
+        assert len(out) <= len(path)
+        # every dropped vertex is within tol of the simplified chain
+        kept_idx = 0
+        keep_mask = np.zeros(len(path), dtype=bool)
+        for v in out:
+            while not (path[kept_idx] == v).all():
+                kept_idx += 1
+            keep_mask[kept_idx] = True
+        for i in np.flatnonzero(~keep_mask):
+            # distance to the enclosing kept segment
+            prev = max(j for j in np.flatnonzero(keep_mask) if j < i)
+            nxt = min(j for j in np.flatnonzero(keep_mask) if j > i)
+            a, b, p = path[prev], path[nxt], path[i]
+            seg = b - a
+            d = abs(np.cross(seg, p - a)) / np.linalg.norm(seg)
+            assert d <= tol + 1e-12
+    # tol=0 keeps everything except strictly-collinear interiors
+    line = np.array([[0, 0], [1, 1], [2, 2], [3, 3.5]])
+    assert len(K.simplify_dp(line, 0.0)) == 3  # (1,1) is collinear
+
+
+def test_convex_hull_properties():
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-5, 5, size=(300, 2))
+    hull = K.convex_hull(pts)
+    # all points in/on the hull polygon
+    inside = K.points_in_one_polygon(hull.ravel(), pts[:, 0], pts[:, 1])
+    assert (inside > 0).all()
+    # hull vertices are a subset of the input points
+    pset = {tuple(p) for p in pts}
+    assert all(tuple(v) in pset for v in hull)
+    # square corners: hull of a grid is the 4 corners
+    g = np.array([[x, y] for x in range(4) for y in range(4)], dtype=float)
+    assert len(K.convex_hull(g)) == 4
+
+
+def test_spark_wkt_simplify_hull(spark):
+    from sedona_spark.functions.st import st_convex_hull, st_geom_from_wkt, st_simplify
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (3.5 -2.25)"),
+            (2, "LINESTRING (0 0, 1 1, 2 2, 3 3.5)"),
+            (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ],
+        "id int, wkt string",
+    )
+    got = {r.id: r.g for r in df.select("id", st_geom_from_wkt(F.col("wkt")).alias("g")).collect()}
+    assert got[1] == [3.5, -2.25]
+    assert got[2] == [0, 0, 1, 1, 2, 2, 3, 3.5]
+    assert got[3][:4] == [0.0, 0.0, 10.0, 0.0] and len(got[3]) == 10
+
+    simp = df.filter(F.col("id") == 2).select(
+        st_simplify(st_geom_from_wkt(F.col("wkt")), 0.0).alias("s")
+    ).collect()[0]["s"]
+    assert simp == [0, 0, 2, 2, 3, 3.5]
+
+    hull = df.filter(F.col("id") == 3).select(
+        st_convex_hull(st_geom_from_wkt(F.col("wkt"))).alias("h")
+    ).collect()[0]["h"]
+    assert len(hull) == 8  # 4 corners
+    hv = np.asarray(hull).reshape(-1, 2)
+    area = 0.5 * abs(
+        float(np.cross(hv, np.roll(hv, -1, axis=0)).sum())
+    )
+    assert area == 100.0
