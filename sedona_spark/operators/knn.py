@@ -217,14 +217,21 @@ def knn_join(
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
     ).persist()
-    objects_c.count()  # materialize once; reused every round
+    n_obj = objects_c.count()  # materialize once; reused every round
 
     min_dim = cells.min_cell_dim(level)
     ch, cw = cells.cell_height(level), cells.cell_width(level)
     n_side = 1 << level
     dcol = "dist_m" if metric == "sphere" else "dist_sq"
     results: list[DataFrame] = []
-    unresolved = queries.withColumn("_ring", F.lit(max(1, int(initial_ring))))
+    # density-sized first ring: aim for ~4k expected candidates so most
+    # queries resolve in round 1 (each extra round costs two lineage
+    # truncations + a count job). Uses the count we already ran — no extra
+    # job, no correctness impact (the completeness bound is unchanged).
+    exp_per_cell = max(n_obj / float(n_side * n_side), 1e-9)
+    ring0 = int(math.ceil((math.sqrt(4.0 * k / exp_per_cell) - 1.0) / 2.0))
+    ring0 = max(max(1, int(initial_ring)), min(ring0, n_side))
+    unresolved = queries.withColumn("_ring", F.lit(ring0))
     rank_fn = F.rank() if include_ties else F.row_number()
 
     for _ in range(max_rounds):

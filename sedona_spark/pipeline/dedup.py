@@ -71,17 +71,22 @@ def minhash_signatures(
         ]
         return docs.select(F.col(id_col), F.array(*mins).alias("sig"))
     # hash each shingle STRING once, then derive the per-function values by
-    # rehashing the resulting int64 — turns O(num_hashes) string hashes per
-    # shingle into 1 string hash + num_hashes long hashes (~10× cheaper)
+    # rehashing the resulting int64 — 1 string hash + num_hashes long hashes
+    # per shingle. Shape: EXPLODE the shingle hashes and take num_hashes
+    # MIN aggregates — partial aggregation keeps state at num_hashes longs
+    # per doc map-side, and no per-row arrays are materialized (the
+    # array_min(transform(...)) formulation allocates num_hashes arrays per
+    # document and is GC-bound)
     base = F.transform(sh, lambda s: F.xxhash64(s))
-    mins = [
-        F.array_min(F.transform(F.col("_mh_base"), lambda h: F.xxhash64(h, F.lit(i))))
-        .alias(f"mh_{i}")
+    ex = docs.select(F.col(id_col), F.explode(base).alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_mh_{i}")
         for i in range(num_hashes)
     ]
-    return (
-        docs.withColumn("_mh_base", base)
-        .select(F.col(id_col), F.array(*mins).alias("sig"))
+    per = ex.groupBy(id_col).agg(*aggs)
+    return per.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_mh_{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -129,12 +134,17 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
 
-    a = banded.withColumnRenamed(id_col, "id_a")
-    b = banded.withColumnRenamed(id_col, "id_b")
+    # alias self-join on the SAME plan object: Catalyst plans ONE shuffle of
+    # the banded signatures and a ReusedExchange for the other side —
+    # rename-based self-joins compute the signature pipeline twice
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
 
@@ -237,13 +247,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk", "c.ck")
-    a = chunks.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
-    b = chunks.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(b, ["chunk", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -302,13 +313,16 @@ def simhash_near_dup_pairs_portable(
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk", "c.ck")
-    a = chunks.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"})
-    b = chunks.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"})
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # alias self-join: one computation of the SimHash pipeline (it contains
+    # the vectorized UDF) + ReusedExchange for the other side
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(b, ["chunk", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
