@@ -96,6 +96,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int | None = None,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash) →
     distinct candidate pairs (id_a < id_b). The self-join is an equi-join
@@ -105,7 +106,14 @@ def lsh_candidate_pairs(
     ``num_hashes`` is the signature length — pass it (the caller always
     knows it); falling back to a driver-side probe costs an extra job.
     ``portable=True`` hashes bands with md5 of the joined signature text
-    (engine-portable; pairs with ``minhash_signatures(portable=True)``)."""
+    (engine-portable; pairs with ``minhash_signatures(portable=True)``).
+
+    ``max_bucket`` caps the viral-band blowup: a bucket of b docs emits
+    b(b−1)/2 pairs, so ONE band shared by 10⁶ boilerplate documents is
+    5·10¹¹ pairs — AQE splits the partition but cannot shrink the output.
+    Buckets larger than the cap are dropped (docs that similar share many
+    other bands and near-dup recall is preserved in practice; this is the
+    standard production guardrail). Default None = exact, keep everything."""
     if num_hashes is None:
         num_hashes = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
     rows_per_band = max(1, num_hashes // bands)
@@ -133,6 +141,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+
+    if max_bucket is not None:
+        # one extra windowless aggregate on the banded keys (tiny vs the
+        # join); drop hot buckets before they explode quadratically
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = (
+            banded.join(sizes.filter(F.col("_bn") <= max_bucket), ["band", "bh"])
+            .drop("_bn")
+        )
 
     # alias self-join on the SAME plan object: Catalyst plans ONE shuffle of
     # the banded signatures and a ReusedExchange for the other side —

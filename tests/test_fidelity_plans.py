@@ -148,3 +148,42 @@ def test_distance_join_meters_small_side_probes(spark):
                                build_lon="lon", build_lat="lat")
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bucketed_cell_join_no_shuffle(spark, tmp_path):
+    """Bucketing both sides by cell (bucketBy + saveAsTable) co-locates the
+    join: the plan must contain NO shuffle exchange on either side — the
+    pre-partitioning story for repeated joins at 100 TB."""
+    import uuid
+
+    from sedona_spark import cells
+    from sedona_spark.operators.spatial_join import _explode_cover
+
+    pts = points_from_events(spark, SF).withColumn(
+        "cell", cells.cell_id(F.col("x"), F.col("y"), 6)
+    )
+    zc = _explode_cover(rect_zones_from_nation(spark, SF).drop("ring"), 6)
+    suffix = uuid.uuid4().hex[:8]
+    tp, tz = f"pts_b_{suffix}", f"zones_b_{suffix}"
+    pts.write.bucketBy(8, "cell").sortBy("cell").saveAsTable(tp)
+    zc.write.bucketBy(8, "cell").sortBy("cell").saveAsTable(tz)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the join exercises the bucketed
+        # sort-merge path (broadcast is the right plan for THIS tiny side;
+        # bucketing is the story when both sides are huge)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table(tp)
+        b = spark.table(tz)
+        j = a.join(b, "cell").filter(
+            (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+            & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+        )
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"drop table if exists {tp}")
+        spark.sql(f"drop table if exists {tz}")

@@ -164,3 +164,24 @@ def test_embedding_near_dup_pairs(spark, emb):
     got = {(r.id_a, r.id_b) for r in dups.collect()}
     vid = emb.limit(1).collect()[0].vec_id
     assert (vid, vid + 777_000) in got
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops viral bands (quadratic-output guardrail) while
+    distinct pairs from other bands survive."""
+    from sedona_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    rows = [(i, "the same viral boilerplate text repeated") for i in range(50)]
+    rows += [(100, "a unique document about granite harbors"),
+             (101, "a unique document about granite harbors!")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = minhash_signatures(docs, 16, 5)
+    uncapped = lsh_candidate_pairs(sigs, 4, num_hashes=16).count()
+    capped = lsh_candidate_pairs(sigs, 4, num_hashes=16, max_bucket=10).count()
+    assert uncapped >= 50 * 49 // 2  # viral clique fully enumerated
+    assert capped < uncapped
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, 4, num_hashes=16, max_bucket=10).collect()
+    }
+    assert (100, 101) in got  # small buckets unaffected
