@@ -78,11 +78,28 @@ def _disk_join(
     home = cells.cell_id(F.col(qx), F.col(qy), level)
     cx, cy = cells.cell_x(home), cells.cell_y(home)
     rng = F.col("_ring")
-    xs = F.sequence(F.greatest(F.lit(0), cx - rng), F.least(F.lit(n - 1), cx + rng))
+    if metric == "sphere":
+        # longitude is CYCLIC on the sphere: wrap the x-range via pmod so a
+        # query at lon 179.9 probes cells across the antimeridian instead
+        # of escalating to the full grid (same wrap as distance_geo.py);
+        # capped at the half-ring so wrap never duplicates a cell
+        kx = F.least(rng, F.lit(n // 2))
+        xs = F.when(
+            rng >= n // 2, F.sequence(F.lit(0), F.lit(n - 1))
+        ).otherwise(F.sequence(cx - kx, cx + kx))
+        qc = (
+            queries.withColumn("_gxr", F.explode(xs))
+            .withColumn("_gx", F.pmod(F.col("_gxr"), F.lit(n)))
+            .drop("_gxr")
+        )
+    else:
+        xs = F.sequence(
+            F.greatest(F.lit(0), cx - rng), F.least(F.lit(n - 1), cx + rng)
+        )
+        qc = queries.withColumn("_gx", F.explode(xs))
     ys = F.sequence(F.greatest(F.lit(0), cy - rng), F.least(F.lit(n - 1), cy + rng))
     qc = (
-        queries.withColumn("_gx", F.explode(xs))
-        .withColumn("_gy", F.explode(ys))
+        qc.withColumn("_gy", F.explode(ys))
         .withColumn("cell", cells.cell_of(F.col("_gx"), F.col("_gy"), level))
         .drop("_gx", "_gy")
     )
@@ -204,15 +221,16 @@ def knn_join(
 
     ``metric='sphere'`` ranks by haversine METERS (``dist_m`` replaces
     ``dist_sq``) — the reference's ``DistanceMetric.HAVERSINE``
-    (``KnnJoinIndexJudgement.java:49``). Completeness bound (exact, incl.
-    antimeridian + poles): an object outside the Chebyshev disk is either
-    ≥ ring cells away in LATITUDE (distance ≥ R·Δφ — haversine is minimized
-    at Δλ=0), or ≥ ring cells away in grid LONGITUDE, whose true angular
-    separation is ≥ min(ring·cell_w, 180−|qlon|) (wraparound floor) and
-    whose distance is ≥ 2R·cos(φ_max)·sin(Δλ/2) with φ_max the largest
-    |lat| reachable inside the disk's lat band. Near poles/antimeridian the
-    longitude bound degrades to 0 and resolution falls back to the latitude
-    bound or the full-grid disk — conservative, never wrong."""
+    (``KnnJoinIndexJudgement.java:49``). The probe disk WRAPS in longitude
+    (cyclic pmod, like ``distance_geo``), so antimeridian neighbors are
+    found at ring cost, not full-grid cost. Completeness bound (exact):
+    an object outside the wrapped disk is either ≥ ring cells away in
+    LATITUDE (distance ≥ R·Δφ — haversine is minimized at Δλ=0), or ≥ ring
+    cells away in cyclic LONGITUDE (distance ≥ 2R·cos(φ_max)·sin(Δλ/2)
+    with φ_max the largest |lat| in the disk's lat band); once the ring
+    covers the half-circumference only the latitude bound applies. Near
+    the poles cos(φ_max) → 0 and resolution falls back to the latitude
+    bound — conservative, never wrong."""
     obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
@@ -265,13 +283,18 @@ def knn_join(
         )
         rr = F.col("_r").cast("double")
         if metric == "sphere":
+            # the x-disk WRAPS (cyclic longitude): excluded-by-x objects
+            # have cyclic lon separation ≥ ring·cell_w; once ring ≥ n/2 the
+            # full lon ring is covered and only the latitude bound applies
             r_earth = F.lit(_EARTH_RADIUS_M)
             y_bound = r_earth * (rr * F.lit(ch * _RAD))
             phi_max = F.least(F.lit(90.0), F.abs(F.col("_qlat")) + (rr + 1) * F.lit(ch))
             cmin = F.cos(phi_max * F.lit(_RAD))
-            ang = F.least(rr * F.lit(cw), F.lit(180.0) - F.abs(F.col("_qlon")))
+            ang = F.least(rr * F.lit(cw), F.lit(180.0))
             x_bound = F.lit(2.0) * r_earth * cmin * F.sin(ang * F.lit(_RAD) / 2)
-            bound = F.least(y_bound, x_bound)
+            bound = F.when(rr >= n_side // 2, y_bound).otherwise(
+                F.least(y_bound, x_bound)
+            )
         else:
             bound = (rr * F.lit(min_dim)) * (rr * F.lit(min_dim))
         stats = stats.withColumn(
@@ -307,17 +330,15 @@ def knn_join(
                 F.greatest(F.ceil(F.greatest(ring_y, ring_x)) + 1,
                            F.col("_r").cast("double") * 2),
             )
-            # pole/antimeridian: the x-bound is capped by the wrap floor
-            # ang ≤ 180−|qlon| and by cos(φ_max); if even that ceiling cannot
-            # certify kth, no finite ring ever will — jump straight to the
-            # full-grid disk instead of doubling through useless rounds
-            x_cap = (
-                F.lit(2.0 * _EARTH_RADIUS_M)
-                * cmin
-                * F.sin((F.lit(180.0) - F.abs(F.col("_qlon"))) * F.lit(_RAD) / 2)
-            )
-            hopeless_x = x_cap < kth
-            grown = F.when(hopeless_x, F.lit(float(n_side))).otherwise(grown)
+            # near-pole: the x-bound is capped at 2R·cos(φ_max); if even
+            # that ceiling cannot certify kth, jump straight to the
+            # half-ring (full wrapped longitude coverage — beyond it only
+            # the latitude bound matters) instead of doubling through
+            # useless intermediate rounds
+            hopeless_x = F.lit(2.0 * _EARTH_RADIUS_M) * cmin < kth
+            grown = F.when(
+                hopeless_x, F.greatest(grown, F.lit(float(n_side // 2)))
+            ).otherwise(grown)
         else:
             grown = F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1
         remaining = (
