@@ -483,7 +483,7 @@ def q_hotspot_gstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = points_from_events(spark, sf_dir).withColumn("v", F.expr(_VAL))
     out = getis_ord_gstar(pts, radius=3.0, value_col="v",
-                          id_col="event_id", level=7)
+                          id_col="event_id", level=None)
     return out.select(
         "event_id", "n_band", F.col("band_sum").cast("long").alias("band_sum"),
         "g_star",
@@ -809,6 +809,169 @@ def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tile_y").cast("long").alias("tile_y"),
         F.col("tile_w").cast("long").alias("tile_w"),
         F.col("tile_h").cast("long").alias("tile_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r3: concave predicates, relate string, buffer, overlay geometry, spheroid
+# ---------------------------------------------------------------------------
+
+
+def q_predicate_matrix_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal predicate family over CONCAVE fixtures — L-shaped hexagons
+    against rects hitting the reflex corner, the notch interior (bbox
+    overlap but disjoint), shared reflex edges, containment each way
+    (VERDICT r2 #1; ref: JTS RelateOp concave fixtures,
+    SpatialJoinSuite.scala:42-75). Oracle: closed-form interval algebra
+    over L = big_rect \\ int(top-right quadrant)."""
+    from sedona_spark.functions.st import st_predicates_from_flags, st_relate_flags
+    from sedona_spark.sources.testdata import l_shape_pairs_from_nation
+
+    pairs = l_shape_pairs_from_nation(spark, sf_dir)
+    pf = pairs.withColumn("_f", st_relate_flags(F.col("ring_a"), F.col("ring_b")))
+    preds = st_predicates_from_flags(F.col("_f"))
+    return pf.select(
+        "n_nationkey",
+        preds["intersects"].alias("p_intersects"),
+        preds["disjoint"].alias("p_disjoint"),
+        preds["touches"].alias("p_touches"),
+        preds["overlaps"].alias("p_overlaps"),
+        preds["st_equals"].alias("p_equals"),
+        preds["within"].alias("p_within"),
+        preds["contains"].alias("p_contains"),
+    )
+
+
+def q_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Relate DE-9IM matrix STRING + ST_OrderingEquals over the rect
+    pair fixtures (SpatialPredicate.java:26-36, Predicates.scala
+    ST_Relate/ST_RelateMatch). Oracle: the nine cells from rect interval
+    algebra, concatenated in DuckDB."""
+    from sedona_spark.functions.st import (
+        st_ordering_equals,
+        st_relate,
+        st_relate_flags,
+        st_relate_match,
+    )
+
+    pairs = predicate_pairs_from_nation(spark, sf_dir)
+    pf = pairs.withColumn("_f", st_relate_flags(F.col("ring_a"), F.col("ring_b")))
+    rel = st_relate(F.col("_f"))
+    return pf.select(
+        "n_nationkey",
+        rel.alias("relate"),
+        st_relate_match(rel, "T*F**F***").alias("m_within"),
+        st_ordering_equals(F.col("ring_a"), F.col("ring_b")).alias("ordering_eq"),
+    )
+
+
+def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer twice — point buffer (pure-Column regular 32-gon) and
+    convex-ring buffer (offset edges + segmented arcs, numpy kernel) — with
+    closed-form area/perimeter oracles: the chorded circle/arc areas are
+    exact trig identities (VERDICT r2 #5 'circle-buffer area to round(6)').
+    Rings are built in the zone-local frame (area is translation-invariant;
+    keeps the shoelace fold at unit scale → round(6) parity is safe)."""
+    from sedona_spark.functions.st import st_buffer
+    from sedona_spark.functions.st_measures import (
+        st_area,
+        st_buffer_point,
+        st_perimeter,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    pb = st_buffer_point(F.lit(0.0), F.lit(0.0), F.col("r"), quad_segs=8)
+    hx, hy = F.col("hx"), F.col("hy")
+    rect = F.array(-hx, -hy, hx, -hy, hx, hy, -hx, hy)
+    rb = st_buffer(rect, F.col("r"), quad_segs=8)
+    return z.select(
+        "n_nationkey",
+        F.round(st_area(pb), 6).alias("pb_area"),
+        F.round(st_perimeter(pb), 6).alias("pb_perim"),
+        (F.size(pb) / 2).cast("long").alias("pb_nv"),
+        F.round(st_area(rb), 6).alias("rb_area"),
+        (F.size(rb) / 2).cast("long").alias("rb_nv"),
+    )
+
+
+def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection returning GEOMETRY: diamond zone clipped by an
+    offset rect (Sutherland–Hodgman kernel). The oracle independently
+    reconstructs the intersection polygon in DuckDB — kept diamond/rect
+    vertices + the 8 closed-form edge crossings, angularly sorted, shoelace
+    via list_reduce — and compares area (round 6) + vertex count
+    (VERDICT r2 #6)."""
+    from sedona_spark.functions.st import st_intersection
+    from sedona_spark.functions.st_measures import st_area
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    rx0, rx1 = cx - hx * F.lit(0.3), cx + hx * F.lit(1.9)
+    ry0, ry1 = cy - hy * F.lit(0.5), cy + hy * F.lit(1.1)
+    rect = F.array(rx0, ry0, rx1, ry0, rx1, ry1, rx0, ry1)
+    clipped = st_intersection(diamond, rect)
+    return z.select(
+        "n_nationkey",
+        F.round(st_area(clipped), 6).alias("clip_area"),
+        (F.size(clipped) / 2).cast("long").alias("clip_nv"),
+    )
+
+
+def q_knn_join_obj_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-OBJECT-side kNN join (BroadcastObjectSideKNNJoinExec
+    analog, VERDICT r2 #7): small zone-center object table broadcast as a
+    numpy array into ONE mapInPandas over the streaming point side — the
+    reverse arrangement of knn_join_broadcast. k=3 nearest zones per
+    event; identical contract to the kNN oracle window."""
+    from sedona_spark.operators.knn import knn_join_obj_broadcast
+
+    pts = points_from_events(spark, sf_dir)
+    objs = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("ox"), F.col("zcy").alias("oy")
+    )
+    out = knn_join_obj_broadcast(
+        pts, objs, k=3, query_id="event_id", qx="x", qy="y"
+    )
+    return out.select(
+        "event_id", "n_nationkey", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
+def q_distance_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DistanceSpheroid (WGS84) — Andoyer–Lambert closed form (the
+    reference's Spheroid.java uses iterative Karney; closed form keeps it
+    codegen + oracle-expressible; ≲10 m deviation, rounded to mm here for
+    bit-parity of the shared formula)."""
+    from sedona_spark.functions.st_measures import st_distance_spheroid
+
+    pts = points_from_events(spark, sf_dir).select(
+        "event_id", "x", "y",
+        F.expr(
+            "((event_id * 40503) % 4096 + 5e-1) / 4096e0 * 360e0 - 180e0"
+        ).alias("x2"),
+        F.expr(
+            "((event_id * 69069) % 2048 + 5e-1) / 2048e0 * 180e0 - 90e0"
+        ).alias("y2"),
+    )
+    d = st_distance_spheroid(F.col("x"), F.col("y"), F.col("x2"), F.col("y2"))
+    return pts.select("event_id", F.round(d, 3).alias("dist_m"))
+
+
+def q_st_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Dump generator (Catalog.scala generator block): explode a
+    MultiPolygon into one row per part with its index and area — the
+    explode-based generator pattern (posexplode keeps the part ordinal)."""
+    from sedona_spark.functions.st_measures import st_area
+
+    z = multipolygon_zones_from_nation(spark, sf_dir)
+    parts = z.select(
+        "n_nationkey", F.posexplode("geom").alias("part_idx", "ring")
+    )
+    return parts.select(
+        "n_nationkey",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.round(st_area(F.col("ring")), 6).alias("part_area"),
     )
 
 

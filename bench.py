@@ -173,18 +173,28 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "bench", cpus=cpus, shuffle_partitions=max(cpus, 8),
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "8m",
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
         },
     )
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
+    # small Arrow batches only for BYTE-HEAVY python stages (64×~8KB rows
+    # per batch keeps the JVM→python pipe from epoll-starving at 32
+    # threads); numeric-only mapInPandas stages (kNN broadcast) want the
+    # default 10k rows — 64-row batches shred them into ~1,500 tiny
+    # python round-trips (VERDICT r2 plan audit)
+    BYTE_HEAVY = {
+        "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
+        "tile_bytes", "tile_assign",
+    }
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's
     # noisy-neighbor variance (±2×) otherwise dominates; cold JIT/pagecache
     # belongs to the harness, not the query (BENCH/BASELINE.md methodology)
     for name in BENCH_QUERIES:
         fn = qs[name]
+        spark.conf.set(batch_key, "64" if name in BYTE_HEAVY else "10000")
         walls = []
         for _ in range(2):
             t0 = time.time()
@@ -192,6 +202,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
+    spark.conf.set(batch_key, "64")  # throughput job decodes image bytes
     _ensure_images(spark, N_IMAGES)  # materialize outside the timed window
     _throughput_job(spark, sf_dir, N_IMAGES)  # warm (JIT + page cache)
     tput_walls = []

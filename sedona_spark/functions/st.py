@@ -169,6 +169,10 @@ _FLAGS_TYPE = StructType(
         StructField("ii", BooleanType()),
         StructField("a_in_b", BooleanType()),
         StructField("b_in_a", BooleanType()),
+        StructField("a_bnd_ii", BooleanType()),
+        StructField("b_bnd_ii", BooleanType()),
+        StructField("bb_dim1", BooleanType()),
+        StructField("bb_touch", BooleanType()),
     ]
 )
 
@@ -184,7 +188,8 @@ def st_relate_flags(ring_a: Column, ring_b: Column) -> Column:
     (intersects / interiors-intersect / A⊆B / B⊆A) from which every DE-9IM
     areal predicate derives as a Column expression — the same
     evaluate-once-derive-many split as ``SpatialPredicateEvaluators.java``.
-    Exact for convex polygon pairs (rects, diamonds, hulls)."""
+    Exact for arbitrary SIMPLE polygon pairs (convex or concave single
+    rings — see ``kernels.polygon_pair_flags_batch``)."""
     return _pair_flags_udf(ring_a, ring_b)
 
 
@@ -208,6 +213,58 @@ def st_predicates_from_flags(flags: Column) -> dict[str, Column]:
         "covered_by": a_in_b,
         "crosses": F.lit(False),
     }
+
+
+def st_relate(flags: Column) -> Column:
+    """DE-9IM matrix STRING for an areal×areal pair from the kernel flags
+    (``SpatialPredicate.java:26-36``, ``Predicates.scala`` ST_Relate).
+
+    Cell derivations for positive-area simple polygons:
+    II=2 iff interiors meet; IB/BI=1 iff the opposing boundary enters the
+    interior (a boundary piece inside an open set has dimension 1); IE=F
+    iff A ⊆ B else 2 (same for EI/EB mirrored); BB=1 for a collinear
+    overlap span, 0 for point contact, F otherwise; BE=F iff A ⊆ B (∂A ⊆ B
+    ⇔ A ⊆ B for simple rings); EE=2 always."""
+    def dim(cond: Column, yes: str, no: str) -> Column:
+        return F.when(cond, F.lit(yes)).otherwise(F.lit(no))
+
+    return F.concat(
+        dim(flags["ii"], "2", "F"),
+        dim(flags["b_bnd_ii"], "1", "F"),
+        dim(flags["a_in_b"], "F", "2"),
+        dim(flags["a_bnd_ii"], "1", "F"),
+        F.when(flags["bb_dim1"], F.lit("1"))
+        .when(flags["bb_touch"], F.lit("0"))
+        .otherwise(F.lit("F")),
+        dim(flags["a_in_b"], "F", "1"),
+        dim(flags["b_in_a"], "F", "2"),
+        dim(flags["b_in_a"], "F", "1"),
+        F.lit("2"),
+    )
+
+
+def st_relate_match(relate_str: Column, pattern: str) -> Column:
+    """ST_RelateMatch: does a DE-9IM string satisfy an intersection-matrix
+    pattern (``*`` any, ``T`` = 0/1/2, ``F``, or an exact dimension)."""
+    conds = []
+    for i, p in enumerate(pattern):
+        c = F.substring(relate_str, i + 1, 1)
+        if p == "*":
+            continue
+        if p == "T":
+            conds.append(c != "F")
+        else:
+            conds.append(c == p)
+    out = F.lit(True)
+    for cc in conds:
+        out = out & cc
+    return out
+
+
+def st_ordering_equals(ring_a: Column, ring_b: Column) -> Column:
+    """ST_OrderingEquals: identical vertex sequence (same start, same
+    order) — plain array equality on the packed rings, pure codegen."""
+    return ring_a == ring_b
 
 
 # --- editors: ST_Simplify / ST_ConvexHull (constructor tier) -----------------
@@ -260,7 +317,13 @@ def st_geom_from_wkt(wkt_s: pd.Series) -> pd.Series:
     ``array<double>``. Number extraction is vectorized pandas string ops;
     the residual per-row float conversion is the same per-geometry parse the
     reference's WKTReader does."""
-    inner = wkt_s.str.strip().str.extract(r"\(+\s*(.*?)\s*\)+")[0]
+    stripped = wkt_s.str.strip()
+    inner = stripped.str.extract(r"\(+\s*(.*?)\s*\)+")[0]
+    # a ')' INSIDE the text means interior rings / MULTI* parts — the
+    # capture above would silently truncate to the first ring, so reject
+    # those rows as null instead of returning a wrong geometry (ADVICE r2)
+    multi = stripped.str.contains(r"\)\s*,\s*\(", regex=True).fillna(False)
+    inner = inner.mask(multi)
     toks = inner.str.replace(",", " ", regex=False).str.split()
     return toks.apply(
         lambda v: np.array([float(t) for t in v]) if isinstance(v, list) else None
@@ -281,3 +344,45 @@ def st_polygon_wkb(ring: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def st_astext(buf: pd.Series) -> pd.Series:
     return pd.Series([wkb.wkt(b) for b in buf])
+
+
+# --- ST_Buffer / ST_Intersection (overlay tier, r3) --------------------------
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _buffer_ring_udf(ring: pd.Series, r: pd.Series, qs: pd.Series) -> pd.Series:
+    out = []
+    for p, rr, q in zip(ring, r, qs):
+        out.append(kernels.buffer_ring(
+            np.asarray(p, dtype=np.float64), float(rr), int(q)
+        ).ravel())
+    return pd.Series(out)
+
+
+def st_buffer(ring: Column, r: Column, quad_segs: int = 8) -> Column:
+    """ST_Buffer of a CONVEX packed ring: outward edge offsets joined by
+    arcs segmented per JTS quadrantSegments (reference ``Functions.java``
+    buffer; the distance-join rewrite of ``DistanceJoinExec.scala:30-42``
+    leans on it). Per-geometry kernel — constructor tier, not join refine.
+    For POINT buffers use the pure-Column ``st_measures.st_buffer_point``."""
+    return _buffer_ring_udf(ring, r, F.lit(int(quad_segs)))
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _clip_convex_udf(subject: pd.Series, clip: pd.Series) -> pd.Series:
+    out = []
+    for s, c in zip(subject, clip):
+        out.append(kernels.clip_convex(
+            np.asarray(s, dtype=np.float64), np.asarray(c, dtype=np.float64)
+        ).ravel())
+    return pd.Series(out)
+
+
+def st_intersection(subject: Column, clip: Column) -> Column:
+    """ST_Intersection returning GEOMETRY (packed ring) for a simple
+    subject clipped by a CONVEX ring — Sutherland–Hodgman
+    (``kernels.clip_convex``). Empty array = disjoint. Covers the
+    rect/diamond/hull overlay family; general concave×concave overlay
+    remains a documented seam (reference: JTS OverlayNG via
+    ``Functions.java`` ST_Intersection)."""
+    return _clip_convex_udf(subject, clip)

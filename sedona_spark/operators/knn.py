@@ -124,6 +124,7 @@ def knn_join_broadcast(
     obj_x: str = "ox",
     obj_y: str = "oy",
     metric: str = "euclid",
+    max_query_rows: int = 2_000_000,
 ) -> DataFrame:
     """Broadcast-QUERY-side kNN join (``BroadcastQuerySideKNNJoinExec``):
     the query set is small by contract — ship it to every partition, scan
@@ -136,11 +137,21 @@ def knn_join_broadcast(
     right plan when |queries| ≪ |objects| (reverse of the k-ring path).
 
     Returns (query cols…, object id cols…, dist_sq|dist_m, knn_rank).
-    Deterministic ties: (distance, first object column)."""
+    Deterministic ties: (distance, first object column).
+
+    ``max_query_rows`` guards the driver collect the same way the reference
+    gates broadcast on ``autoBroadcastJoinThreshold``
+    (``JoinQueryDetector.scala:191-202``): an oversize query side raises
+    instead of OOMing the driver."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, qx, qy).collect()
+    qrows = queries.select(query_id, qx, qy).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"knn_join_broadcast: query side exceeds max_query_rows="
+            f"{max_query_rows}; use knn_join (k-ring path) or raise the limit"
+        )
     if not qrows:
         raise ValueError("knn_join_broadcast requires a non-empty query side")
     q_ids = [r[query_id] for r in qrows]
@@ -173,13 +184,17 @@ def knn_join_broadcast(
                 d = (ox[None, :] - q_xy[:, 0:1]) ** 2 + (
                     oy[None, :] - q_xy[:, 1:2]
                 ) ** 2
+            # keep EVERY row at distance <= the local kth value (not an
+            # arbitrary argpartition cut): candidates tied at the kth
+            # distance must all survive so the deterministic global window
+            # — ordered by (distance, object columns) — picks the winners
             kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            rows = {query_id: np.repeat(q_ids, kk)}
-            flat = idx.ravel()
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1 : kk]
+            qi, oi = np.nonzero(d <= kth)
+            rows = {query_id: np.asarray(q_ids)[qi]}
             for c in obj_cols:
-                rows[c] = b[c].to_numpy()[flat]
-            rows[dcol] = np.take_along_axis(d, idx, axis=1).ravel()
+                rows[c] = b[c].to_numpy()[oi]
+            rows[dcol] = d[qi, oi]
             yield pd.DataFrame(rows)
 
     cand = objects.mapInPandas(gen, schema=out_schema)
@@ -191,6 +206,91 @@ def knn_join_broadcast(
         cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def knn_join_obj_broadcast(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    qx: str = "x",
+    qy: str = "y",
+    obj_x: str = "ox",
+    obj_y: str = "oy",
+    metric: str = "euclid",
+    max_object_rows: int = 2_000_000,
+) -> DataFrame:
+    """Broadcast-OBJECT-side kNN join (``BroadcastObjectSideKNNJoinExec``):
+    the symmetric case — a small object table against a huge query stream.
+    The object table is collected once (size-guarded like the reference's
+    ``autoBroadcastJoinThreshold`` gate), pre-sorted by the deterministic
+    tie-break columns, and shipped as numpy arrays into a single
+    ``mapInPandas`` over the query side: per batch one vectorized distance
+    matrix + a STABLE argsort, so equal distances resolve by the pre-sorted
+    object order — identical output contract to ``knn_join``
+    (row_number semantics). Zero shuffle; the query side streams through.
+    """
+    import numpy as np
+    import pandas as pd
+
+    obj_cols = objects.columns
+    order_cols = [c for c in obj_cols if c not in (obj_x, obj_y)]
+    osorted = objects.orderBy(*[F.col(c).asc() for c in order_cols])
+    orows = osorted.limit(max_object_rows + 1).collect()
+    if len(orows) > max_object_rows:
+        raise ValueError(
+            f"knn_join_obj_broadcast: object side exceeds max_object_rows="
+            f"{max_object_rows}; use knn_join (k-ring path) or raise the limit"
+        )
+    if not orows:
+        raise ValueError("knn_join_obj_broadcast requires a non-empty object side")
+    o_xy = np.array([[float(r[obj_x]), float(r[obj_y])] for r in orows])
+    o_vals = {c: np.array([r[c] for r in orows]) for c in obj_cols}
+    kk = min(k, len(orows))
+    dcol = "dist_m" if metric == "sphere" else "dist_sq"
+
+    q_schema = queries.schema
+    qcols = queries.columns
+    out_schema = ", ".join(
+        [f"`{c}` {q_schema[c].dataType.simpleString()}" for c in qcols]
+        + [f"`{c}` {objects.schema[c].dataType.simpleString()}" for c in obj_cols]
+        + [f"{dcol} double", "knn_rank int"]
+    )
+
+    def gen(batches):
+        for b in batches:
+            bx = b[qx].to_numpy(dtype=np.float64)
+            by = b[qy].to_numpy(dtype=np.float64)
+            if metric == "sphere":
+                rad = _RAD
+                dlat = (o_xy[None, :, 1] - by[:, None]) * rad
+                dlon = (o_xy[None, :, 0] - bx[:, None]) * rad
+                a = (
+                    np.sin(dlat / 2) ** 2
+                    + np.cos(by[:, None] * rad)
+                    * np.cos(o_xy[None, :, 1] * rad)
+                    * np.sin(dlon / 2) ** 2
+                )
+                d = 2.0 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+            else:
+                d = (o_xy[None, :, 0] - bx[:, None]) ** 2 + (
+                    o_xy[None, :, 1] - by[:, None]
+                ) ** 2
+            # stable sort on a pre-(order_cols)-sorted object array = exact
+            # (distance, object order) ranking with no per-row python
+            idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            flat = idx.ravel()
+            nq = len(bx)
+            rows = {}
+            for c in qcols:
+                rows[c] = np.repeat(b[c].to_numpy(), kk)
+            for c in obj_cols:
+                rows[c] = o_vals[c][flat]
+            rows[dcol] = np.take_along_axis(d, idx, axis=1).ravel()
+            rows["knn_rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), nq)
+            yield pd.DataFrame(rows)
+
+    return queries.mapInPandas(gen, schema=out_schema)
 
 
 def knn_join(
@@ -232,6 +332,7 @@ def knn_join(
     the poles cos(φ_max) → 0 and resolution falls back to the latitude
     bound — conservative, never wrong."""
     obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
+    qcols = queries.columns
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
     ).persist()
@@ -242,87 +343,106 @@ def knn_join(
     n_side = 1 << level
     dcol = "dist_m" if metric == "sphere" else "dist_sq"
     results: list[DataFrame] = []
-    # density-sized first ring: aim for ~4k expected candidates so most
-    # queries resolve in round 1 (each extra round costs two lineage
-    # truncations + a count job). Uses the count we already ran — no extra
-    # job, no correctness impact (the completeness bound is unchanged).
+    # density-sized first ring: aim for ~4k expected candidates so ≥90% of
+    # queries resolve in round 1 (each extra round costs one checkpoint job
+    # + a count job). Uses the count we already ran — no extra job, no
+    # correctness impact (the completeness bound is unchanged).
     exp_per_cell = max(n_obj / float(n_side * n_side), 1e-9)
     ring0 = int(math.ceil((math.sqrt(4.0 * k / exp_per_cell) - 1.0) / 2.0))
     ring0 = max(max(1, int(initial_ring)), min(ring0, n_side))
-    unresolved = queries.withColumn("_ring", F.lit(ring0))
+    if metric == "sphere":
+        # high-latitude queries need a wider LONGITUDE disk before the
+        # x-bound (∝ cos φ) can certify the kth distance: scale the initial
+        # ring by 1/cos(lat) so polar queries also resolve in round 1
+        # instead of doubling through extra rounds
+        ring_expr = F.least(
+            F.lit(n_side),
+            F.ceil(
+                F.lit(float(ring0))
+                / F.greatest(F.cos(F.radians(F.col(qy))), F.lit(2.0 / n_side))
+            ),
+        ).cast("int")
+    else:
+        ring_expr = F.lit(ring0)
+    unresolved = queries.withColumn("_ring", ring_expr)
     rank_fn = F.rank() if include_ties else F.row_number()
 
+    if include_ties:
+        # rank() over distance ONLY: every row tied with the kth
+        # distance shares its rank and survives the <= k filter
+        # (InMemoryKNNJoinIterator.java:123-154 tie expansion)
+        w = Window.partitionBy(query_id).orderBy(F.col(dcol).asc())
+    else:
+        w = Window.partitionBy(query_id).orderBy(
+            F.col(dcol).asc(), *[F.col(c).asc() for c in obj_order]
+        )
+    wq = Window.partitionBy(query_id)
+
+    # per-query completeness bound, evaluated PER ROW on the ranked
+    # candidates (no separate stats aggregation / join — one window pass):
+    # kth distance ≤ bound(ring) guarantees no closer object outside the
+    # disk; a disk covering the whole grid is complete by definition
+    rr = F.col("_ring").cast("double")
+    if metric == "sphere":
+        # the x-disk WRAPS (cyclic longitude): excluded-by-x objects have
+        # cyclic lon separation ≥ ring·cell_w; once ring ≥ n/2 the full lon
+        # ring is covered and only the latitude bound applies
+        r_earth = F.lit(_EARTH_RADIUS_M)
+        y_bound = r_earth * (rr * F.lit(ch * _RAD))
+        phi_max = F.least(F.lit(90.0), F.abs(F.col(qy)) + (rr + 1) * F.lit(ch))
+        cmin = F.cos(phi_max * F.lit(_RAD))
+        ang = F.least(rr * F.lit(cw), F.lit(180.0))
+        x_bound = F.lit(2.0) * r_earth * cmin * F.sin(ang * F.lit(_RAD) / 2)
+        bound = F.when(rr >= n_side // 2, y_bound).otherwise(
+            F.least(y_bound, x_bound)
+        )
+    else:
+        bound = (rr * F.lit(min_dim)) * (rr * F.lit(min_dim))
+    done_expr = (
+        (F.col("_cnt") >= k) & (F.col("_kth") <= bound)
+    ) | (F.col("_ring") >= n_side)
+
     for _ in range(max_rounds):
-        if include_ties:
-            # rank() over distance ONLY: every row tied with the kth
-            # distance shares its rank and survives the <= k filter
-            # (InMemoryKNNJoinIterator.java:123-154 tie expansion)
-            w = Window.partitionBy(query_id).orderBy(F.col(dcol).asc())
-        else:
-            w = Window.partitionBy(query_id).orderBy(
-                F.col(dcol).asc(), *[F.col(c).asc() for c in obj_order]
-            )
         disk = _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y, metric)
         if exclude_pair is not None:
             disk = disk.filter(F.col(exclude_pair[0]) != F.col(exclude_pair[1]))
+        # rank window + count/max windows share the same partitioning →
+        # one shuffle; the lazy localCheckpoint materializes inside the
+        # count job below — ONE pass over the data per round (round 1 of
+        # the old shape ran 3 jobs: results checkpoint, nxt checkpoint,
+        # count)
         cand = (
             disk
             .withColumn("knn_rank", rank_fn.over(w))
             .filter(F.col("knn_rank") <= k)
-            .persist()
+            .withColumn("_cnt", F.count(F.lit(1)).over(wq))
+            .withColumn("_kth", F.max(dcol).over(wq))
+            .withColumn("_done", done_expr)
+            .localCheckpoint(eager=False)
         )
-        # per-query completeness: kth distance ≤ bound(ring) guarantees no
-        # closer object outside the disk; a disk covering the whole grid is
-        # complete by definition
-        stats = cand.groupBy(query_id).agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.max(dcol).alias("_kth"),
-            F.first("_ring").alias("_r"),
-            F.first(qx).alias("_qlon"),
-            F.first(qy).alias("_qlat"),
-        )
-        rr = F.col("_r").cast("double")
-        if metric == "sphere":
-            # the x-disk WRAPS (cyclic longitude): excluded-by-x objects
-            # have cyclic lon separation ≥ ring·cell_w; once ring ≥ n/2 the
-            # full lon ring is covered and only the latitude bound applies
-            r_earth = F.lit(_EARTH_RADIUS_M)
-            y_bound = r_earth * (rr * F.lit(ch * _RAD))
-            phi_max = F.least(F.lit(90.0), F.abs(F.col("_qlat")) + (rr + 1) * F.lit(ch))
-            cmin = F.cos(phi_max * F.lit(_RAD))
-            ang = F.least(rr * F.lit(cw), F.lit(180.0))
-            x_bound = F.lit(2.0) * r_earth * cmin * F.sin(ang * F.lit(_RAD) / 2)
-            bound = F.when(rr >= n_side // 2, y_bound).otherwise(
-                F.least(y_bound, x_bound)
-            )
-        else:
-            bound = (rr * F.lit(min_dim)) * (rr * F.lit(min_dim))
-        stats = stats.withColumn(
-            "_done",
-            ((F.col("_cnt") >= k) & (F.col("_kth") <= bound))
-            | (F.col("_r") >= n_side),
-        ).persist()
-        ok = stats.filter(F.col("_done")).select(query_id)
-        # localCheckpoint truncates lineage — without it the logical plan
-        # doubles per round and Catalyst analysis time explodes (on a
-        # cluster use checkpoint() with a reliable dir instead)
         results.append(
-            cand.join(ok, query_id, "left_semi").localCheckpoint(eager=True)
+            cand.filter(F.col("_done")).drop("_cnt", "_kth", "_done")
         )
 
         # adaptive growth: with ≥k candidates the kth distance is an upper
         # bound on the true kth ⇒ size the ring so bound(ring) ≥ kth; with
         # <k candidates grow 4× blind
+        notdone = cand.filter(~F.col("_done")).groupBy(query_id).agg(
+            *[F.first(c).alias(c) for c in qcols if c != query_id],
+            F.first("_cnt").alias("_cnt"),
+            F.first("_kth").alias("_kth"),
+            F.first("_ring").alias("_r"),
+        )
         if metric == "sphere":
             kth = F.col("_kth")
             ring_y = kth / F.lit(_EARTH_RADIUS_M * ch * _RAD)
-            phi_max = F.least(
-                F.lit(90.0), F.abs(F.col("_qlat")) + (F.col("_r") + 1) * F.lit(ch)
+            phi_max_g = F.least(
+                F.lit(90.0), F.abs(F.col(qy)) + (F.col("_r") + 1) * F.lit(ch)
             )
-            cmin = F.greatest(F.cos(phi_max * F.lit(_RAD)), F.lit(1e-12))
+            cmin_g = F.greatest(F.cos(phi_max_g * F.lit(_RAD)), F.lit(1e-12))
             ang_needed = (
                 F.lit(2.0 / _RAD)
-                * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0 * _EARTH_RADIUS_M) * cmin)))
+                * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0 * _EARTH_RADIUS_M) * cmin_g)))
             )
             ring_x = ang_needed / F.lit(cw)
             grown = F.least(
@@ -335,35 +455,28 @@ def knn_join(
             # half-ring (full wrapped longitude coverage — beyond it only
             # the latitude bound matters) instead of doubling through
             # useless intermediate rounds
-            hopeless_x = F.lit(2.0 * _EARTH_RADIUS_M) * cmin < kth
+            hopeless_x = F.lit(2.0 * _EARTH_RADIUS_M) * cmin_g < kth
             grown = F.when(
                 hopeless_x, F.greatest(grown, F.lit(float(n_side // 2)))
             ).otherwise(grown)
         else:
             grown = F.ceil(F.sqrt(F.col("_kth")) / F.lit(min_dim)) + 1
-        remaining = (
-            unresolved.drop("_ring")
-            .join(stats.filter(~F.col("_done")), query_id, "inner")
-            .withColumn(
-                "_ring",
-                F.when(F.col("_cnt") >= k, grown)
-                .otherwise(F.col("_r") * 4)
-                .cast("int"),
-            )
-            .drop("_cnt", "_kth", "_r", "_done", "_qlon", "_qlat")
-        )
-        # queries with ZERO candidates produce no stats row: widen them too
+        remaining = notdone.withColumn(
+            "_ring",
+            F.when(F.col("_cnt") >= k, grown)
+            .otherwise(F.col("_r") * 4)
+            .cast("int"),
+        ).drop("_cnt", "_kth", "_r")
+        # queries with ZERO candidates produce no cand row: widen them too
         # (unless their disk already covered the whole grid — then there is
         # genuinely nothing to return and they are done)
         missing = (
-            unresolved.join(stats.select(query_id), query_id, "left_anti")
+            unresolved.join(cand, query_id, "left_anti")
             .filter(F.col("_ring") < n_side)
             .withColumn("_ring", (F.col("_ring") * 4).cast("int"))
         )
-        nxt = remaining.unionByName(missing).localCheckpoint(eager=True)
-        n_rem = nxt.count()
-        cand.unpersist()
-        stats.unpersist()
+        nxt = remaining.unionByName(missing).localCheckpoint(eager=False)
+        n_rem = nxt.count()  # materializes cand + nxt checkpoints (1 job)
         unresolved = nxt
         if n_rem == 0:
             unresolved = None

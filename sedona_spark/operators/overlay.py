@@ -117,8 +117,9 @@ def union_area_by_key(
             {key: [pdf[key].iloc[0]], "n_rects": [len(pdf)], "union_area": [a]}
         )
 
+    key_type = rects.schema[key].dataType.simpleString()
     out = rects.groupBy(key).applyInPandas(
-        agg, schema=f"{key} long, n_rects long, union_area double"
+        agg, schema=f"`{key}` {key_type}, n_rects long, union_area double"
     )
     if round_to is not None:
         # round in Column space: Spark HALF_UP == DuckDB round semantics

@@ -94,7 +94,8 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
-    num_hashes: int | None = None,
+    *,
+    num_hashes: int,
     portable: bool = False,
     max_bucket: int | None = None,
 ) -> DataFrame:
@@ -103,8 +104,8 @@ def lsh_candidate_pairs(
     on a hashed key: Catalyst shuffles once per side, AQE splits skewed
     buckets (a viral shingle = a hot cell).
 
-    ``num_hashes`` is the signature length — pass it (the caller always
-    knows it); falling back to a driver-side probe costs an extra job.
+    ``num_hashes`` is the signature length — required (the caller always
+    knows it; a driver-side probe would cost an extra job).
     ``portable=True`` hashes bands with md5 of the joined signature text
     (engine-portable; pairs with ``minhash_signatures(portable=True)``).
 
@@ -114,8 +115,6 @@ def lsh_candidate_pairs(
     Buckets larger than the cap are dropped (docs that similar share many
     other bands and near-dup recall is preserved in practice; this is the
     standard production guardrail). Default None = exact, keep everything."""
-    if num_hashes is None:
-        num_hashes = sigs.select(F.size("sig").alias("n")).limit(1).collect()[0]["n"]
     rows_per_band = max(1, num_hashes // bands)
 
     def band_key(b: int):
@@ -185,7 +184,7 @@ def minhash_dedup_pairs(
     ``portable=True`` switches every hash to md5 (bit-reproducible in any
     SQL engine — the DuckDB oracle path) and verifies on the raw strings."""
     sigs = minhash_signatures(docs, num_hashes, shingle, text, id_col, portable)
-    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes, portable)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes=num_hashes, portable=portable)
     sh = char_shingles(F.col(text), shingle)
     if not portable:
         sh = F.transform(sh, lambda s: F.xxhash64(s))

@@ -178,6 +178,64 @@ SQL_PRED_B = (
 )
 
 
+def l_shape_pairs_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAVE predicate fixtures (r3): A = L-shaped hexagon — the nation
+    rect minus its open top-right quadrant, reflex vertex at the zone
+    center — and B = a rect chosen by ``n_nationkey % 6``:
+
+    0 L-within-B · 1 notch-fill touch (shares the two reflex edges) ·
+    2 center square overlapping across the reflex corner · 3 B inside the
+    bottom arm · 4 B strictly inside the NOTCH (bbox overlap, geometry
+    disjoint — the concave signature case) · 5 edge touch on the lower
+    right side. All case coordinates are the identical float expressions
+    in both engines, so boundary contact is exact."""
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    ax0, ax1, ay0, ay1 = cx - hx, cx + hx, cy - hy, cy + hy
+    ring_a = F.array(ax0, ay0, ax1, ay0, ax1, cy, cx, cy, cx, ay1, ax0, ay1)
+    m = F.col("n_nationkey") % 6
+    h = F.lit(0.5)
+    bx0 = (
+        F.when(m == 0, ax0 - hx * h).when(m == 1, cx)
+        .when(m == 2, cx - hx * h).when(m == 3, ax0 + hx * F.lit(0.3))
+        .when(m == 4, cx + hx * F.lit(0.3)).otherwise(ax1)
+    )
+    bx1 = (
+        F.when(m == 0, ax1 + hx * h).when(m == 1, ax1)
+        .when(m == 2, cx + hx * h).when(m == 3, ax0 + hx * F.lit(0.8))
+        .when(m == 4, cx + hx * F.lit(0.7)).otherwise(ax1 + F.lit(2.0) * hx)
+    )
+    by0 = (
+        F.when(m == 0, ay0 - hy * h).when(m == 1, cy)
+        .when(m == 2, cy - hy * h).when(m == 3, ay0 + hy * F.lit(0.3))
+        .when(m == 4, cy + hy * F.lit(0.3)).otherwise(ay0 + hy * F.lit(0.1))
+    )
+    by1 = (
+        F.when(m == 0, ay1 + hy * h).when(m == 1, ay1)
+        .when(m == 2, cy + hy * h).when(m == 3, ay0 + hy * F.lit(0.8))
+        .when(m == 4, cy + hy * F.lit(0.7)).otherwise(cy - hy * F.lit(0.1))
+    )
+    ring_b = F.array(bx0, by0, bx1, by0, bx1, by1, bx0, by1)
+    return z.select("n_nationkey", ring_a.alias("ring_a"), ring_b.alias("ring_b"))
+
+
+# SQL twin of l_shape_pairs_from_nation's B-rect derivation
+SQL_LSHAPE_B = (
+    "case n_nationkey % 6 when 0 then zcx - hx - hx * 5e-1 when 1 then zcx "
+    "when 2 then zcx - hx * 5e-1 when 3 then zcx - hx + hx * 3e-1 "
+    "when 4 then zcx + hx * 3e-1 else zcx + hx end as bx0, "
+    "case n_nationkey % 6 when 0 then zcx + hx + hx * 5e-1 when 1 then zcx + hx "
+    "when 2 then zcx + hx * 5e-1 when 3 then zcx - hx + hx * 8e-1 "
+    "when 4 then zcx + hx * 7e-1 else zcx + hx + 2e0 * hx end as bx1, "
+    "case n_nationkey % 6 when 0 then zcy - hy - hy * 5e-1 when 1 then zcy "
+    "when 2 then zcy - hy * 5e-1 when 3 then zcy - hy + hy * 3e-1 "
+    "when 4 then zcy + hy * 3e-1 else zcy - hy + hy * 1e-1 end as by0, "
+    "case n_nationkey % 6 when 0 then zcy + hy + hy * 5e-1 when 1 then zcy + hy "
+    "when 2 then zcy + hy * 5e-1 when 3 then zcy - hy + hy * 8e-1 "
+    "when 4 then zcy + hy * 7e-1 else zcy - hy * 1e-1 end as by1"
+)
+
+
 def rects_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = spark.read.parquet(f"{sf_dir}/region.parquet")
     d = re.select(

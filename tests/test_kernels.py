@@ -94,3 +94,77 @@ def test_level_for_extent():
     lv = cells.level_for_extent(5.0, max_cells_per_side=4)
     assert 0 <= lv <= cells.MAX_LEVEL
     assert cells.cell_height(lv) * 4 >= 5.0 > cells.cell_height(lv + 1) * 4
+
+
+# --- non-convex polygon-pair flags (r3: general simple rings) ---------------
+
+
+def _ring(*pts):
+    return np.array([c for p in pts for c in p], dtype=float)
+
+
+_L = _ring((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))  # concave L
+
+
+def test_flags_concave_matrix():
+    """L-shape fixtures: (intersects, ii, a_in_b, b_in_a) exact for concave
+    pairs (VERDICT r2 next-round #1; ref Predicates.java:25-106 concave
+    fixtures in SpatialJoinSuite.scala:42-75)."""
+    cases = [
+        # square inside the L's notch: bbox overlaps, geometry disjoint
+        (_L, _ring((2.5, 2.5), (3.5, 2.5), (3.5, 3.5), (2.5, 3.5)),
+         (False, False, False, False)),
+        (_L, _ring((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)),
+         (True, True, False, True)),       # strictly inside the L
+        (_L, _ring((3, 1), (5, 1), (5, 3), (3, 3)),
+         (True, True, False, False)),      # proper crossing of the arm
+        (_L, _L.copy(), (True, True, True, True)),   # equals
+        (_L, _ring((4, 0), (6, 0), (6, 2), (4, 2)),
+         (True, False, False, False)),     # touches along right edge
+        (_L, _ring((2, 2), (4, 2), (4, 4), (2, 4)),
+         (True, False, False, False)),     # notch fill: shares 2 edges
+        (_ring((-1, -1), (5, -1), (5, 5), (-1, 5)), _L,
+         (True, True, False, True)),       # contains the concave ring
+        (_L, _ring((-1, -1), (5, -1), (5, 5), (-1, 5)),
+         (True, True, True, False)),       # within
+        (_L, _ring((4, 1), (6, 1), (6, 3), (4, 3)),
+         (True, False, False, False)),     # partial shared edge, no overlap
+    ]
+    f = kernels.polygon_pair_flags_batch(
+        [c[0] for c in cases], [c[1] for c in cases]
+    )
+    for i, (_, _, exp) in enumerate(cases):
+        got = (bool(f["intersects"][i]), bool(f["ii"][i]),
+               bool(f["a_in_b"][i]), bool(f["b_in_a"][i]))
+        assert got == exp, f"case {i}: got {got} expected {exp}"
+
+
+def test_flags_float_equal_rings():
+    """Equal rings built from cos/sin (midpoints round OFF the shared
+    boundary): the collinear covered-span bookkeeping must still classify
+    them as equal."""
+    t = np.linspace(0, 2 * np.pi, 65)[:-1]
+    r = 10 + 0.5 * np.sin(8 * t)
+    ring = np.stack([r * np.cos(t), r * np.sin(t)], 1).ravel()
+    f = kernels.polygon_pair_flags_batch([ring], [ring.copy()])
+    assert f["a_in_b"][0] and f["b_in_a"][0] and f["ii"][0]
+
+
+def test_high_vertex_rings_bbox_guard():
+    """Two 1,000-vertex rings overlapping near one corner: the edge-level
+    envelope prune must keep the exact work subquadratic (VERDICT r2 #4).
+    Warm-run budget: well under a second for 8 pairs."""
+    import time
+
+    t = np.linspace(0, 2 * np.pi, 1001)[:-1]
+    r = 10 + 0.5 * np.sin(20 * t)
+    a = np.stack([r * np.cos(t), r * np.sin(t)], 1).ravel()
+    b = (np.stack([r * np.cos(t), r * np.sin(t)], 1) + np.array([19.5, 0.0])).ravel()
+    kernels.polygon_pair_flags_batch([a] * 8, [b] * 8)  # warm pages
+    t0 = time.time()
+    f = kernels.polygon_pair_flags_batch([a] * 8, [b] * 8)
+    wall = time.time() - t0
+    assert f["intersects"].all() and f["ii"].all()
+    h = kernels.polygons_intersect_batch([a] * 8, [b] * 8)
+    assert h.all()
+    assert wall < 2.0, f"high-vertex flags took {wall:.2f}s"
