@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     DoubleType,
     BooleanType,
     ByteType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -386,3 +387,34 @@ def st_intersection(subject: Column, clip: Column) -> Column:
     remains a documented seam (reference: JTS OverlayNG via
     ``Functions.java`` ST_Intersection)."""
     return _clip_convex_udf(subject, clip)
+
+
+_RING_STATS_TYPE = StructType(
+    [StructField("area", DoubleType()), StructField("nv", LongType())]
+)
+
+
+@F.pandas_udf(_RING_STATS_TYPE)
+def _ring_stats_udf(ring: pd.Series) -> pd.DataFrame:
+    areas, nvs = [], []
+    for p in ring:
+        a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+        if len(a) >= 2 and (a[0] == a[-1]).all():
+            a = a[:-1]
+        if len(a) < 3:
+            areas.append(0.0)
+            nvs.append(len(a))
+            continue
+        q = np.roll(a, -1, axis=0)
+        areas.append(0.5 * abs(float((a[:, 0] * q[:, 1] - q[:, 0] * a[:, 1]).sum())))
+        nvs.append(len(a))
+    return pd.DataFrame({"area": areas, "nv": nvs})
+
+
+def st_ring_stats(ring: Column) -> Column:
+    """(area, nv) of a packed ring, computed numpy-side. Use this on rings
+    PRODUCED by a Python UDF (st_buffer / st_intersection): Spark 4.1
+    cannot place a Python-UDF result inside a higher-order-function lambda
+    (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so the Column
+    shoelace fold of ``st_measures.st_area`` is not applicable there."""
+    return _ring_stats_udf(ring)

@@ -952,7 +952,9 @@ def buffer_ring(ring: np.ndarray, r: float, quad_segs: int = 8) -> np.ndarray:
     sweep = np.mod(ang1 - ang0, 2.0 * math.pi)  # CCW exterior angle
     out: list[np.ndarray] = []
     for i in range(len(a)):
-        steps = int(np.ceil(sweep[i] / max_step))
+        # tiny epsilon keeps exact multiples (right angles at quad_segs=8)
+        # from ceiling up on float noise — vertex counts stay deterministic
+        steps = int(np.ceil(sweep[i] / max_step - 1e-9))
         if steps > 0 and sweep[i] > 1e-12:
             th = ang0[i] + sweep[i] * np.arange(1, steps) / steps
             arc = a[i] + r * np.stack([np.cos(th), np.sin(th)], axis=1)

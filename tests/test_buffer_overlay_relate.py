@@ -1,0 +1,155 @@
+"""r3 surface: ST_Buffer, ST_Intersection geometry, ST_Relate string,
+spheroid distance, object-side-broadcast kNN."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark.geometry import kernels as K
+
+SF = "/root/testdata/sf0.001"
+
+
+def shoelace(p: np.ndarray) -> float:
+    q = np.roll(p, -1, axis=0)
+    return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))
+
+
+# --- kernels --------------------------------------------------------------
+
+
+def test_buffer_point_closed_form():
+    b = K.buffer_point(1.0, 2.0, 3.0, quad_segs=8)
+    assert len(b) == 32
+    assert abs(shoelace(b) - 0.5 * 32 * 9 * math.sin(2 * math.pi / 32)) < 1e-9
+
+
+def test_buffer_ring_closed_form():
+    sq = np.array([0, 0, 2, 0, 2, 2, 0, 2], dtype=float)
+    br = K.buffer_ring(sq, 0.5, quad_segs=8)
+    assert len(br) == 36  # 4 × (7 arc pts + 2 offset-edge endpoints)
+    exp = 4 + 8 * 0.5 + 16 * 0.25 * math.sin(math.pi / 16)
+    assert abs(shoelace(br) - exp) < 1e-9
+    # sandwich: r·cos(π/32) disk ⊆ buffer ⊆ r disk
+    pip = K.points_in_one_polygon(
+        br.ravel(),
+        np.array([-0.49 * math.cos(math.pi / 32), 2.51, -0.51]),
+        np.array([1.0, 1.0, 1.0]),
+    )
+    assert pip[0] > 0 and pip[2] == 0
+
+
+def test_buffer_ring_cw_input_normalized():
+    cw = np.array([0, 0, 0, 2, 2, 2, 2, 0], dtype=float)  # clockwise square
+    br = K.buffer_ring(cw, 0.5, quad_segs=8)
+    assert len(br) == 36 and shoelace(br) > 4
+
+
+def test_clip_convex_cases():
+    rect = np.array([0, 0, 4, 0, 4, 4, 0, 4], dtype=float)
+    diam = np.array([2, -1, 5, 2, 2, 5, -1, 2], dtype=float)
+    a1 = shoelace(K.clip_convex(rect, diam))
+    a2 = shoelace(K.clip_convex(diam, rect))
+    assert abs(a1 - 14.0) < 1e-9 and abs(a2 - 14.0) < 1e-9
+    assert K.clip_convex(rect, rect + 100).shape == (0, 2)
+    inner = np.array([1, 1, 2, 1, 2, 2, 1, 2], dtype=float)
+    assert abs(shoelace(K.clip_convex(inner, rect)) - 1.0) < 1e-12
+    assert abs(shoelace(K.clip_convex(rect, inner)) - 1.0) < 1e-12
+
+
+# --- relate string ---------------------------------------------------------
+
+
+def test_relate_strings(spark):
+    from sedona_spark.functions.st import st_relate, st_relate_flags
+
+    rows = [
+        # equals / touch-edge / overlap-through-corner / within / disjoint
+        ([0., 0., 4., 0., 4., 4., 0., 4.], [0., 0., 4., 0., 4., 4., 0., 4.],
+         "2FFF1FFF2"),
+        ([0., 0., 4., 0., 4., 4., 0., 4.], [4., 0., 8., 0., 8., 4., 4., 4.],
+         "FF2F11212"),
+        ([0., 0., 4., 0., 4., 4., 0., 4.], [2., 2., 6., 2., 6., 6., 2., 6.],
+         "212101212"),
+        ([1., 1., 2., 1., 2., 2., 1., 2.], [0., 0., 4., 0., 4., 4., 0., 4.],
+         "2FF1FF212"),
+        ([0., 0., 1., 0., 1., 1., 0., 1.], [5., 5., 6., 5., 6., 6., 5., 6.],
+         "FF2FF1212"),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "ring_a array<double>, ring_b array<double>"
+    )
+    out = df.select(
+        st_relate(st_relate_flags(F.col("ring_a"), F.col("ring_b"))).alias("r")
+    ).collect()
+    for got, (_, _, exp) in zip(out, rows):
+        assert got["r"] == exp, f"got {got['r']} expected {exp}"
+
+
+# --- spheroid distance -------------------------------------------------------
+
+
+def test_spheroid_vs_haversine(spark):
+    from sedona_spark.functions.st_measures import (
+        st_distance_sphere,
+        st_distance_spheroid,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0, 0.0), (10.0, 50.0, 11.5, 51.0),
+         (-179.5, 10.0, 179.5, 10.2), (0.0, 0.0, 0.0, 0.0)],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    out = df.select(
+        st_distance_spheroid(F.col("lon1"), F.col("lat1"),
+                             F.col("lon2"), F.col("lat2")).alias("de"),
+        st_distance_sphere(F.col("lon1"), F.col("lat1"),
+                           F.col("lon2"), F.col("lat2")).alias("ds"),
+    ).collect()
+    # equator degree on WGS84 ≈ 111319.49 m (vs 111195 on the mean sphere)
+    assert abs(out[0]["de"] - 111319.49) < 20.0
+    for r in out[:3]:
+        assert abs(r["de"] - r["ds"]) / max(r["ds"], 1) < 0.01
+    assert out[3]["de"] == 0.0
+
+
+# --- object-side broadcast kNN ----------------------------------------------
+
+
+def test_knn_obj_broadcast_matches_knn_join(spark):
+    from sedona_spark.operators.knn import knn_join, knn_join_obj_broadcast
+    from sedona_spark.sources.testdata import (
+        points_from_events,
+        zones_from_nation,
+    )
+
+    pts = points_from_events(spark, SF)
+    objs = zones_from_nation(spark, SF).select(
+        "n_nationkey", F.col("zcx").alias("ox"), F.col("zcy").alias("oy")
+    )
+    a = knn_join_obj_broadcast(
+        pts, objs, k=3, query_id="event_id", qx="x", qy="y"
+    ).select("event_id", "n_nationkey", "knn_rank")
+    b = knn_join(
+        pts, objs, k=3, level=3, query_id="event_id", qx="x", qy="y"
+    ).select("event_id", "n_nationkey", "knn_rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_knn_obj_broadcast_size_guard(spark):
+    from sedona_spark.operators.knn import knn_join_broadcast, knn_join_obj_broadcast
+
+    big = spark.range(100).selectExpr(
+        "id as qid", "cast(id as double) as x", "cast(id as double) as y"
+    )
+    objs = spark.range(100).selectExpr(
+        "id as oid", "cast(id as double) as ox", "cast(id as double) as oy"
+    )
+    with pytest.raises(ValueError, match="max_object_rows"):
+        knn_join_obj_broadcast(big, objs, k=2, query_id="qid",
+                               max_object_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_join_broadcast(big, objs, k=2, query_id="qid",
+                           max_query_rows=10)
