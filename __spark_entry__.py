@@ -966,6 +966,51 @@ def q_distance_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("event_id", F.round(d, 3).alias("dist_m"))
 
 
+def q_knn_join_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join under the SPHEROID metric (DistanceMetric.SPHEROID,
+    KnnJoinIndexJudgement.java:49) — candidates ranked by the Andoyer
+    WGS84 distance; completeness bound = sphere bound at a·(1−5f), a
+    strict lower bound on every Andoyer arc."""
+    pts = points_from_events(spark, sf_dir).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = zones_from_nation(spark, sf_dir).select(
+        "n_nationkey", F.col("zcx").alias("qx"), F.col("zcy").alias("qy")
+    )
+    out = knn_join(
+        qs, pts, k=_KNN_K, level=_LEVEL,
+        query_id="n_nationkey", qx="qx", qy="qy", metric="spheroid",
+    )
+    return out.select(
+        "n_nationkey", "event_id", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
+def q_st_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SubDivideExplode analog: diamond zones split by the 2×2 envelope
+    grid → posexplode of the clipped pieces. Each quadrant piece of a
+    diamond is the right triangle with legs (hx, hy) — closed-form area
+    oracle."""
+    from sedona_spark.functions.st import st_ring_stats, st_subdivide
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    parts = z.select(
+        "n_nationkey",
+        F.posexplode(st_subdivide(diamond, 2, 2)).alias("part_idx", "ring"),
+    )
+    return parts.select(
+        "n_nationkey",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        st_ring_stats(F.col("ring")).alias("_s"),
+    ).select(
+        "n_nationkey", "part_idx",
+        F.round(F.col("_s.area"), 6).alias("part_area"),
+        F.col("_s.nv").alias("nv"),
+    )
+
+
 def q_st_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Dump generator (Catalog.scala generator block): explode a
     MultiPolygon into one row per part with its index and area — the
@@ -1008,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_obj_broadcast": q_knn_join_obj_broadcast,
         "distance_spheroid": q_distance_spheroid,
         "st_dump": q_st_dump,
+        "st_subdivide_explode": q_st_subdivide,
         # --- outside the r2 driver window (judge-verified only) ---
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "image_decode": q_image_decode,
@@ -1027,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_broadcast": q_knn_join_broadcast,
         "knn_join_ties": q_knn_join_ties,
         "knn_join_sphere": q_knn_join_sphere,
+        "knn_join_spheroid": q_knn_join_spheroid,
         "knn_query": q_knn_query,
         "hotspot_gstar": q_hotspot_gstar,
         "minhash_pairs_portable": q_minhash_pairs_portable,
@@ -1051,9 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "zonal_overlay_area": q_zonal_overlay_area,
         "envelope_aggr": q_envelope_aggr,
+        # --- stable r2-green tail (past the 50-query driver window) ---
         "tile_assign": q_tile_assign,
         "embedding_dups": q_embedding_dups,
-        # --- stable r2-green tail (past the 50-query driver window) ---
         "vocab_topk": q_vocab_topk,
         "cell_counts": q_cell_counts,
         "st_transform": q_st_transform,
@@ -1085,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_obj_broadcast": _knn_obj_broadcast_sql(),
         "distance_spheroid": _spheroid_sql(),
         "st_dump": _st_dump_sql(),
+        "st_subdivide_explode": _st_subdivide_sql(),
         "range_query": (
             f"select event_id from {pts} p "
             f"where p.x >= {x0} and p.x <= {x1} and p.y >= {y0} and p.y <= {y1}"
@@ -1175,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
             f"where knn_rank <= {_KNN_K}"
         ),
         "knn_join_sphere": _knn_sphere_sql(),
+        "knn_join_spheroid": _knn_spheroid_sql(),
         "knn_query": (
             f"select event_id from {pts} p order by "
             "(p.x - 0.123) * (p.x - 0.123) + (p.y - 0.456) * (p.y - 0.456) asc, "
@@ -1744,6 +1793,44 @@ select event_id,
       - ((3e0 * rr + 1e0) / (2e0 * greatest(s, 1e-300))) * cosf * cosf * sing_ * sing_))
   end, 3) as dist_m
 from vv
+"""
+
+
+def _knn_spheroid_sql() -> str:
+    # Andoyer distance per (zone, point) pair via CTEs (mirror of
+    # st_distance_spheroid), then the standard kNN window
+    return f"""
+with p as ({SQL_POINTS}), z as ({SQL_ZONES}),
+c0 as (select z.n_nationkey, p.event_id,
+  (z.zcy + p.y) * (pi() / 180e0) / 2e0 as f1,
+  (z.zcy - p.y) * (pi() / 180e0) / 2e0 as g,
+  (z.zcx - p.x) * (pi() / 180e0) / 2e0 as lam
+  from z, p),
+u as (select n_nationkey, event_id,
+  sin(g) * sin(g) * cos(lam) * cos(lam) + cos(f1) * cos(f1) * sin(lam) * sin(lam) as s,
+  cos(g) * cos(g) * cos(lam) * cos(lam) + sin(f1) * sin(f1) * sin(lam) * sin(lam) as c,
+  sin(f1) as sinf, cos(f1) as cosf, sin(g) as sing_, cos(g) as cosg from c0),
+v as (select *, atan(sqrt(greatest(s / greatest(c, 1e-300), 0e0))) as w from u),
+vv as (select *, sqrt(greatest(s * c, 0e0)) / greatest(w, 1e-300) as rr from v),
+d as (select n_nationkey, event_id,
+  case when s = 0e0 or w = 0e0 then 0e0 else
+    (12756274e0 * w) * (1e0 + (1e0 / 298257223563e-9) * (
+      ((3e0 * rr - 1e0) / (2e0 * greatest(c, 1e-300))) * sinf * sinf * cosg * cosg
+      - ((3e0 * rr + 1e0) / (2e0 * greatest(s, 1e-300))) * cosf * cosf * sing_ * sing_))
+  end as dm from vv)
+select n_nationkey, event_id, knn_rank from (
+  select n_nationkey, event_id, row_number() over (
+    partition by n_nationkey order by dm asc, event_id asc) as knn_rank from d)
+where knn_rank <= {_KNN_K}
+"""
+
+
+def _st_subdivide_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(u.part_idx as bigint) as part_idx,
+       round(hx * hy / 2e0, 6) as part_area, cast(3 as bigint) as nv
+from z, (select unnest([0, 1, 2, 3]) as part_idx) u
 """
 
 

@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "rs_map_algebra",
     "minhash_pairs",
     "simhash_pairs",
+    "predicate_matrix_concave",
+    "st_relate",
+    "buffer_area",
+    "st_intersection_geom",
+    "knn_join_obj_broadcast",
+    "distance_spheroid",
+    "st_dump",
 ]
 
 
@@ -179,22 +186,20 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
-    # small Arrow batches only for BYTE-HEAVY python stages (64×~8KB rows
-    # per batch keeps the JVM→python pipe from epoll-starving at 32
-    # threads); numeric-only mapInPandas stages (kNN broadcast) want the
-    # default 10k rows — 64-row batches shred them into ~1,500 tiny
-    # python round-trips (VERDICT r2 plan audit)
-    BYTE_HEAVY = {
-        "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
-        "tile_bytes", "tile_assign",
-    }
+    # Arrow batch sizing: 64-row batches for anything whose python stages
+    # carry bytes/text (the JVM task thread epoll-spins while python chews
+    # a big batch — at 32 threads large batches starve the workers), but
+    # the NUMERIC-only mapInPandas stages (kNN broadcast family) want big
+    # batches — 64 rows shreds them into ~1,500 tiny python round-trips
+    # (VERDICT r2 plan audit)
+    NUMERIC_BATCH = {"knn_join_broadcast", "knn_join_obj_broadcast"}
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's
     # noisy-neighbor variance (±2×) otherwise dominates; cold JIT/pagecache
     # belongs to the harness, not the query (BENCH/BASELINE.md methodology)
     for name in BENCH_QUERIES:
         fn = qs[name]
-        spark.conf.set(batch_key, "64" if name in BYTE_HEAVY else "10000")
+        spark.conf.set(batch_key, "10000" if name in NUMERIC_BATCH else "64")
         walls = []
         for _ in range(2):
             t0 = time.time()

@@ -78,3 +78,86 @@ def require_same_crs(left: DataFrame, lcol: str, right: DataFrame, rcol: str) ->
             f"CRS mismatch: left {lcol!r} is {a}, right {rcol!r} is {b}; "
             "ST_Transform one side first"
         )
+
+
+# ---------------------------------------------------------------------------
+# UTM (transverse Mercator, WGS84) — the general-CRS tier (r3)
+# ---------------------------------------------------------------------------
+#
+# Karney/Krüger series to n³ (sub-mm planimetric error inside a UTM zone),
+# pure Column math — the closed-form slice of the reference's GeoTools
+# ST_Transform (FunctionsGeoTools.java) that covers the everyday
+# "project to UTM meters" ask without a proj library.
+
+_A_WGS = 6378137.0
+_F_WGS = 1.0 / 298.257223563
+_N = _F_WGS / (2.0 - _F_WGS)
+_A_CAP = _A_WGS / (1.0 + _N) * (1.0 + _N * _N / 4.0 + _N ** 4 / 64.0)
+_K0 = 0.9996
+_E0 = 500000.0
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 5.0 * _N ** 3 / 16.0,
+    13.0 * _N ** 2 / 48.0 - 3.0 * _N ** 3 / 5.0,
+    61.0 * _N ** 3 / 240.0,
+)
+_BETA = (
+    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 37.0 * _N ** 3 / 96.0,
+    _N ** 2 / 48.0 + _N ** 3 / 15.0,
+    17.0 * _N ** 3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N - 2.0 * _N ** 2 / 3.0 - 2.0 * _N ** 3,
+    7.0 * _N ** 2 / 3.0 - 8.0 * _N ** 3 / 5.0,
+    56.0 * _N ** 3 / 15.0,
+)
+_TWO_SQRTN = 2.0 * math.sqrt(_N) / (1.0 + _N)
+
+
+def utm_zone(lon: Column) -> Column:
+    """UTM zone number (1-60) for a longitude in degrees."""
+    return (F.floor((lon + 180.0) / 6.0) + 1).cast("int")
+
+
+def st_transform_to_utm(
+    lon: Column, lat: Column, zone: int, north: bool = True
+) -> tuple[Column, Column]:
+    """EPSG:4326 → UTM zone ``zone`` (easting, northing) in meters."""
+    lam0 = (-183.0 + 6.0 * zone) * _RAD
+    phi = lat * F.lit(_RAD)
+    dlam = lon * F.lit(_RAD) - F.lit(lam0)
+    sphi = F.sin(phi)
+    t = F.sinh(
+        F.atanh(sphi) - F.lit(_TWO_SQRTN) * F.atanh(F.lit(_TWO_SQRTN) * sphi)
+    )
+    xi_p = F.atan2(t, F.cos(dlam))
+    eta_p = F.atanh(F.sin(dlam) / F.sqrt(1.0 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+        eta = eta + F.lit(a) * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+    e = F.lit(_E0) + F.lit(_K0 * _A_CAP) * eta
+    n0 = 0.0 if north else 10000000.0
+    nn = F.lit(n0) + F.lit(_K0 * _A_CAP) * xi
+    return e, nn
+
+
+def st_transform_from_utm(
+    easting: Column, northing: Column, zone: int, north: bool = True
+) -> tuple[Column, Column]:
+    """UTM zone ``zone`` meters → EPSG:4326 (lon, lat) degrees."""
+    lam0 = (-183.0 + 6.0 * zone) * _RAD
+    n0 = 0.0 if north else 10000000.0
+    xi = (northing - F.lit(n0)) / F.lit(_K0 * _A_CAP)
+    eta = (easting - F.lit(_E0)) / F.lit(_K0 * _A_CAP)
+    xi_p = xi
+    eta_p = eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(2.0 * j * chi)
+    lam = F.lit(lam0) + F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    return lam / F.lit(_RAD), phi / F.lit(_RAD)

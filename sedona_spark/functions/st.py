@@ -418,3 +418,77 @@ def st_ring_stats(ring: Column) -> Column:
     (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so the Column
     shoelace fold of ``st_measures.st_area`` is not applicable there."""
     return _ring_stats_udf(ring)
+
+
+# --- Z / M coordinates (ST_PointZ/M family, Catalog.scala:66-71) -------------
+
+
+def st_point_z(x: Column, y: Column, z: Column) -> Column:
+    """ST_PointZ: packed [x, y, z]."""
+    return F.array(x, y, z)
+
+
+def st_point_zm(x: Column, y: Column, z: Column, m: Column) -> Column:
+    """ST_PointM with Z: packed [x, y, z, m]."""
+    return F.array(x, y, z, m)
+
+
+def st_x(p: Column) -> Column:
+    return F.get(p, 0)
+
+
+def st_y(p: Column) -> Column:
+    return F.get(p, 1)
+
+
+def st_z(p: Column) -> Column:
+    """ST_Z — null when the point has no Z (F.get is bounds-safe under
+    ANSI mode, unlike element_at)."""
+    return F.get(p, 2)
+
+
+def st_m(p: Column) -> Column:
+    return F.get(p, 3)
+
+
+def st_has_z(p: Column) -> Column:
+    return F.size(p) >= 3
+
+
+def st_has_m(p: Column) -> Column:
+    return F.size(p) >= 4
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _subdivide_udf(ring: pd.Series, nx: pd.Series, ny: pd.Series) -> pd.Series:
+    out = []
+    for p, gx, gy in zip(ring, nx, ny):
+        a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+        x0, y0 = a.min(axis=0)
+        x1, y1 = a.max(axis=0)
+        gx, gy = int(gx), int(gy)
+        xs = np.linspace(x0, x1, gx + 1)
+        ys = np.linspace(y0, y1, gy + 1)
+        parts = []
+        for i in range(gx):
+            for j in range(gy):
+                cell = np.array(
+                    [xs[i], ys[j], xs[i + 1], ys[j],
+                     xs[i + 1], ys[j + 1], xs[i], ys[j + 1]]
+                )
+                piece = kernels.clip_convex(
+                    np.asarray(p, dtype=np.float64), cell
+                )
+                if len(piece) >= 3:
+                    parts.append(piece.ravel())
+        out.append(parts)
+    return pd.Series(out)
+
+
+def st_subdivide(ring: Column, nx: int, ny: int) -> Column:
+    """ST_SubDivide analog (``Catalog.scala`` generator block,
+    ST_SubDivideExplode): split a CONVEX ring by an nx×ny grid over its
+    envelope into clipped pieces (``array<array<double>>`` — pair with
+    ``posexplode`` for the Explode form). The reference subdivides until a
+    max-vertex bound; the grid form is the deterministic batch analog."""
+    return _subdivide_udf(ring, F.lit(int(nx)), F.lit(int(ny)))

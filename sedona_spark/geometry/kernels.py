@@ -994,30 +994,83 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     for i in range(nc):
         if len(poly) == 0:
             break
-        e0, e1 = c[i], c[(i + 1) % nc]
-        d = e1 - e0
-        # signed side of every current vertex (>=0 = inside half-plane)
-        side = d[0] * (poly[:, 1] - e0[1]) - d[1] * (poly[:, 0] - e0[0])
-        nxt_i = np.roll(np.arange(len(poly)), -1)
-        s0, s1 = side, side[nxt_i]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = s0 / (s0 - s1)
-            t = np.where(np.isfinite(t), t, 0.0)
-            inter = poly + t[:, None] * (poly[nxt_i] - poly)
-        # rebuild with crossings inserted after each edge start
-        pts: list[np.ndarray] = []
-        for j in range(len(poly)):
-            if s0[j] >= 0:
-                pts.append(poly[j])
-            if (s0[j] > 0 and s1[j] < 0) or (s0[j] < 0 and s1[j] > 0):
-                pts.append(inter[j])
-        poly = np.array(pts) if pts else np.empty((0, 2))
-    # drop consecutive duplicates (touching corners emit repeats)
+        poly = _clip_halfplane(poly, c[i], c[(i + 1) % nc])
+    return _drop_consecutive_dups(poly)
+
+
+def _clip_halfplane(
+    poly: np.ndarray, e0: np.ndarray, e1: np.ndarray, keep_left: bool = True
+) -> np.ndarray:
+    """One Sutherland–Hodgman pass: keep the part of ``poly`` on the
+    left (``keep_left``) or right side of the directed line e0→e1."""
+    d = e1 - e0
+    side = d[0] * (poly[:, 1] - e0[1]) - d[1] * (poly[:, 0] - e0[0])
+    if not keep_left:
+        side = -side
+    nxt_i = np.roll(np.arange(len(poly)), -1)
+    s0, s1 = side, side[nxt_i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = s0 / (s0 - s1)
+        t = np.where(np.isfinite(t), t, 0.0)
+        inter = poly + t[:, None] * (poly[nxt_i] - poly)
+    pts: list[np.ndarray] = []
+    for j in range(len(poly)):
+        if s0[j] >= 0:
+            pts.append(poly[j])
+        if (s0[j] > 0 and s1[j] < 0) or (s0[j] < 0 and s1[j] > 0):
+            pts.append(inter[j])
+    return np.array(pts) if pts else np.empty((0, 2))
+
+
+def _drop_consecutive_dups(poly: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (touching corners emit repeats;
+    wraparound duplicate included)."""
     if len(poly) > 1:
         dup = (poly == np.roll(poly, 1, axis=0)).all(axis=1)
         dup[0] = (poly[0] == poly[-1]).all() and len(poly) > 1
         poly = poly[~dup] if (~dup).any() else poly[:1]
     return poly
+
+
+def difference_convex(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """``subject \\ clip`` for a CONVEX clip ring → LIST of disjoint pieces
+    (ST_Difference analog for the convex-clip tier): the standard convex
+    half-plane decomposition — piece_i is the part of ``subject`` strictly
+    OUTSIDE clip edge i and inside edges 0..i-1, so pieces tile the
+    difference with no overlap (reference: JTS OverlayNG difference via
+    ``Functions.java``)."""
+    s = np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+    c = np.asarray(clip, dtype=np.float64).reshape(-1, 2)
+    if len(s) >= 2 and (s[0] == s[-1]).all():
+        s = s[:-1]
+    if len(c) >= 2 and (c[0] == c[-1]).all():
+        c = c[:-1]
+    if len(s) < 3:
+        return []
+    if len(c) < 3:
+        return [s]
+    cn = np.roll(c, -1, axis=0)
+    if (c[:, 0] * cn[:, 1] - cn[:, 0] * c[:, 1]).sum() < 0:
+        c = c[::-1]
+    nc = len(c)
+    pieces: list[np.ndarray] = []
+    for i in range(nc):
+        piece = s
+        for j in range(i):
+            if len(piece) == 0:
+                break
+            piece = _clip_halfplane(piece, c[j], c[(j + 1) % nc], keep_left=True)
+        if len(piece) == 0:
+            continue
+        piece = _clip_halfplane(piece, c[i], c[(i + 1) % nc], keep_left=False)
+        piece = _drop_consecutive_dups(piece)
+        if len(piece) >= 3:
+            # drop zero-area slivers (pure boundary contact)
+            q = np.roll(piece, -1, axis=0)
+            area2 = abs(float((piece[:, 0] * q[:, 1] - q[:, 0] * piece[:, 1]).sum()))
+            if area2 > 0.0:
+                pieces.append(piece)
+    return pieces
 
 
 def ring_envelope(rings) -> np.ndarray:

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from sedona_spark import cells
 from sedona_spark.functions import st
-from sedona_spark.functions.st_measures import _EARTH_RADIUS_M, st_distance_sphere
+from sedona_spark.functions.st_measures import (
+    _EARTH_RADIUS_M,
+    _WGS84_A,
+    _WGS84_F,
+    st_distance_sphere,
+    st_distance_spheroid,
+)
 
 _RAD = math.pi / 180.0
 
@@ -78,7 +84,7 @@ def _disk_join(
     home = cells.cell_id(F.col(qx), F.col(qy), level)
     cx, cy = cells.cell_x(home), cells.cell_y(home)
     rng = F.col("_ring")
-    if metric == "sphere":
+    if metric in ("sphere", "spheroid"):
         # longitude is CYCLIC on the sphere: wrap the x-range via pmod so a
         # query at lon 179.9 probes cells across the antimeridian instead
         # of escalating to the full grid (same wrap as distance_geo.py);
@@ -104,10 +110,11 @@ def _disk_join(
         .drop("_gx", "_gy")
     )
     j = qc.join(objects_c, "cell").drop("cell")
-    if metric == "sphere":
+    if metric in ("sphere", "spheroid"):
+        dist_fn = st_distance_sphere if metric == "sphere" else st_distance_spheroid
         return j.withColumn(
             "dist_m",
-            st_distance_sphere(F.col(qx), F.col(qy), F.col(ox), F.col(oy)),
+            dist_fn(F.col(qx), F.col(qy), F.col(ox), F.col(oy)),
         )
     return j.withColumn(
         "dist_sq", st.st_distance_sq(F.col(qx), F.col(qy), F.col(ox), F.col(oy))
@@ -341,7 +348,15 @@ def knn_join(
     min_dim = cells.min_cell_dim(level)
     ch, cw = cells.cell_height(level), cells.cell_width(level)
     n_side = 1 << level
-    dcol = "dist_m" if metric == "sphere" else "dist_sq"
+    geodesic = metric in ("sphere", "spheroid")
+    # exclusion bounds must LOWER-bound the metric: haversine uses the mean
+    # radius; the Andoyer spheroid distance is 2aw·(1+corr) with the
+    # correction term bounded by |corr| ≤ f·(3R+1)/2·min(cos²F/cos²λ,
+    # sin²G/sin²λ) ≤ 4f, so the SPHEROID metric reuses the sphere bounds
+    # with radius a·(1−5f) — strictly below every possible Andoyer arc
+    # (≈1.7% looser rings than the sphere path; correctness over economy)
+    r_bound = _EARTH_RADIUS_M if metric != "spheroid" else _WGS84_A * (1.0 - 5.0 * _WGS84_F)
+    dcol = "dist_m" if geodesic else "dist_sq"
     results: list[DataFrame] = []
     # density-sized first ring: aim for ~4k expected candidates so ≥90% of
     # queries resolve in round 1 (each extra round costs one checkpoint job
@@ -350,7 +365,7 @@ def knn_join(
     exp_per_cell = max(n_obj / float(n_side * n_side), 1e-9)
     ring0 = int(math.ceil((math.sqrt(4.0 * k / exp_per_cell) - 1.0) / 2.0))
     ring0 = max(max(1, int(initial_ring)), min(ring0, n_side))
-    if metric == "sphere":
+    if geodesic:
         # high-latitude queries need a wider LONGITUDE disk before the
         # x-bound (∝ cos φ) can certify the kth distance: scale the initial
         # ring by 1/cos(lat) so polar queries also resolve in round 1
@@ -383,11 +398,11 @@ def knn_join(
     # kth distance ≤ bound(ring) guarantees no closer object outside the
     # disk; a disk covering the whole grid is complete by definition
     rr = F.col("_ring").cast("double")
-    if metric == "sphere":
+    if geodesic:
         # the x-disk WRAPS (cyclic longitude): excluded-by-x objects have
         # cyclic lon separation ≥ ring·cell_w; once ring ≥ n/2 the full lon
         # ring is covered and only the latitude bound applies
-        r_earth = F.lit(_EARTH_RADIUS_M)
+        r_earth = F.lit(r_bound)
         y_bound = r_earth * (rr * F.lit(ch * _RAD))
         phi_max = F.least(F.lit(90.0), F.abs(F.col(qy)) + (rr + 1) * F.lit(ch))
         cmin = F.cos(phi_max * F.lit(_RAD))
@@ -433,16 +448,16 @@ def knn_join(
             F.first("_kth").alias("_kth"),
             F.first("_ring").alias("_r"),
         )
-        if metric == "sphere":
+        if geodesic:
             kth = F.col("_kth")
-            ring_y = kth / F.lit(_EARTH_RADIUS_M * ch * _RAD)
+            ring_y = kth / F.lit(r_bound * ch * _RAD)
             phi_max_g = F.least(
                 F.lit(90.0), F.abs(F.col(qy)) + (F.col("_r") + 1) * F.lit(ch)
             )
             cmin_g = F.greatest(F.cos(phi_max_g * F.lit(_RAD)), F.lit(1e-12))
             ang_needed = (
                 F.lit(2.0 / _RAD)
-                * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0 * _EARTH_RADIUS_M) * cmin_g)))
+                * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0) * F.lit(r_bound) * cmin_g)))
             )
             ring_x = ang_needed / F.lit(cw)
             grown = F.least(
@@ -455,7 +470,7 @@ def knn_join(
             # half-ring (full wrapped longitude coverage — beyond it only
             # the latitude bound matters) instead of doubling through
             # useless intermediate rounds
-            hopeless_x = F.lit(2.0 * _EARTH_RADIUS_M) * cmin_g < kth
+            hopeless_x = F.lit(2.0) * F.lit(r_bound) * cmin_g < kth
             grown = F.when(
                 hopeless_x, F.greatest(grown, F.lit(float(n_side // 2)))
             ).otherwise(grown)

@@ -153,3 +153,130 @@ def test_knn_obj_broadcast_size_guard(spark):
     with pytest.raises(ValueError, match="max_query_rows"):
         knn_join_broadcast(big, objs, k=2, query_id="qid",
                            max_query_rows=10)
+
+
+# --- UTM transform ------------------------------------------------------------
+
+
+def _snyder_utm(lon, lat, zone):
+    """Independent reference: Snyder's transverse-Mercator series (USGS
+    PP 1395) — a different formulation than the engine's Karney–Krüger
+    series; the two agree to sub-mm, so a few-mm tolerance is an honest
+    cross-implementation check."""
+    a, f = 6378137.0, 1 / 298.257223563
+    k0, E0 = 0.9996, 500000.0
+    lam0 = math.radians(-183.0 + 6.0 * zone)
+    phi, lam = math.radians(lat), math.radians(lon)
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    T = math.tan(phi) ** 2
+    C = ep2 * math.cos(phi) ** 2
+    A = (lam - lam0) * math.cos(phi)
+    M = a * (
+        (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024) * math.sin(2 * phi)
+        + (15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024) * math.sin(4 * phi)
+        - (35 * e2 ** 3 / 3072) * math.sin(6 * phi)
+    )
+    E = E0 + k0 * N * (
+        A + (1 - T + C) * A ** 3 / 6
+        + (5 - 18 * T + T ** 2 + 72 * C - 58 * ep2) * A ** 5 / 120
+    )
+    Nn = k0 * (
+        M + N * math.tan(phi) * (
+            A ** 2 / 2 + (5 - T + 9 * C + 4 * C ** 2) * A ** 4 / 24
+            + (61 - 58 * T + T ** 2 + 600 * C - 330 * ep2) * A ** 6 / 720
+        )
+    )
+    return E, Nn
+
+
+def test_utm_vs_independent_series(spark):
+    from sedona_spark.functions.crs import (
+        st_transform_from_utm,
+        st_transform_to_utm,
+        utm_zone,
+    )
+
+    cases = [(-79.3871, 43.6426, 17), (7.8509, 47.9941, 32), (174.78, -36.85, 60)]
+    for lon, lat, zone in cases:
+        df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        e, n = st_transform_to_utm(F.col("lon"), F.col("lat"), zone=zone,
+                                   north=lat >= 0)
+        row = df.select(e.alias("e"), n.alias("n"),
+                        utm_zone(F.col("lon")).alias("z")).collect()[0]
+        assert row["z"] == zone
+        eref, nref = _snyder_utm(lon, lat, zone)
+        if lat < 0:
+            nref += 10000000.0
+        assert abs(row["e"] - eref) < 0.005 and abs(row["n"] - nref) < 0.005
+        # round trip to sub-micro-degree
+        lon2, lat2 = st_transform_from_utm(F.col("e"), F.col("n"), zone=zone,
+                                           north=lat >= 0)
+        r2 = df.select(e.alias("e"), n.alias("n")).select(
+            lon2.alias("lon"), lat2.alias("lat")
+        ).collect()[0]
+        assert abs(r2["lon"] - lon) < 1e-8 and abs(r2["lat"] - lat) < 1e-8
+
+
+def test_point_zm(spark):
+    from sedona_spark.functions.st import (
+        st_has_m,
+        st_has_z,
+        st_m,
+        st_point_z,
+        st_z,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
+    p = st_point_z(F.col("x"), F.col("y"), F.col("z"))
+    r = df.select(st_z(p).alias("z"), st_has_z(p).alias("hz"),
+                  st_m(p).alias("m"), st_has_m(p).alias("hm")).collect()[0]
+    assert r["z"] == 3.0 and r["hz"] and r["m"] is None and not r["hm"]
+
+
+# --- GeoParquet 1.0 interop ----------------------------------------------------
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from sedona_spark.functions.st import st_point_wkb
+    from sedona_spark.sources.geoparquet import read_geoparquet, write_geoparquet
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = points_from_events(spark, SF).limit(500).repartition(4)
+    gdf = pts.select(
+        "event_id", "x", "y",
+        st_point_wkb(F.col("x"), F.col("y")).alias("geometry"),
+    )
+    path = str(tmp_path / "gpq")
+    manifest = write_geoparquet(gdf, path)
+    assert sum(m["rows"] for m in manifest) == 500
+    # every file carries spec-compliant `geo` footer metadata
+    f0 = path + "/" + manifest[0]["file"]
+    geo = json.loads(pq.read_schema(f0).metadata[b"geo"].decode())
+    assert geo["version"] == "1.0.0"
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    assert len(geo["columns"]["geometry"]["bbox"]) == 4
+    # full read round-trips every row
+    assert read_geoparquet(spark, path).count() == 500
+    # bbox pruning reads a subset of files but all matching rows
+    bb = (-30.0, -20.0, 10.0, 25.0)
+    got = read_geoparquet(spark, path, bbox=bb).filter(
+        (F.col("x") >= bb[0]) & (F.col("x") <= bb[2])
+        & (F.col("y") >= bb[1]) & (F.col("y") <= bb[3])
+    ).count()
+    want = gdf.filter(
+        (F.col("x") >= bb[0]) & (F.col("x") <= bb[2])
+        & (F.col("y") >= bb[1]) & (F.col("y") <= bb[3])
+    ).count()
+    assert got == want
+    # footer-fallback path (no manifest) agrees
+    import os
+
+    os.remove(path + "/_geo_manifest.json")
+    assert read_geoparquet(spark, path).count() == 500
