@@ -926,6 +926,62 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_difference_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Difference returning GEOMETRY: diamond zone minus the offset
+    rect of ``st_intersection_geom`` → disjoint pieces via half-plane
+    decomposition. The fixture's geometry is closed-form: the rect cuts
+    the diamond at y=cy-hy/2 (bottom, leaving a triangle of area
+    hx*hy/4, 3 vertices) and x=cx-0.3hx (left, leaving a quad of area
+    0.47*hx*hy, 4 vertices); the right/top rect edges lie outside the
+    diamond, so exactly two pieces survive, in clip-edge order."""
+    from sedona_spark.functions.st import st_difference, st_ring_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    rx0, rx1 = cx - hx * F.lit(0.3), cx + hx * F.lit(1.9)
+    ry0, ry1 = cy - hy * F.lit(0.5), cy + hy * F.lit(1.1)
+    rect = F.array(rx0, ry0, rx1, ry0, rx1, ry1, rx0, ry1)
+    parts = z.select(
+        "n_nationkey",
+        F.posexplode(st_difference(diamond, rect)).alias("part_idx", "ring"),
+    )
+    return parts.select(
+        "n_nationkey",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        st_ring_stats(F.col("ring")).alias("_s"),
+    ).select(
+        "n_nationkey", "part_idx",
+        F.round(F.col("_s.area"), 6).alias("part_area"),
+        F.col("_s.nv").alias("nv"),
+    )
+
+
+def q_st_union_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union returning GEOMETRY as an exact disjoint tiling: the rect
+    itself + the two difference pieces (3 parts per zone; total area =
+    dia + rect - intersection by inclusion-exclusion = 4.24*hx*hy)."""
+    from sedona_spark.functions.st import st_ring_stats, st_union_tiled
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    rx0, rx1 = cx - hx * F.lit(0.3), cx + hx * F.lit(1.9)
+    ry0, ry1 = cy - hy * F.lit(0.5), cy + hy * F.lit(1.1)
+    rect = F.array(rx0, ry0, rx1, ry0, rx1, ry1, rx0, ry1)
+    parts = z.select(
+        "n_nationkey",
+        F.posexplode(st_union_tiled(diamond, rect)).alias("part_idx", "ring"),
+    )
+    stats = parts.select(
+        "n_nationkey", st_ring_stats(F.col("ring")).alias("_s")
+    )
+    return stats.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum(F.col("_s.area")), 6).alias("union_area"),
+    )
+
+
 def q_knn_join_obj_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-OBJECT-side kNN join (BroadcastObjectSideKNNJoinExec
     analog, VERDICT r2 #7): small zone-center object table broadcast as a
@@ -1050,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
         "st_intersection_geom": q_st_intersection_geom,
+        "st_difference_geom": q_st_difference_geom,
+        "st_union_geom": q_st_union_geom,
         "knn_join_obj_broadcast": q_knn_join_obj_broadcast,
         "distance_spheroid": q_distance_spheroid,
         "st_dump": q_st_dump,
@@ -1129,6 +1187,8 @@ def oracle_sql() -> dict[str, str]:
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),
         "st_intersection_geom": _st_intersection_sql(),
+        "st_difference_geom": _st_difference_sql(),
+        "st_union_geom": _st_union_sql(),
         "knn_join_obj_broadcast": _knn_obj_broadcast_sql(),
         "distance_spheroid": _spheroid_sql(),
         "st_dump": _st_dump_sql(),
@@ -1750,6 +1810,32 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _st_difference_sql() -> str:
+    # closed-form fixture geometry (see q_st_difference_geom docstring):
+    # the bottom rect edge leaves the diamond triangle below y=cy-hy/2
+    # (similar-triangle area hx*hy*(1/2)^2 = hx*hy/4, 3 vertices); the
+    # left edge leaves the quad beyond x=cx-0.3hx clipped above y=cy-hy/2
+    # (area (0.49-0.02)*hx*hy, 4 vertices); right/top edges fall outside
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(u.part_idx as bigint) as part_idx,
+       round(hx * hy * case u.part_idx when 0 then 25e-2 else 47e-2 end, 6)
+         as part_area,
+       cast(case u.part_idx when 0 then 3 else 4 end as bigint) as nv
+from z, (select unnest([0, 1]) as part_idx) u
+"""
+
+
+def _st_union_sql() -> str:
+    # rect (2.2hx x 1.6hy = 3.52) + difference pieces (0.25 + 0.47)
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(3 as bigint) as n_parts,
+       round(hx * hy * 424e-2, 6) as union_area
+from z
 """
 
 

@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "st_relate",
     "buffer_area",
     "st_intersection_geom",
+    "st_difference_geom",
+    "st_union_geom",
+    "knn_join_spheroid",
+    "st_subdivide_explode",
     "knn_join_obj_broadcast",
     "distance_spheroid",
     "st_dump",

@@ -389,6 +389,39 @@ def st_intersection(subject: Column, clip: Column) -> Column:
     return _clip_convex_udf(subject, clip)
 
 
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _difference_udf(subject: pd.Series, clip: pd.Series) -> pd.Series:
+    out = []
+    for s, c in zip(subject, clip):
+        out.append([
+            p.ravel()
+            for p in kernels.difference_convex(
+                np.asarray(s, dtype=np.float64), np.asarray(c, dtype=np.float64)
+            )
+        ])
+    return pd.Series(out)
+
+
+def st_difference(subject: Column, clip: Column) -> Column:
+    """ST_Difference returning GEOMETRY: ``subject \\ clip`` for a CONVEX
+    clip ring as a LIST of disjoint packed rings (MultiPolygon parts —
+    pair with ``posexplode``). Half-plane decomposition
+    (``kernels.difference_convex``): pieces tile the difference exactly,
+    no overlap. Reference: JTS OverlayNG difference via ``Functions.java``
+    ST_Difference."""
+    return _difference_udf(subject, clip)
+
+
+def st_union_tiled(a: Column, b: Column) -> Column:
+    """ST_Union returning GEOMETRY as an exact disjoint TILING: ``b``
+    itself plus the half-plane decomposition of ``a \\ b`` (``b`` must be
+    CONVEX; ``a`` any simple ring). The parts cover a∪b exactly with zero
+    overlap — same coverage/area semantics as JTS ST_Union's dissolved
+    polygon, represented as touching MultiPolygon parts (the
+    boundary-traced single-ring output remains a documented seam)."""
+    return F.concat(F.array(b), _difference_udf(a, b))
+
+
 _RING_STATS_TYPE = StructType(
     [StructField("area", DoubleType()), StructField("nv", LongType())]
 )

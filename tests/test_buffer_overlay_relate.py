@@ -280,3 +280,48 @@ def test_geoparquet_roundtrip(spark, tmp_path):
 
     os.remove(path + "/_geo_manifest.json")
     assert read_geoparquet(spark, path).count() == 500
+
+
+# --- ST_Difference / ST_Union tiling -----------------------------------------
+
+
+def _area_np(p):
+    import numpy as np
+
+    q = np.roll(p, -1, axis=0)
+    return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))
+
+
+def test_difference_convex_tiling():
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import clip_convex, difference_convex
+
+    hexagon = np.array(
+        [4.0, 0.0, 8.0, 2.0, 8.0, 6.0, 4.0, 8.0, 0.0, 6.0, 0.0, 2.0]
+    )
+    hex_pts = hexagon.reshape(-1, 2)
+    hex_area = _area_np(hex_pts)
+    # clip fully containing the subject -> empty difference
+    big = np.array([-10.0, -10.0, 20.0, -10.0, 20.0, 20.0, -10.0, 20.0])
+    assert difference_convex(hexagon, big) == []
+    # disjoint clip -> subject unchanged
+    far = np.array([100.0, 100.0, 101.0, 100.0, 101.0, 101.0, 100.0, 101.0])
+    pieces = difference_convex(hexagon, far)
+    assert len(pieces) == 1 and abs(_area_np(pieces[0]) - hex_area) < 1e-9
+    # partial overlap: pieces are disjoint and tile subject \ clip exactly
+    for clip in (
+        np.array([3.0, -1.0, 12.0, -1.0, 12.0, 5.0, 3.0, 5.0]),
+        np.array([2.0, 1.0, 6.0, 3.0, 4.0, 7.0]),  # triangle clip
+    ):
+        inter = clip_convex(hexagon, clip)
+        pieces = difference_convex(hexagon, clip)
+        total = sum(_area_np(p) for p in pieces)
+        want = hex_area - (_area_np(inter) if len(inter) >= 3 else 0.0)
+        assert abs(total - want) < 1e-9, (total, want)
+        # pairwise piece overlap must be zero area
+        for i in range(len(pieces)):
+            for j in range(i + 1, len(pieces)):
+                ov = clip_convex(pieces[i].ravel(), pieces[j].ravel())
+                if len(ov) >= 3:
+                    assert _area_np(ov) < 1e-12
