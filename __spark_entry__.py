@@ -926,6 +926,49 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rs_as_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_AsRaster (Rasterization.java, center sampling): burn each
+    diamond zone onto an odd W×W grid over its envelope (W varies by key
+    so the burned-pixel count is key-dependent). Center lattice (2i+1-W)/W
+    has even numerator vs odd W, so no center ever sits exactly on the
+    diamond boundary — the strict-interior count is integer-exact and the
+    oracle reproduces it with pure integer arithmetic."""
+    from sedona_spark.functions.raster import rs_as_raster
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    wd = (F.lit(9) + F.lit(2) * (F.col("n_nationkey") % 7)).cast("int")
+    r = z.select(
+        "n_nationkey", rs_as_raster(diamond, wd, wd).alias("_r")
+    )
+    return r.select(
+        "n_nationkey",
+        F.col("_r.rw").cast("long").alias("rw"),
+        F.col("_r.rh").cast("long").alias("rh"),
+        F.col("_r.inside").alias("inside"),
+    )
+
+
+def q_rs_pixel_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_PixelAsPoints explode (PixelFunctions.java): every pixel of band
+    0 for the ids divisible by 200 → (px, py, world-center wx/wy, value).
+    wx/wy and the decoded value are bit-reproduced by the oracle (same
+    IEEE op order; fjpg quantization inlined)."""
+    from sedona_spark.functions.raster import rs_pixel_as_points
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir).filter(
+        F.expr("cast(substring(image_id, 5) as long) % 200 = 0")
+    )
+    return rs_pixel_as_points(imgs, band=0).select(
+        "image_id",
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+        "wx", "wy", "val",
+    )
+
+
 def q_st_difference_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Difference returning GEOMETRY: diamond zone minus the offset
     rect of ``st_intersection_geom`` → disjoint pieces via half-plane
@@ -1108,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_intersection_geom": q_st_intersection_geom,
         "st_difference_geom": q_st_difference_geom,
         "st_union_geom": q_st_union_geom,
+        "rs_as_raster": q_rs_as_raster,
+        "rs_pixel_points": q_rs_pixel_points,
         "knn_join_obj_broadcast": q_knn_join_obj_broadcast,
         "distance_spheroid": q_distance_spheroid,
         "st_dump": q_st_dump,
@@ -1189,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "st_intersection_geom": _st_intersection_sql(),
         "st_difference_geom": _st_difference_sql(),
         "st_union_geom": _st_union_sql(),
+        "rs_as_raster": _rs_as_raster_sql(),
+        "rs_pixel_points": _rs_pixel_points_sql(),
         "knn_join_obj_broadcast": _knn_obj_broadcast_sql(),
         "distance_spheroid": _spheroid_sql(),
         "st_dump": _st_dump_sql(),
@@ -1810,6 +1857,45 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _rs_as_raster_sql() -> str:
+    # |dx|/hx + |dy|/hy < 1 at center (2i+1-W)/W  ⇔  |2i+1-W|+|2j+1-W| < W
+    # — pure integer arithmetic, no floats anywhere
+    return f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, 9 + 2 * (n_nationkey % 7) as wd from z)
+select g.n_nationkey, cast(g.wd as bigint) as rw, cast(g.wd as bigint) as rh,
+       (select count(*)
+        from range(0, 21) xi(i), range(0, 21) yj(j)
+        where xi.i < g.wd and yj.j < g.wd
+          and abs(2 * xi.i + 1 - g.wd) + abs(2 * yj.j + 1 - g.wd) < g.wd)
+         as inside
+from g
+"""
+
+
+def _rs_pixel_points_sql() -> str:
+    # ids % 200 == 0 are all fjpg (i % 4 = 0) -> quantized (v//4)*4+2;
+    # band 0 drops the c*7 term; wx/wy mirror _geotag + center offset in
+    # the same IEEE op order as the numpy side
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 200 = 0),
+pix as (
+  select i, w, h,
+         x.v as px, y.v as py,
+         ((i * 31 + x.v * 3 + y.v * 5) % 251
+          + (x.v * y.v * (i % 13 + 1)) % 67) % 256 as v
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y)
+select printf('img_%012d', i) as image_id, px, py,
+       ((i * 2654435761) % 1000 + 5e-1) / 10e0 + (px + 5e-1) * 1e-3 as wx,
+       ((i * 2246822519) % 1000 + 5e-1) / 10e0 - (py + 5e-1) * 1e-3 as wy,
+       (v // 4) * 4 + 2 as val
+from pix
 """
 
 

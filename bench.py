@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "st_intersection_geom",
     "st_difference_geom",
     "st_union_geom",
+    "rs_as_raster",
+    "rs_pixel_points",
     "knn_join_spheroid",
     "st_subdivide_explode",
     "knn_join_obj_broadcast",

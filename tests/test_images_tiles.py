@@ -163,3 +163,41 @@ def test_rs_clip_and_map_algebra_bytes(spark):
         h = (32, 48, 96)[i % 3]
         arr, _ = decode_image(bytes(inv2[iid].out_bytes))
         assert (arr == make_pixels(i, w, h)).all()
+
+
+def test_rs_as_raster_bytes_and_pixel_points(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sedona_spark.functions.raster import rs_as_raster, rs_pixel_as_points
+    from sedona_spark.sources.images import decode_image, make_pixels, synthesize_images
+
+    # rasterize a diamond onto an 11x11 grid; decode the burned bytes
+    df = spark.createDataFrame(
+        [(0, [0.0, 5.0, 5.0, 0.0, 10.0, 5.0, 5.0, 10.0])],
+        "id long, ring array<double>",
+    )
+    r = df.select(rs_as_raster(F.col("ring"), F.lit(11), F.lit(11)).alias("r")) \
+        .collect()[0]["r"]
+    arr, fmt = decode_image(bytes(r["raster"]))
+    assert fmt == "fpng" and arr.shape == (11, 11, 3)
+    mask = arr[:, :, 0] == 255
+    assert int(mask.sum()) == r["inside"]
+    # center row/col of the diamond fully burned except envelope-edge pixels
+    assert mask[5, 5] and not mask[0, 0] and not mask[0, 10]
+    # burned count matches the integer lattice rule |2i+1-11|+|2j+1-11| < 11
+    ii, jj = np.meshgrid(np.arange(11), np.arange(11))
+    want = int((np.abs(2 * ii + 1 - 11) + np.abs(2 * jj + 1 - 11) < 11).sum())
+    assert r["inside"] == want
+
+    # pixel explode: values + world lattice reproduce make_pixels exactly
+    imgs = synthesize_images(spark, 3)
+    pts = rs_pixel_as_points(imgs, band=1).filter(F.col("image_id") == "img_000000000002")
+    pdfp = pts.toPandas().sort_values(["py", "px"]).reset_index(drop=True)
+    w, h = 48, 96
+    assert len(pdfp) == w * h
+    expect = make_pixels(2, w, h)[:, :, 1].astype(np.int64).ravel()
+    assert (pdfp["val"].to_numpy() == expect).all()
+    row0 = pdfp.iloc[0]
+    assert abs(row0["wx"] - (row0["px"] + 0.5) * 1e-3 -
+               (((2 * 2654435761) % 1000 + 0.5) / 10.0)) < 1e-12
