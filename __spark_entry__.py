@@ -926,6 +926,45 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing in one pass (Functions.java
+    lineInterpolatePoint / lineLocatePoint / closestPoint /
+    lineSubString): a 3-vertex polyline per event, a probe point whose
+    offset varies with event_id (so clamped / interior projections and
+    both winning segments all occur); the oracle mirrors the generic
+    clamped-projection algebra segment-by-segment."""
+    from sedona_spark.functions.st import (
+        st_line_interpolate_point,
+        st_line_locate_point,
+        st_line_substring,
+        st_path_stats,
+    )
+
+    p = points_from_events(spark, sf_dir)
+    x, y = F.col("x"), F.col("y")
+    line = F.array(x, y, x + F.lit(3.0), y + F.lit(2.0),
+                   x + F.lit(5.0), y + F.lit(1.0))
+    qx = x + (F.col("event_id") % 5).cast("double")
+    qy = y + F.lit(3.0)
+    ip = st_line_interpolate_point(line, 0.4)
+    loc = st_line_locate_point(line, qx, qy)
+    sub = st_line_substring(line, 0.25, 0.75)
+    out = p.select(
+        "event_id",
+        F.round(F.get(ip, 0), 6).alias("ip_x"),
+        F.round(F.get(ip, 1), 6).alias("ip_y"),
+        F.round(loc.getField("frac"), 6).alias("loc_frac"),
+        F.round(loc.getField("cx"), 6).alias("cp_x"),
+        F.round(loc.getField("cy"), 6).alias("cp_y"),
+        sub.alias("_sub"),
+    )
+    return out.select(
+        "event_id", "ip_x", "ip_y", "loc_frac", "cp_x", "cp_y",
+        F.round(st_path_stats(F.col("_sub")).getField("length"), 6).alias("sub_len"),
+        (F.size(F.col("_sub")) / 2).cast("long").alias("sub_nv"),
+    )
+
+
 def q_rs_as_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RS_AsRaster (Rasterization.java, center sampling): burn each
     diamond zone onto an odd W×W grid over its envelope (W varies by key
@@ -1152,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_difference_geom": q_st_difference_geom,
         "st_union_geom": q_st_union_geom,
         "rs_as_raster": q_rs_as_raster,
+        "line_interpolate": q_line_interpolate,
         "rs_pixel_points": q_rs_pixel_points,
         "knn_join_obj_broadcast": q_knn_join_obj_broadcast,
         "distance_spheroid": q_distance_spheroid,
@@ -1235,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "st_difference_geom": _st_difference_sql(),
         "st_union_geom": _st_union_sql(),
         "rs_as_raster": _rs_as_raster_sql(),
+        "line_interpolate": _line_interpolate_sql(),
         "rs_pixel_points": _rs_pixel_points_sql(),
         "knn_join_obj_broadcast": _knn_obj_broadcast_sql(),
         "distance_spheroid": _spheroid_sql(),
@@ -1857,6 +1898,42 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _line_interpolate_sql() -> str:
+    # polyline (x,y)->(x+3,y+2)->(x+5,y+1): len1=sqrt(13), len2=sqrt(5).
+    # interpolate(0.4): 0.4*L < len1 always -> inside segment 1;
+    # substring(0.25, 0.75): len 0.5*L, inner vertex kept (cum frac of the
+    # middle vertex = len1/L ~ 0.617 in (0.25, 0.75)) -> 3 vertices;
+    # locate/closest: generic clamped projection on both segments, d1<=d2
+    # tie goes to the lower fraction (kernel argmin-first semantics)
+    return f"""
+with p as ({SQL_POINTS}),
+base as (select event_id, x, y,
+         x + cast(event_id % 5 as double) as qx, y + 3e0 as qy,
+         sqrt(13e0) as l1, sqrt(5e0) as l2,
+         sqrt(13e0) + sqrt(5e0) as lt from p),
+proj as (select *,
+  greatest(0e0, least(1e0, ((qx - x) * 3e0 + (qy - y) * 2e0) / 13e0)) as t1,
+  greatest(0e0, least(1e0, ((qx - x - 3e0) * 2e0 - (qy - y - 2e0)) / 5e0)) as t2
+  from base),
+feet as (select *,
+  x + t1 * 3e0 as f1x, y + t1 * 2e0 as f1y,
+  x + 3e0 + t2 * 2e0 as f2x, y + 2e0 - t2 as f2y from proj),
+d as (select *,
+  (qx - f1x) * (qx - f1x) + (qy - f1y) * (qy - f1y) as d1,
+  (qx - f2x) * (qx - f2x) + (qy - f2y) * (qy - f2y) as d2 from feet)
+select event_id,
+  round(x + 4e-1 * lt / l1 * 3e0, 6) as ip_x,
+  round(y + 4e-1 * lt / l1 * 2e0, 6) as ip_y,
+  round(case when d1 <= d2 then t1 * l1 / lt else (l1 + t2 * l2) / lt end, 6)
+    as loc_frac,
+  round(case when d1 <= d2 then f1x else f2x end, 6) as cp_x,
+  round(case when d1 <= d2 then f1y else f2y end, 6) as cp_y,
+  round(5e-1 * lt, 6) as sub_len,
+  cast(3 as bigint) as sub_nv
+from d
 """
 
 

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "st_union_geom",
     "rs_as_raster",
     "rs_pixel_points",
+    "line_interpolate",
     "knn_join_spheroid",
     "st_subdivide_explode",
     "knn_join_obj_broadcast",

@@ -525,3 +525,97 @@ def st_subdivide(ring: Column, nx: int, ny: int) -> Column:
     ``posexplode`` for the Explode form). The reference subdivides until a
     max-vertex bound; the grid form is the deterministic batch analog."""
     return _subdivide_udf(ring, F.lit(int(nx)), F.lit(int(ny)))
+
+
+# --- linear referencing (ST_LineInterpolatePoint / LocatePoint / Substring /
+#     ClosestPoint — Functions.java via JTS LengthIndexedLine/DistanceOp) ---
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _line_interpolate_udf(line: pd.Series, frac: pd.Series) -> pd.Series:
+    out = []
+    for ln, fr in zip(line, frac):
+        out.append(
+            kernels.polyline_interpolate(
+                np.asarray(ln, dtype=np.float64), float(fr)
+            )
+        )
+    return pd.Series(out)
+
+
+def st_line_interpolate_point(line: Column, frac) -> Column:
+    """ST_LineInterpolatePoint: [x, y] at ``frac`` of total length."""
+    frac = frac if isinstance(frac, Column) else F.lit(float(frac))
+    return _line_interpolate_udf(line, frac)
+
+
+_LOCATE_TYPE = StructType(
+    [
+        StructField("frac", DoubleType()),
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_LOCATE_TYPE)
+def _line_locate_udf(line: pd.Series, px: pd.Series, py: pd.Series) -> pd.DataFrame:
+    fr, xs, ys = [], [], []
+    for ln, x, y in zip(line, px, py):
+        f, foot = kernels.polyline_locate(
+            np.asarray(ln, dtype=np.float64), float(x), float(y)
+        )
+        fr.append(f)
+        xs.append(float(foot[0]))
+        ys.append(float(foot[1]))
+    return pd.DataFrame({"frac": fr, "cx": xs, "cy": ys})
+
+
+def st_line_locate_point(line: Column, px: Column, py: Column) -> Column:
+    """ST_LineLocatePoint + ST_ClosestPoint in one pass: struct(frac, cx,
+    cy) — the fraction along ``line`` of the closest point and that point
+    itself (ties resolved to the lowest fraction, JTS semantics)."""
+    return _line_locate_udf(line, px, py)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _line_substring_udf(line: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
+    out = []
+    for ln, a, b in zip(line, f0, f1):
+        out.append(
+            kernels.polyline_substring(
+                np.asarray(ln, dtype=np.float64), float(a), float(b)
+            ).ravel()
+        )
+    return pd.Series(out)
+
+
+def st_line_substring(line: Column, f0, f1) -> Column:
+    """ST_LineSubstring: packed sub-polyline between two fractions."""
+    f0 = f0 if isinstance(f0, Column) else F.lit(float(f0))
+    f1 = f1 if isinstance(f1, Column) else F.lit(float(f1))
+    return _line_substring_udf(line, f0, f1)
+
+
+_PATH_STATS_TYPE = StructType(
+    [StructField("length", DoubleType()), StructField("nv", LongType())]
+)
+
+
+@F.pandas_udf(_PATH_STATS_TYPE)
+def _path_stats_udf(path: pd.Series) -> pd.DataFrame:
+    lens, nvs = [], []
+    for p in path:
+        a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+        d = a[1:] - a[:-1]
+        lens.append(float(np.hypot(d[:, 0], d[:, 1]).sum()))
+        nvs.append(len(a))
+    return pd.DataFrame({"length": lens, "nv": nvs})
+
+
+def st_path_stats(path: Column) -> Column:
+    """(open-polyline length, vertex count) for a packed path — UDF twin
+    of the Column ``st_measures.st_perimeter`` fold for paths that were
+    PRODUCED by a Python UDF (HOF folds cannot wrap a UDF result in
+    Spark 4.1, same constraint as ``st_ring_stats``)."""
+    return _path_stats_udf(path)

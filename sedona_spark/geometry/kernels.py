@@ -1085,3 +1085,71 @@ def ring_envelope(rings) -> np.ndarray:
     env[:, 2] = np.maximum.reduceat(coords[:, 0], offsets)
     env[:, 3] = np.maximum.reduceat(coords[:, 1], offsets)
     return env
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing (ST_LineInterpolatePoint / LocatePoint / Substring /
+# ClosestPoint — reference: common/.../Functions.java lineInterpolatePoint,
+# lineLocatePoint, lineSubString, closestPoint via JTS LengthIndexedLine /
+# DistanceOp)
+# ---------------------------------------------------------------------------
+
+
+def _polyline_arrays(line: np.ndarray):
+    a = np.asarray(line, dtype=np.float64).reshape(-1, 2)
+    d = a[1:] - a[:-1]
+    seg_len = np.hypot(d[:, 0], d[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    return a, d, seg_len, cum
+
+
+def polyline_interpolate(line: np.ndarray, frac: float) -> np.ndarray:
+    """Point at ``frac`` of the polyline's total length (frac clamped to
+    [0, 1])."""
+    a, d, seg_len, cum = _polyline_arrays(line)
+    total = cum[-1]
+    if total == 0.0 or len(a) == 1:
+        return a[0].copy()
+    target = min(max(float(frac), 0.0), 1.0) * total
+    i = int(np.searchsorted(cum[1:], target, side="left"))
+    i = min(i, len(seg_len) - 1)
+    t = (target - cum[i]) / seg_len[i] if seg_len[i] > 0 else 0.0
+    return a[i] + t * d[i]
+
+
+def polyline_locate(line: np.ndarray, px: float, py: float):
+    """(fraction, foot_point) of the closest point on the polyline to
+    (px, py): clamped projection on every segment, min distance with the
+    lowest fraction winning exact ties."""
+    a, d, seg_len, cum = _polyline_arrays(line)
+    total = cum[-1]
+    if total == 0.0 or len(a) == 1:
+        return 0.0, a[0].copy()
+    p = np.array([px, py])
+    ap = p[None, :] - a[:-1]
+    denom = np.maximum(seg_len * seg_len, 1e-300)
+    t = np.clip((ap * d).sum(axis=1) / denom, 0.0, 1.0)
+    foot = a[:-1] + t[:, None] * d
+    d2 = ((p[None, :] - foot) ** 2).sum(axis=1)
+    i = int(np.argmin(d2))  # argmin takes the FIRST min = lowest fraction
+    return float((cum[i] + t[i] * seg_len[i]) / total), foot[i]
+
+
+def polyline_substring(line: np.ndarray, f0: float, f1: float) -> np.ndarray:
+    """Sub-polyline between fractions ``f0`` ≤ ``f1`` of total length."""
+    a, d, seg_len, cum = _polyline_arrays(line)
+    total = cum[-1]
+    if total == 0.0 or len(a) == 1:
+        return a[:1].copy()
+    f0 = min(max(float(f0), 0.0), 1.0)
+    f1 = min(max(float(f1), 0.0), 1.0)
+    if f1 < f0:
+        f0, f1 = f1, f0
+    s, e = f0 * total, f1 * total
+    pts = [polyline_interpolate(line, f0)]
+    inner = (cum > s) & (cum < e)
+    for v in a[inner[: len(a)]]:
+        pts.append(v)
+    pts.append(polyline_interpolate(line, f1))
+    out = np.array(pts)
+    return _drop_consecutive_dups(out)

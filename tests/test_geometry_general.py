@@ -256,3 +256,31 @@ def test_spark_wkt_simplify_hull(spark):
         float(np.cross(hv, np.roll(hv, -1, axis=0)).sum())
     )
     assert area == 100.0
+
+
+def test_linear_referencing_kernels():
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        polyline_interpolate,
+        polyline_locate,
+        polyline_substring,
+    )
+
+    line = np.array([0.0, 0.0, 4.0, 0.0, 4.0, 4.0])
+    assert np.allclose(polyline_interpolate(line, 0.0), [0, 0])
+    assert np.allclose(polyline_interpolate(line, 1.0), [4, 4])
+    assert np.allclose(polyline_interpolate(line, 0.5), [4, 0])
+    assert np.allclose(polyline_interpolate(line, 0.75), [4, 2])
+    # clamping
+    assert np.allclose(polyline_interpolate(line, 1.5), [4, 4])
+    frac, foot = polyline_locate(line, 5.0, 1.0)
+    assert np.allclose(foot, [4, 1]) and abs(frac - 5.0 / 8.0) < 1e-12
+    # equidistant tie between the two segments resolves to the LOWER frac
+    frac, foot = polyline_locate(line, 3.0, 1.0)
+    assert np.allclose(foot, [3, 0]) and abs(frac - 3.0 / 8.0) < 1e-12
+    sub = polyline_substring(line, 0.25, 0.75)
+    assert np.allclose(sub, [[2, 0], [4, 0], [4, 2]])
+    # degenerate: zero-length line
+    pt = np.array([1.0, 2.0, 1.0, 2.0])
+    assert np.allclose(polyline_interpolate(pt, 0.7), [1, 2])
