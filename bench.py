@@ -193,20 +193,24 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
-    # Arrow batch sizing: 64-row batches for anything whose python stages
-    # carry bytes/text (the JVM task thread epoll-spins while python chews
-    # a big batch — at 32 threads large batches starve the workers), but
-    # the NUMERIC-only mapInPandas stages (kNN broadcast family) want big
-    # batches — 64 rows shreds them into ~1,500 tiny python round-trips
-    # (VERDICT r2 plan audit)
-    NUMERIC_BATCH = {"knn_join_broadcast", "knn_join_obj_broadcast"}
+    # Arrow batch sizing: 64-row batches ONLY for queries whose python
+    # stages carry image bytes (the JVM task thread epoll-spins while
+    # python chews a big byte batch — at 32 threads large batches starve
+    # the workers); every numeric/ring-array python stage wants the
+    # default 10k rows — a blanket 64 shreds them into thousands of tiny
+    # python round-trips and cost ~2x across the board (r3 measurement;
+    # VERDICT r2 plan audit found the same on knn_join_broadcast)
+    BYTE_HEAVY = {
+        "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
+        "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
+    }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's
     # noisy-neighbor variance (±2×) otherwise dominates; cold JIT/pagecache
     # belongs to the harness, not the query (BENCH/BASELINE.md methodology)
     for name in BENCH_QUERIES:
         fn = qs[name]
-        spark.conf.set(batch_key, "10000" if name in NUMERIC_BATCH else "64")
+        spark.conf.set(batch_key, "64" if name in BYTE_HEAVY else "10000")
         walls = []
         for _ in range(2):
             t0 = time.time()

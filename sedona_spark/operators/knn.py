@@ -370,13 +370,21 @@ def knn_join(
         # x-bound (∝ cos φ) can certify the kth distance: scale the initial
         # ring by 1/cos(lat) so polar queries also resolve in round 1
         # instead of doubling through extra rounds
-        ring_expr = F.least(
+        scaled = F.least(
             F.lit(n_side),
             F.ceil(
                 F.lit(float(ring0))
                 / F.greatest(F.cos(F.radians(F.col(qy))), F.lit(2.0 / n_side))
             ),
-        ).cast("int")
+        )
+        # if the scaled disk's lat band touches the pole, cos(φ_max) = 0
+        # kills the x-bound and round 1 can NEVER certify — jump straight
+        # to the half-ring (full wrapped longitude coverage), where only
+        # the generous y-bound applies and round 1 resolves
+        polar = F.abs(F.col(qy)) + (scaled + 1) * F.lit(ch) >= F.lit(90.0)
+        ring_expr = F.when(
+            polar, F.greatest(scaled, F.lit(float(n_side // 2)))
+        ).otherwise(scaled).cast("int")
     else:
         ring_expr = F.lit(ring0)
     unresolved = queries.withColumn("_ring", ring_expr)
