@@ -926,6 +926,86 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_is_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_IsValid (JTS IsValidOp shell tier): odd nations get a bowtie
+    (two crossing edges), even ones the simple rect — the kernel must
+    detect the self-intersection exactly."""
+    from sedona_spark.functions.st import st_is_valid
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    rect = F.array(x0, y0, x1, y0, x1, y1, x0, y1)
+    bowtie = F.array(x0, y0, x1, y1, x1, y0, x0, y1)
+    ring = F.when(F.col("n_nationkey") % 2 == 1, bowtie).otherwise(rect)
+    return z.select("n_nationkey", st_is_valid(ring).alias("valid"))
+
+
+def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
+    diamond's exact MBC is centered at the zone center with radius
+    max(hx, hy) — two antipodal vertices on the long axis. Radius rounds
+    to 5 decimals: the fixture half-extents end in ...0012345, which is a
+    round-6 HALF midpoint where the engines' rounding modes differ."""
+    from sedona_spark.functions.st import st_minimum_bounding_circle
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    mbc = st_minimum_bounding_circle(diamond)
+    return z.select(
+        "n_nationkey",
+        F.round(mbc.getField("cx"), 6).alias("mbc_x"),
+        F.round(mbc.getField("cy"), 6).alias("mbc_y"),
+        F.round(mbc.getField("radius"), 5).alias("mbc_r"),
+    )
+
+
+def q_st_sym_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SymDifference as a disjoint tiling: diamond△rect = 2 pieces of
+    diamond\\rect + 3 of rect\\diamond (shape-invariant decomposition);
+    total area = (0.72 + 2.24)·hx·hy by the closed-form piece algebra."""
+    from sedona_spark.functions.st import st_ring_stats, st_sym_difference
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    rx0, rx1 = cx - hx * F.lit(0.3), cx + hx * F.lit(1.9)
+    ry0, ry1 = cy - hy * F.lit(0.5), cy + hy * F.lit(1.1)
+    rect = F.array(rx0, ry0, rx1, ry0, rx1, ry1, rx0, ry1)
+    parts = z.select(
+        "n_nationkey",
+        F.explode(st_sym_difference(diamond, rect)).alias("ring"),
+    ).select("n_nationkey", st_ring_stats(F.col("ring")).alias("_s"))
+    return parts.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.sum(F.col("_s.area")), 6).alias("sym_area"),
+    )
+
+
+def q_rs_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster zonal statistics (RS_ZonalStats / RasterBandAccessors): the
+    full raster→vector→join pipeline — pixel explode with world
+    coordinates (2°/px so image footprints are wide enough to hit
+    zones), general-polygon PIP join against the diamond zones, per-zone
+    pixel count + value sum (integer-exact)."""
+    from sedona_spark.functions.raster import rs_pixel_as_points
+    from sedona_spark.operators.spatial_join import pip_join
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir).filter(
+        F.expr("cast(substring(image_id, 5) as long) % 100 = 0")
+    )
+    px = rs_pixel_as_points(imgs, band=0, pixel_size=2.0)
+    pts = px.select(F.col("wx").alias("x"), F.col("wy").alias("y"), "val")
+    zones = diamond_zones_from_nation(spark, sf_dir)
+    j = pip_join(pts, zones, "covers", level=_LEVEL)
+    return j.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_pix"),
+        F.sum("val").alias("sum_val"),
+    )
+
+
 def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear referencing in one pass (Functions.java
     lineInterpolatePoint / lineLocatePoint / closestPoint /
@@ -1192,6 +1272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_union_geom": q_st_union_geom,
         "rs_as_raster": q_rs_as_raster,
         "line_interpolate": q_line_interpolate,
+        "st_is_valid": q_st_is_valid,
+        "st_min_circle": q_st_min_circle,
+        "st_sym_difference": q_st_sym_difference,
+        "rs_zonal_stats": q_rs_zonal_stats,
         "rs_pixel_points": q_rs_pixel_points,
         "knn_join_obj_broadcast": q_knn_join_obj_broadcast,
         "distance_spheroid": q_distance_spheroid,
@@ -1276,6 +1360,10 @@ def oracle_sql() -> dict[str, str]:
         "st_union_geom": _st_union_sql(),
         "rs_as_raster": _rs_as_raster_sql(),
         "line_interpolate": _line_interpolate_sql(),
+        "st_is_valid": "select n_nationkey, n_nationkey % 2 = 0 as valid from nation",
+        "st_min_circle": _st_min_circle_sql(),
+        "st_sym_difference": _st_sym_difference_sql(),
+        "rs_zonal_stats": _rs_zonal_stats_sql(),
         "rs_pixel_points": _rs_pixel_points_sql(),
         "knn_join_obj_broadcast": _knn_obj_broadcast_sql(),
         "distance_spheroid": _spheroid_sql(),
@@ -1898,6 +1986,49 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _st_min_circle_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, round(zcx, 6) as mbc_x, round(zcy, 6) as mbc_y,
+       round(greatest(hx, hy), 5) as mbc_r
+from z
+"""
+
+
+def _st_sym_difference_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(5 as bigint) as n_parts,
+       round(hx * hy * 296e-2, 6) as sym_area
+from z
+"""
+
+
+def _rs_zonal_stats_sql() -> str:
+    # every i % 100 == 0 id is also % 4 == 0 -> fjpg quantized; band 0
+    # drops the c*7 term; world coords mirror rs_pixel_points at 0.5°/px;
+    # covers = boundary-inclusive diamond test (centers never hit the
+    # boundary exactly — irrational-ratio lattices)
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 100 = 0),
+pix as (
+  select i,
+         ((i * 2654435761) % 1000 + 5e-1) / 10e0 + (x.v + 5e-1) * 2e0 as wx,
+         ((i * 2246822519) % 1000 + 5e-1) / 10e0 - (y.v + 5e-1) * 2e0 as wy,
+         (((( i * 31 + x.v * 3 + y.v * 5) % 251
+            + (x.v * y.v * (i % 13 + 1)) % 67) % 256) // 4) * 4 + 2 as val
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y),
+z as ({SQL_ZONES})
+select z.n_nationkey, count(*) as n_pix, sum(val) as sum_val
+from pix, z
+where abs(pix.wx - z.zcx) / z.hx + abs(pix.wy - z.zcy) / z.hy <= 1e0
+group by z.n_nationkey
 """
 
 

@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "rs_as_raster",
     "rs_pixel_points",
     "line_interpolate",
+    "st_is_valid",
+    "st_min_circle",
+    "st_sym_difference",
+    "rs_zonal_stats",
     "knn_join_spheroid",
     "st_subdivide_explode",
     "knn_join_obj_broadcast",
@@ -203,6 +207,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     BYTE_HEAVY = {
         "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
+        "rs_zonal_stats",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

@@ -619,3 +619,53 @@ def st_path_stats(path: Column) -> Column:
     PRODUCED by a Python UDF (HOF folds cannot wrap a UDF result in
     Spark 4.1, same constraint as ``st_ring_stats``)."""
     return _path_stats_udf(path)
+
+
+# --- validity / MBC / symmetric difference (constructor tier) ----------------
+
+
+@F.pandas_udf(BooleanType())
+def _is_valid_udf(ring: pd.Series) -> pd.Series:
+    out = []
+    for r in ring:
+        out.append(bool(kernels.ring_is_simple(np.asarray(r, dtype=np.float64))))
+    return pd.Series(out)
+
+
+def st_is_valid(ring: Column) -> Column:
+    """ST_IsValid for a single-ring polygon shell: SIMPLE ring test (no
+    self-intersection, no repeated vertices; JTS IsValidOp shell tier)."""
+    return _is_valid_udf(ring)
+
+
+_MBC_TYPE = StructType(
+    [
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+        StructField("radius", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_MBC_TYPE)
+def _mbc_udf(pts: pd.Series) -> pd.DataFrame:
+    xs, ys, rs = [], [], []
+    for p in pts:
+        cx, cy, r = kernels.min_bounding_circle(np.asarray(p, dtype=np.float64))
+        xs.append(cx)
+        ys.append(cy)
+        rs.append(r)
+    return pd.DataFrame({"cx": xs, "cy": ys, "radius": rs})
+
+
+def st_minimum_bounding_circle(pts: Column) -> Column:
+    """ST_MinimumBoundingCircle / ST_MinimumBoundingRadius: struct(cx, cy,
+    radius) of the exact smallest enclosing circle (Welzl)."""
+    return _mbc_udf(pts)
+
+
+def st_sym_difference(a: Column, b: Column) -> Column:
+    """ST_SymDifference as a disjoint tiling: pieces of a\\b plus pieces of
+    b\\a (both via the convex half-plane decomposition — each ring must be
+    convex for the side it clips). MultiPolygon parts list."""
+    return F.concat(_difference_udf(a, b), _difference_udf(b, a))

@@ -1153,3 +1153,95 @@ def polyline_substring(line: np.ndarray, f0: float, f1: float) -> np.ndarray:
     pts.append(polyline_interpolate(line, f1))
     out = np.array(pts)
     return _drop_consecutive_dups(out)
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True iff the closed ring is SIMPLE (no self-intersection): no two
+    non-adjacent edges touch, and adjacent edges meet only at their shared
+    vertex (reference: JTS IsSimpleOp via ST_IsValid for shells)."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    n = len(a)
+    if n < 3:
+        return False
+    if len(np.unique(a, axis=0)) != n:
+        return False  # repeated vertex
+    b = np.roll(a, -1, axis=0)
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = (j == i + 1) or (i == 0 and j == n - 1)
+            if adjacent:
+                continue
+            if _segments_touch(a[i], b[i], a[j], b[j]):
+                return False
+    return True
+
+
+def _segments_touch(p1, p2, p3, p4) -> bool:
+    """Closed-segment intersection test (touch counts)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+    for p, a, b, dd in ((p3, p1, p2, d3), (p4, p1, p2, d4),
+                        (p1, p3, p4, d1), (p2, p3, p4, d2)):
+        if dd == 0 and (min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])):
+            return True
+    return False
+
+
+def min_bounding_circle(pts: np.ndarray) -> tuple[float, float, float]:
+    """Exact smallest enclosing circle (cx, cy, r) of a packed point set —
+    Welzl's move-to-front algorithm, O(n) expected with a DETERMINISTIC
+    processing order (no RNG: sandbox determinism; rings are
+    constructor-tier small). Reference: JTS MinimumBoundingCircle via
+    ST_MinimumBoundingCircle/Radius."""
+    a = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    a = np.unique(a, axis=0)
+
+    def circle_two(p, q):
+        c = (p + q) / 2.0
+        return c[0], c[1], float(np.hypot(*(p - q)) / 2.0)
+
+    def circle_three(p, q, r):
+        ax, ay = p; bx, by = q; cx_, cy_ = r
+        d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        if d == 0.0:
+            # collinear: diametral circle of the extreme pair
+            pts3 = np.array([p, q, r])
+            i = np.argmin(pts3[:, 0] + pts3[:, 1] * 1e-9)
+            j = np.argmax(pts3[:, 0] + pts3[:, 1] * 1e-9)
+            return circle_two(pts3[i], pts3[j])
+        ux = ((ax * ax + ay * ay) * (by - cy_) + (bx * bx + by * by) * (cy_ - ay)
+              + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx_ - bx) + (bx * bx + by * by) * (ax - cx_)
+              + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+        return ux, uy, float(np.hypot(ax - ux, ay - uy))
+
+    def covers(c, p, eps=1e-9):
+        return np.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1 + eps) + eps
+
+    if len(a) == 0:
+        return 0.0, 0.0, 0.0
+    if len(a) == 1:
+        return float(a[0, 0]), float(a[0, 1]), 0.0
+    c = circle_two(a[0], a[1])
+    for i in range(2, len(a)):
+        if covers(c, a[i]):
+            continue
+        # a[i] on the boundary of the new circle
+        c = circle_two(a[0], a[i])
+        for j in range(1, i):
+            if covers(c, a[j]):
+                continue
+            c = circle_two(a[j], a[i])
+            for q in range(j):
+                if not covers(c, a[q]):
+                    c = circle_three(a[q], a[j], a[i])
+        if not covers(c, a[i]):  # numeric guard
+            c = circle_three(a[0], a[1], a[i])
+    return c
