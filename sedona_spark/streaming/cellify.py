@@ -44,3 +44,47 @@ def windowed_cell_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "cell", "n_events")
     )
+
+
+def stream_spatial_join(
+    stream: DataFrame,
+    zones: DataFrame,
+    predicate: str = "covers",
+    level: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Streaming spatial join: the batch PIP join applied to a streaming
+    point source against a STATIC polygon table — a stream-static inner
+    equi-join on cover cells plus the exact refine, which Structured
+    Streaming supports statelessly in append mode (no watermark needed;
+    the static side is re-broadcast per micro-batch). Goes beyond the
+    reference, whose spatial joins are batch-only (SURVEY.md §2.5); the
+    scalar refine kernel is the same one the batch path uses, so results
+    match the batch join row-for-row on the same input."""
+    from sedona_spark.operators.spatial_join import pip_join
+
+    return pip_join(stream, zones, predicate, level, x=lon, y=lat)
+
+
+def windowed_zone_counts(
+    stream: DataFrame,
+    zones: DataFrame,
+    zone_key: str = "n_nationkey",
+    predicate: str = "covers",
+    level: int = 7,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming ZONAL statistics: spatial join each micro-batch to the
+    static zones, then late-data-tolerant tumbling-window counts per zone
+    — the streaming analog of the zonal_stats batch rollup."""
+    joined = stream_spatial_join(stream, zones, predicate, level, lon, lat)
+    return (
+        joined.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window), F.col(zone_key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

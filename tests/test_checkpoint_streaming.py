@@ -142,3 +142,55 @@ def test_hot_cell_stateful_stream(spark, tmp_path):
         assert all(r.me > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """Streaming PIP join (stream-static, general polygon) produces the
+    same (value, zone) pairs as the batch join over the same rows."""
+    from sedona_spark.operators.spatial_join import pip_join
+    from sedona_spark.sources.testdata import diamond_zones_from_nation
+    from sedona_spark.streaming.cellify import stream_spatial_join
+
+    SF = "/root/testdata/sf0.001"
+    zones = diamond_zones_from_nation(spark, SF)
+    lon = (F.col("value") * 37 % 360 - 180 + 0.25).cast("double")
+    lat = (F.col("value") * 53 % 180 - 90 + 0.25).cast("double")
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "2000").load()
+        .withColumn("lon", lon).withColumn("lat", lat)
+    )
+    out = stream_spatial_join(src, zones, "covers", level=5).select(
+        "value", "n_nationkey"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("streamjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sj_ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql("select * from streamjoin")
+            if got.count() > 0:
+                break
+            time.sleep(1.0)
+        got_pd = spark.sql("select * from streamjoin").toPandas()
+        assert len(got_pd) > 0
+        # replay the exact same values through the BATCH join
+        nmax = int(got_pd["value"].max())
+        batch_pts = spark.range(nmax + 1).select(
+            F.col("id").alias("value"),
+            lon.alias("x"), lat.alias("y"),
+        )
+        want = pip_join(batch_pts, zones, "covers", level=5).select(
+            "value", "n_nationkey"
+        ).toPandas()
+        gset = set(map(tuple, got_pd.to_numpy()))
+        wset = set(map(tuple, want[want["value"].isin(got_pd["value"])].to_numpy()))
+        assert gset == wset
+    finally:
+        q.stop()
