@@ -999,7 +999,10 @@ def q_rs_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = rs_pixel_as_points(imgs, band=0, pixel_size=2.0)
     pts = px.select(F.col("wx").alias("x"), F.col("wy").alias("y"), "val")
     zones = diamond_zones_from_nation(spark, sf_dir)
-    j = pip_join(pts, zones, "covers", level=_LEVEL)
+    # broadcast_zones=True: Catalyst cannot size MapInPandas output and
+    # would otherwise broadcast the EXPLODED PIXEL side (10^12-scale) —
+    # plan-audited r3
+    j = pip_join(pts, zones, "covers", level=_LEVEL, broadcast_zones=True)
     return j.groupBy("n_nationkey").agg(
         F.count("*").alias("n_pix"),
         F.sum("val").alias("sum_val"),
