@@ -926,6 +926,41 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL concave×concave overlay (JTS OverlayNG tier): A = L-shape
+    covering the bottom half + top-left quadrant of the nation rect,
+    B = the mirrored L covering the top half + bottom-right quadrant.
+    Closed form: A∩B = two opposite quadrants (2·hx·hy), A\\B = the
+    bottom-left quadrant (1·hx·hy), A∪B = the whole rect (4·hx·hy). The
+    tilings come from ear-clip triangulation + convex×convex piece
+    algebra — exact areas, no approximation."""
+    from sedona_spark.functions.st import (
+        st_difference_general,
+        st_intersection_general,
+        st_ring_stats,
+        st_union_general,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    ax0, ax1, ay0, ay1 = cx - hx, cx + hx, cy - hy, cy + hy
+    ring_a = F.array(ax0, ay0, ax1, ay0, ax1, cy, cx, cy, cx, ay1, ax0, ay1)
+    ring_b = F.array(ax0, cy, cx, cy, cx, ay0, ax1, ay0, ax1, ay1, ax0, ay1)
+
+    def tiled_area(col, name):
+        parts = z.select(
+            "n_nationkey", F.explode(col).alias("ring")
+        ).select("n_nationkey", st_ring_stats(F.col("ring")).alias("_s"))
+        return parts.groupBy("n_nationkey").agg(
+            F.round(F.sum(F.col("_s.area")), 6).alias(name)
+        )
+
+    ia = tiled_area(st_intersection_general(ring_a, ring_b), "inter_area")
+    da = tiled_area(st_difference_general(ring_a, ring_b), "diff_area")
+    ua = tiled_area(st_union_general(ring_a, ring_b), "union_area")
+    return ia.join(da, "n_nationkey").join(ua, "n_nationkey")
+
+
 def q_st_is_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_IsValid (JTS IsValidOp shell tier): odd nations get a bowtie
     (two crossing edges), even ones the simple rect — the kernel must
@@ -1276,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_as_raster": q_rs_as_raster,
         "line_interpolate": q_line_interpolate,
         "st_is_valid": q_st_is_valid,
+        "overlay_concave": q_overlay_concave,
         "st_min_circle": q_st_min_circle,
         "st_sym_difference": q_st_sym_difference,
         "rs_zonal_stats": q_rs_zonal_stats,
@@ -1364,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "rs_as_raster": _rs_as_raster_sql(),
         "line_interpolate": _line_interpolate_sql(),
         "st_is_valid": "select n_nationkey, n_nationkey % 2 = 0 as valid from nation",
+        "overlay_concave": _overlay_concave_sql(),
         "st_min_circle": _st_min_circle_sql(),
         "st_sym_difference": _st_sym_difference_sql(),
         "rs_zonal_stats": _rs_zonal_stats_sql(),
@@ -1989,6 +2026,17 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _overlay_concave_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       round(hx * hy * 2e0, 6) as inter_area,
+       round(hx * hy, 6) as diff_area,
+       round(hx * hy * 4e0, 6) as union_area
+from z
 """
 
 

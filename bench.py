@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "st_is_valid",
     "st_min_circle",
     "st_sym_difference",
+    "overlay_concave",
     "rs_zonal_stats",
     "knn_join_spheroid",
     "st_subdivide_explode",

@@ -669,3 +669,46 @@ def st_sym_difference(a: Column, b: Column) -> Column:
     b\\a (both via the convex half-plane decomposition — each ring must be
     convex for the side it clips). MultiPolygon parts list."""
     return F.concat(_difference_udf(a, b), _difference_udf(b, a))
+
+
+# --- GENERAL (concave-capable) overlay: triangulate + convex piece algebra --
+
+
+def _pieces_udf_factory(kernel_fn):
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ra, rb in zip(a, b):
+            out.append([
+                p.ravel()
+                for p in kernel_fn(
+                    np.asarray(ra, dtype=np.float64),
+                    np.asarray(rb, dtype=np.float64),
+                )
+            ])
+        return pd.Series(out)
+
+    return _udf
+
+
+_clip_general_udf = _pieces_udf_factory(kernels.clip_general)
+_difference_general_udf = _pieces_udf_factory(kernels.difference_general)
+_union_general_udf = _pieces_udf_factory(kernels.union_general)
+
+
+def st_intersection_general(a: Column, b: Column) -> Column:
+    """ST_Intersection for ARBITRARY simple rings (concave×concave) as an
+    exact disjoint tiling (ear-clip triangulation + convex×convex clips;
+    JTS OverlayNG parity on area/coverage, MultiPolygon-parts output)."""
+    return _clip_general_udf(a, b)
+
+
+def st_difference_general(a: Column, b: Column) -> Column:
+    """ST_Difference for ARBITRARY simple rings as an exact disjoint
+    tiling."""
+    return _difference_general_udf(a, b)
+
+
+def st_union_general(a: Column, b: Column) -> Column:
+    """ST_Union for ARBITRARY simple rings as an exact disjoint tiling."""
+    return _union_general_udf(a, b)

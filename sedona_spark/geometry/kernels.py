@@ -1245,3 +1245,124 @@ def min_bounding_circle(pts: np.ndarray) -> tuple[float, float, float]:
         if not covers(c, a[i]):  # numeric guard
             c = circle_three(a[0], a[1], a[i])
     return c
+
+
+# ---------------------------------------------------------------------------
+# GENERAL (concave×concave) overlay — triangulate + convex piece algebra.
+# Reference: JTS OverlayNG (ST_Intersection/Difference/Union on arbitrary
+# simple polygons). Output is an exact DISJOINT TILING of the result region
+# (MultiPolygon parts), the same representation st_union_tiled uses —
+# robust by construction: every elementary step is convex×convex.
+# ---------------------------------------------------------------------------
+
+
+def triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a SIMPLE ring (concave ok, no holes)
+    → list of (3, 2) CCW triangles tiling the polygon exactly."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    n = len(a)
+    if n < 3:
+        return []
+    # normalize to CCW
+    b = np.roll(a, -1, axis=0)
+    if float((a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]).sum()) < 0:
+        a = a[::-1]
+    idx = list(range(len(a)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    def point_in_tri(p, t0, t1, t2):
+        d0 = cross(t0, t1, p)
+        d1 = cross(t1, t2, p)
+        d2 = cross(t2, t0, p)
+        return d0 >= 0 and d1 >= 0 and d2 >= 0  # CCW triangle, boundary in
+
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            p0, p1, p2 = a[i0], a[i1], a[i2]
+            if cross(p0, p1, p2) <= 0:
+                continue  # reflex or collinear — not an ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                if point_in_tri(a[j], p0, p1, p2):
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([p0, p1, p2]))
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:
+            break  # degenerate input — return what we have
+    if len(idx) == 3:
+        t = a[idx]
+        if cross(t[0], t[1], t[2]) > 0:
+            tris.append(t)
+    return tris
+
+
+def _tri_bbox_disjoint(t, u) -> bool:
+    return (
+        t[:, 0].max() < u[:, 0].min() or u[:, 0].max() < t[:, 0].min()
+        or t[:, 1].max() < u[:, 1].min() or u[:, 1].max() < t[:, 1].min()
+    )
+
+
+def clip_general(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """subject ∩ clip for ARBITRARY simple rings → disjoint tiling:
+    triangulate both, clip every bbox-overlapping triangle pair
+    (convex×convex Sutherland–Hodgman)."""
+    pieces: list[np.ndarray] = []
+    tb = triangulate(clip)
+    for ta in triangulate(subject):
+        for t in tb:
+            if _tri_bbox_disjoint(ta, t):
+                continue
+            p = clip_convex(ta.ravel(), t.ravel())
+            if len(p) >= 3 and _ring_area(p) > 0.0:
+                pieces.append(p)
+    return pieces
+
+
+def difference_general(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """subject \\ clip for ARBITRARY simple rings → disjoint tiling:
+    subtract each clip triangle in sequence from each subject triangle
+    (A \\ (T1∪T2∪…) = ((A\\T1)\\T2)…)."""
+    tb = triangulate(clip)
+    out: list[np.ndarray] = []
+    for ta in triangulate(subject):
+        pieces = [ta]
+        for t in tb:
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                if _tri_bbox_disjoint(p, t):
+                    nxt.append(p)
+                else:
+                    nxt.extend(difference_convex(p.ravel(), t.ravel()))
+            pieces = nxt
+            if not pieces:
+                break
+        out.extend(p for p in pieces if _ring_area(p) > 0.0)
+    return out
+
+
+def union_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+    """a ∪ b for ARBITRARY simple rings → disjoint tiling: b's triangles
+    plus the tiling of a \\ b."""
+    return triangulate(b) + difference_general(a, b)
+
+
+def _ring_area(p: np.ndarray) -> float:
+    q = np.roll(p, -1, axis=0)
+    return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))

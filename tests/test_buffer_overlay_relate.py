@@ -325,3 +325,46 @@ def test_difference_convex_tiling():
                 ov = clip_convex(pieces[i].ravel(), pieces[j].ravel())
                 if len(ov) >= 3:
                     assert _area_np(ov) < 1e-12
+
+
+def test_general_overlay_concave_fuzz():
+    """Star-shaped concave×concave tilings satisfy inclusion-exclusion and
+    pairwise-disjointness across seeds (triangulate + convex algebra)."""
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        clip_convex,
+        clip_general,
+        difference_general,
+        triangulate,
+        union_general,
+    )
+
+    def area(p):
+        q = np.roll(p, -1, axis=0)
+        return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))
+
+    def tot(ps):
+        return sum(area(p) for p in ps)
+
+    for seed in range(12):
+        rs = np.random.RandomState(seed)
+        th = np.sort(rs.rand(9) * 2 * np.pi)
+        P = np.stack([np.cos(th), np.sin(th)], 1) * (1 + rs.rand(9, 1) * 4)
+        th2 = np.sort(rs.rand(7) * 2 * np.pi)
+        Q = np.stack([np.cos(th2), np.sin(th2)], 1) * (1 + rs.rand(7, 1) * 4)
+        Q = Q + rs.rand(2) * 2
+        P, Q = P.ravel(), Q.ravel()
+        aP, aQ = tot(triangulate(P)), tot(triangulate(Q))
+        i = tot(clip_general(P, Q))
+        d = tot(difference_general(P, Q))
+        u = tot(union_general(P, Q))
+        assert abs(aP - (i + d)) < 1e-9 * max(aP, 1)
+        assert abs(u - (aP + aQ - i)) < 1e-9 * max(u, 1)
+        # intersection pieces pairwise disjoint (tiling, not a cover)
+        pieces = clip_general(P, Q)
+        for x in range(len(pieces)):
+            for y in range(x + 1, min(x + 6, len(pieces))):
+                ov = clip_convex(pieces[x].ravel(), pieces[y].ravel())
+                if len(ov) >= 3:
+                    assert area(ov) < 1e-10
