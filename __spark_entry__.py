@@ -926,6 +926,44 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Triangulate generator over the concave L-shape: ear clipping
+    always yields n−2 = 4 triangles tiling the polygon exactly (area
+    3·hx·hy)."""
+    from sedona_spark.functions.st import st_ring_stats, st_triangulate
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    ax0, ax1, ay0, ay1 = cx - hx, cx + hx, cy - hy, cy + hy
+    ring_a = F.array(ax0, ay0, ax1, ay0, ax1, cy, cx, cy, cx, ay1, ax0, ay1)
+    parts = z.select(
+        "n_nationkey", F.explode(st_triangulate(ring_a)).alias("tri")
+    ).select("n_nationkey", st_ring_stats(F.col("tri")).alias("_s"))
+    return parts.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_tris"),
+        F.round(F.sum(F.col("_s.area")), 6).alias("tri_area"),
+    )
+
+
+def q_rs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Resample nearest (integer top-left rule src=(dst*src)//dst_dim):
+    every output pixel is integer-reproducible, so the oracle regenerates
+    the full resampled pixel sum exactly."""
+    from sedona_spark.functions.raster import rs_resample
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir).filter(
+        F.expr("cast(substring(image_id, 5) as long) % 200 = 0")
+    )
+    out = rs_resample(imgs, 24, 20, mode="nearest")
+    return out.select(
+        "image_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "pix_sum",
+    )
+
+
 def q_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENERAL concave×concave overlay (JTS OverlayNG tier): A = L-shape
     covering the bottom half + top-left quadrant of the nation rect,
@@ -1312,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate": q_line_interpolate,
         "st_is_valid": q_st_is_valid,
         "overlay_concave": q_overlay_concave,
+        "st_triangulate": q_st_triangulate,
+        "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
         "st_sym_difference": q_st_sym_difference,
         "rs_zonal_stats": q_rs_zonal_stats,
@@ -1401,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
         "line_interpolate": _line_interpolate_sql(),
         "st_is_valid": "select n_nationkey, n_nationkey % 2 = 0 as valid from nation",
         "overlay_concave": _overlay_concave_sql(),
+        "st_triangulate": _st_triangulate_sql(),
+        "rs_resample": _rs_resample_sql(),
         "st_min_circle": _st_min_circle_sql(),
         "st_sym_difference": _st_sym_difference_sql(),
         "rs_zonal_stats": _rs_zonal_stats_sql(),
@@ -2026,6 +2068,37 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _st_triangulate_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(4 as bigint) as n_tris,
+       round(hx * hy * 3e0, 6) as tri_area
+from z
+"""
+
+
+def _rs_resample_sql() -> str:
+    # nearest top-left rule src=(dst*src_dim)//dst_dim mirrored in integer
+    # SQL; i % 200 == 0 ids are all fjpg (quantized)
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 200 = 0),
+pix as (
+  select i,
+         ((i * 31 + ((x.v * w) // 24) * 3 + ((y.v * h) // 20) * 5 + c.v * 7) % 251
+          + (((x.v * w) // 24) * ((y.v * h) // 20) * (i % 13 + 1)) % 67) % 256 as v
+  from sel,
+       lateral (select unnest(range(0, 24)) as v) x,
+       lateral (select unnest(range(0, 20)) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c)
+select printf('img_%012d', i) as image_id,
+       cast(24 as bigint) as out_w, cast(20 as bigint) as out_h,
+       sum((v // 4) * 4 + 2) as pix_sum
+from pix
+group by i
 """
 
 

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "st_min_circle",
     "st_sym_difference",
     "overlay_concave",
+    "st_triangulate",
+    "rs_resample",
     "rs_zonal_stats",
     "knn_join_spheroid",
     "st_subdivide_explode",
@@ -208,7 +210,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     BYTE_HEAVY = {
         "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
-        "rs_zonal_stats",
+        "rs_zonal_stats", "rs_resample",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

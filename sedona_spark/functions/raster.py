@@ -405,3 +405,75 @@ def rs_pixel_as_points(
                 yield pd.concat(frames, ignore_index=True)
 
     return cols.mapInPandas(gen, schema=_PIXEL_POINTS_SCHEMA)
+
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("out_bytes", BinaryType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("pix_sum", LongType(), False),
+    ]
+)
+
+
+def rs_resample(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    mode: str = "nearest",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """RS_Resample (``RasterConstructors`` resample family): decode,
+    resample to ``out_w``×``out_h``, re-encode lossless + integer pixel
+    sum for verification.
+
+    ``nearest`` uses the deterministic top-left rule
+    ``src = (dst * src_dim) // dst_dim`` — pure integer arithmetic, so an
+    oracle can reproduce every output pixel exactly. ``bilinear`` uses the
+    standard half-pixel-center convention in float64 (verified by PSNR /
+    pytest, not bit-oracled)."""
+    cols = images.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes")
+    )
+    ow, oh = int(out_w), int(out_h)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for rec in b.itertuples(index=False):
+                arr, _ = decode_image(bytes(rec.bytes))
+                h, w = arr.shape[0], arr.shape[1]
+                if mode == "nearest":
+                    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+                    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+                    out = arr[ys[:, None], xs[None, :]]
+                elif mode == "bilinear":
+                    fx = (np.arange(ow) + 0.5) * (w / ow) - 0.5
+                    fy = (np.arange(oh) + 0.5) * (h / oh) - 0.5
+                    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+                    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+                    x1 = np.minimum(x0 + 1, w - 1)
+                    y1 = np.minimum(y0 + 1, h - 1)
+                    tx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+                    ty = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+                    a = arr.astype(np.float64)
+                    top = a[y0[:, None], x0[None, :]] * (1 - tx) + a[y0[:, None], x1[None, :]] * tx
+                    bot = a[y1[:, None], x0[None, :]] * (1 - tx) + a[y1[:, None], x1[None, :]] * tx
+                    out = np.clip(np.rint(top * (1 - ty) + bot * ty), 0, 255).astype(np.uint8)
+                else:
+                    raise ValueError(f"unknown resample mode {mode!r}")
+                recs.append(
+                    (
+                        rec.image_id,
+                        encode_image(out, "fpng"),
+                        ow,
+                        oh,
+                        int(out.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in _RESAMPLE_SCHEMA.fields])
+
+    return cols.mapInPandas(gen, schema=_RESAMPLE_SCHEMA)

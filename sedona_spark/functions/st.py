@@ -712,3 +712,22 @@ def st_difference_general(a: Column, b: Column) -> Column:
 def st_union_general(a: Column, b: Column) -> Column:
     """ST_Union for ARBITRARY simple rings as an exact disjoint tiling."""
     return _union_general_udf(a, b)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _triangulate_udf(ring: pd.Series) -> pd.Series:
+    out = []
+    for r in ring:
+        out.append([
+            t.ravel()
+            for t in kernels.triangulate(np.asarray(r, dtype=np.float64))
+        ])
+    return pd.Series(out)
+
+
+def st_triangulate(ring: Column) -> Column:
+    """ST_Triangulate generator (JTS polygon triangulation; cf. the
+    reference's ST_SubDivide/Delaunay generator family): ear-clipping
+    triangles of a simple ring — always n−2 triangles, exact area
+    tiling. Pair with ``posexplode``."""
+    return _triangulate_udf(ring)

