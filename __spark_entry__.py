@@ -926,6 +926,56 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shortest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ShortestLine / ST_MaxDistance between the zone rect and its
+    (3hx, 3hy)-translate (built with the pure-Column ST_Translate): the
+    unique nearest pair is corner-to-corner with dist hypot(hx, hy);
+    the farthest is the opposite diagonal."""
+    from sedona_spark.functions.st import (
+        st_max_distance,
+        st_shortest_line,
+        st_translate,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    ring_a = F.array(x0, y0, x1, y0, x1, y1, x0, y1)
+    ring_b = st_translate(ring_a, F.lit(3.0) * hx, F.lit(3.0) * hy)
+    sl = st_shortest_line(ring_a, ring_b)
+    return z.select(
+        "n_nationkey",
+        F.round(sl.getField("x1"), 6).alias("x1"),
+        F.round(sl.getField("y1"), 6).alias("y1"),
+        F.round(sl.getField("x2"), 6).alias("x2"),
+        F.round(sl.getField("y2"), 6).alias("y2"),
+        F.round(sl.getField("dist"), 6).alias("dist"),
+        F.round(st_max_distance(ring_a, ring_b), 6).alias("max_dist"),
+    )
+
+
+def q_st_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Column affine family (ST_Affine/Rotate90): (x, y) → (−y, x)
+    on the diamond — area invariant (shoelace fold, all codegen, zero
+    Python), envelope swaps the axes with exact sign flips."""
+    from sedona_spark.functions.st import st_affine, st_envelope_cols
+    from sedona_spark.functions.st_measures import st_area
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    diamond = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    rot = st_affine(diamond, 0.0, -1.0, 1.0, 0.0)
+    env = st_envelope_cols(rot)
+    return z.select(
+        "n_nationkey",
+        F.round(st_area(rot), 6).alias("rot_area"),
+        F.round(env[0], 6).alias("rxmin"),
+        F.round(env[1], 6).alias("rymin"),
+        F.round(env[2], 6).alias("rxmax"),
+        F.round(env[3], 6).alias("rymax"),
+    )
+
+
 def q_st_triangulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Triangulate generator over the concave L-shape: ear clipping
     always yields n−2 = 4 triangles tiling the polygon exactly (area
@@ -1351,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_is_valid": q_st_is_valid,
         "overlay_concave": q_overlay_concave,
         "st_triangulate": q_st_triangulate,
+        "shortest_line": q_shortest_line,
+        "st_affine": q_st_affine,
         "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
         "st_sym_difference": q_st_sym_difference,
@@ -1442,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         "st_is_valid": "select n_nationkey, n_nationkey % 2 = 0 as valid from nation",
         "overlay_concave": _overlay_concave_sql(),
         "st_triangulate": _st_triangulate_sql(),
+        "shortest_line": _shortest_line_sql(),
+        "st_affine": _st_affine_sql(),
         "rs_resample": _rs_resample_sql(),
         "st_min_circle": _st_min_circle_sql(),
         "st_sym_difference": _st_sym_difference_sql(),
@@ -2068,6 +2122,40 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _shortest_line_sql() -> str:
+    # A = zone rect, B = A + (3hx, 3hy) built by the SAME float exprs the
+    # Column translate produces: 1*(v)+0*w+3h keeps (v)+3h ordering
+    return f"""
+with z as ({SQL_ZONES}),
+e as (select n_nationkey,
+        zcx + hx as ax, zcy + hy as ay,
+        (zcx - hx) + 3e0 * hx as bx, (zcy - hy) + 3e0 * hy as by_,
+        zcx - hx as fx, zcy - hy as fy,
+        (zcx + hx) + 3e0 * hx as gx, (zcy + hy) + 3e0 * hy as gy
+      from z)
+select n_nationkey,
+  round(ax, 6) as x1, round(ay, 6) as y1,
+  round(bx, 6) as x2, round(by_, 6) as y2,
+  round(sqrt((ax - bx) * (ax - bx) + (ay - by_) * (ay - by_)), 6) as dist,
+  round(sqrt((gx - fx) * (gx - fx) + (gy - fy) * (gy - fy)), 6) as max_dist
+from e
+"""
+
+
+def _st_affine_sql() -> str:
+    # (x, y) -> (0*x + (-1)*y + 0, 1*x + 0*y + 0): negation exact
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+  round(2e0 * hx * hy, 6) as rot_area,
+  round(-(zcy + hy), 6) as rxmin,
+  round(zcx - hx, 6) as rymin,
+  round(-(zcy - hy), 6) as rxmax,
+  round(zcx + hx, 6) as rymax
+from z
 """
 
 

