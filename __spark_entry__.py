@@ -926,6 +926,42 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_VoronoiPolygons: 4 sites at the quadrant centers of the zone
+    rect → cells are exactly the quadrants (area hx·hy, 4 vertices; cell
+    envelopes closed-form per site index)."""
+    from sedona_spark.functions.st import st_ring_stats, st_voronoi_polygons
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    h = F.lit(0.5)
+    sites = F.array(
+        cx - hx * h, cy - hy * h, cx + hx * h, cy - hy * h,
+        cx - hx * h, cy + hy * h, cx + hx * h, cy + hy * h,
+    )
+    env = F.array(cx - hx, cy - hy, cx + hx, cy + hy)
+    parts = z.select(
+        "n_nationkey",
+        F.posexplode(st_voronoi_polygons(sites, env)).alias("site_idx", "cell"),
+    )
+    return parts.select(
+        "n_nationkey",
+        F.col("site_idx").cast("long").alias("site_idx"),
+        st_ring_stats(F.col("cell")).alias("_s"),
+        F.round(F.array_min(F.filter(
+            F.transform(F.col("cell"), lambda v, i: F.when(i % 2 == 0, v)),
+            lambda v: v.isNotNull())), 6).alias("cell_xmin"),
+        F.round(F.array_min(F.filter(
+            F.transform(F.col("cell"), lambda v, i: F.when(i % 2 == 1, v)),
+            lambda v: v.isNotNull())), 6).alias("cell_ymin"),
+    ).select(
+        "n_nationkey", "site_idx",
+        F.round(F.col("_s.area"), 6).alias("cell_area"),
+        F.col("_s.nv").alias("nv"),
+        "cell_xmin", "cell_ymin",
+    )
+
+
 def q_shortest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_ShortestLine / ST_MaxDistance between the zone rect and its
     (3hx, 3hy)-translate (built with the pure-Column ST_Translate): the
@@ -1402,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_concave": q_overlay_concave,
         "st_triangulate": q_st_triangulate,
         "shortest_line": q_shortest_line,
+        "st_voronoi": q_st_voronoi,
         "st_affine": q_st_affine,
         "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
@@ -1495,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_concave": _overlay_concave_sql(),
         "st_triangulate": _st_triangulate_sql(),
         "shortest_line": _shortest_line_sql(),
+        "st_voronoi": _st_voronoi_sql(),
         "st_affine": _st_affine_sql(),
         "rs_resample": _rs_resample_sql(),
         "st_min_circle": _st_min_circle_sql(),
@@ -2122,6 +2160,18 @@ select n_nationkey,
          as clip_area,
        cast(len(xs) as bigint) as clip_nv
 from lst
+"""
+
+
+def _st_voronoi_sql() -> str:
+    # site order (BL, BR, TL, TR) -> quadrant cells
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey, cast(u.i as bigint) as site_idx,
+       round(hx * hy, 6) as cell_area, cast(4 as bigint) as nv,
+       round(case when u.i % 2 = 0 then zcx - hx else zcx end, 6) as cell_xmin,
+       round(case when u.i < 2 then zcy - hy else zcy end, 6) as cell_ymin
+from z, (select unnest([0, 1, 2, 3]) as i) u
 """
 
 

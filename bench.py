@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "overlay_concave",
     "st_triangulate",
     "shortest_line",
+    "st_voronoi",
     "st_affine",
     "rs_resample",
     "rs_zonal_stats",

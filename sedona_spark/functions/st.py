@@ -822,3 +822,24 @@ def st_rotate(ring: Column, theta: float) -> Column:
 
     ct, st_ = _m.cos(theta), _m.sin(theta)
     return st_affine(ring, ct, -st_, st_, ct)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _voronoi_udf(sites: pd.Series, env: pd.Series) -> pd.Series:
+    out = []
+    for s, e in zip(sites, env):
+        out.append([
+            c.ravel()
+            for c in kernels.voronoi_cells(
+                np.asarray(s, dtype=np.float64), np.asarray(e, dtype=np.float64)
+            )
+        ])
+    return pd.Series(out)
+
+
+def st_voronoi_polygons(sites: Column, envelope: Column) -> Column:
+    """ST_VoronoiPolygons (JTS VoronoiDiagramBuilder): envelope-clipped
+    Voronoi cell rings, one per site IN SITE ORDER (pair with
+    ``posexplode`` to keep the site index). Cells tile the envelope
+    exactly."""
+    return _voronoi_udf(sites, envelope)

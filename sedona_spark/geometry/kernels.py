@@ -1406,3 +1406,37 @@ def polygon_max_distance(a: np.ndarray, b: np.ndarray) -> float:
     pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
     diff = pa[:, None, :] - pb[None, :, :]
     return float(np.hypot(diff[:, :, 0], diff[:, :, 1]).max())
+
+
+def voronoi_cells(sites: np.ndarray, envelope: np.ndarray) -> list[np.ndarray]:
+    """ST_VoronoiPolygons (JTS VoronoiDiagramBuilder): the Voronoi cell of
+    each site, clipped to the envelope rect [x0, y0, x1, y1] — cell_i =
+    envelope ∩ {halfplane closer to site i than site j, ∀ j≠i}. Exact
+    (each step is one half-plane clip), O(n²) per geometry — constructor
+    tier for per-row site sets; the diagram tiles the envelope."""
+    s = np.asarray(sites, dtype=np.float64).reshape(-1, 2)
+    x0, y0, x1, y1 = (float(v) for v in np.asarray(envelope, dtype=np.float64))
+    box = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    cells_out: list[np.ndarray] = []
+    for i in range(len(s)):
+        poly = box
+        for j in range(len(s)):
+            if i == j or len(poly) == 0:
+                continue
+            # bisector half-plane keeping the side of site i: points p with
+            # (p - m)·(s_j - s_i) <= 0, m the midpoint. _clip_halfplane
+            # keeps the LEFT of e0→e1; the left of direction d rotated
+            # +90° from (s_j - s_i) is exactly the site-i side.
+            m = (s[i] + s[j]) / 2.0
+            d = s[j] - s[i]
+            # direction perpendicular: left of e0→e1 must satisfy
+            # cross(e1-e0, p-e0) >= 0 with e1-e0 = (-d_y, d_x) ⇒
+            # -d_y*(py-my)... choose e1 = m + (d_y, -d_x): then left side
+            # cross = d_y*(p_y-m_y)*... verify: e=(dy,-dx); cross(e, p-m)
+            # = dy*(p_y-m_y) - (-dx)*(p_x-m_x) = dx*(p_x-m_x)+dy*(p_y-m_y)
+            # = (p-m)·d ⇒ left = farther from i — so use e = (-dy, dx)
+            e1 = m + np.array([-d[1], d[0]])
+            poly = _clip_halfplane(poly, m, e1)
+        poly = _drop_consecutive_dups(poly)
+        cells_out.append(poly if len(poly) >= 3 else np.empty((0, 2)))
+    return cells_out

@@ -368,3 +368,25 @@ def test_general_overlay_concave_fuzz():
                 ov = clip_convex(pieces[x].ravel(), pieces[y].ravel())
                 if len(ov) >= 3:
                     assert area(ov) < 1e-10
+
+
+def test_voronoi_tiling_properties():
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import _ring_area, voronoi_cells
+
+    for seed in range(15):
+        rs = np.random.RandomState(seed)
+        n = 3 + seed % 5
+        sites = rs.rand(n, 2) * 10
+        cells = voronoi_cells(sites.ravel(), [0.0, 0.0, 10.0, 10.0])
+        assert len(cells) == n
+        assert abs(sum(_ring_area(c) for c in cells if len(c)) - 100.0) < 1e-8
+        # every site lies in (or on) its own cell's bbox, and each cell's
+        # nearest site among all sites is its own
+        for i, c in enumerate(cells):
+            if not len(c):
+                continue
+            ctr = c.mean(axis=0)
+            d = np.hypot(sites[:, 0] - ctr[0], sites[:, 1] - ctr[1])
+            assert d.argmin() == i
