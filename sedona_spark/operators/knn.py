@@ -79,11 +79,15 @@ def _disk_join(
     metric: str = "euclid",
 ) -> DataFrame:
     """Join each query to all objects within its per-query cell disk
-    (``_ring`` column — data-adaptively sized per round)."""
+    (``_ring`` column — data-adaptively sized per round; geodesic queries
+    may carry a separate ``_ring_y`` for an asymmetric disk: full
+    longitude coverage needs only the LATITUDE band the y-bound
+    certifies, not a square blow-up)."""
     n = 1 << level
     home = cells.cell_id(F.col(qx), F.col(qy), level)
     cx, cy = cells.cell_x(home), cells.cell_y(home)
     rng = F.col("_ring")
+    rng_y = F.col("_ring_y") if "_ring_y" in queries.columns else rng
     if metric in ("sphere", "spheroid"):
         # longitude is CYCLIC on the sphere: wrap the x-range via pmod so a
         # query at lon 179.9 probes cells across the antimeridian instead
@@ -103,7 +107,9 @@ def _disk_join(
             F.greatest(F.lit(0), cx - rng), F.least(F.lit(n - 1), cx + rng)
         )
         qc = queries.withColumn("_gx", F.explode(xs))
-    ys = F.sequence(F.greatest(F.lit(0), cy - rng), F.least(F.lit(n - 1), cy + rng))
+    ys = F.sequence(
+        F.greatest(F.lit(0), cy - rng_y), F.least(F.lit(n - 1), cy + rng_y)
+    )
     qc = (
         qc.withColumn("_gy", F.explode(ys))
         .withColumn("cell", cells.cell_of(F.col("_gx"), F.col("_gy"), level))
@@ -378,16 +384,21 @@ def knn_join(
             ),
         )
         # if the scaled disk's lat band touches the pole, cos(φ_max) = 0
-        # kills the x-bound and round 1 can NEVER certify — jump straight
-        # to the half-ring (full wrapped longitude coverage), where only
-        # the generous y-bound applies and round 1 resolves
+        # kills the x-bound and round 1 can NEVER certify — jump the
+        # LONGITUDE ring straight to the half-ring (full wrapped lon
+        # coverage), where only the y-bound applies. The LATITUDE ring
+        # (_ring_y) stays at the density-scaled size: the asymmetric disk
+        # keeps polar candidate volume proportional to the lat band the
+        # y-bound actually needs, instead of a square (n/2)² blow-up
         polar = F.abs(F.col(qy)) + (scaled + 1) * F.lit(ch) >= F.lit(90.0)
         ring_expr = F.when(
             polar, F.greatest(scaled, F.lit(float(n_side // 2)))
         ).otherwise(scaled).cast("int")
+        unresolved = queries.withColumn("_ring", ring_expr).withColumn(
+            "_ring_y", scaled.cast("int")
+        )
     else:
-        ring_expr = F.lit(ring0)
-    unresolved = queries.withColumn("_ring", ring_expr)
+        unresolved = queries.withColumn("_ring", F.lit(ring0))
     rank_fn = F.rank() if include_ties else F.row_number()
 
     if include_ties:
@@ -409,10 +420,14 @@ def knn_join(
     if geodesic:
         # the x-disk WRAPS (cyclic longitude): excluded-by-x objects have
         # cyclic lon separation ≥ ring·cell_w; once ring ≥ n/2 the full lon
-        # ring is covered and only the latitude bound applies
+        # ring is covered and only the latitude bound applies. An object
+        # outside the ASYMMETRIC disk is either ≥ _ring_y cells away in
+        # latitude (≥ y_bound) or ≥ _ring cells in cyclic longitude
+        # (≥ x_bound) — each axis uses its own ring
+        ry = F.col("_ring_y").cast("double")
         r_earth = F.lit(r_bound)
-        y_bound = r_earth * (rr * F.lit(ch * _RAD))
-        phi_max = F.least(F.lit(90.0), F.abs(F.col(qy)) + (rr + 1) * F.lit(ch))
+        y_bound = r_earth * (ry * F.lit(ch * _RAD))
+        phi_max = F.least(F.lit(90.0), F.abs(F.col(qy)) + (ry + 1) * F.lit(ch))
         cmin = F.cos(phi_max * F.lit(_RAD))
         ang = F.least(rr * F.lit(cw), F.lit(180.0))
         x_bound = F.lit(2.0) * r_earth * cmin * F.sin(ang * F.lit(_RAD) / 2)
@@ -421,9 +436,17 @@ def knn_join(
         )
     else:
         bound = (rr * F.lit(min_dim)) * (rr * F.lit(min_dim))
+    if geodesic:
+        # full coverage of the asymmetric disk: wrapped longitude covers
+        # at the half-ring, latitude needs the full ring
+        full_cover = (F.col("_ring") >= n_side // 2) & (
+            F.col("_ring_y") >= n_side
+        )
+    else:
+        full_cover = F.col("_ring") >= n_side
     done_expr = (
         (F.col("_cnt") >= k) & (F.col("_kth") <= bound)
-    ) | (F.col("_ring") >= n_side)
+    ) | full_cover
 
     for _ in range(max_rounds):
         disk = _disk_join(unresolved, objects_c, level, qx, qy, obj_x, obj_y, metric)
@@ -450,11 +473,15 @@ def knn_join(
         # adaptive growth: with ≥k candidates the kth distance is an upper
         # bound on the true kth ⇒ size the ring so bound(ring) ≥ kth; with
         # <k candidates grow 4× blind
+        extra_aggs = (
+            [F.first("_ring_y").alias("_ry")] if geodesic else []
+        )
         notdone = cand.filter(~F.col("_done")).groupBy(query_id).agg(
             *[F.first(c).alias(c) for c in qcols if c != query_id],
             F.first("_cnt").alias("_cnt"),
             F.first("_kth").alias("_kth"),
             F.first("_ring").alias("_r"),
+            *extra_aggs,
         )
         if geodesic:
             kth = F.col("_kth")
@@ -468,10 +495,17 @@ def knn_join(
                 * F.asin(F.least(F.lit(1.0), kth / (F.lit(2.0) * F.lit(r_bound) * cmin_g)))
             )
             ring_x = ang_needed / F.lit(cw)
+            # each axis grows by its OWN requirement: certification needs
+            # min(y_bound(_ring_y), x_bound(_ring)) >= kth, i.e. both
             grown = F.least(
                 F.lit(float(n_side)),
-                F.greatest(F.ceil(F.greatest(ring_y, ring_x)) + 1,
+                F.greatest(F.ceil(ring_x) + 1,
                            F.col("_r").cast("double") * 2),
+            )
+            grown_y = F.least(
+                F.lit(float(n_side)),
+                F.greatest(F.ceil(ring_y) + 1,
+                           F.col("_ry").cast("double") * 2),
             )
             # near-pole: the x-bound is capped at 2R·cos(φ_max); if even
             # that ceiling cannot certify kth, jump straight to the
@@ -489,15 +523,32 @@ def knn_join(
             F.when(F.col("_cnt") >= k, grown)
             .otherwise(F.col("_r") * 4)
             .cast("int"),
-        ).drop("_cnt", "_kth", "_r")
+        )
+        if geodesic:
+            remaining = remaining.withColumn(
+                "_ring_y",
+                F.when(F.col("_cnt") >= k, grown_y)
+                .otherwise(F.col("_ry") * 4)
+                .cast("int"),
+            ).drop("_ry")
+        remaining = remaining.drop("_cnt", "_kth", "_r")
         # queries with ZERO candidates produce no cand row: widen them too
         # (unless their disk already covered the whole grid — then there is
         # genuinely nothing to return and they are done)
+        not_covered = (
+            (F.col("_ring") < n_side // 2) | (F.col("_ring_y") < n_side)
+            if geodesic
+            else F.col("_ring") < n_side
+        )
         missing = (
             unresolved.join(cand, query_id, "left_anti")
-            .filter(F.col("_ring") < n_side)
+            .filter(not_covered)
             .withColumn("_ring", (F.col("_ring") * 4).cast("int"))
         )
+        if geodesic:
+            missing = missing.withColumn(
+                "_ring_y", (F.col("_ring_y") * 4).cast("int")
+            )
         nxt = remaining.unionByName(missing).localCheckpoint(eager=False)
         n_rem = nxt.count()  # materializes cand + nxt checkpoints (1 job)
         unresolved = nxt
@@ -511,4 +562,4 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.drop("_ring")
+    return out.drop("_ring", "_ring_y")
