@@ -926,6 +926,29 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DelaunayTriangles: 4 quadrant centers + the zone center — the
+    corners are COCIRCULAR, but the center point forces the unique
+    4-triangle fan, so count and area are closed-form (n_tris = 4, total
+    = the quadrant-center rect = hx·hy)."""
+    from sedona_spark.functions.st import st_delaunay_triangles, st_ring_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    h = F.lit(0.5)
+    pts = F.array(
+        cx - hx * h, cy - hy * h, cx + hx * h, cy - hy * h,
+        cx - hx * h, cy + hy * h, cx + hx * h, cy + hy * h, cx, cy,
+    )
+    parts = z.select(
+        "n_nationkey", F.explode(st_delaunay_triangles(pts)).alias("tri")
+    ).select("n_nationkey", st_ring_stats(F.col("tri")).alias("_s"))
+    return parts.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_tris"),
+        F.round(F.sum(F.col("_s.area")), 6).alias("tri_area"),
+    )
+
+
 def q_st_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_VoronoiPolygons: 4 sites at the quadrant centers of the zone
     rect → cells are exactly the quadrants (area hx·hy, 4 vertices; cell
@@ -1439,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_triangulate": q_st_triangulate,
         "shortest_line": q_shortest_line,
         "st_voronoi": q_st_voronoi,
+        "st_delaunay": q_st_delaunay,
         "st_affine": q_st_affine,
         "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
@@ -1533,6 +1557,11 @@ def oracle_sql() -> dict[str, str]:
         "st_triangulate": _st_triangulate_sql(),
         "shortest_line": _shortest_line_sql(),
         "st_voronoi": _st_voronoi_sql(),
+        "st_delaunay": (
+            f"with z as ({SQL_ZONES}) "
+            "select n_nationkey, cast(4 as bigint) as n_tris, "
+            "round(hx * hy, 6) as tri_area from z"
+        ),
         "st_affine": _st_affine_sql(),
         "rs_resample": _rs_resample_sql(),
         "st_min_circle": _st_min_circle_sql(),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "st_triangulate",
     "shortest_line",
     "st_voronoi",
+    "st_delaunay",
     "st_affine",
     "rs_resample",
     "rs_zonal_stats",

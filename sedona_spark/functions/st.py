@@ -843,3 +843,21 @@ def st_voronoi_polygons(sites: Column, envelope: Column) -> Column:
     ``posexplode`` to keep the site index). Cells tile the envelope
     exactly."""
     return _voronoi_udf(sites, envelope)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _delaunay_udf(pts: pd.Series) -> pd.Series:
+    out = []
+    for p in pts:
+        out.append([
+            t.ravel()
+            for t in kernels.delaunay_triangles(np.asarray(p, dtype=np.float64))
+        ])
+    return pd.Series(out)
+
+
+def st_delaunay_triangles(pts: Column) -> Column:
+    """ST_DelaunayTriangles (JTS DelaunayTriangulationBuilder): CCW
+    triangles tiling the convex hull of a packed point set (Bowyer–Watson
+    with exact infinite-vertex boundary tests). Pair with ``posexplode``."""
+    return _delaunay_udf(pts)

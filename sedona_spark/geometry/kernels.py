@@ -1440,3 +1440,131 @@ def voronoi_cells(sites: np.ndarray, envelope: np.ndarray) -> list[np.ndarray]:
         poly = _drop_consecutive_dups(poly)
         cells_out.append(poly if len(poly) >= 3 else np.empty((0, 2)))
     return cells_out
+
+
+def delaunay_triangles(pts: np.ndarray) -> list[np.ndarray]:
+    """ST_DelaunayTriangles (JTS DelaunayTriangulationBuilder): Bowyer–
+    Watson with a super-triangle and STRICT in-circle test (cocircular
+    sets keep whichever diagonal the deterministic insertion order
+    produced — same contract as JTS). Returns CCW (3, 2) triangles tiling
+    the convex hull. O(n²) — constructor tier for per-row point sets."""
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    p = np.unique(p, axis=0)  # dedup + deterministic (lex-sorted) order
+    n = len(p)
+    if n < 3:
+        return []
+    # super-triangle comfortably containing everything
+    cx, cy = p[:, 0].mean(), p[:, 1].mean()
+    span = max(p[:, 0].ptp(), p[:, 1].ptp(), 1.0) * 64.0
+    sup = np.array(
+        [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
+    )
+    verts = np.vstack([p, sup])
+    si = (n, n + 1, n + 2)
+    tris: list[tuple[int, int, int]] = [si]
+
+    ld = np.longdouble
+
+    def _orient(a, b, q):
+        return (ld(b[0]) - ld(a[0])) * (ld(q[1]) - ld(a[1])) - (
+            ld(b[1]) - ld(a[1])
+        ) * (ld(q[0]) - ld(a[0]))
+
+    def circum_contains(t, q) -> bool:
+        supers = [v for v in t if v >= n]
+        reals = [v for v in t if v < n]
+        if len(supers) == 3:
+            return True
+        if len(supers) == 1:
+            # infinite-limit circumcircle of (a, b, ∞) = the half-plane of
+            # line(a, b) on the super side — EXACT test (the finite circle
+            # bows slightly off the line and leaves pinhole slivers on
+            # near-collinear hull triples)
+            a, b = verts[reals[0]], verts[reals[1]]
+            s = verts[supers[0]]
+            side_s = _orient(a, b, s)
+            side_q = _orient(a, b, q)
+            return side_q == 0 or (side_q > 0) == (side_s > 0)
+        if len(supers) == 2:
+            # limit of circle through one near point a and two far points:
+            # half-plane at a bounded by the tangent ∥ (S2 − S1), opening
+            # toward the supers
+            a = verts[reals[0]]
+            s1, s2 = verts[supers[0]], verts[supers[1]]
+            d = (a[0] + (s2[0] - s1[0]), a[1] + (s2[1] - s1[1]))
+            side_s = _orient(a, d, s1)
+            side_q = _orient(a, d, q)
+            return side_q == 0 or (side_q > 0) == (side_s > 0)
+        a, b, c = verts[t[0]], verts[t[1]], verts[t[2]]
+        # all-real in-circle determinant in extended precision (float64
+        # error on thin triangles leaves pinhole cavities)
+        ax, ay = ld(a[0]) - ld(q[0]), ld(a[1]) - ld(q[1])
+        bx, by = ld(b[0]) - ld(q[0]), ld(b[1]) - ld(q[1])
+        cx_, cy_ = ld(c[0]) - ld(q[0]), ld(c[1]) - ld(q[1])
+        a2, b2, c2 = ax * ax + ay * ay, bx * bx + by * by, cx_ * cx_ + cy_ * cy_
+        det = (
+            ax * (by * c2 - b2 * cy_)
+            - ay * (bx * c2 - b2 * cx_)
+            + a2 * (bx * cy_ - by * cx_)
+        )
+        orient = _orient(a, b, c)
+        if orient < 0:
+            det = -det
+        return det > 0
+
+    def tri_contains_pt(t, q) -> bool:
+        a, b, c = verts[t[0]], verts[t[1]], verts[t[2]]
+        d0 = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+        d1 = (c[0] - b[0]) * (q[1] - b[1]) - (c[1] - b[1]) * (q[0] - b[0])
+        d2 = (a[0] - c[0]) * (q[1] - c[1]) - (a[1] - c[1]) * (q[0] - c[0])
+        neg = (d0 < 0) or (d1 < 0) or (d2 < 0)
+        pos = (d0 > 0) or (d1 > 0) or (d2 > 0)
+        return not (neg and pos)
+
+    for i in range(n):
+        q = verts[i]
+        bad = [t for t in tris if circum_contains(t, q)]
+        if not bad:
+            continue
+        # keep only the edge-connected component of the cavity containing
+        # the triangle that holds q — fp noise can mark detached triangles
+        # "bad", and carving those leaves pinholes in the tiling
+        if len(bad) > 1:
+            seed_t = next((t for t in bad if tri_contains_pt(t, q)), bad[0])
+            comp = {seed_t}
+            frontier = [seed_t]
+            while frontier:
+                cur = frontier.pop()
+                ce = {tuple(sorted(e)) for e in
+                      ((cur[0], cur[1]), (cur[1], cur[2]), (cur[2], cur[0]))}
+                for t in bad:
+                    if t in comp:
+                        continue
+                    te = {tuple(sorted(e)) for e in
+                          ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))}
+                    if ce & te:
+                        comp.add(t)
+                        frontier.append(t)
+            bad = [t for t in bad if t in comp]
+        # boundary of the cavity = edges appearing in exactly one bad tri
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                if edge_count[(min(e), max(e))] == 1:
+                    tris.append((e[0], e[1], i))
+    out = []
+    for t in tris:
+        if any(v >= n for v in t):
+            continue
+        a, b, c = verts[t[0]], verts[t[1]], verts[t[2]]
+        orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if orient == 0:
+            continue
+        tri = np.array([a, b, c]) if orient > 0 else np.array([a, c, b])
+        out.append(tri)
+    return out

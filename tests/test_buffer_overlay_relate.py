@@ -390,3 +390,39 @@ def test_voronoi_tiling_properties():
             ctr = c.mean(axis=0)
             d = np.hypot(sites[:, 0] - ctr[0], sites[:, 1] - ctr[1])
             assert d.argmin() == i
+
+
+def test_delaunay_properties():
+    """Empty-circumcircle + hull-tiling + 2n-2-h count across random sets;
+    area tiling on fully degenerate integer lattices."""
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        _ring_area,
+        convex_hull,
+        delaunay_triangles,
+    )
+
+    for seed in range(10):
+        rs = np.random.RandomState(seed)
+        n = 8 + seed
+        p = rs.rand(n, 2) * 10
+        tris = delaunay_triangles(p.ravel())
+        hull = convex_hull(p)
+        assert abs(sum(_ring_area(t) for t in tris) - _ring_area(hull)) < 1e-7
+        assert len(tris) == 2 * n - 2 - len(hull)
+        for t in tris:
+            a, b, c = t
+            d2 = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                      + c[0] * (a[1] - b[1]))
+            ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+                  + (c @ c) * (a[1] - b[1])) / d2
+            uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+                  + (c @ c) * (b[0] - a[0])) / d2
+            r = np.hypot(a[0] - ux, a[1] - uy)
+            d = np.hypot(p[:, 0] - ux, p[:, 1] - uy)
+            assert (d >= r - 1e-6 * max(r, 1)).all()
+    for m in (3, 5):
+        g = np.stack(np.meshgrid(np.arange(m), np.arange(m)), -1)
+        tris = delaunay_triangles(g.reshape(-1, 2).astype(float).ravel())
+        assert abs(sum(_ring_area(t) for t in tris) - (m - 1) ** 2) < 1e-9
