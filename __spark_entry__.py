@@ -926,6 +926,34 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConcaveHull over a deterministic 21-point grid-L (5x5 minus the
+    top-right 2x2), scaled ISOTROPICALLY by hx/4 per zone (similarity
+    preserves every edge-length ratio, so the chi-shape topology is
+    identical for all zones): 15 boundary vertices, area 9.5 grid
+    cells = 9.5 (hx/4)^2."""
+    from sedona_spark.functions.st import st_concave_hull, st_ring_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx = F.col("zcx"), F.col("zcy"), F.col("hx")
+    s = hx / F.lit(4.0)
+    coords = []
+    for i in range(5):
+        for j in range(5):
+            if i >= 3 and j >= 3:
+                continue
+            coords.append(cx + F.lit(float(i - 2)) * s)
+            coords.append(cy + F.lit(float(j - 2)) * s)
+    hull = st_concave_hull(F.array(*coords), 1.4)
+    return z.select(
+        "n_nationkey", st_ring_stats(hull).alias("_s")
+    ).select(
+        "n_nationkey",
+        F.round(F.col("_s.area"), 6).alias("hull_area"),
+        F.col("_s.nv").alias("nv"),
+    )
+
+
 def q_st_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_DelaunayTriangles: 4 quadrant centers + the zone center — the
     corners are COCIRCULAR, but the center point forces the unique
@@ -1463,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_line": q_shortest_line,
         "st_voronoi": q_st_voronoi,
         "st_delaunay": q_st_delaunay,
+        "st_concave_hull": q_st_concave_hull,
         "st_affine": q_st_affine,
         "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
@@ -1561,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
             f"with z as ({SQL_ZONES}) "
             "select n_nationkey, cast(4 as bigint) as n_tris, "
             "round(hx * hy, 6) as tri_area from z"
+        ),
+        "st_concave_hull": (
+            f"with z as ({SQL_ZONES}) "
+            "select n_nationkey, "
+            "round(95e-1 * (hx / 4e0) * (hx / 4e0), 6) as hull_area, "
+            "cast(15 as bigint) as nv from z"
         ),
         "st_affine": _st_affine_sql(),
         "rs_resample": _rs_resample_sql(),

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "shortest_line",
     "st_voronoi",
     "st_delaunay",
+    "st_concave_hull",
     "st_affine",
     "rs_resample",
     "rs_zonal_stats",

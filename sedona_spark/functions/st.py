@@ -861,3 +861,21 @@ def st_delaunay_triangles(pts: Column) -> Column:
     triangles tiling the convex hull of a packed point set (Bowyer–Watson
     with exact infinite-vertex boundary tests). Pair with ``posexplode``."""
     return _delaunay_udf(pts)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _concave_hull_udf(pts: pd.Series, ratio: pd.Series) -> pd.Series:
+    out = []
+    for p, r in zip(pts, ratio):
+        out.append(
+            kernels.concave_hull(np.asarray(p, dtype=np.float64), float(r))
+        )
+    return pd.Series(out)
+
+
+def st_concave_hull(pts: Column, length_ratio: float = 1.5) -> Column:
+    """ST_ConcaveHull (χ-shape over Delaunay, the JTS ConcaveHull
+    construction): packed boundary ring of the point set with boundary
+    edges longer than ``length_ratio``×mean-edge eroded (regularity
+    preserved — always a simple polygon containing every point)."""
+    return _concave_hull_udf(pts, F.lit(float(length_ratio)))

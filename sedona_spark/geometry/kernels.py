@@ -1568,3 +1568,93 @@ def delaunay_triangles(pts: np.ndarray) -> list[np.ndarray]:
         tri = np.array([a, b, c]) if orient > 0 else np.array([a, c, b])
         out.append(tri)
     return out
+
+
+def concave_hull(pts: np.ndarray, length_ratio: float = 1.5) -> np.ndarray:
+    """ST_ConcaveHull (χ-shape over the Delaunay triangulation, the same
+    construction JTS ConcaveHull uses): starting from the convex hull =
+    Delaunay boundary, repeatedly remove the LONGEST boundary edge whose
+    length exceeds ``length_ratio`` × the mean Delaunay edge length,
+    provided its triangle's interior vertex is not already on the boundary
+    (regularity — keeps the result a simple polygon). Returns the packed
+    boundary ring (CCW)."""
+    tris = delaunay_triangles(pts)
+    if not tris:
+        return np.asarray(pts, dtype=np.float64).reshape(-1, 2)[:3].ravel()
+
+    def key(v):
+        # exact float tuples: triangle vertices are verbatim copies of the
+        # input coords, so exact equality is the right identity (rounding
+        # would shift ring vertices off the true points)
+        return (float(v[0]), float(v[1]))
+
+    # edge → list of triangle indices
+    edge_tris: dict[tuple, list[int]] = {}
+    alive = [True] * len(tris)
+    lengths = []
+    for ti, t in enumerate(tris):
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            e = tuple(sorted((key(a), key(b))))
+            edge_tris.setdefault(e, []).append(ti)
+            lengths.append(math.hypot(a[0] - b[0], a[1] - b[1]))
+    thresh = float(length_ratio) * (sum(lengths) / len(lengths))
+
+    def boundary_edges():
+        return {
+            e for e, ts in edge_tris.items()
+            if sum(1 for ti in ts if alive[ti]) == 1
+        }
+
+    def boundary_vertices(bes):
+        vs = set()
+        for e in bes:
+            vs.update(e)
+        return vs
+
+    changed = True
+    while changed:
+        changed = False
+        bes = boundary_edges()
+        bvs = boundary_vertices(bes)
+        # longest removable boundary edge above threshold
+        best = None
+        for e in bes:
+            (x1, y1), (x2, y2) = e
+            ln = math.hypot(x1 - x2, y1 - y2)
+            if ln <= thresh:
+                continue
+            ti = next(t for t in edge_tris[e] if alive[t])
+            t = tris[ti]
+            opp = next(
+                key(v) for v in t if key(v) not in e
+            )
+            if opp in bvs:
+                continue  # regularity: would pinch the polygon
+            if best is None or ln > best[0]:
+                best = (ln, ti)
+        if best is not None:
+            alive[best[1]] = False
+            changed = True
+
+    # trace the boundary cycle
+    bes = boundary_edges()
+    adj: dict[tuple, list[tuple]] = {}
+    for a, b in bes:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    start = min(adj)
+    ring = [start]
+    prev = None
+    cur = start
+    while True:
+        nxt = next(v for v in adj[cur] if v != prev)
+        if nxt == start:
+            break
+        ring.append(nxt)
+        prev, cur = cur, nxt
+    r = np.array(ring, dtype=np.float64)
+    # normalize CCW
+    q = np.roll(r, -1, axis=0)
+    if float((r[:, 0] * q[:, 1] - q[:, 0] * r[:, 1]).sum()) < 0:
+        r = r[::-1]
+    return r.ravel()

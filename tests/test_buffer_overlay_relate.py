@@ -426,3 +426,28 @@ def test_delaunay_properties():
         g = np.stack(np.meshgrid(np.arange(m), np.arange(m)), -1)
         tris = delaunay_triangles(g.reshape(-1, 2).astype(float).ravel())
         assert abs(sum(_ring_area(t) for t in tris) - (m - 1) ** 2) < 1e-9
+
+
+def test_concave_hull_properties():
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        _ring_area,
+        concave_hull,
+        convex_hull,
+        points_in_one_polygon,
+    )
+
+    for seed in (3, 7, 11):
+        rs = np.random.RandomState(seed)
+        th = rs.rand(250) * 1.5 * np.pi + 0.25 * np.pi
+        r = 5 + rs.rand(250) * 2
+        p = np.stack([np.cos(th) * r, np.sin(th) * r], 1)
+        ch = concave_hull(p.ravel(), 1.6)
+        assert (points_in_one_polygon(ch, p[:, 0], p[:, 1]) > 0).all()
+        assert _ring_area(ch.reshape(-1, 2)) < 0.75 * _ring_area(convex_hull(p))
+    # large ratio -> no erosion -> equals the convex hull area
+    rs = np.random.RandomState(0)
+    p = rs.rand(60, 2) * 10
+    ch = concave_hull(p.ravel(), 1e9)
+    assert abs(_ring_area(ch.reshape(-1, 2)) - _ring_area(convex_hull(p))) < 1e-7
