@@ -1089,9 +1089,7 @@ def q_rs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_resample
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir).filter(
-        F.expr("cast(substring(image_id, 5) as long) % 200 = 0")
-    )
+    imgs = images_from_part(spark, sf_dir, id_mod=200)
     out = rs_resample(imgs, 24, 20, mode="nearest")
     return out.select(
         "image_id",
@@ -1203,9 +1201,7 @@ def q_rs_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.operators.spatial_join import pip_join
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir).filter(
-        F.expr("cast(substring(image_id, 5) as long) % 100 = 0")
-    )
+    imgs = images_from_part(spark, sf_dir, id_mod=100)
     px = rs_pixel_as_points(imgs, band=0, pixel_size=2.0)
     pts = px.select(F.col("wx").alias("x"), F.col("wy").alias("y"), "val")
     zones = diamond_zones_from_nation(spark, sf_dir)
@@ -1290,9 +1286,7 @@ def q_rs_pixel_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_pixel_as_points
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir).filter(
-        F.expr("cast(substring(image_id, 5) as long) % 200 = 0")
-    )
+    imgs = images_from_part(spark, sf_dir, id_mod=200)
     return rs_pixel_as_points(imgs, band=0).select(
         "image_id",
         F.col("px").cast("long").alias("px"),

@@ -176,16 +176,25 @@ def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataF
     return rng.mapInPandas(gen, schema=_IMG_SCHEMA)
 
 
-def images_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+def images_from_part(
+    spark: SparkSession, sf_dir: str, id_mod: int | None = None
+) -> DataFrame:
     """Image table keyed off the driver testdata ``part`` table (so oracle
     SQL can reproduce the metadata side deterministically).
 
     ``part.parquet`` is one tiny file at test SFs → one input split; image
     synthesis+encode is ~10⁴× CPU per input byte, so spread the ids across
     the cluster first (at real scale the stored image table already has
-    thousands of splits — see bench.py's ``_ensure_images``)."""
+    thousands of splits — see bench.py's ``_ensure_images``).
+
+    ``id_mod`` keeps only ids divisible by it BEFORE synthesis — the
+    filter-pushdown any subset query needs (synthesizing 100× the rows to
+    filter after the expensive stage is the anti-pattern)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    ids = part.select(F.col("p_partkey").cast("long").alias("id")).repartition(
+    ids = part.select(F.col("p_partkey").cast("long").alias("id"))
+    if id_mod is not None:
+        ids = ids.filter(F.col("id") % int(id_mod) == 0)
+    ids = ids.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
 
