@@ -229,6 +229,13 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             t0 = time.time()
             fn(spark, sf_dir).count()
             walls.append(time.time() - t0)
+        # noisy-neighbor guard: if the two runs disagree by >1.5x the box
+        # was contended mid-query — buy one more sample (bounded cost,
+        # only under detected noise)
+        if max(walls) > 1.5 * min(walls):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
     spark.conf.set(batch_key, "64")  # throughput job decodes image bytes
