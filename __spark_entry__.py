@@ -565,6 +565,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", w.alias("rank_n"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-kmeans approximate top-k (the faiss-IVF architecture: coarse
+    k-means cells as the partition key, nprobe nearest cells searched
+    exactly). Training is iterative + driver-coordinated (k x dim state
+    only) -> rows-only; pytest holds the recall gate vs brute force."""
+    from pyspark.sql import Window
+
+    from sedona_spark.pipeline.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    out = ivf_topk(emb, [float(v) for v in qvec], 10,
+                   n_centroids=16, nprobe=6, iters=2)
+    w = F.row_number().over(
+        Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )
+    return out.select("vec_id", w.alias("rank_n"))
+
+
 def q_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform 4326→3857 (spherical Mercator, pure Column math) with a
     round-trip residual check; round(6) absorbs cross-engine libm ulps."""
@@ -1558,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

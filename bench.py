@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "jaccard_adjacent",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "st_transform",
     "rs_value",
     "rs_map_algebra",

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,3 +130,115 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the kmeans-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic distributed k-means (Lloyd) for IVF coarse centroids.
+
+    Init = the ``n_centroids`` lowest-id vectors (seedless, reproducible).
+    Each iteration is ONE mapInPandas pass emitting per-partition partial
+    (centroid, count, sum-vector) rows — only ``partitions × k`` tiny rows
+    reach the driver, never data (the same driver-state shape as
+    MLlib KMeans). Assignment is a numpy matmul per Arrow batch."""
+    init = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(int(n_centroids))
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([list(map(float, r[0])) for r in init])
+    dim = cents.shape[1]
+    vecs = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    for _ in range(int(iters)):
+        c = cents  # capture for closure
+
+        def partials(batches):
+            sums = np.zeros((len(c), dim))
+            counts = np.zeros(len(c), dtype=np.int64)
+            for b in batches:
+                m = np.stack(b["v"].to_numpy())
+                # nearest centroid by euclidean distance
+                d = ((m * m).sum(1)[:, None]
+                     - 2.0 * m @ c.T
+                     + (c * c).sum(1)[None, :])
+                a = d.argmin(1)
+                np.add.at(sums, a, m)
+                np.add.at(counts, a, 1)
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(c), dtype=np.int64),
+                    "cnt": counts,
+                    "s": list(sums),
+                }
+            )
+
+        rows = vecs.mapInPandas(
+            partials, "cid long, cnt long, s array<double>"
+        ).collect()
+        sums = np.zeros((len(c), dim))
+        counts = np.zeros(len(c), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["s"])
+            counts[r["cid"]] += r["cnt"]
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cents
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id for a vector column (vectorized numpy matmul
+    per Arrow batch). At scale this is the WRITE-TIME partition key: store
+    the table partitioned/bucketed by it and probing = partition pruning."""
+    from pyspark.sql.types import LongType
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        d = ((m * m).sum(1)[:, None] - 2.0 * m @ c.T + (c * c).sum(1)[None, :])
+        return pd.Series(d.argmin(1).astype(np.int64))
+
+    return _assign(vec.cast("array<double>"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: train (or reuse) coarse centroids,
+    probe the ``nprobe`` centroids nearest the query, exact cosine only
+    inside the probed cells — the faiss-IVF architecture re-expressed as
+    partition pruning + the zero-shuffle brute-force collapse."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, iters, vec_col, id_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in np.argsort(d)[: int(nprobe)]]
+    cell = ivf_assign(F.col(vec_col), centroids)
+    pruned = embeddings.withColumn("ivf_cell", cell).filter(
+        F.col("ivf_cell").isin(probe)
+    )
+    return cosine_topk_bruteforce(pruned, q, k, vec_col, id_col).drop("ivf_cell")

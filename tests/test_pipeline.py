@@ -185,3 +185,28 @@ def test_lsh_hot_bucket_cap(spark):
         for r in lsh_candidate_pairs(sigs, 4, num_hashes=16, max_bucket=10).collect()
     }
     assert (100, 101) in got  # small buckets unaffected
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with generous nprobe recovers >=80% of the exact brute-force
+    top-10 on the driver embeddings; centroids are deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sedona_spark.pipeline.ann import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]]
+    exact = {r["vec_id"] for r in
+             cosine_topk_bruteforce(emb, qvec, 10).collect()}
+    approx = {r["vec_id"] for r in
+              ivf_topk(emb, qvec, 10, n_centroids=16, nprobe=6, iters=2).collect()}
+    assert len(exact & approx) >= 8, (exact, approx)
+    c1 = ivf_train_centroids(emb, n_centroids=8, iters=2)
+    c2 = ivf_train_centroids(emb, n_centroids=8, iters=2)
+    assert np.allclose(c1, c2)
