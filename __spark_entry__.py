@@ -945,6 +945,68 @@ def q_st_intersection_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeometricMedian (Weiszfeld): 4 symmetric quadrant centers + the
+    zone center itself — the median is the center point exactly (the
+    vertex-singularity optimality branch: the other points' unit vectors
+    cancel by symmetry)."""
+    from sedona_spark.functions.st import st_geometric_median
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    h = F.lit(0.5)
+    pts = F.array(
+        cx - hx * h, cy - hy * h, cx + hx * h, cy - hy * h,
+        cx - hx * h, cy + hy * h, cx + hx * h, cy + hy * h, cx, cy,
+    )
+    m = st_geometric_median(pts)
+    return z.select(
+        "n_nationkey",
+        F.round(m.getField("mx"), 6).alias("med_x"),
+        F.round(m.getField("my"), 6).alias("med_y"),
+    )
+
+
+def q_st_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Project (spherical direct problem, pure Column): destination of
+    each event point at bearing (event_id % 360)° and 200 km; the oracle
+    mirrors the formula op-for-op."""
+    from sedona_spark.functions.st_measures import st_project_sphere
+
+    p = points_from_events(spark, sf_dir)
+    brg = (F.col("event_id") % 360).cast("double")
+    lon2, lat2 = st_project_sphere(
+        F.col("x"), F.col("y"), brg, F.lit(200000.0)
+    )
+    return p.select(
+        "event_id",
+        F.round(lon2, 6).alias("dest_lon"),
+        F.round(lat2, 6).alias("dest_lat"),
+    )
+
+
+def q_st_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Segmentize over the 3-vertex polyline at max_len 0.9: segment
+    lengths sqrt(13) and sqrt(5) split into ceil(...) = 5 and 3 parts →
+    9 vertices, total length unchanged."""
+    from sedona_spark.functions.st import st_path_stats, st_segmentize
+
+    p = points_from_events(spark, sf_dir)
+    x, y = F.col("x"), F.col("y")
+    line = F.array(x, y, x + F.lit(3.0), y + F.lit(2.0),
+                   x + F.lit(5.0), y + F.lit(1.0))
+    seg = st_segmentize(line, 0.9)
+    st_ = st_path_stats(seg)
+    return p.select(
+        "event_id",
+        st_.alias("_s"),
+    ).select(
+        "event_id",
+        F.round(F.col("_s.length"), 6).alias("seg_len"),
+        F.col("_s.nv").alias("nv"),
+    )
+
+
 def q_st_concave_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_ConcaveHull over a deterministic 21-point grid-L (5x5 minus the
     top-right 2x2), scaled ISOTROPICALLY by hx/4 per zone (similarity
@@ -1505,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_voronoi": q_st_voronoi,
         "st_delaunay": q_st_delaunay,
         "st_concave_hull": q_st_concave_hull,
+        "geometric_median": q_geometric_median,
+        "st_project": q_st_project,
+        "st_segmentize": q_st_segmentize,
         "st_affine": q_st_affine,
         "rs_resample": q_rs_resample,
         "st_min_circle": q_st_min_circle,
@@ -1610,6 +1675,17 @@ def oracle_sql() -> dict[str, str]:
             "select n_nationkey, "
             "round(95e-1 * (hx / 4e0) * (hx / 4e0), 6) as hull_area, "
             "cast(15 as bigint) as nv from z"
+        ),
+        "geometric_median": (
+            f"with z as ({SQL_ZONES}) "
+            "select n_nationkey, round(zcx, 6) as med_x, "
+            "round(zcy, 6) as med_y from z"
+        ),
+        "st_project": _st_project_sql(),
+        "st_segmentize": (
+            f"with p as ({SQL_POINTS}) "
+            "select event_id, round(sqrt(13e0) + sqrt(5e0), 6) as seg_len, "
+            "cast(9 as bigint) as nv from p"
         ),
         "st_affine": _st_affine_sql(),
         "rs_resample": _rs_resample_sql(),
@@ -2326,6 +2402,25 @@ select n_nationkey,
        round(hx * hy, 6) as diff_area,
        round(hx * hy * 4e0, 6) as union_area
 from z
+"""
+
+
+def _st_project_sql() -> str:
+    # op-for-op mirror of st_project_sphere (mean radius 6371008.8)
+    return f"""
+with p as ({SQL_POINTS}),
+c as (select event_id,
+  y * (pi() / 180e0) as phi1, x * (pi() / 180e0) as lam1,
+  cast(event_id % 360 as double) * (pi() / 180e0) as theta,
+  2e5 / 63710088e-1 as delta from p),
+d as (select event_id, phi1, lam1, theta, delta,
+  sin(phi1) * cos(delta) + cos(phi1) * sin(delta) * cos(theta) as sp2 from c)
+select event_id,
+  round((lam1 + atan2(sin(theta) * sin(delta) * cos(phi1),
+                      cos(delta) - sin(phi1) * sp2)) / (pi() / 180e0), 6)
+    as dest_lon,
+  round(asin(sp2) / (pi() / 180e0), 6) as dest_lat
+from d
 """
 
 

@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "st_voronoi",
     "st_delaunay",
     "st_concave_hull",
+    "geometric_median",
+    "st_project",
+    "st_segmentize",
     "st_affine",
     "rs_resample",
     "rs_zonal_stats",

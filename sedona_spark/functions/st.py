@@ -879,3 +879,40 @@ def st_concave_hull(pts: Column, length_ratio: float = 1.5) -> Column:
     edges longer than ``length_ratio``×mean-edge eroded (regularity
     preserved — always a simple polygon containing every point)."""
     return _concave_hull_udf(pts, F.lit(float(length_ratio)))
+
+
+_MEDIAN_TYPE = StructType(
+    [StructField("mx", DoubleType()), StructField("my", DoubleType())]
+)
+
+
+@F.pandas_udf(_MEDIAN_TYPE)
+def _geometric_median_udf(pts: pd.Series) -> pd.DataFrame:
+    xs, ys = [], []
+    for p in pts:
+        mx, my = kernels.geometric_median(np.asarray(p, dtype=np.float64))
+        xs.append(mx)
+        ys.append(my)
+    return pd.DataFrame({"mx": xs, "my": ys})
+
+
+def st_geometric_median(pts: Column) -> Column:
+    """ST_GeometricMedian (Weiszfeld): struct(mx, my) minimizing total
+    distance to the packed point set."""
+    return _geometric_median_udf(pts)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _segmentize_udf(line: pd.Series, max_len: pd.Series) -> pd.Series:
+    out = []
+    for ln, m in zip(line, max_len):
+        out.append(
+            kernels.segmentize(np.asarray(ln, dtype=np.float64), float(m))
+        )
+    return pd.Series(out)
+
+
+def st_segmentize(line: Column, max_len) -> Column:
+    """ST_Segmentize: densify so no segment exceeds ``max_len``."""
+    max_len = max_len if isinstance(max_len, Column) else F.lit(float(max_len))
+    return _segmentize_udf(line, max_len)

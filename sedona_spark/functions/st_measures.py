@@ -158,3 +158,25 @@ def st_buffer_point(x: Column, y: Column, r: Column, quad_segs: int = 8) -> Colu
             ),
         )
     )
+
+
+def st_project_sphere(
+    lon: Column, lat: Column, bearing_deg: Column, dist_m: Column
+) -> tuple[Column, Column]:
+    """ST_Project on the sphere (the geodesic direct problem, mean-radius
+    haversine convention — reference ``Functions.java`` ST_Project via
+    Spheroid): destination (lon, lat) from a start point, an initial
+    bearing (degrees clockwise from north) and a distance in meters.
+    Pure Column trig — codegen, oracle-mirrorable op-for-op."""
+    rad = F.lit(math.pi / 180.0)
+    phi1 = lat * rad
+    lam1 = lon * rad
+    theta = bearing_deg * rad
+    delta = dist_m / F.lit(_EARTH_RADIUS_M)
+    sin_phi2 = F.sin(phi1) * F.cos(delta) + F.cos(phi1) * F.sin(delta) * F.cos(theta)
+    phi2 = F.asin(sin_phi2)
+    lam2 = lam1 + F.atan2(
+        F.sin(theta) * F.sin(delta) * F.cos(phi1),
+        F.cos(delta) - F.sin(phi1) * sin_phi2,
+    )
+    return lam2 / rad, phi2 / rad

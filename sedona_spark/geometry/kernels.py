@@ -1658,3 +1658,47 @@ def concave_hull(pts: np.ndarray, length_ratio: float = 1.5) -> np.ndarray:
     if float((r[:, 0] * q[:, 1] - q[:, 0] * r[:, 1]).sum()) < 0:
         r = r[::-1]
     return r.ravel()
+
+
+def geometric_median(pts: np.ndarray, iters: int = 100, tol: float = 1e-12):
+    """ST_GeometricMedian (Weiszfeld's algorithm, the reference's
+    ``Functions.java`` geometricMedian): the point minimizing the sum of
+    euclidean distances to the packed point set. Deterministic: centroid
+    init, fixed iteration cap, vertex-coincidence guard."""
+    a = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    x = a.mean(axis=0)
+    for _ in range(iters):
+        d = np.hypot(a[:, 0] - x[0], a[:, 1] - x[1])
+        on_vertex = d < 1e-300
+        if on_vertex.any():
+            # Weiszfeld singularity: check optimality at the vertex
+            rest = a[~on_vertex]
+            dd = np.hypot(rest[:, 0] - x[0], rest[:, 1] - x[1])
+            g = ((rest - x) / dd[:, None]).sum(axis=0)
+            if np.hypot(*g) <= 1.0:
+                return float(x[0]), float(x[1])
+            d = np.maximum(d, 1e-300)
+        w = 1.0 / d
+        nxt = (a * w[:, None]).sum(axis=0) / w.sum()
+        if np.hypot(*(nxt - x)) < tol * (1.0 + np.hypot(*x)):
+            x = nxt
+            break
+        x = nxt
+    return float(x[0]), float(x[1])
+
+
+def segmentize(line: np.ndarray, max_len: float) -> np.ndarray:
+    """ST_Segmentize: insert evenly spaced vertices so no segment exceeds
+    ``max_len`` (each original segment splits into ceil(len/max_len) equal
+    parts — endpoint set preserved, length unchanged)."""
+    a = np.asarray(line, dtype=np.float64).reshape(-1, 2)
+    if len(a) < 2:
+        return a.ravel()
+    out = [a[0]]
+    for i in range(len(a) - 1):
+        seg = a[i + 1] - a[i]
+        ln = float(np.hypot(*seg))
+        parts = max(1, int(math.ceil(ln / float(max_len)))) if ln > 0 else 1
+        for j in range(1, parts + 1):
+            out.append(a[i] + seg * (j / parts))
+    return np.array(out).ravel()

@@ -284,3 +284,29 @@ def test_linear_referencing_kernels():
     # degenerate: zero-length line
     pt = np.array([1.0, 2.0, 1.0, 2.0])
     assert np.allclose(polyline_interpolate(pt, 0.7), [1, 2])
+
+
+def test_geometric_median_and_segmentize():
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import geometric_median, segmentize
+
+    # Weiszfeld optimality: at the result, unit vectors to the points sum
+    # to ~0 (interior case)
+    rs = np.random.RandomState(5)
+    p = rs.rand(9, 2) * 10
+    mx, my = geometric_median(p.ravel())
+    v = p - np.array([mx, my])
+    d = np.hypot(v[:, 0], v[:, 1])
+    g = (v / d[:, None]).sum(axis=0)
+    assert np.hypot(*g) < 1e-6
+    # 3 points: median of a very obtuse triangle is the middle vertex
+    tri = np.array([0.0, 0.0, 1.0, 0.05, 2.0, 0.0])
+    mx, my = geometric_median(tri)
+    assert abs(mx - 1.0) < 1e-9 and abs(my - 0.05) < 1e-9
+    # segmentize: vertex count and length preservation
+    line = np.array([0.0, 0.0, 4.0, 0.0, 4.0, 1.0])
+    out = segmentize(line, 1.5).reshape(-1, 2)
+    dd = np.hypot(*(out[1:] - out[:-1]).T)
+    assert len(out) == 1 + 3 + 1 and (dd <= 1.5 + 1e-12).all()
+    assert abs(dd.sum() - 5.0) < 1e-12
