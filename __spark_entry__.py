@@ -2388,7 +2388,7 @@ pix as (
        lateral (select unnest(range(0, 3)) as v) c)
 select printf('img_%012d', i) as image_id,
        cast(24 as bigint) as out_w, cast(20 as bigint) as out_h,
-       sum((v // 4) * 4 + 2) as pix_sum
+       cast(sum((v // 4) * 4 + 2) as bigint) as pix_sum
 from pix
 group by i
 """
@@ -2460,7 +2460,8 @@ pix as (
        lateral (select unnest(range(0, cast(w as bigint))) as v) x,
        lateral (select unnest(range(0, cast(h as bigint))) as v) y),
 z as ({SQL_ZONES})
-select z.n_nationkey, count(*) as n_pix, sum(val) as sum_val
+select z.n_nationkey, cast(count(*) as bigint) as n_pix,
+       cast(sum(val) as bigint) as sum_val
 from pix, z
 where abs(pix.wx - z.zcx) / z.hx + abs(pix.wy - z.zcy) / z.hy <= 1e0
 group by z.n_nationkey

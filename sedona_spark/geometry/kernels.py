@@ -1168,14 +1168,24 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     if len(np.unique(a, axis=0)) != n:
         return False  # repeated vertex
     b = np.roll(a, -1, axis=0)
-    for i in range(n):
-        for j in range(i + 1, n):
-            adjacent = (j == i + 1) or (i == 0 and j == n - 1)
-            if adjacent:
-                continue
-            if _segments_touch(a[i], b[i], a[j], b[j]):
-                return False
-    return True
+    # all non-adjacent edge pairs (j >= i+2, minus the wrap pair), bbox
+    # prefiltered then one vectorized segment test — no Python pair loop
+    # (1,000-vertex ring = ~500k candidate pairs, trivially batch-sized)
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))
+    i, j = i[keep], j[keep]
+    if len(i) == 0:
+        return True
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    box = (
+        (lo[i, 0] <= hi[j, 0]) & (lo[j, 0] <= hi[i, 0])
+        & (lo[i, 1] <= hi[j, 1]) & (lo[j, 1] <= hi[i, 1])
+    )
+    i, j = i[box], j[box]
+    if len(i) == 0:
+        return True
+    return not _segments_intersect(a[i], b[i], a[j], b[j]).any()
 
 
 def _segments_touch(p1, p2, p3, p4) -> bool:
@@ -1368,14 +1378,53 @@ def _ring_area(p: np.ndarray) -> float:
     return 0.5 * abs(float((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()))
 
 
+def _intersection_witness(pa: np.ndarray, pb: np.ndarray):
+    """A point witnessing pa ∩ pb ≠ ∅ for two simple rings, else None:
+    a vertex of one in/on the other, or the crossing point of a pair of
+    boundary edges (covers overlapping rings whose boundaries cross
+    strictly between vertices). Single-pair helper for shortest-line."""
+    inside_b = point_in_rings_batch(
+        [[pb]] * len(pa), pa[:, 0], pa[:, 1]
+    )
+    if inside_b.any():
+        return pa[int(np.argmax(inside_b))]
+    inside_a = point_in_rings_batch(
+        [[pa]] * len(pb), pb[:, 0], pb[:, 1]
+    )
+    if inside_a.any():
+        return pb[int(np.argmax(inside_a))]
+
+    # edge-pair crossing: all (na, nb) pairs for one ring pair is small
+    a1 = np.repeat(pa, len(pb), axis=0)
+    a2 = np.repeat(np.roll(pa, -1, axis=0), len(pb), axis=0)
+    b1 = np.tile(pb, (len(pa), 1))
+    b2 = np.tile(np.roll(pb, -1, axis=0), (len(pa), 1))
+    hit = _segments_intersect(a1, a2, b1, b2)
+    if not hit.any():
+        return None
+    k = int(np.argmax(hit))
+    p, r = a1[k], a2[k] - a1[k]
+    q, s = b1[k], b2[k] - b1[k]
+    den = r[0] * s[1] - r[1] * s[0]
+    if abs(den) < 1e-300:  # collinear touch: any endpoint on the other seg
+        return a1[k]
+    t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / den
+    return p + np.clip(t, 0.0, 1.0) * r
+
+
 def polygon_shortest_line(a: np.ndarray, b: np.ndarray):
     """(x1, y1, x2, y2, dist) — the shortest segment between two DISJOINT
     simple rings (JTS DistanceOp.nearestPoints via ST_ShortestLine): for
     polygon boundaries the minimum is attained vertex-to-edge (or
     vertex-to-vertex), checked both ways. Intersecting rings return
-    dist 0 with a witness point."""
+    dist 0 with a witness point (a contained vertex, or an edge-crossing
+    point when the boundaries cross between vertices)."""
     pa = np.asarray(a, dtype=np.float64).reshape(-1, 2)
     pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+
+    w = _intersection_witness(pa, pb)
+    if w is not None:
+        return float(w[0]), float(w[1]), float(w[0]), float(w[1]), 0.0
 
     def vert_to_edges(v, poly):
         """min distance + foot for every vertex in ``v`` against every

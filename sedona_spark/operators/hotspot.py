@@ -57,7 +57,10 @@ def getis_ord_gstar(
     (``cells.level_for_extent``) so the band spans ~2 cells per axis —
     fixing the r2 level-7/level-8 mismatch between query and operator."""
     if level is None:
-        level = cells.level_for_extent(radius, max_cells_per_side=2) + 1
+        level = min(
+            cells.MAX_LEVEL,
+            cells.level_for_extent(radius, max_cells_per_side=2) + 1,
+        )
     stats = points.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(value_col).alias("sv"),
