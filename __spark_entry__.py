@@ -1230,6 +1230,160 @@ def q_st_is_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("n_nationkey", st_is_valid(ring).alias("valid"))
 
 
+def q_geom_from_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-model WKT/WKB interop (r4): even nations carry a POLYGON with
+    an interior ring (hole), odd nations a two-part MULTIPOLYGON — all
+    integer coordinates so the canonical re-emitted WKT is string-exact
+    reproducible in SQL. The round trip exercises WKT parse → canonical
+    ring list (shells CCW / holes CW) → net-area/ring/vertex stats →
+    canonical WKT emission → WKB emit + re-parse (area must survive).
+    Reference surface: st_constructors.py ST_GeomFromWKT/ST_AsText/
+    ST_AsBinary/ST_GeomFromWKB; serde GeometrySerializer.java:36-72."""
+    from sedona_spark.functions.st import (
+        st_geom_rings_from_wkb,
+        st_geom_rings_from_wkt,
+        st_rings_as_wkb,
+        st_rings_as_wkt,
+        st_rings_stats,
+    )
+
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey")
+    w, h, hx2, mx = k + 10, (k % 5) + 8, (k % 3) + 4, k + 100
+    poly = F.format_string(
+        "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0), "
+        "(2 2, 2 4, %d 4, %d 2, 2 2))",
+        w, w, h, h, hx2, hx2,
+    )
+    mpoly = F.format_string(
+        "MULTIPOLYGON (((0 0, %d 0, %d %d, 0 %d, 0 0)), "
+        "((100 0, %d 0, %d 3, 100 3, 100 0)))",
+        w, w, h, h, mx, mx,
+    )
+    rings = st_geom_rings_from_wkt(F.when(k % 2 == 0, poly).otherwise(mpoly))
+    rt = st_geom_rings_from_wkb(st_rings_as_wkb(rings))
+    s1 = st_rings_stats(rings)
+    s2 = st_rings_stats(rt)
+    return na.select(
+        "n_nationkey",
+        F.round(s1.getField("area"), 6).alias("area"),
+        s1.getField("n_rings").alias("n_rings"),
+        s1.getField("nv").alias("nv"),
+        st_rings_as_wkt(rings).alias("wkt_out"),
+        F.round(s2.getField("area"), 6).alias("area_wkb"),
+    )
+
+
+def _geom_from_wkt_sql() -> str:
+    area = (
+        "case when k % 2 = 0 then (k+10)*((k%5)+8) - 2*((k%3)+2) "
+        "else (k+10)*((k%5)+8) + 3*k end"
+    )
+    return f"""
+with n as (select n_nationkey as k from nation)
+select k as n_nationkey,
+       round(cast({area} as double), 6) as area,
+       cast(2 as bigint) as n_rings,
+       cast(8 as bigint) as nv,
+       case when k % 2 = 0 then printf(
+         'POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0), (2 2, 2 4, %d 4, %d 2, 2 2))',
+         k+10, k+10, (k%5)+8, (k%5)+8, (k%3)+4, (k%3)+4)
+       else printf(
+         'MULTIPOLYGON (((0 0, %d 0, %d %d, 0 %d, 0 0)), ((100 0, %d 0, %d 3, 100 3, 100 0)))',
+         k+10, k+10, (k%5)+8, (k%5)+8, k+100, k+100) end as wkt_out,
+       round(cast({area} as double), 6) as area_wkb
+from n
+"""
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface (r4): one ``spark.sql()`` statement whose
+    body uses the registered ST_ catalog (``sedona_spark.register``),
+    mirroring the reference's primary entry point
+    (``Catalog.registerAll``, ``SedonaContext.scala:67-122``). Exercises
+    both registration tiers in one query: inlined SQL scalar UDFs
+    (ST_MakeEnvelope/Area/Perimeter/NumPoints/Distance/Centroid/GeoHash —
+    whole-stage codegen) and Arrow-batched pandas UDFs addressed from SQL
+    (ST_Contains over the ternary ST_PIP classifier)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as rect,
+             array(array(zcx - hx, zcy, zcx, zcy - hy,
+                         zcx + hx, zcy, zcx, zcy + hy)) as dia
+      from z)
+select n_nationkey,
+       round(ST_Area(rect), 6) as rect_area,
+       round(ST_Perimeter(rect), 6) as perim,
+       cast(ST_NumPoints(rect) as bigint) as np,
+       round(ST_Distance(zcx, zcy, 0e0, 0e0), 6) as d_origin,
+       round(ST_Centroid(rect).cx, 6) as ccx,
+       ST_GeoHash(zcx, zcy, 5) as gh,
+       ST_Contains(dia, zcx, zcy) as c_in,
+       ST_Contains(dia, zcx + 2e0 * hx, zcy) as c_out
+from g
+""")
+
+
+def _sql_api_sql() -> str:
+    from sedona_spark.functions.geohash import sql_geohash
+
+    gh = sql_geohash("zcx", "zcy", 5)
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       round(4e0 * hx * hy, 6) as rect_area,
+       round(4e0 * (hx + hy), 6) as perim,
+       cast(4 as bigint) as np,
+       round(sqrt(zcx * zcx + zcy * zcy), 6) as d_origin,
+       round(zcx, 6) as ccx,
+       {gh} as gh,
+       true as c_in,
+       false as c_out
+from z
+"""
+
+
+def q_st_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid (r4, reference ``Catalog.scala:114``): odd nations'
+    bowtie rings (the st_is_valid fixture) are repaired into their two
+    even-odd triangles — planar face tracing in ``kernels.make_valid`` —
+    while even nations' valid rects pass through unchanged. Closed-form
+    oracle: bowtie interior = 2 triangles of hx·hy each; rect = 4·hx·hy."""
+    from sedona_spark.functions.st import st_make_valid, st_rings_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    rect = F.array(x0, y0, x1, y0, x1, y1, x0, y1)
+    bowtie = F.array(x0, y0, x1, y1, x1, y0, x0, y1)
+    ring = F.when(F.col("n_nationkey") % 2 == 1, bowtie).otherwise(rect)
+    s = st_rings_stats(st_make_valid(ring))
+    return z.select(
+        "n_nationkey",
+        s.getField("n_rings").alias("n_pieces"),
+        F.round(s.getField("area"), 6).alias("valid_area"),
+    )
+
+
+def _st_make_valid_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(case when n_nationkey % 2 = 1 then 2 else 1 end as bigint)
+         as n_pieces,
+       round(case when n_nationkey % 2 = 1 then 2e0 * hx * hy
+             else 4e0 * hx * hy end, 6) as valid_area
+from z
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -1551,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2-green queries (still judge-checkable via tools/driver_check.py) and
     the three rows-only fast paths last."""
     return {
+        # --- new in r4 ---
+        "geom_from_wkt": q_geom_from_wkt,
+        "sql_api": q_sql_api,
+        "st_make_valid": q_st_make_valid,
         # --- new in r3 ---
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
@@ -1652,6 +1810,9 @@ def oracle_sql() -> dict[str, str]:
     zon = f"({SQL_ZONES})"
     reg = f"({SQL_REGION_RECTS})"
     return {
+        "geom_from_wkt": _geom_from_wkt_sql(),
+        "sql_api": _sql_api_sql(),
+        "st_make_valid": _st_make_valid_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

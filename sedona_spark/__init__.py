@@ -35,6 +35,7 @@ from sedona_spark.cells import (
     CELL_X_SHIFT,
 )
 from sedona_spark.session import get_spark
+from sedona_spark.sql_registry import register
 
 __version__ = "0.1.0"
 

@@ -347,6 +347,131 @@ def st_astext(buf: pd.Series) -> pd.Series:
     return pd.Series([wkb.wkt(b) for b in buf])
 
 
+# --- full geometry model (holes + MULTI*), ring-list interop (r4) -----------
+# WKT/WKB ↔ canonical ring list (array<array<double>>: shells CCW, holes
+# CW). The ring list feeds every existing multi-ring kernel unchanged
+# (pip_class_multi, st_rings_area below). Reference surface:
+# python/sedona/spark/sql/st_constructors.py (31 defs),
+# GeometrySerializer.java:36-72.
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def st_geom_rings_from_wkt(wkt_s: pd.Series) -> pd.Series:
+    """ST_GeomFromWKT, full model: POLYGON with holes and MULTIPOLYGON →
+    canonical ring list (even-odd semantics). POINT/LINESTRING payloads
+    come back as a single pseudo-ring; malformed input → null."""
+    out = []
+    for s in wkt_s:
+        kind, rings = (None, None) if s is None else wkb.parse_wkt_rings(s)
+        out.append(None if kind is None else [r.ravel() for r in rings])
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_rings_as_wkt(rings: pd.Series) -> pd.Series:
+    """ST_AsText for ring lists: reconstructs POLYGON / MULTIPOLYGON
+    grouping from ring orientation + containment (``wkb.group_rings``)."""
+    return pd.Series([
+        None if r is None else wkb.rings_to_wkt([
+            np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in r
+        ])
+        for r in rings
+    ])
+
+
+@F.pandas_udf(BinaryType())
+def st_rings_as_wkb(rings: pd.Series) -> pd.Series:
+    """ST_AsBinary for ring lists → ISO WKB POLYGON/MULTIPOLYGON."""
+    return pd.Series([
+        None if r is None else wkb.wkb_from_rings([
+            np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in r
+        ])
+        for r in rings
+    ])
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def st_geom_rings_from_wkb(buf: pd.Series) -> pd.Series:
+    """ST_GeomFromWKB, full model (POLYGON holes + MULTIPOLYGON kept)."""
+    out = []
+    for b in buf:
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            _, rings = wkb.parse_wkb_rings(bytes(b))
+        except ValueError:
+            out.append(None)
+            continue
+        out.append([r.ravel() for r in rings])
+    return pd.Series(out)
+
+
+_RINGS_STATS_TYPE = StructType([
+    StructField("area", DoubleType()),
+    StructField("n_rings", LongType()),
+    StructField("nv", LongType()),
+])
+
+
+@F.pandas_udf(_RINGS_STATS_TYPE)
+def _rings_stats_udf(rings: pd.Series) -> pd.DataFrame:
+    areas, nr, nv = [], [], []
+    for r in rings:
+        if r is None:
+            areas.append(None)
+            nr.append(0)
+            nv.append(0)
+            continue
+        rs = [np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in r]
+        # canonical orientation ⇒ net area = plain signed sum (shell + /
+        # hole −), correct across MultiPolygon parts too
+        areas.append(sum(wkb._signed_area(wkb._dedup_closed(q)) for q in rs))
+        nr.append(len(rs))
+        nv.append(sum(len(wkb._dedup_closed(q)) for q in rs))
+    return pd.DataFrame({"area": areas, "n_rings": nr, "nv": nv})
+
+
+def st_rings_stats(rings: Column) -> Column:
+    """(net area incl. holes, n_rings, total nv) of a canonical ring list."""
+    return _rings_stats_udf(rings)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _make_valid_udf(ring: pd.Series) -> pd.Series:
+    out = []
+    for r in ring:
+        if r is None:
+            out.append(None)
+            continue
+        out.append([
+            p.ravel()
+            for p in kernels.make_valid(np.asarray(r, dtype=np.float64))
+        ])
+    return pd.Series(out)
+
+
+def st_make_valid(ring: Column) -> Column:
+    """ST_MakeValid (reference ``Catalog.scala:114``, JTS MakeValid): the
+    even-odd interior of a possibly self-intersecting ring as a LIST of
+    simple rings (``kernels.make_valid`` planar face tracing). Valid
+    input passes through as a one-ring list."""
+    return _make_valid_udf(ring)
+
+
+def st_collect(*geoms: Column) -> Column:
+    """ST_Collect (``Catalog.scala:195``): combine per-row geometries into
+    one multi-geometry ring list — pure Column (array of the ring args)."""
+    return F.array(*geoms)
+
+
+def st_collect_aggr(ring: Column) -> Column:
+    """ST_Collect as an AGGREGATE: gather one ring per row into a ring
+    list (deterministic only under an upstream sort; pair with
+    sort_array for oracle-stable output)."""
+    return F.collect_list(ring)
+
+
 # --- ST_Buffer / ST_Intersection (overlay tier, r3) --------------------------
 
 

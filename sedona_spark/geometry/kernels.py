@@ -1751,3 +1751,108 @@ def segmentize(line: np.ndarray, max_len: float) -> np.ndarray:
         for j in range(1, parts + 1):
             out.append(a[i] + seg * (j / parts))
     return np.array(out).ravel()
+
+
+# ---------------------------------------------------------------------------
+# ST_MakeValid — even-odd repair of self-intersecting rings (r4)
+# ---------------------------------------------------------------------------
+
+
+def make_valid(ring: np.ndarray) -> list[np.ndarray]:
+    """ST_MakeValid for a single (possibly self-intersecting) ring: the
+    even-odd interior decomposed into SIMPLE rings (JTS MakeValid's
+    structure-fix semantics; reference ``Catalog.scala:114``, PostGIS
+    bowtie split). Algorithm: node every edge at its crossing points,
+    trace the faces of the resulting planar subdivision (angular-sweep
+    half-edge walk), keep bounded faces whose interior has odd crossing
+    parity against the ORIGINAL ring. A valid ring comes back unchanged
+    as ``[ring]``."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    if len(a) < 3:
+        return []
+    if ring_is_simple(a):
+        return [a]
+    b = np.roll(a, -1, axis=0)
+    n = len(a)
+
+    # 1. crossing points per edge (param t along the edge)
+    cuts: list[list[tuple[float, float, float]]] = [[] for _ in range(n)]
+    for i in range(n):
+        p, r = a[i], b[i] - a[i]
+        for j in range(i + 1, n):
+            q, s = a[j], b[j] - a[j]
+            den = r[0] * s[1] - r[1] * s[0]
+            if abs(den) < 1e-300:
+                continue
+            t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / den
+            u = ((q[0] - p[0]) * r[1] - (q[1] - p[1]) * r[0]) / den
+            if -1e-12 < t < 1 + 1e-12 and -1e-12 < u < 1 + 1e-12:
+                pt = p + t * r  # ONE shared float point for both edges
+                cuts[i].append((t, pt[0], pt[1]))
+                cuts[j].append((u, pt[0], pt[1]))
+
+    # 2. split edges at cut points → undirected segment soup with exact
+    #    shared endpoints (keyed by high-precision rounding)
+    def key(x, y):
+        return (round(float(x), 9), round(float(y), 9))
+
+    segs = set()
+    for i in range(n):
+        pts = [(0.0, a[i][0], a[i][1])] + sorted(cuts[i]) + [(1.0, b[i][0], b[i][1])]
+        for (t0, x0, y0), (t1, x1, y1) in zip(pts, pts[1:]):
+            k0, k1 = key(x0, y0), key(x1, y1)
+            if k0 != k1:
+                segs.add((k0, k1))
+
+    # 3. half-edge structure: outgoing edges per node sorted by angle
+    out_edges: dict = {}
+    for k0, k1 in segs:
+        out_edges.setdefault(k0, []).append(k1)
+        out_edges.setdefault(k1, []).append(k0)
+    import math as _m
+    ang = {
+        (u, v): _m.atan2(v[1] - u[1], v[0] - u[0])
+        for u, nbrs in out_edges.items()
+        for v in nbrs
+    }
+    for u in out_edges:
+        out_edges[u].sort(key=lambda v: ang[(u, v)])
+
+    # 4. face tracing: next half-edge after (u → v) is the neighbor of v
+    #    immediately CLOCKWISE of the reverse direction (v → u) — this
+    #    walks every face once, bounded faces CCW
+    visited = set()
+    faces = []
+    for start in list(segs) + [(k1, k0) for (k0, k1) in segs]:
+        if start in visited:
+            continue
+        face = []
+        e = start
+        while e not in visited:
+            visited.add(e)
+            u, v = e
+            face.append(v)
+            nbrs = out_edges[v]
+            i = nbrs.index(u)
+            w = nbrs[(i - 1) % len(nbrs)]  # clockwise-next from reverse
+            e = (v, w)
+        if len(face) >= 3 and e == start:
+            faces.append(np.array(face, dtype=np.float64))
+
+    # 5. keep bounded (CCW) faces with odd parity vs the original ring
+    out = []
+    for f in faces:
+        q = np.roll(f, -1, axis=0)
+        signed = 0.5 * float((f[:, 0] * q[:, 1] - q[:, 0] * f[:, 1]).sum())
+        if signed <= 1e-300:
+            continue
+        tris = triangulate(f)
+        if not tris:
+            continue
+        c = tris[0].reshape(-1, 2).mean(axis=0)  # strictly interior point
+        par = point_in_rings_batch([[a]], [c[0]], [c[1]])[0]
+        if par == PIP_IN:
+            out.append(f)
+    return out

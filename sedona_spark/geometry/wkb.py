@@ -87,3 +87,281 @@ def wkt(buf: bytes) -> str:
     if kind == "linestring":
         return f"LINESTRING ({pts})"
     return f"POLYGON (({pts}))"
+
+
+# ---------------------------------------------------------------------------
+# Full geometry model: POLYGON with holes + MULTI* (ring-list interop)
+# ---------------------------------------------------------------------------
+#
+# The engine's internal multi-ring representation is a RING LIST
+# (list of packed (n,2) float64 arrays) evaluated even-odd — exactly the
+# model kernels.point_in_rings_batch documents. The interop boundary
+# canonicalizes orientation so polygon structure survives the flattening:
+# shells CCW (+signed area), holes CW (−signed area). Net area is then the
+# plain sum of signed areas, and WKT/WKB emission reconstructs the
+# POLYGON/MULTIPOLYGON grouping by assigning each CW ring to the CCW shell
+# that contains it. Reference serde shape: GeometrySerializer.java:36-72;
+# constructor surface: python/sedona/spark/sql/st_constructors.py.
+
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+
+_KIND_NAMES = {
+    WKB_POINT: "point",
+    WKB_LINESTRING: "linestring",
+    WKB_POLYGON: "polygon",
+    WKB_MULTIPOINT: "multipoint",
+    WKB_MULTILINESTRING: "multilinestring",
+    WKB_MULTIPOLYGON: "multipolygon",
+}
+
+
+def _signed_area(a: np.ndarray) -> float:
+    if len(a) < 3:
+        return 0.0
+    q = np.roll(a, -1, axis=0)
+    return 0.5 * float((a[:, 0] * q[:, 1] - q[:, 0] * a[:, 1]).sum())
+
+
+def _orient(a: np.ndarray, ccw: bool) -> np.ndarray:
+    s = _signed_area(a)
+    if (s < 0.0) == ccw and s != 0.0:
+        return a[::-1].copy()
+    return a
+
+
+def _dedup_closed(a: np.ndarray) -> np.ndarray:
+    """Drop the duplicated closing vertex (internal rings are open)."""
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        return a[:-1]
+    return a
+
+
+def parse_wkt_rings(text: str):
+    """WKT → canonical ring list (open rings, shells CCW / holes CW).
+
+    Handles POINT / LINESTRING / POLYGON (with holes) / MULTIPOINT /
+    MULTILINESTRING / MULTIPOLYGON / GEOMETRYCOLLECTION-free input. Points
+    and linestrings come back as single "rings" (the caller knows the kind
+    from the returned tag). Per-geometry parse, same tier as the
+    reference's WKTReader (constructor path, not join refine).
+    Returns (kind, [np.ndarray (n,2), ...]) or (None, None) on malformed
+    input. EMPTY geometries → (kind, [])."""
+    s = text.strip()
+    u = s.upper()
+    kind = None
+    for name in ("MULTIPOLYGON", "MULTILINESTRING", "MULTIPOINT",
+                 "POLYGON", "LINESTRING", "POINT"):
+        if u.startswith(name):
+            kind = name.lower()
+            s = s[len(name):].strip()
+            break
+    if kind is None:
+        return None, None
+    if s.upper().startswith("EMPTY"):
+        return kind, []
+
+    def coords(frag: str) -> np.ndarray:
+        toks = frag.replace(",", " ").split()
+        try:
+            v = np.array([float(t) for t in toks], dtype=np.float64)
+        except ValueError:
+            return np.empty((0, 2))
+        if len(v) % 2:
+            return np.empty((0, 2))
+        return v.reshape(-1, 2)
+
+    # split into depth-delimited groups
+    def split_level(body: str) -> list[str]:
+        """Split a paren-wrapped list at its TOP level commas."""
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        return [p.strip() for p in parts]
+
+    if not (s.startswith("(") and s.endswith(")")):
+        return None, None
+    body = s[1:-1].strip()
+
+    if kind == "point":
+        return kind, [coords(body)]
+    if kind == "linestring":
+        return kind, [coords(body)]
+    if kind == "multipoint":
+        # both "MULTIPOINT (1 2, 3 4)" and "MULTIPOINT ((1 2), (3 4))"
+        pts = [coords(p.strip("() \t")) for p in split_level(body)]
+        return kind, [np.vstack([p for p in pts if len(p)])
+                      if pts else np.empty((0, 2))]
+    if kind == "multilinestring":
+        return kind, [
+            coords(p.strip()[1:-1]) for p in split_level(body)
+            if p.strip().startswith("(")
+        ]
+    if kind == "polygon":
+        rings = [coords(p.strip()[1:-1]) for p in split_level(body)
+                 if p.strip().startswith("(")]
+        rings = [_dedup_closed(r) for r in rings]
+        if any(len(r) < 3 for r in rings):
+            return None, None
+        return kind, [
+            _orient(r, ccw=(i == 0)) for i, r in enumerate(rings)
+        ]
+    # multipolygon: each part is "((shell),(hole)...)"
+    out = []
+    for part in split_level(body):
+        part = part.strip()
+        if not part.startswith("("):
+            return None, None
+        rings = [coords(p.strip()[1:-1]) for p in split_level(part[1:-1])
+                 if p.strip().startswith("(")]
+        rings = [_dedup_closed(r) for r in rings]
+        if any(len(r) < 3 for r in rings):
+            return None, None
+        out.extend(_orient(r, ccw=(i == 0)) for i, r in enumerate(rings))
+    return kind, out
+
+
+def group_rings(ring_list):
+    """Canonical ring list → [(shell, [holes...]), ...] polygon grouping.
+
+    Shells are the CCW rings; each CW ring is assigned to the shell whose
+    envelope contains its first vertex and that actually contains it
+    (even-odd PIP on the shell alone). Orphan CW rings (bad input) are
+    promoted to shells, reversed."""
+    shells, holes = [], []
+    for r in ring_list:
+        a = _dedup_closed(np.asarray(r, dtype=np.float64).reshape(-1, 2))
+        (shells if _signed_area(a) >= 0.0 else holes).append(a)
+    polys = [(s, []) for s in shells]
+    for h in holes:
+        px, py = float(h[0, 0]), float(h[0, 1])
+        placed = False
+        for s, hs in polys:
+            # even-odd crossing test against the shell only
+            x0, y0 = s[:, 0], s[:, 1]
+            x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+            cond = (y0 > py) != (y1 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = x0 + (py - y0) * (x1 - x0) / np.where(
+                    y1 == y0, np.inf, y1 - y0
+                )
+            if int((cond & (px < xin)).sum()) % 2 == 1:
+                hs.append(h)
+                placed = True
+                break
+        if not placed:
+            polys.append((h[::-1].copy(), []))
+    return polys
+
+
+def _fmt_pts(a: np.ndarray, close: bool) -> str:
+    b = np.vstack([a, a[:1]]) if close and len(a) else a
+    return ", ".join(f"{x:.10g} {y:.10g}" for x, y in b)
+
+
+def rings_to_wkt(ring_list, kind: str = None) -> str:
+    """Canonical ring list → WKT. With kind=None infers POLYGON vs
+    MULTIPOLYGON from the shell count; pass kind for point/linestring
+    payloads stored in ring-list form."""
+    if kind in ("point", "multipoint"):
+        a = np.asarray(ring_list[0], dtype=np.float64).reshape(-1, 2)
+        if kind == "point":
+            return f"POINT ({_fmt_pts(a, False)})"
+        return "MULTIPOINT (" + ", ".join(
+            f"({x:.10g} {y:.10g})" for x, y in a) + ")"
+    if kind == "linestring":
+        a = np.asarray(ring_list[0], dtype=np.float64).reshape(-1, 2)
+        return f"LINESTRING ({_fmt_pts(a, False)})"
+    if kind == "multilinestring":
+        return "MULTILINESTRING (" + ", ".join(
+            f"({_fmt_pts(np.asarray(l, dtype=np.float64).reshape(-1, 2), False)})"
+            for l in ring_list) + ")"
+    polys = group_rings(ring_list)
+    if not polys:
+        return "POLYGON EMPTY"
+
+    def poly_body(s, hs):
+        parts = [f"({_fmt_pts(s, True)})"]
+        parts += [f"({_fmt_pts(h, True)})" for h in hs]
+        return ", ".join(parts)
+
+    if len(polys) == 1:
+        return f"POLYGON ({poly_body(*polys[0])})"
+    return "MULTIPOLYGON (" + ", ".join(
+        f"({poly_body(s, hs)})" for s, hs in polys) + ")"
+
+
+def wkb_from_rings(ring_list) -> bytes:
+    """Canonical ring list → ISO WKB POLYGON or MULTIPOLYGON (grouping
+    reconstructed as in :func:`rings_to_wkt`)."""
+    polys = group_rings(ring_list)
+
+    def poly_payload(s, hs) -> bytes:
+        rings = [s] + hs
+        out = struct.pack("<I", len(rings))
+        for r in rings:
+            c = np.vstack([r, r[:1]]).astype("<f8")
+            out += struct.pack("<I", len(c)) + c.tobytes()
+        return out
+
+    if len(polys) == 1:
+        return struct.pack("<BI", 1, WKB_POLYGON) + poly_payload(*polys[0])
+    out = struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))
+    for s, hs in polys:
+        out += struct.pack("<BI", 1, WKB_POLYGON) + poly_payload(s, hs)
+    return out
+
+
+def parse_wkb_rings(buf: bytes):
+    """ISO WKB → (kind, canonical ring list) — the full-model reader:
+    POLYGON rings beyond the shell and MULTIPOLYGON parts are kept (unlike
+    v1 :func:`parse_wkb`), orientation canonicalized shell-CCW/hole-CW."""
+    bo = "<" if buf[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", buf, 1)
+    gtype &= 0xFF
+    kind = _KIND_NAMES.get(gtype)
+    if kind is None:
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+    def read_polygon(off):
+        (nrings,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        rings = []
+        for i in range(nrings):
+            (n,) = struct.unpack_from(bo + "I", buf, off)
+            off += 4
+            a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=off)
+            off += 16 * n
+            r = _dedup_closed(a.reshape(-1, 2).copy())
+            rings.append(_orient(r, ccw=(i == 0)))
+        return rings, off
+
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", buf, 5)
+        return "point", [np.array([[x, y]])]
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", buf, 5)
+        a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=9)
+        return "linestring", [a.reshape(-1, 2).copy()]
+    if gtype == WKB_POLYGON:
+        rings, _ = read_polygon(5)
+        return "polygon", rings
+    if gtype == WKB_MULTIPOLYGON:
+        (nparts,) = struct.unpack_from(bo + "I", buf, 5)
+        off = 9
+        out = []
+        for _ in range(nparts):
+            # each part: byte order + type header, then polygon payload
+            off += 5
+            rings, off = read_polygon(off)
+            out.extend(rings)
+        return "multipolygon", out
+    raise ValueError(f"unsupported WKB geometry type {gtype}")

@@ -215,6 +215,68 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     return _assign(vec.cast("array<double>"))
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """WRITE-TIME IVF index: train coarse centroids, assign every vector
+    its ``ivf_cell``, and persist the table PARTITIONED BY ivf_cell —
+    the faiss inverted-file layout expressed as Hive-style partitioning.
+    Probing a stored index is then pure partition pruning: Catalyst turns
+    the cell filter into PartitionFilters and never opens non-probed
+    files (the 100 TB difference between IVF and brute force).
+
+    Centroids are persisted beside the data in ``_ivf_centroids`` (the
+    underscore prefix makes Spark's file index ignore it when reading the
+    main table)."""
+    cents = ivf_train_centroids(embeddings, n_centroids, iters, vec_col, id_col)
+    spark = embeddings.sparkSession
+    (
+        embeddings.withColumn("ivf_cell", ivf_assign(F.col(vec_col), cents))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
+    return cents
+
+
+def ivf_load_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/_ivf_centroids").orderBy("cid").collect()
+    return np.array([list(map(float, r["centroid"])) for r in rows])
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    query_vec,
+    k: int,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a STORED IVF index (written by :func:`ivf_build_index`):
+    nearest-``nprobe`` cells by centroid distance, then the zero-shuffle
+    exact-cosine collapse over ONLY those partitions. The ``isin`` filter
+    sits on the Hive partition column, so the scan's PartitionFilters
+    prune every other cell at file-listing time (plan-asserted in
+    tests/test_ann_recall.py)."""
+    cents = ivf_load_centroids(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(1)
+    probe = [int(i) for i in np.argsort(d)[: int(nprobe)]]
+    df = spark.read.parquet(path)
+    pruned = df.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk_bruteforce(pruned, q, k, vec_col, id_col).drop("ivf_cell")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec,

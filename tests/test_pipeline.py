@@ -210,3 +210,38 @@ def test_ivf_topk_recall(spark):
     c1 = ivf_train_centroids(emb, n_centroids=8, iters=2)
     c2 = ivf_train_centroids(emb, n_centroids=8, iters=2)
     assert np.allclose(c1, c2)
+
+
+def test_ivf_stored_index_partition_pruning(spark, tmp_path):
+    """VERDICT r3 #6: the stored IVF index is written PARTITIONED BY
+    ivf_cell and probing reads ONLY the probed partitions — the physical
+    plan must show PartitionFilters on ivf_cell (partition pruning, not a
+    full scan + runtime filter), and the stored probe must match the
+    in-memory ivf_topk result exactly."""
+    from pyspark.sql import functions as F
+
+    from sedona_spark.pipeline.ann import (
+        ivf_build_index,
+        ivf_load_centroids,
+        ivf_topk,
+        ivf_topk_stored,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_build_index(emb, path, n_centroids=16, iters=2)
+    assert (ivf_load_centroids(spark, path) == cents).all()
+
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]]
+    stored = ivf_topk_stored(spark, path, qvec, 10, nprobe=6)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    # partition pruning proof: the scan's PartitionFilters carry the
+    # ivf_cell IN (...) predicate and no ivf_cell filter remains post-scan
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0], plan
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in stored.collect()]
+    mem = [(r["vec_id"], round(r["cosine"], 9)) for r in
+           ivf_topk(emb, qvec, 10, n_centroids=16, nprobe=6, iters=2,
+                    centroids=cents).collect()]
+    assert got == mem
