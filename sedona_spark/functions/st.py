@@ -411,25 +411,34 @@ _RINGS_STATS_TYPE = StructType([
     StructField("area", DoubleType()),
     StructField("n_rings", LongType()),
     StructField("nv", LongType()),
+    StructField("n_holes", LongType()),
 ])
 
 
 @F.pandas_udf(_RINGS_STATS_TYPE)
 def _rings_stats_udf(rings: pd.Series) -> pd.DataFrame:
-    areas, nr, nv = [], [], []
+    areas, nr, nv, nh = [], [], [], []
     for r in rings:
         if r is None:
             areas.append(None)
             nr.append(0)
             nv.append(0)
+            nh.append(0)
             continue
-        rs = [np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in r]
+        rs = [
+            wkb._dedup_closed(np.asarray(q, dtype=np.float64).reshape(-1, 2))
+            for q in r
+        ]
+        signed = [wkb._signed_area(q) for q in rs]
         # canonical orientation ⇒ net area = plain signed sum (shell + /
         # hole −), correct across MultiPolygon parts too
-        areas.append(sum(wkb._signed_area(wkb._dedup_closed(q)) for q in rs))
+        areas.append(sum(signed))
         nr.append(len(rs))
-        nv.append(sum(len(wkb._dedup_closed(q)) for q in rs))
-    return pd.DataFrame({"area": areas, "n_rings": nr, "nv": nv})
+        nv.append(sum(len(q) for q in rs))
+        nh.append(sum(1 for s in signed if s < 0.0))
+    return pd.DataFrame(
+        {"area": areas, "n_rings": nr, "nv": nv, "n_holes": nh}
+    )
 
 
 def st_rings_stats(rings: Column) -> Column:
@@ -837,6 +846,46 @@ def st_difference_general(a: Column, b: Column) -> Column:
 def st_union_general(a: Column, b: Column) -> Column:
     """ST_Union for ARBITRARY simple rings as an exact disjoint tiling."""
     return _union_general_udf(a, b)
+
+
+def _dissolved_udf_factory(kernel_fn):
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ra, rb in zip(a, b):
+            pieces = kernel_fn(
+                np.asarray(ra, dtype=np.float64),
+                np.asarray(rb, dtype=np.float64),
+            )
+            out.append([r.ravel() for r in kernels.dissolve_tiles(pieces)])
+        return pd.Series(out)
+
+    return _udf
+
+
+_difference_poly_udf = _dissolved_udf_factory(kernels.difference_general)
+_union_poly_udf = _dissolved_udf_factory(kernels.union_general)
+_intersection_poly_udf = _dissolved_udf_factory(kernels.clip_general)
+
+
+def st_difference_poly(a: Column, b: Column) -> Column:
+    """ST_Difference returning the CANONICAL polygon form (VERDICT r3 #9):
+    the exact disjoint tiling of a \\ b dissolved into boundary rings —
+    shells CCW, holes CW (``kernels.dissolve_tiles``) — so a clip strictly
+    inside the subject yields the polygon WITH its hole, matching the JTS
+    OverlayNG output shape instead of a tile list. Feeds st_rings_stats /
+    st_rings_as_wkt directly."""
+    return _difference_poly_udf(a, b)
+
+
+def st_union_poly(a: Column, b: Column) -> Column:
+    """ST_Union in canonical polygon form (dissolved boundary rings)."""
+    return _union_poly_udf(a, b)
+
+
+def st_intersection_poly(a: Column, b: Column) -> Column:
+    """ST_Intersection in canonical polygon form (dissolved rings)."""
+    return _intersection_poly_udf(a, b)
 
 
 @F.pandas_udf(ArrayType(ArrayType(DoubleType())))

@@ -1856,3 +1856,169 @@ def make_valid(ring: np.ndarray) -> list[np.ndarray]:
         if par == PIP_IN:
             out.append(f)
     return out
+
+
+def dissolve_tiles(tiles: list[np.ndarray], tol: float = 1e-9) -> list[np.ndarray]:
+    """Disjoint convex tiling → canonical boundary ring list (shells CCW,
+    holes CW) — the JTS-OverlayNG-shaped output for the tiling overlays
+    (VERDICT r3 #9): interior edges shared by two tiles cancel, the
+    surviving boundary edges are walked into closed loops, and loop
+    orientation falls out as shell-CCW / hole-CW automatically.
+
+    T-junctions (one tile's edge spanning two neighbors' edges) are noded
+    first: every edge is split at any OTHER tile vertex lying on it within
+    ``tol``, so partial-overlap cancellation is exact."""
+    import collections
+
+    def key(x, y):
+        return (round(float(x), 9), round(float(y), 9))
+
+    norm = []
+    verts: dict = {}
+    for t in tiles:
+        a = np.asarray(t, dtype=np.float64).reshape(-1, 2)
+        if len(a) >= 2 and (a[0] == a[-1]).all():
+            a = a[:-1]
+        if len(a) < 3 or _ring_area(a) <= 0.0:
+            continue
+        q = np.roll(a, -1, axis=0)
+        if float((a[:, 0] * q[:, 1] - q[:, 0] * a[:, 1]).sum()) < 0:
+            a = a[::-1]
+        norm.append(a)
+        for p in a:
+            verts.setdefault(key(p[0], p[1]), (float(p[0]), float(p[1])))
+    if not norm:
+        return []
+
+    # snap-merge vertex twins: two tiles can carry the SAME corner as
+    # floats differing in the last bits that round to DIFFERENT keys
+    # (boundary-straddling) — cluster keys within ``tol`` via a 3×3
+    # bucket scan + union-find so every corner has ONE canonical key
+    parent: dict = {k: k for k in verts}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    buckets: dict = {}
+    inv = 1.0 / (10.0 * tol)
+    for k in verts:
+        buckets.setdefault(
+            (int(np.floor(k[0] * inv)), int(np.floor(k[1] * inv))), []
+        ).append(k)
+    for (bx, by), ks in buckets.items():
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(buckets.get((bx + dx, by + dy), []))
+        for k in ks:
+            for c in cand:
+                if c != k and abs(c[0] - k[0]) <= 2 * tol and abs(c[1] - k[1]) <= 2 * tol:
+                    ra, rb = find(k), find(c)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    canon = {k: find(k) for k in verts}
+    verts = {find(k): verts[find(k)] for k in verts}
+
+    vkeys = list(verts.keys())
+    vc = np.array([verts[k] for k in vkeys], dtype=np.float64)
+
+    # directed sub-edges after noding at collinear interior vertices
+    count: collections.Counter = collections.Counter()
+    for a in norm:
+        b = np.roll(a, -1, axis=0)
+        for p, q in zip(a, b):
+            d = q - p
+            l2 = float(d @ d)
+            if l2 <= 0.0:
+                continue
+            tpar = ((vc - p) @ d) / l2
+            perp = np.abs((vc[:, 0] - p[0]) * d[1] - (vc[:, 1] - p[1]) * d[0])
+            on = (perp <= tol * np.sqrt(l2)) & (tpar > 1e-12) & (tpar < 1 - 1e-12)
+            inner = sorted(
+                (float(tpar[i]), vkeys[i]) for i in np.flatnonzero(on)
+            )
+            chain = [canon[key(p[0], p[1])]] + [k for _, k in inner] + [
+                canon[key(q[0], q[1])]
+            ]
+            for k0, k1 in zip(chain, chain[1:]):
+                if k0 == k1:
+                    continue
+                if count[(k1, k0)] > 0:
+                    count[(k1, k0)] -= 1  # interior edge cancels
+                else:
+                    count[(k0, k1)] += 1
+
+    out_edges: dict = {}
+    for (k0, k1), c in count.items():
+        if c > 0:
+            out_edges.setdefault(k0, []).append(k1)
+            out_edges.setdefault(k1, [])
+
+    import math as _m
+
+    for u in out_edges:
+        out_edges[u].sort(
+            key=lambda v: _m.atan2(verts[v][1] - verts[u][1],
+                                   verts[v][0] - verts[u][0])
+        )
+
+    # walk loops; at pinch vertices take the most-clockwise turn from the
+    # reverse direction (same convention as make_valid face tracing)
+    remaining = {
+        (k0, k1) for (k0, k1), c in count.items() for _ in range(c) if c > 0
+    }
+    loops = []
+    while remaining:
+        start = next(iter(remaining))
+        loop = []
+        e = start
+        while True:
+            remaining.discard(e)
+            u, v = e
+            loop.append(v)
+            nbrs = [w for w in out_edges.get(v, []) if (v, w) in remaining]
+            if not nbrs:
+                break
+            back = _m.atan2(verts[u][1] - verts[v][1], verts[u][0] - verts[v][0])
+            nbrs.sort(
+                key=lambda w: (back - _m.atan2(verts[w][1] - verts[v][1],
+                                               verts[w][0] - verts[v][0]))
+                % (2 * _m.pi)
+            )
+            e = (v, nbrs[0])
+            if e == start:
+                break
+        # only CLOSED walks are boundary loops (the walk ended back at the
+        # start edge's tail); an open chain means a cancellation defect —
+        # drop it rather than fabricate a phantom closing diagonal
+        if len(loop) >= 3 and loop[-1] == start[0]:
+            loops.append(np.array([verts[k] for k in loop], dtype=np.float64))
+
+    # canonicalize: drop collinear noding vertices, rotate each loop to
+    # start at its lexicographic min vertex, shells (CCW) before holes
+    out = []
+    for lp in loops:
+        keep = []
+        m = len(lp)
+        for i in range(m):
+            p0, p1, p2 = lp[(i - 1) % m], lp[i], lp[(i + 1) % m]
+            cr = (p1[0] - p0[0]) * (p2[1] - p0[1]) - (p1[1] - p0[1]) * (
+                p2[0] - p0[0]
+            )
+            if abs(cr) > tol:
+                keep.append(i)
+        if len(keep) < 3:
+            continue
+        lp = lp[keep]
+        start = int(np.lexsort((lp[:, 1], lp[:, 0]))[0])
+        out.append(np.roll(lp, -start, axis=0))
+    q = [  # shells first, then by area desc, then by start vertex
+        (-(np.sign(_signed := 0.5 * float(
+            (r[:, 0] * np.roll(r[:, 1], -1) - np.roll(r[:, 0], -1) * r[:, 1]).sum()
+        ))), -abs(_signed), float(r[0, 0]), float(r[0, 1]), i)
+        for i, r in enumerate(out)
+    ]
+    return [out[i] for *_, i in sorted(q)]

@@ -451,3 +451,28 @@ def test_concave_hull_properties():
     p = rs.rand(60, 2) * 10
     ch = concave_hull(p.ravel(), 1e9)
     assert abs(_ring_area(ch.reshape(-1, 2)) - _ring_area(convex_hull(p))) < 1e-7
+
+
+def test_geoparquet_file_uri(spark, tmp_path):
+    """Path portability (VERDICT r3 #10): the GeoParquet writer/reader work
+    against a file:// URI end-to-end (all I/O routed through pyarrow.fs —
+    the same seam an hdfs:// or s3:// deployment uses)."""
+    from sedona_spark.functions.st import st_point_wkb
+    from sedona_spark.sources.geoparquet import read_geoparquet, write_geoparquet
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = points_from_events(spark, SF).limit(200).repartition(2)
+    gdf = pts.select(
+        "event_id", "x", "y",
+        st_point_wkb(F.col("x"), F.col("y")).alias("geometry"),
+    )
+    uri = "file://" + str(tmp_path / "gpq_uri")
+    manifest = write_geoparquet(gdf, uri)
+    assert sum(m["rows"] for m in manifest) == 200
+    assert read_geoparquet(spark, uri).count() == 200
+    # footer-fallback listing also goes through pyarrow.fs
+    from pyarrow import fs as pafs
+
+    lfs, base = pafs.FileSystem.from_uri(uri)
+    lfs.delete_file(f"{base}/_geo_manifest.json")
+    assert read_geoparquet(spark, uri).count() == 200
