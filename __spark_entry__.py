@@ -1427,6 +1427,118 @@ from z
 """
 
 
+def q_st_transform_azimuthal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform beyond Mercator/UTM (r4, VERDICT missing #3): LAEA
+    (equal-area continental grids, EPSG:9820 method) and AEQD (range
+    rings) spherical closed forms, centered (10°E, 45°N) — pure Column
+    trig mirrored op-for-op in the oracle (``crs.sql_laea``/``sql_aeqd``);
+    reference does these via GeoTools proj (FunctionsGeoTools.java)."""
+    from sedona_spark.functions.crs import st_transform_aeqd, st_transform_laea
+
+    z = zones_from_nation(spark, sf_dir)
+    lx, ly = st_transform_laea(F.col("zcx"), F.col("zcy"), 10.0, 45.0)
+    ax, ay = st_transform_aeqd(F.col("zcx"), F.col("zcy"), 10.0, 45.0)
+    return z.select(
+        "n_nationkey",
+        F.round(lx, 3).alias("laea_x"),
+        F.round(ly, 3).alias("laea_y"),
+        F.round(ax, 3).alias("aeqd_x"),
+        F.round(ay, 3).alias("aeqd_y"),
+    )
+
+
+def _st_transform_azimuthal_sql() -> str:
+    from sedona_spark.functions.crs import sql_aeqd, sql_laea
+
+    lx, ly = sql_laea("zcx", "zcy", 10.0, 45.0)
+    ax, ay = sql_aeqd("zcx", "zcy", 10.0, 45.0)
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       round({lx}, 3) as laea_x,
+       round({ly}, 3) as laea_y,
+       round({ax}, 3) as aeqd_x,
+       round({ay}, 3) as aeqd_y
+from z
+"""
+
+
+def q_st_editor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Editor family in one pass (r4, VERDICT missing #4): ST_LineMerge
+    sews the zone rect's 4 shuffled boundary segments into one closed
+    chain (5 packed vertices); ST_Snap pulls a (0.3, 0.3)-shifted rect
+    back onto the zone rect's vertices (area restored to 4·hx·hy);
+    ST_Split halves the diamond with a vertical blade through the center
+    (2 pieces, each hx·hy); ST_Reverse/ST_ForceCCW round-trip preserves
+    area and fixes orientation (pure Column). References:
+    Catalog.scala:130 (LineMerge), :137 (Snap), :223 (Split)."""
+    from sedona_spark.functions.st import (
+        st_force_ccw,
+        st_line_merge,
+        st_reverse,
+        st_ring_stats,
+        st_rings_stats,
+        st_snap,
+        st_split_line,
+    )
+    from sedona_spark.functions.st_measures import st_area
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    # 4 boundary segments, deliberately out of order and mixed direction
+    segs = F.array(
+        F.array(x1, y0, x1, y1),
+        F.array(x0, y0, x1, y0),
+        F.array(x0, y1, x0, y0),
+        F.array(x1, y1, x0, y1),
+    )
+    merged = st_line_merge(segs)
+    mstats = st_rings_stats(merged)
+    rect = F.array(x0, y0, x1, y0, x1, y1, x0, y1)
+    shifted = F.array(
+        x0 + 0.3, y0 + 0.3, x1 + 0.3, y0 + 0.3,
+        x1 + 0.3, y1 + 0.3, x0 + 0.3, y1 + 0.3,
+    )
+    snapped = st_snap(shifted, rect, F.lit(1.0))
+    dia = F.array(cx - hx, cy, cx, cy - hy, cx + hx, cy, cx, cy + hy)
+    halves = st_rings_stats(st_split_line(dia, cx, cy - 1.0, cx, cy + 1.0))
+    # CW input forced CCW must flip the fold's sign; reverse preserves area
+    from sedona_spark.functions.st import _signed_area2
+
+    cw_rect = st_reverse(rect)
+    step = z.select(
+        "n_nationkey",
+        mstats.getField("n_rings").alias("merged_n"),
+        mstats.getField("nv").alias("merged_nv"),
+        F.round(st_ring_stats(snapped).getField("area"), 6).alias("snap_area"),
+        halves.getField("n_rings").alias("split_n"),
+        F.round(halves.getField("area"), 6).alias("split_area"),
+        F.round(st_area(cw_rect), 6).alias("rev_area"),
+        st_force_ccw(cw_rect).alias("fccw"),
+    )
+    return step.select(
+        "n_nationkey", "merged_n", "merged_nv", "snap_area",
+        "split_n", "split_area", "rev_area",
+        F.round(F.signum(_signed_area2(F.col("fccw"))), 1).alias("ccw_sign"),
+    )
+
+
+def _st_editor_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(1 as bigint) as merged_n,
+       cast(4 as bigint) as merged_nv,
+       round(4e0 * hx * hy, 6) as snap_area,
+       cast(2 as bigint) as split_n,
+       round(2e0 * hx * hy, 6) as split_area,
+       round(4e0 * hx * hy, 6) as rev_area,
+       1e0 as ccw_sign
+from z
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -1470,27 +1582,19 @@ def q_st_sym_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rs_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster zonal statistics (RS_ZonalStats / RasterBandAccessors): the
-    full raster→vector→join pipeline — pixel explode with world
-    coordinates (2°/px so image footprints are wide enough to hit
-    zones), general-polygon PIP join against the diamond zones, per-zone
-    pixel count + value sum (integer-exact)."""
-    from sedona_spark.functions.raster import rs_pixel_as_points
-    from sedona_spark.operators.spatial_join import pip_join
+    """Raster zonal statistics (RS_ZonalStats / RasterBandAccessors),
+    r4 fused form: per-image numpy zonal accumulation against broadcast
+    diamond zones inside one mapInPandas (``rs_zonal_stats_agg``) — the
+    r3 pipeline (pixel explode → broadcast PIP join → agg) pushed W·H
+    rows/image through Arrow; this emits ≤ n_zones partials per batch
+    (same results, integer-exact; ~500× less Python-boundary traffic).
+    The explode form remains exercised by ``rs_pixel_points``."""
+    from sedona_spark.functions.raster import rs_zonal_stats_agg
     from sedona_spark.sources.images import images_from_part
 
     imgs = images_from_part(spark, sf_dir, id_mod=100)
-    px = rs_pixel_as_points(imgs, band=0, pixel_size=2.0)
-    pts = px.select(F.col("wx").alias("x"), F.col("wy").alias("y"), "val")
     zones = diamond_zones_from_nation(spark, sf_dir)
-    # broadcast_zones=True: Catalyst cannot size MapInPandas output and
-    # would otherwise broadcast the EXPLODED PIXEL side (10^12-scale) —
-    # plan-audited r3
-    j = pip_join(pts, zones, "covers", level=_LEVEL, broadcast_zones=True)
-    return j.groupBy("n_nationkey").agg(
-        F.count("*").alias("n_pix"),
-        F.sum("val").alias("sum_val"),
-    )
+    return rs_zonal_stats_agg(imgs, zones, band=0, pixel_size=2.0)
 
 
 def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api": q_sql_api,
         "st_make_valid": q_st_make_valid,
         "st_difference_poly": q_st_difference_poly,
+        "st_transform_azimuthal": q_st_transform_azimuthal,
+        "st_editor": q_st_editor,
         # --- (b) code/oracle changed in r4 ---
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
@@ -1861,6 +1967,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_api": _sql_api_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
+        "st_transform_azimuthal": _st_transform_azimuthal_sql(),
+        "st_editor": _st_editor_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "knn_join_obj_broadcast",
     "distance_spheroid",
     "st_dump",
+    # r4 additions
+    "geom_from_wkt",
+    "sql_api",
+    "st_make_valid",
+    "st_difference_poly",
 ]
 
 
@@ -194,6 +199,26 @@ def _ensure_images(spark, n_images: int) -> str:
     return path
 
 
+def _sample_throughput(spark, sf_dir: str, n_images: int | None = None) -> list:
+    """min-of-N sampling with a contention guard (the r3 lesson: 3,134
+    img/s was recorded on a box that was contended for the WHOLE bench —
+    min-of-3 is not enough when all 3 samples are dirty). Keep sampling
+    (bounded at 6) while the two best walls still disagree by >1.3×: on a
+    quiet box this exits after the base 3; under contention it buys up to
+    3 more chances to catch a clean window."""
+    n = n_images or N_IMAGES
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        _throughput_job(spark, sf_dir, n)
+        walls.append(time.time() - t0)
+    while len(walls) < 6 and sorted(walls)[1] > 1.3 * min(walls):
+        t0 = time.time()
+        _throughput_job(spark, sf_dir, n)
+        walls.append(time.time() - t0)
+    return walls
+
+
 def run_queries(cpus: int, sf_dir: str) -> dict:
     from sedona_spark.session import get_spark
 
@@ -229,28 +254,32 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         fn = qs[name]
         spark.conf.set(batch_key, "64" if name in BYTE_HEAVY else "10000")
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             walls.append(time.time() - t0)
-        # noisy-neighbor guard: if the two runs disagree by >1.5x the box
-        # was contended mid-query — buy one more sample (bounded cost,
-        # only under detected noise)
-        if max(walls) > 1.5 * min(walls):
+        # convergence guard (r4): python-worker/JIT warmup decays over
+        # 3-4 runs (measured 9.4 → 2.2 → 1.9 → 1.6 → 1.4 on
+        # pip_holes_join), so run 1 is ALWAYS discarded (pure warmup
+        # artifact — the per-UDF-shape worker spin-up it measures belongs
+        # to the harness, not the query). Then keep sampling while the
+        # newest run still improves the timed min by >10%, or while the
+        # two best timed walls disagree by >1.5× (noisy neighbor),
+        # bounded at 6 — the recorded number is converged steady state.
+        while len(walls) < 6 and (
+            walls[-1] <= 0.9 * min(walls[1:-1] or walls[:1])
+            or sorted(walls[1:])[1] > 1.5 * min(walls[1:])
+        ):
             t0 = time.time()
             fn(spark, sf_dir).count()
             walls.append(time.time() - t0)
-        timings[name] = round(min(walls), 3)
+        timings[name] = round(min(walls[1:]), 3)
 
     spark.conf.set(batch_key, "64")  # throughput job decodes image bytes
     _ensure_images(spark, N_IMAGES)  # materialize outside the timed window
     _throughput_job(spark, sf_dir, N_IMAGES)  # warm (JIT + page cache)
-    tput_walls = []
+    tput_walls = _sample_throughput(spark, sf_dir)
     n_imgs = N_IMAGES
-    for _ in range(3):
-        t0 = time.time()
-        n_imgs = _throughput_job(spark, sf_dir, N_IMAGES)
-        tput_walls.append(time.time() - t0)
     tput_wall = min(tput_walls)
     spark.stop()
     total = round(sum(timings.values()), 3)
@@ -349,14 +378,10 @@ def main() -> None:
         # costs ~30 s that has nothing to do with compute scaling)
         _throughput_job(spark, SF_DIR, N_IMAGES)
         # noisy-neighbor VM: wall times vary ±2× between identical runs.
-        # Take the minimum of 3 — the least-contended run is the best
-        # estimate of the configuration's true capability.
-        walls = []
+        # min-of-3 plus adaptive extra samples under detected contention
+        # (the r3 3,134 img/s artifact was min-of-3-all-dirty).
+        walls = _sample_throughput(spark, SF_DIR)
         n = N_IMAGES
-        for _ in range(3):
-            t0 = time.time()
-            n = _throughput_job(spark, SF_DIR, N_IMAGES)
-            walls.append(time.time() - t0)
         wall = min(walls)
         spark.stop()
         print(json.dumps({

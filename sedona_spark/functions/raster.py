@@ -477,3 +477,112 @@ def rs_resample(
             yield pd.DataFrame(recs, columns=[f.name for f in _RESAMPLE_SCHEMA.fields])
 
     return cols.mapInPandas(gen, schema=_RESAMPLE_SCHEMA)
+
+
+def rs_zonal_stats_agg(
+    images: DataFrame,
+    zones: DataFrame,
+    band: int = 0,
+    pixel_size: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zone_key: str = "n_nationkey",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Fused RS_ZonalStats (r4, VERDICT r3 plan-audit): per-image numpy
+    zonal accumulation against BROADCAST zone rings inside ONE
+    ``mapInPandas`` — replaces the pixel-explode → PIP-join → agg pipeline
+    (``rs_pixel_as_points`` + ``pip_join``) whose long format pushed W·H
+    rows per image across the Python boundary. Here each Arrow batch emits
+    at most ``n_zones`` partial (count, sum) rows (~500× less boundary
+    traffic at 24×20 px), and the only shuffle is the final tiny
+    per-zone combine. Semantics: even-odd PIP of pixel CENTERS (same
+    north-up geotransform as ``rs_pixel_as_points``), boundary excluded —
+    fixture lattices keep centers off zone boundaries by construction.
+
+    ``zones`` must be broadcast-sized (the same contract as
+    ``pip_join(broadcast_zones=True)``): key + packed ``ring`` column, or
+    a multi-ring ``geom`` column (holes / MultiPolygon, even-odd).
+    Reference: RS_ZonalStats ``RasterBandAccessors.java`` zonal path."""
+    multi = ring_col not in zones.columns and "geom" in zones.columns
+    gcol = "geom" if multi else ring_col
+    zrows = zones.select(zone_key, gcol).collect()
+    zkeys = [r[0] for r in zrows]
+    zrings: list[list[np.ndarray]] = []
+    for r in zrows:
+        g = r[1]
+        rings = g if multi else [g]
+        zrings.append([
+            np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in rings
+        ])
+    zenv = [
+        (
+            min(float(q[:, 0].min()) for q in rl),
+            min(float(q[:, 1].min()) for q in rl),
+            max(float(q[:, 0].max()) for q in rl),
+            max(float(q[:, 1].max()) for q in rl),
+        )
+        for rl in zrings
+    ]
+    ps = float(pixel_size)
+    bnd = int(band)
+
+    cols = images.select(
+        F.col(id_col).alias("image_id"),
+        F.col(bytes_col).alias("bytes"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.col(lat_col).cast("double").alias("lat"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            # batch-concatenate every pixel of every image (one numpy
+            # block), then ONE vectorized even-odd test per zone
+            wxs, wys, vals = [], [], []
+            for rec in b.itertuples(index=False):
+                arr, _ = decode_image(bytes(rec.bytes))
+                hh, ww = arr.shape[0], arr.shape[1]
+                gx = np.tile(np.arange(ww, dtype=np.float64), hh)
+                gy = np.repeat(np.arange(hh, dtype=np.float64), ww)
+                wxs.append(rec.lon + (gx + 0.5) * ps)
+                wys.append(rec.lat - (gy + 0.5) * ps)
+                vals.append(arr[:, :, bnd].astype(np.int64).ravel())
+            if not wxs:
+                continue
+            px = np.concatenate(wxs)
+            py = np.concatenate(wys)
+            vv = np.concatenate(vals)
+            keys, cnts, sums = [], [], []
+            for zi, rl in enumerate(zrings):
+                x0, y0, x1, y1 = zenv[zi]
+                m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if not m.any():
+                    continue
+                sx, sy = px[m], py[m]
+                cross = np.zeros(len(sx), dtype=np.int64)
+                for q in rl:
+                    rx0, ry0 = q[:, 0], q[:, 1]
+                    rx1, ry1 = np.roll(rx0, -1), np.roll(ry0, -1)
+                    cond = (ry0[None, :] > sy[:, None]) != (
+                        ry1[None, :] > sy[:, None]
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        dy = ry1 - ry0
+                        xin = rx0[None, :] + (sy[:, None] - ry0[None, :]) * (
+                            rx1 - rx0
+                        )[None, :] / np.where(dy == 0.0, np.inf, dy)[None, :]
+                    cross += (cond & (sx[:, None] < xin)).sum(axis=1)
+                inside = (cross % 2) == 1
+                n = int(inside.sum())
+                if n:
+                    keys.append(zkeys[zi])
+                    cnts.append(n)
+                    sums.append(int(vv[m][inside].sum()))
+            yield pd.DataFrame({"zkey": keys, "pcnt": cnts, "psum": sums})
+
+    partials = cols.mapInPandas(gen, "zkey long, pcnt long, psum long")
+    return partials.groupBy(F.col("zkey").alias(zone_key)).agg(
+        F.sum("pcnt").alias("n_pix"), F.sum("psum").alias("sum_val")
+    )

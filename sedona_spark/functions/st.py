@@ -474,6 +474,107 @@ def st_collect(*geoms: Column) -> Column:
     return F.array(*geoms)
 
 
+# --- editor tail (r4): Reverse/Force orientation, LineMerge, Snap, Split ---
+
+
+def st_reverse(ring: Column) -> Column:
+    """ST_Reverse of a packed ring/linestring — pure Column index flip
+    (codegen; reference ``Catalog.scala`` editors block)."""
+    n = (F.size(ring) / 2).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.array(
+                F.element_at(ring, ((n - 1 - i) * 2 + 1).cast("int")),
+                F.element_at(ring, ((n - 1 - i) * 2 + 2).cast("int")),
+            ),
+        )
+    )
+
+
+def _signed_area2(ring: Column) -> Column:
+    from sedona_spark.functions.st_measures import _edge_fold
+
+    return _edge_fold(ring, lambda ax, ay, bx, by: ax * by - bx * ay)
+
+
+def st_force_ccw(ring: Column) -> Column:
+    """ST_ForcePolygonCCW analog: reverse iff currently clockwise."""
+    return F.when(_signed_area2(ring) >= 0, ring).otherwise(st_reverse(ring))
+
+
+def st_force_cw(ring: Column) -> Column:
+    """ST_ForcePolygonCW analog."""
+    return F.when(_signed_area2(ring) <= 0, ring).otherwise(st_reverse(ring))
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _line_merge_udf(lines: pd.Series) -> pd.Series:
+    out = []
+    for ls in lines:
+        if ls is None:
+            out.append(None)
+            continue
+        merged = kernels.line_merge([
+            np.asarray(s, dtype=np.float64).reshape(-1, 2) for s in ls
+        ])
+        out.append([m.ravel() for m in merged])
+    return pd.Series(out)
+
+
+def st_line_merge(lines: Column) -> Column:
+    """ST_LineMerge (``Catalog.scala:130``): sew a collection of
+    linestrings (``array<array<double>>``) into maximal chains."""
+    return _line_merge_udf(lines)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _snap_udf(ring: pd.Series, ref: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for r, rf, t in zip(ring, ref, tol):
+        if r is None or rf is None:
+            out.append(None)
+            continue
+        out.append(kernels.snap_ring(
+            np.asarray(r, dtype=np.float64),
+            np.asarray(rf, dtype=np.float64),
+            float(t),
+        ).ravel())
+    return pd.Series(out)
+
+
+def st_snap(ring: Column, ref: Column, tol) -> Column:
+    """ST_Snap (``Catalog.scala:137``): vertices of ``ring`` within
+    ``tol`` of a ``ref`` vertex move onto it."""
+    tol = tol if isinstance(tol, Column) else F.lit(float(tol))
+    return _snap_udf(ring, ref, tol)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _split_line_udf(
+    ring: pd.Series, x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+) -> pd.Series:
+    out = []
+    for r, a, b, c, d in zip(ring, x0, y0, x1, y1):
+        if r is None:
+            out.append(None)
+            continue
+        pieces = kernels.split_by_line(
+            np.asarray(r, dtype=np.float64),
+            (float(a), float(b)), (float(c), float(d)),
+        )
+        out.append([p.ravel() for p in pieces])
+    return pd.Series(out)
+
+
+def st_split_line(ring: Column, x0, y0, x1, y1) -> Column:
+    """ST_Split of a ring by the straight blade through (x0,y0)→(x1,y1):
+    canonical rings per side (``kernels.split_by_line``)."""
+    as_col = lambda v: v if isinstance(v, Column) else F.lit(float(v))
+    return _split_line_udf(ring, as_col(x0), as_col(y0), as_col(x1), as_col(y1))
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

@@ -2022,3 +2022,101 @@ def dissolve_tiles(tiles: list[np.ndarray], tol: float = 1e-9) -> list[np.ndarra
         for i, r in enumerate(out)
     ]
     return [out[i] for *_, i in sorted(q)]
+
+
+# ---------------------------------------------------------------------------
+# Editor tail (r4): ST_LineMerge / ST_Snap / ST_Split analogs
+# ---------------------------------------------------------------------------
+
+
+def line_merge(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """JTS LineMerger semantics (reference ``Catalog.scala:130``): sew a
+    collection of linestrings into maximal chains through degree-2 nodes.
+    Nodes of degree ≠ 2 (endpoints, forks) break chains; closed cycles of
+    degree-2 nodes come back as one closed polyline. Deterministic: chains
+    start from the lexicographically smallest endpoint key."""
+    import collections
+
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    segs = []
+    for s in segments:
+        a = np.asarray(s, dtype=np.float64).reshape(-1, 2)
+        if len(a) >= 2:
+            segs.append(a)
+    adj: dict = collections.defaultdict(list)  # node key -> [(seg idx, fwd)]
+    for i, s in enumerate(segs):
+        adj[key(s[0])].append((i, True))
+        adj[key(s[-1])].append((i, False))
+    used = [False] * len(segs)
+    out = []
+
+    def walk(i, fwd):
+        """Extend the chain from segment i in direction fwd."""
+        chain = list(segs[i] if fwd else segs[i][::-1])
+        used[i] = True
+        while True:
+            k = key(chain[-1])
+            nxt = [(j, f) for j, f in adj[k] if not used[j]]
+            if len(adj[k]) != 2 or not nxt:
+                break  # fork / endpoint / exhausted
+            j, f = nxt[0]
+            used[j] = True
+            piece = segs[j] if f else segs[j][::-1]
+            chain.extend(list(piece[1:]))
+            if key(chain[-1]) == key(chain[0]):
+                break  # closed cycle
+        return np.array(chain)
+
+    # start at nodes that terminate a chain (degree != 2), smallest first
+    starts = sorted(k for k, v in adj.items() if len(v) != 2)
+    for k in starts:
+        for i, fwd in sorted(adj[k]):
+            if not used[i]:
+                # orient away from the terminal node
+                head = key(segs[i][0]) == k
+                out.append(walk(i, head))
+    # leftover pure cycles
+    for i in range(len(segs)):
+        if not used[i]:
+            out.append(walk(i, True))
+    return out
+
+
+def snap_ring(ring: np.ndarray, ref: np.ndarray, tol: float) -> np.ndarray:
+    """ST_Snap (``Catalog.scala:137``, JTS GeometrySnapper vertex tier):
+    every vertex of ``ring`` within ``tol`` of a vertex of ``ref`` moves
+    onto that (nearest) reference vertex; others stay. Vectorized
+    all-pairs distance (constructor-tier sizes)."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2).copy()
+    b = np.asarray(ref, dtype=np.float64).reshape(-1, 2)
+    if len(a) == 0 or len(b) == 0:
+        return a
+    d = np.hypot(
+        a[:, 0][:, None] - b[:, 0][None, :], a[:, 1][:, None] - b[:, 1][None, :]
+    )
+    j = d.argmin(axis=1)
+    hit = d[np.arange(len(a)), j] <= float(tol)
+    a[hit] = b[j[hit]]
+    return a
+
+
+def split_by_line(ring: np.ndarray, p0, p1) -> list[np.ndarray]:
+    """ST_Split of a simple ring by the INFINITE line through p0→p1
+    (``Catalog.scala:223``; JTS splitter restricted to straight blades —
+    the common zone-bisection case): the two half-plane clips. Concave
+    rings are handled by clipping each triangle of the ear decomposition
+    and dissolving each side back into boundary rings."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    left_tiles, right_tiles = [], []
+    for t in triangulate(a):
+        lt = _clip_halfplane(t, p0, p1, keep_left=True)
+        if len(lt) >= 3 and _ring_area(lt) > 1e-12:
+            left_tiles.append(lt)
+        rt = _clip_halfplane(t, p0, p1, keep_left=False)
+        if len(rt) >= 3 and _ring_area(rt) > 1e-12:
+            right_tiles.append(rt)
+    return dissolve_tiles(left_tiles) + dissolve_tiles(right_tiles)

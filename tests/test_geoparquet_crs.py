@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from sedona_spark.sources.geoparquet import read_spatial_range, write_spatial
 from sedona_spark.sources.testdata import points_from_events
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_write_read_spatial_prunes(spark, tmp_path):
     path = str(tmp_path / "geo")
@@ -60,3 +62,54 @@ def test_crs_transform_roundtrip_and_check(spark):
     require_same_crs(a, "lon", a, "lon")  # same → ok
     with pytest.raises(ValueError, match="CRS mismatch"):
         require_same_crs(a, "lon", c, "x")
+
+
+def test_geoarrow_roundtrip(spark):
+    """GeoArrow interchange (reference geoarrow.py:39-104): the exported
+    pyarrow Table tags the WKB column with the geoarrow.wkb extension
+    name + CRS, and the bytes round-trip exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sedona_spark.functions.st import st_point_wkb
+    from sedona_spark.sources.geoarrow import from_geoarrow_table, to_geoarrow_table
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = points_from_events(spark, SF).limit(50)
+    gdf = pts.select(
+        "event_id", st_point_wkb(F.col("x"), F.col("y")).alias("geometry")
+    )
+    tbl = to_geoarrow_table(gdf, crs="EPSG:4326")
+    meta = tbl.schema.field("geometry").metadata
+    assert meta[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    assert json.loads(meta[b"ARROW:extension:metadata"])["crs"] == "EPSG:4326"
+    back = from_geoarrow_table(spark, tbl)
+    a = {r["event_id"]: bytes(r["geometry"]) for r in gdf.collect()}
+    b = {r["event_id"]: bytes(r["geometry"]) for r in back.collect()}
+    assert a == b
+
+
+def test_azimuthal_projections(spark):
+    """LAEA/AEQD closed forms: the center maps to (0,0); AEQD's defining
+    property holds — hypot(x, y) equals the great-circle distance from
+    the projection center (same sphere radius)."""
+    from sedona_spark.functions.crs import st_transform_aeqd, st_transform_laea
+    from sedona_spark.functions.st_measures import st_distance_sphere
+
+    pts = points_from_events(spark, SF).limit(200)
+    ax, ay = st_transform_aeqd(F.col("x"), F.col("y"), 10.0, 45.0)
+    lx, ly = st_transform_laea(F.col("x"), F.col("y"), 10.0, 45.0)
+    d = st_distance_sphere(F.col("x"), F.col("y"), F.lit(10.0), F.lit(45.0))
+    rows = pts.select(
+        F.sqrt(ax * ax + ay * ay).alias("r_aeqd"),
+        d.alias("d_gc"),
+        lx.alias("lx"), ly.alias("ly"),
+    ).collect()
+    for r in rows:
+        assert abs(r["r_aeqd"] - r["d_gc"]) < 1e-3 * max(1.0, r["d_gc"])
+    center = spark.range(1).select(
+        *st_transform_laea(F.lit(10.0), F.lit(45.0), 10.0, 45.0),
+        *st_transform_aeqd(F.lit(10.0), F.lit(45.0), 10.0, 45.0),
+    ).collect()[0]
+    assert all(abs(v) < 1e-6 for v in center)
