@@ -88,6 +88,45 @@ _SPHERE = (
 )
 
 
+def _spheroid_body() -> str:
+    """Andoyer–Lambert WGS84 distance — op-for-op SQL mirror of
+    ``st_measures.st_distance_spheroid`` (subexpressions expanded inline;
+    Catalyst CSEs them after the UDF body is inlined)."""
+    rad = "pi() / 180e0"
+    f1 = f"((lat1 + lat2) * {rad} / 2)"
+    g = f"((lat1 - lat2) * {rad} / 2)"
+    lam = f"((lon1 - lon2) * {rad} / 2)"
+    s = (f"(pow(sin({g}), 2) * pow(cos({lam}), 2)"
+         f" + pow(cos({f1}), 2) * pow(sin({lam}), 2))")
+    c = (f"(pow(cos({g}), 2) * pow(cos({lam}), 2)"
+         f" + pow(sin({f1}), 2) * pow(sin({lam}), 2))")
+    w = f"atan(sqrt(greatest({s} / greatest({c}, 1e-300), 0e0)))"
+    r = f"(sqrt(greatest({s} * {c}, 0e0)) / greatest({w}, 1e-300))"
+    d = f"(2e0 * 6378137.0e0 * {w})"
+    h1 = f"((3e0 * {r} - 1e0) / (2e0 * greatest({c}, 1e-300)))"
+    h2 = f"((3e0 * {r} + 1e0) / (2e0 * greatest({s}, 1e-300)))"
+    corr = (f"((1e0 / 298.257223563e0) * ({h1} * pow(sin({f1}), 2)"
+            f" * pow(cos({g}), 2) - {h2} * pow(cos({f1}), 2)"
+            f" * pow(sin({g}), 2)))")
+    return (f"case when {s} = 0e0 or {w} = 0e0 then 0e0 "
+            f"else {d} * (1e0 + {corr}) end")
+
+
+def _project_body() -> str:
+    """Spherical geodesic direct problem — mirrors
+    ``st_measures.st_project_sphere``; returns struct(lon, lat)."""
+    rad = "(pi() / 180e0)"
+    phi1 = f"(lat * {rad})"
+    theta = f"(bearing * {rad})"
+    delta = "(dist / 6371008.8e0)"
+    sinp2 = (f"(sin({phi1}) * cos({delta})"
+             f" + cos({phi1}) * sin({delta}) * cos({theta}))")
+    lam2 = (f"(lon * {rad} + atan2(sin({theta}) * sin({delta})"
+            f" * cos({phi1}), cos({delta}) - sin({phi1}) * {sinp2}))")
+    return (f"named_struct('lon', {lam2} / {rad}, "
+            f"'lat', asin({sinp2}) / {rad})")
+
+
 def _geohash_body(max_precision: int = 8) -> str:
     cases = "".join(
         f" when {p} then {_geohash.sql_geohash('lon', 'lat', p)}"
@@ -121,6 +160,12 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
         ("ST_DistanceSphere",
          "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
          _SPHERE),
+        ("ST_DistanceSpheroid",
+         "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE", "DOUBLE",
+         _spheroid_body()),
+        ("ST_Project",
+         "lon DOUBLE, lat DOUBLE, bearing DOUBLE, dist DOUBLE",
+         "STRUCT<lon: DOUBLE, lat: DOUBLE>", _project_body()),
         ("ST_GeoHash", "lon DOUBLE, lat DOUBLE, precision INT", "STRING",
          _geohash_body()),
         ("ST_ToMercator", "lon DOUBLE, lat DOUBLE",

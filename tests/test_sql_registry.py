@@ -111,3 +111,35 @@ def test_sql_udf_inlines_into_codegen(reg):
     # SQL-tier functions must inline (no python eval node in the plan)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert sum(r["a"] for r in df.collect()) == 60.0
+
+
+def test_sql_spheroid_and_project_match(reg):
+    spark = reg
+    from sedona_spark.functions.st_measures import (
+        st_distance_spheroid,
+        st_project_sphere,
+    )
+
+    df = spark.range(1, 20).select(
+        ((F.col("id") * 19 % 340) - 170.0 + 0.5).alias("lon"),
+        ((F.col("id") * 11 % 160) - 80.0 + 0.25).alias("lat"),
+    )
+    df.createOrReplaceTempView("t_sph")
+    got = spark.sql(
+        "select ST_DistanceSpheroid(lon, lat, 2e0, 48e0) d, "
+        "ST_Project(lon, lat, 3e1, 5e4).lon plon, "
+        "ST_Project(lon, lat, 3e1, 5e4).lat plat from t_sph order by lon"
+    ).collect()
+    plon, plat = st_project_sphere(
+        F.col("lon"), F.col("lat"), F.lit(30.0), F.lit(50000.0)
+    )
+    want = df.select(
+        st_distance_spheroid(
+            F.col("lon"), F.col("lat"), F.lit(2.0), F.lit(48.0)
+        ).alias("d"),
+        plon.alias("plon"), plat.alias("plat"),
+    ).orderBy("lon").collect()
+    for g, w in zip(got, want):
+        assert abs(g["d"] - w["d"]) < 1e-6
+        assert abs(g["plon"] - w["plon"]) < 1e-9
+        assert abs(g["plat"] - w["plat"]) < 1e-9
