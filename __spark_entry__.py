@@ -817,6 +817,52 @@ def q_rs_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rs_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS band math (r4): RS_NormalizedDifference (exact integer
+    numerator/denominator + one IEEE division), RS_Count (pixels equal to
+    a value) and RS_SetValues (burn a window, re-encode, new band sum) —
+    all integer-exact so the oracle regenerates every pixel closed-form.
+    Reference: RasterBandAccessors / RasterEditors map-algebra family."""
+    from sedona_spark.functions.raster import (
+        rs_count_value,
+        rs_normalized_difference,
+        rs_set_values,
+    )
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=50)
+    nd = rs_normalized_difference(imgs, 0, 1)
+    cnt = rs_count_value(imgs, 130, band=0)
+    st = rs_set_values(imgs, 200, 2, 1, 8, 6, band=0).drop("out_bytes")
+    return nd.join(cnt, "image_id").join(st, "image_id")
+
+
+def _rs_band_math_sql() -> str:
+    pix = ("((i * 31 + x.v * 3 + y.v * 5 + {c} * 7) % 251"
+           " + (x.v * y.v * (i % 13 + 1)) % 67) % 256")
+    d0 = _DECODED.format(v=f"({pix.format(c='0')})")
+    d1 = _DECODED.format(v=f"({pix.format(c='1')})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 50 = 0),
+pix as (
+  select i, x.v as x, y.v as y, {d0} as dv0, {d1} as dv1
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y)
+select printf('img_%012d', i) as image_id,
+       cast(sum(dv0 - dv1) as bigint) as nd_num,
+       cast(sum(dv0 + dv1) as bigint) as nd_den,
+       round(cast(sum(dv0 - dv1) as double) / cast(sum(dv0 + dv1) as bigint), 6) as nd,
+       cast(sum(case when dv0 = 130 then 1 else 0 end) as bigint) as n_eq,
+       cast(sum(dv0)
+            - sum(case when x >= 2 and x < 10 and y >= 1 and y < 7
+                  then dv0 else 0 end)
+            + 200 * 48 as bigint) as set_sum
+from pix group by i
+"""
+
+
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile grid of the exploded tiles (tile bytes themselves are checked by
     the pytest byte-identity/PSNR gates; zlib output is not SQL-expressible)."""
@@ -1539,6 +1585,40 @@ from z
 """
 
 
+def q_st_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer over LINESTRING (r4): horizontal segment of length 2·hx
+    buffered by r = hy/2 with quad_segs=8 → one canonical ring of exactly
+    34 vertices (rect + two half 32-gons sharing the ±90° vertices) whose
+    polygonal area is CLOSED FORM: 2·r·L + 16·sin(π/16)·r² (the inscribed
+    32-gon's half disks split exactly on the cap chord line). Reference:
+    JTS buffer quadrantSegments, ``Functions.java``."""
+    from sedona_spark.functions.st import st_buffer_line, st_rings_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    path = F.array(cx - hx, cy, cx + hx, cy)
+    s = st_rings_stats(st_buffer_line(path, hy / 2, 8))
+    return z.select(
+        "n_nationkey",
+        s.getField("n_rings").alias("n_rings"),
+        s.getField("nv").alias("nv"),
+        F.round(s.getField("area"), 6).alias("buf_area"),
+    )
+
+
+def _st_buffer_line_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(1 as bigint) as n_rings,
+       cast(34 as bigint) as nv,
+       round(2e0 * (hy / 2e0) * (2e0 * hx)
+             + 16e0 * sin(pi() / 16e0) * (hy / 2e0) * (hy / 2e0), 6)
+         as buf_area
+from z
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -1863,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_difference_poly": q_st_difference_poly,
         "st_transform_azimuthal": q_st_transform_azimuthal,
         "st_editor": q_st_editor,
+        "st_buffer_line": q_st_buffer_line,
+        "rs_band_math": q_rs_band_math,
         # --- (b) code/oracle changed in r4 ---
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
@@ -1969,6 +2051,8 @@ def oracle_sql() -> dict[str, str]:
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),
         "st_editor": _st_editor_sql(),
+        "st_buffer_line": _st_buffer_line_sql(),
+        "rs_band_math": _rs_band_math_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

@@ -586,3 +586,85 @@ def rs_zonal_stats_agg(
     return partials.groupBy(F.col("zkey").alias(zone_key)).agg(
         F.sum("pcnt").alias("n_pix"), F.sum("psum").alias("sum_val")
     )
+
+
+def _per_image_stats(images: DataFrame, fn, schema: str,
+                     id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """One decode pass per image → per-image stat rows (``fn`` maps the
+    decoded int64 array to a tuple matching ``schema`` after image_id)."""
+    cols = images.select(id_col, bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b[id_col], b[bytes_col]):
+                arr, _ = decode_image(bytes(buf))
+                recs.append((iid, *fn(arr.astype(np.int64))))
+            yield pd.DataFrame(recs, columns=["image_id"] + [
+                s.split()[0] for s in schema.split(",")
+            ])
+
+    return cols.mapInPandas(gen, f"image_id string, {schema}")
+
+
+def rs_normalized_difference(
+    images: DataFrame, band_a: int = 0, band_b: int = 1, **kw
+) -> DataFrame:
+    """RS_NormalizedDifference analog (NDVI-shaped (a−b)/(a+b) over two
+    bands; reference ``RasterBandAccessors``/map algebra family): exact
+    integer numerator/denominator sums + one IEEE division — oracle
+    reproduces all three closed-form."""
+    a, b = int(band_a), int(band_b)
+
+    def stats(arr):
+        va = arr[:, :, a].sum(dtype=np.int64)
+        vb = arr[:, :, b].sum(dtype=np.int64)
+        num, den = int(va - vb), int(va + vb)
+        return num, den, round(num / den, 6) if den else None
+
+    return _per_image_stats(images, stats, "nd_num long, nd_den long, nd double", **kw)
+
+
+def rs_count_value(
+    images: DataFrame, value: int, band: int = 0, **kw
+) -> DataFrame:
+    """RS_Count analog: pixels of ``band`` equal to ``value``."""
+    v, bnd = int(value), int(band)
+
+    def stats(arr):
+        return (int((arr[:, :, bnd] == v).sum()),)
+
+    return _per_image_stats(images, stats, "n_eq long", **kw)
+
+
+def rs_set_values(
+    images: DataFrame,
+    value: int,
+    x0: int, y0: int, w: int, h: int,
+    band: int = 0,
+    **kw,
+) -> DataFrame:
+    """RS_SetValues analog: burn ``value`` into the [x0, x0+w)×[y0, y0+h)
+    window of ``band`` (clipped to the raster), re-encode losslessly, and
+    report the new band sum — the write path of the map-algebra family."""
+    v, bnd = int(value), int(band)
+    x0, y0, w, h = int(x0), int(y0), int(w), int(h)
+    id_col = kw.get("id_col", "image_id")
+    bytes_col = kw.get("bytes_col", "bytes")
+    cols = images.select(id_col, bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b[id_col], b[bytes_col]):
+                arr, _ = decode_image(bytes(buf))
+                t = arr.copy()
+                t[y0:y0 + h, x0:x0 + w, bnd] = v
+                recs.append((
+                    iid,
+                    encode_image(t, "fpng"),
+                    int(t[:, :, bnd].sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(recs, columns=["image_id", "out_bytes", "set_sum"])
+
+    return cols.mapInPandas(gen, "image_id string, out_bytes binary, set_sum long")

@@ -575,6 +575,29 @@ def st_split_line(ring: Column, x0, y0, x1, y1) -> Column:
     return _split_line_udf(ring, as_col(x0), as_col(y0), as_col(x1), as_col(y1))
 
 
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _buffer_line_udf(path: pd.Series, r: pd.Series, qs: pd.Series) -> pd.Series:
+    out = []
+    for p, rr, q in zip(path, r, qs):
+        if p is None:
+            out.append(None)
+            continue
+        rings = kernels.buffer_polyline(
+            np.asarray(p, dtype=np.float64), float(rr), int(q)
+        )
+        out.append([x.ravel() for x in rings])
+    return pd.Series(out)
+
+
+def st_buffer_line(path: Column, r, quad_segs: int = 8) -> Column:
+    """ST_Buffer of a LINESTRING (round caps/joins): capsule union →
+    dissolved canonical rings (``kernels.buffer_polyline``); JTS
+    quadrantSegments contract via inscribed 4q-gons. Completes the
+    buffer family: point (pure Column), convex ring, and now lines."""
+    r = r if isinstance(r, Column) else F.lit(float(r))
+    return _buffer_line_udf(path, r, F.lit(int(quad_segs)))
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

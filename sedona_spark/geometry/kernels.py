@@ -2120,3 +2120,66 @@ def split_by_line(ring: np.ndarray, p0, p1) -> list[np.ndarray]:
         if len(rt) >= 3 and _ring_area(rt) > 1e-12:
             right_tiles.append(rt)
     return dissolve_tiles(left_tiles) + dissolve_tiles(right_tiles)
+
+
+def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """n-ary union of (possibly OVERLAPPING) simple rings as a disjoint
+    tiling: ring_i contributes ring_i \\ (ring_0 ∪ … ∪ ring_{i-1}),
+    computed by sequential per-ring difference (each step reuses the
+    pairwise ``difference_general`` machinery at triangle granularity).
+    O(n²) clip passes — constructor tier (buffer joints, small unions);
+    the distributed n-ary union remains the overlay sweep operator."""
+    tiles: list[np.ndarray] = []
+    prior: list[np.ndarray] = []
+    for r in rings:
+        a = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+        if len(a) < 3:
+            continue
+        pieces = triangulate(a)
+        for p in prior:
+            nxt: list[np.ndarray] = []
+            tb = triangulate(p)
+            for piece in pieces:
+                sub = [piece]
+                for t in tb:
+                    out2: list[np.ndarray] = []
+                    for s in sub:
+                        if _tri_bbox_disjoint(s, t):
+                            out2.append(s)
+                        else:
+                            out2.extend(
+                                q for q in difference_convex(s.ravel(), t.ravel())
+                                if len(q) >= 3 and _ring_area(q) > 1e-12
+                            )
+                    sub = out2
+                nxt.extend(sub)
+            pieces = nxt
+        tiles.extend(pieces)
+        prior.append(a)
+    return tiles
+
+
+def buffer_polyline(path: np.ndarray, r: float, quad_segs: int = 8) -> list[np.ndarray]:
+    """ST_Buffer of a LINESTRING (round caps/joins): the Minkowski sum of
+    the polyline with a radius-``r`` disk, built as the union of
+    per-segment capsules (rectangle + two 4·quad_segs-gon end disks) and
+    dissolved to canonical boundary rings. For a simple polyline the
+    exact area is 2·r·L + π·r² (Minkowski); the polygonal approximation
+    uses inscribed 4q-gons per the JTS quadrantSegments contract
+    (reference ``Functions.java`` buffer)."""
+    a = np.asarray(path, dtype=np.float64).reshape(-1, 2)
+    rr = float(r)
+    m = 4 * max(1, int(quad_segs))
+    ang = np.arange(m) * (2.0 * np.pi / m)
+    disk = np.c_[np.cos(ang), np.sin(ang)] * rr
+    rings = []
+    for i in range(len(a) - 1):
+        p, q = a[i], a[i + 1]
+        d = q - p
+        ln = float(np.hypot(*d))
+        if ln > 0:
+            n = np.array([-d[1], d[0]]) / ln * rr
+            rings.append(np.array([p + n, p - n, q - n, q + n]))
+    for p in a:
+        rings.append(disk + p)
+    return dissolve_tiles(union_many(rings))
