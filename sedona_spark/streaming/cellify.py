@@ -88,3 +88,73 @@ def windowed_zone_counts(
         .groupBy(F.window(F.col(ts), window), F.col(zone_key))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def stream_stream_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    level: int,
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    watermark: str = "30 seconds",
+    time_bound: str = "10 seconds",
+) -> DataFrame:
+    """STREAM-STREAM distance join (r4 — beyond the reference, whose
+    spatial joins are batch-only): two streaming point sources matched
+    within planar ``radius`` and within ``time_bound`` of each other's
+    event time. Spark's stream-stream inner join needs (a) watermarks on
+    both sides, (b) an equality key, (c) a time-range condition — the
+    spatial part supplies (b) exactly like the batch engine: the left
+    point keeps its cell, the right point replicates to every cell of its
+    radius-expanded envelope (``cover_bbox`` explode, the
+    EqualPartitioning.placeObject pattern), so any pair within ``radius``
+    shares a cell. Exact refine = the same ``st_dwithin`` Column predicate
+    as the batch distance join; duplicates are impossible because the
+    left side keeps its single home cell (replicate-and-dedup by
+    reference point, ``DuplicatesFilter.java`` semantics)."""
+    from sedona_spark.functions import st
+
+    r = float(radius)
+    lw = left.withWatermark(ts, watermark).select(
+        F.col("*"), cells.cell_id(F.col(lon), F.col(lat), level).alias("cell")
+    )
+    gx0, gx1, gy0, gy1 = cells.cover_bbox(
+        F.col(lon) - r, F.col(lat) - r, F.col(lon) + r, F.col(lat) + r, level
+    )
+    rw = (
+        right.withWatermark(ts, watermark)
+        .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn("cell", cells.cell_of(F.col("_gx"), F.col("_gy"), level))
+        .drop("_gx", "_gy")
+    )
+    lt = lw.select(
+        F.col("cell"),
+        F.col(ts).alias("l_ts"),
+        F.col(lon).alias("l_lon"),
+        F.col(lat).alias("l_lat"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns
+          if c not in (ts, lon, lat)],
+    )
+    rt = rw.select(
+        F.col("cell"),
+        F.col(ts).alias("r_ts"),
+        F.col(lon).alias("r_lon"),
+        F.col(lat).alias("r_lat"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (ts, lon, lat)],
+    )
+    j = lt.join(
+        rt,
+        (lt["cell"] == rt["cell"])
+        & (lt["l_ts"] >= rt["r_ts"] - F.expr(f"interval {time_bound}"))
+        & (lt["l_ts"] <= rt["r_ts"] + F.expr(f"interval {time_bound}")),
+        "inner",
+    ).drop(rt["cell"])
+    return j.filter(
+        st.st_dwithin(
+            F.col("l_lon"), F.col("l_lat"), F.col("r_lon"), F.col("r_lat"), r
+        )
+    )
