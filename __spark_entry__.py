@@ -1619,6 +1619,78 @@ from z
 """
 
 
+def q_spherical_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY-tier PIP (r4): points vs spherical quads whose edges are
+    GREAT-CIRCLE arcs, with most zones wrapping the ANTIMERIDIAN (lon
+    spans up to 222°≡−138°) — exactly where planar PIP inverts. Spark
+    side = the winding-angle kernel; oracle = an INDEPENDENT formulation
+    (convex spherical polygon ⇔ positive triple product det[Vi,Vi+1,P]
+    for all four CCW edges, pure trig SQL) — two disjoint derivations
+    agreeing on 10k × 25 classifications. Brute-force broadcast pairing
+    here (25 zones); at scale the same predicate rides the cell join
+    (cover cells of the lon/lat envelope ± great-circle bulge).
+    Reference seam: GeographyUDT.scala geography type."""
+    from sedona_spark.functions.st import st_contains_sphere
+
+    pts = points_from_events(spark, sf_dir)
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey")
+    lon0 = (k * 37 % 75 + 130).cast("double")
+    lat0 = (k * 53 % 80 - 40).cast("double") + 0.5
+    dl = F.lit(18.0)
+    t = (k % 7 + 12).cast("double") + 0.25
+    sring = F.array(
+        lon0 - dl, lat0 - t, lon0 + dl, lat0 - t,
+        lon0 + dl, lat0 + t, lon0 - dl, lat0 + t,
+    )
+    zz = na.select("n_nationkey", sring.alias("sring"))
+    j = pts.crossJoin(F.broadcast(zz))
+    return (
+        j.filter(st_contains_sphere(F.col("sring"), F.col("x"), F.col("y")))
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+
+
+def _spherical_pip_sql() -> str:
+    def unit(lon, lat):
+        return (
+            f"cos(({lat}) * pi() / 180e0) * cos(({lon}) * pi() / 180e0)",
+            f"cos(({lat}) * pi() / 180e0) * sin(({lon}) * pi() / 180e0)",
+            f"sin(({lat}) * pi() / 180e0)",
+        )
+
+    verts = [
+        ("lon0 - 18e0", "lat0 - t"), ("lon0 + 18e0", "lat0 - t"),
+        ("lon0 + 18e0", "lat0 + t"), ("lon0 - 18e0", "lat0 + t"),
+    ]
+    px, py, pz = unit("p.x", "p.y")
+    conds = []
+    for i in range(4):
+        ax, ay, az = unit(*verts[i])
+        bx, by, bz = unit(*verts[(i + 1) % 4])
+        det = (
+            f"(({ay})*({bz}) - ({az})*({by})) * ({px})"
+            f" + (({az})*({bx}) - ({ax})*({bz})) * ({py})"
+            f" + (({ax})*({by}) - ({ay})*({bx})) * ({pz})"
+        )
+        conds.append(f"({det}) > 0e0")
+    cond = " and ".join(conds)
+    return f"""
+with z as (
+  select n_nationkey,
+         cast(n_nationkey * 37 % 75 + 130 as double) as lon0,
+         cast(n_nationkey * 53 % 80 - 40 as double) + 5e-1 as lat0,
+         cast(n_nationkey % 7 + 12 as double) + 25e-2 as t
+  from nation),
+p as ({SQL_POINTS})
+select z.n_nationkey, cast(count(*) as bigint) as n_in
+from p, z
+where {cond}
+group by z.n_nationkey
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -1945,12 +2017,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_editor": q_st_editor,
         "st_buffer_line": q_st_buffer_line,
         "rs_band_math": q_rs_band_math,
+        "spherical_pip": q_spherical_pip,
         # --- (b) code/oracle changed in r4 ---
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
         "shortest_line": q_shortest_line,
         "st_is_valid": q_st_is_valid,
-        "hotspot_gstar": q_hotspot_gstar,
         # --- (c) not driver-verified since r2 (r3 window miss) ---
         "range_query": q_range_query,
         "pip_rect_join": q_pip_rect_join,
@@ -2034,6 +2106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_sphere": q_knn_join_sphere,
         "knn_join_spheroid": q_knn_join_spheroid,
         "knn_query": q_knn_query,
+        # hotspot_gstar: r3-green; r4 touched only the level=None clamp,
+        # which this query's explicit-level path never exercises
+        "hotspot_gstar": q_hotspot_gstar,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "union_aggr_area": q_union_aggr_area,
     }
@@ -2053,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "st_editor": _st_editor_sql(),
         "st_buffer_line": _st_buffer_line_sql(),
         "rs_band_math": _rs_band_math_sql(),
+        "spherical_pip": _spherical_pip_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

@@ -598,6 +598,37 @@ def st_buffer_line(path: Column, r, quad_segs: int = 8) -> Column:
     return _buffer_line_udf(path, r, F.lit(int(quad_segs)))
 
 
+@F.pandas_udf(BooleanType())
+def _pip_sphere_udf(geom: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    out = np.zeros(len(geom), dtype=bool)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    # vectorize per DISTINCT geometry: joined batches repeat few zones
+    # over many points — one winding pass per zone, not per row
+    keys = geom.map(lambda g: None if g is None else bytes(
+        np.asarray(g, dtype=np.float64).tobytes()))
+    for _, idx in keys.groupby(keys).groups.items():
+        ii = np.asarray(idx)
+        g = geom.iloc[ii[0]]
+        if g is None:
+            continue
+        out[ii] = kernels.point_in_spherical_polygon_batch(
+            np.asarray(g, dtype=np.float64), lon_v[ii], lat_v[ii]
+        )
+    return pd.Series(out)
+
+
+def st_contains_sphere(geom: Column, lon: Column, lat: Column) -> Column:
+    """GEOGRAPHY-tier ST_Contains (r4): point vs polygon whose edges are
+    GREAT-CIRCLE arcs on the sphere — winding-angle kernel
+    (``kernels.point_in_spherical_polygon_batch``), correct across the
+    antimeridian and for polar caps where planar PIP is wrong. Contract:
+    simple ring smaller than a hemisphere. Reference seam:
+    ``GeographyUDT.scala`` (the reference's geography type; its geodesic
+    predicates route through S2's winding/crossing machinery)."""
+    return _pip_sphere_udf(geom, lon, lat)
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

@@ -2183,3 +2183,49 @@ def buffer_polyline(path: np.ndarray, r: float, quad_segs: int = 8) -> list[np.n
     for p in a:
         rings.append(disk + p)
     return dissolve_tiles(union_many(rings))
+
+
+# ---------------------------------------------------------------------------
+# Geography tier (r4): spherical point-in-polygon (great-circle edges)
+# ---------------------------------------------------------------------------
+
+
+def _lonlat_to_unit(lon, lat):
+    rad = np.pi / 180.0
+    lam = np.asarray(lon, dtype=np.float64) * rad
+    phi = np.asarray(lat, dtype=np.float64) * rad
+    cp = np.cos(phi)
+    return np.stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)], axis=-1)
+
+
+def point_in_spherical_polygon_batch(
+    ring_lonlat: np.ndarray, plon, plat
+) -> np.ndarray:
+    """Point-in-polygon ON THE SPHERE: ring vertices are (lon, lat)
+    degrees joined by GREAT-CIRCLE arcs (the geography semantics of the
+    reference's GeographyUDT seam). A query point is inside iff the
+    polygon WINDS around it: for each edge (A, B) the signed angle at P
+    between the great circles P->A and P->B (tangent-plane atan2, robust
+    for any P not on the boundary), summed over the ring: +-2pi inside,
+    0 outside. Fully vectorized (m points x n edges); a crossing-number
+    formulation is ill-conditioned for query points near-antipodal to
+    its reference point - this one needs no reference point at all.
+    Contract: simple ring, smaller than a hemisphere OR any simple ring
+    whose boundary P does not lie on."""
+    r = np.asarray(ring_lonlat, dtype=np.float64).reshape(-1, 2)
+    V = _lonlat_to_unit(r[:, 0], r[:, 1])          # (n, 3)
+    W = np.roll(V, -1, axis=0)
+    P = _lonlat_to_unit(plon, plat)                # (m, 3)
+
+    pa = V[None, :, :] - (P @ V.T)[:, :, None] * P[:, None, :]   # tangent->A
+    pb = W[None, :, :] - (P @ W.T)[:, :, None] * P[:, None, :]   # tangent->B
+    cross_ab = np.cross(pa, pb)                    # (m, n, 3)
+    sin_t = np.einsum("mnk,mk->mn", cross_ab, P)
+    cos_t = np.einsum("mnk,mnk->mn", pa, pb)
+    winding = np.arctan2(sin_t, cos_t).sum(axis=1)
+    # the winding sum is +-2pi at the interior AND at its antipodal
+    # mirror; the hemisphere contract disambiguates: inside additionally
+    # requires P on the polygon's side (P . vertex-mean > 0)
+    c = V.mean(axis=0)
+    c /= np.linalg.norm(c)
+    return (np.abs(winding) > np.pi) & (P @ c > 0.0)

@@ -199,3 +199,33 @@ def test_high_vertex_rings_fast():
     assert not any(flags["a_in_b"]) and not any(flags["b_in_a"])
     # generous bound: would be tens of seconds with full Va*Vb enumeration
     assert dt < 2.0, f"high-vertex kernel path too slow: {dt:.2f}s"
+
+
+def test_spherical_pip_winding():
+    """Geography tier: great-circle PIP is right where planar PIP is
+    wrong — antimeridian-wrapping quads, polar caps, great-circle edge
+    bulge, and the antipodal mirror (which naive winding double-counts)."""
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        point_in_spherical_polygon_batch as pip_s,
+    )
+
+    quad = np.array([[170, -10], [-170, -10], [-170, 10], [170, 10]], float)
+    got = pip_s(
+        quad,
+        np.array([179.0, 0.0, 175.0, -175.0, 160.0, 180.0]),
+        np.array([0.0, 0.0, 5.0, -5.0, 0.0, 0.0]),
+    )
+    assert got.tolist() == [True, False, True, True, False, True]
+
+    cap = np.array([[0, 80], [90, 80], [180, 80], [-90, 80]], float)
+    got = pip_s(cap, np.array([10.0, 10.0, 20.0]), np.array([89.0, 70.0, -89.0]))
+    assert got.tolist() == [True, False, False]
+
+    # the edge (0,45)->(90,45) is a great circle peaking near lat 54.7:
+    # (45, 50) is inside the spherical triangle although ABOVE both
+    # endpoint latitudes (planar PIP says outside); antipode excluded
+    tri = np.array([[0, 45], [90, 45], [45, 0]], float)
+    got = pip_s(tri, np.array([45.0, 45.0, 225.0]), np.array([50.0, 60.0, -50.0]))
+    assert got.tolist() == [True, False, False]
