@@ -186,10 +186,13 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
     ]
 
 
-def register(spark: SparkSession) -> None:
+def register(spark: SparkSession, force: bool = False) -> None:
     """Install the ST_ SQL catalog on a session (idempotent; temporary
     functions, session-scoped — same lifetime as the reference's
-    ``SedonaContext.create``)."""
+    ``SedonaContext.create``). Re-invocation is a no-op (a session conf
+    flag) unless ``force`` — registration is ~20 catalog round trips."""
+    if not force and spark.conf.get("spark.sedona_spark.registered", "") == "1":
+        return
     from sedona_spark.functions import st as _st
 
     # Arrow-batched kernel tier (same UDF objects the DataFrame API uses)
@@ -217,3 +220,4 @@ def register(spark: SparkSession) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"
         )
+    spark.conf.set("spark.sedona_spark.registered", "1")
