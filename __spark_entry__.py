@@ -1691,6 +1691,75 @@ group by z.n_nationkey
 """
 
 
+def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interop (r4, RFC 7946; reference GeoJSONFileFormat.scala):
+    the geom_from_wkt fixture re-expressed as GeoJSON — even nations a
+    Polygon with an interior ring, odd nations a two-part MultiPolygon,
+    integer coordinates so the canonical emission is string-exact in SQL
+    (json floats print as 'N.0' = printf '%d.0'). Parse → ring list →
+    stats → canonical GeoJSON emission, oracle-checked byte-for-byte."""
+    from sedona_spark.functions.st import (
+        st_geom_rings_from_geojson,
+        st_rings_as_geojson,
+        st_rings_stats,
+    )
+
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey")
+    w, h, hx2, mx = k + 10, (k % 5) + 8, (k % 3) + 4, k + 100
+    poly = F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        "[[[0, 0], [%d, 0], [%d, %d], [0, %d], [0, 0]], "
+        "[[2, 2], [2, 4], [%d, 4], [%d, 2], [2, 2]]]}",
+        w, w, h, h, hx2, hx2,
+    )
+    mpoly = F.format_string(
+        '{"type": "MultiPolygon", "coordinates": '
+        "[[[[0, 0], [%d, 0], [%d, %d], [0, %d], [0, 0]]], "
+        "[[[100, 0], [%d, 0], [%d, 3], [100, 3], [100, 0]]]]}",
+        w, w, h, h, mx, mx,
+    )
+    rings = st_geom_rings_from_geojson(
+        F.when(k % 2 == 0, poly).otherwise(mpoly)
+    )
+    s = st_rings_stats(rings)
+    return na.select(
+        "n_nationkey",
+        F.round(s.getField("area"), 6).alias("area"),
+        s.getField("n_rings").alias("n_rings"),
+        s.getField("nv").alias("nv"),
+        st_rings_as_geojson(rings).alias("gj_out"),
+    )
+
+
+def _geojson_parse_sql() -> str:
+    area = (
+        "case when k % 2 = 0 then (k+10)*((k%5)+8) - 2*((k%3)+2) "
+        "else (k+10)*((k%5)+8) + 3*k end"
+    )
+    gj_poly = (
+        "printf('{\"type\": \"Polygon\", \"coordinates\": "
+        "[[[0.0, 0.0], [%d.0, 0.0], [%d.0, %d.0], [0.0, %d.0], [0.0, 0.0]], "
+        "[[2.0, 2.0], [2.0, 4.0], [%d.0, 4.0], [%d.0, 2.0], [2.0, 2.0]]]}', "
+        "k+10, k+10, (k%5)+8, (k%5)+8, (k%3)+4, (k%3)+4)"
+    )
+    gj_mpoly = (
+        "printf('{\"type\": \"MultiPolygon\", \"coordinates\": "
+        "[[[[0.0, 0.0], [%d.0, 0.0], [%d.0, %d.0], [0.0, %d.0], [0.0, 0.0]]], "
+        "[[[100.0, 0.0], [%d.0, 0.0], [%d.0, 3.0], [100.0, 3.0], [100.0, 0.0]]]]}', "
+        "k+10, k+10, (k%5)+8, (k%5)+8, k+100, k+100)"
+    )
+    return f"""
+with n as (select n_nationkey as k from nation)
+select k as n_nationkey,
+       round(cast({area} as double), 6) as area,
+       cast(2 as bigint) as n_rings,
+       cast(8 as bigint) as nv,
+       case when k % 2 = 0 then {gj_poly} else {gj_mpoly} end as gj_out
+from n
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -2018,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_buffer_line": q_st_buffer_line,
         "rs_band_math": q_rs_band_math,
         "spherical_pip": q_spherical_pip,
+        "geojson_parse": q_geojson_parse,
         # --- (b) code/oracle changed in r4 ---
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
@@ -2060,9 +2130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only fast paths (portable twins carry the full oracles)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- r3-green tail (CORRECTNESS_r03.json rows, all green) ---
+        # ann_lsh_topk yields the window's last slot to geojson_parse: its
+        # rows-only record is the weakest check in the file, and its real
+        # gates (planted-cluster recall pytest + full-oracle ann_topk twin
+        # in-window) are unaffected; rotates back in r5
+        "ann_lsh_topk": q_ann_lsh_topk,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2129,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "st_buffer_line": _st_buffer_line_sql(),
         "rs_band_math": _rs_band_math_sql(),
         "spherical_pip": _spherical_pip_sql(),
+        "geojson_parse": _geojson_parse_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

@@ -629,6 +629,29 @@ def st_contains_sphere(geom: Column, lon: Column, lat: Column) -> Column:
     return _pip_sphere_udf(geom, lon, lat)
 
 
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def st_geom_rings_from_geojson(gj: pd.Series) -> pd.Series:
+    """ST_GeomFromGeoJSON (RFC 7946, full model incl. holes + Multi*) →
+    canonical ring list; malformed input → null."""
+    out = []
+    for s in gj:
+        kind, rings = (None, None) if s is None else wkb.parse_geojson_geometry(s)
+        out.append(None if kind is None else [r.ravel() for r in rings])
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def st_rings_as_geojson(rings: pd.Series) -> pd.Series:
+    """ST_AsGeoJSON for ring lists (Polygon/MultiPolygon grouping
+    reconstructed; RFC 7946 winding + closed rings)."""
+    return pd.Series([
+        None if r is None else wkb.rings_to_geojson([
+            np.asarray(q, dtype=np.float64).reshape(-1, 2) for q in r
+        ])
+        for r in rings
+    ])
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

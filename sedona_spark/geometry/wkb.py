@@ -365,3 +365,101 @@ def parse_wkb_rings(buf: bytes):
             out.extend(rings)
         return "multipolygon", out
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON interop (RFC 7946) — r4
+# ---------------------------------------------------------------------------
+
+
+def parse_geojson_geometry(obj):
+    """GeoJSON geometry object (dict or JSON string) → (kind, canonical
+    ring list) — same canonical form as :func:`parse_wkt_rings` (shells
+    CCW / holes CW; RFC 7946 §3.1.6 actually mandates exactly that
+    winding, but real-world data varies, so orientation is re-derived).
+    Supports Point / LineString / Polygon / MultiPoint / MultiLineString /
+    MultiPolygon. Returns (None, None) on malformed input."""
+    import json as _json
+
+    if isinstance(obj, (str, bytes)):
+        try:
+            obj = _json.loads(obj)
+        except ValueError:
+            return None, None
+    if not isinstance(obj, dict):
+        return None, None
+    t = obj.get("type")
+    c = obj.get("coordinates")
+    if t is None or c is None:
+        return None, None
+
+    def arr(x):
+        a = np.asarray(x, dtype=np.float64)
+        return a.reshape(-1, 2) if a.size else np.empty((0, 2))
+
+    try:
+        if t == "Point":
+            return "point", [arr([c])]
+        if t == "MultiPoint":
+            return "multipoint", [arr(c)]
+        if t == "LineString":
+            return "linestring", [arr(c)]
+        if t == "MultiLineString":
+            return "multilinestring", [arr(part) for part in c]
+        if t == "Polygon":
+            rings = [_dedup_closed(arr(rg)) for rg in c]
+            if any(len(r) < 3 for r in rings):
+                return None, None
+            return "polygon", [
+                _orient(r, ccw=(i == 0)) for i, r in enumerate(rings)
+            ]
+        if t == "MultiPolygon":
+            out = []
+            for poly in c:
+                rings = [_dedup_closed(arr(rg)) for rg in poly]
+                if any(len(r) < 3 for r in rings):
+                    return None, None
+                out.extend(
+                    _orient(r, ccw=(i == 0)) for i, r in enumerate(rings)
+                )
+            return "multipolygon", out
+    except (ValueError, TypeError):
+        return None, None
+    return None, None
+
+
+def rings_to_geojson(ring_list, kind: str = None) -> str:
+    """Canonical ring list → GeoJSON geometry string (Polygon or
+    MultiPolygon inferred from shell count, grouping via
+    :func:`group_rings`; pass kind for point/line payloads). Emits RFC
+    7946-compliant winding (shells CCW, holes CW) and closed rings."""
+    import json as _json
+
+    def closed(a):
+        b = np.vstack([a, a[:1]])
+        return [[float(x), float(y)] for x, y in b]
+
+    if kind == "point":
+        a = np.asarray(ring_list[0], dtype=np.float64).reshape(-1, 2)
+        return _json.dumps(
+            {"type": "Point", "coordinates": [float(a[0, 0]), float(a[0, 1])]}
+        )
+    if kind == "linestring":
+        a = np.asarray(ring_list[0], dtype=np.float64).reshape(-1, 2)
+        return _json.dumps({
+            "type": "LineString",
+            "coordinates": [[float(x), float(y)] for x, y in a],
+        })
+    polys = group_rings(ring_list)
+    if len(polys) == 1:
+        s, hs = polys[0]
+        return _json.dumps({
+            "type": "Polygon",
+            "coordinates": [closed(s)] + [closed(h) for h in hs],
+        })
+    return _json.dumps({
+        "type": "MultiPolygon",
+        "coordinates": [
+            [closed(s)] + [closed(h) for h in hs] for s, hs in polys
+        ],
+    })

@@ -113,3 +113,62 @@ def test_azimuthal_projections(spark):
         *st_transform_aeqd(F.lit(10.0), F.lit(45.0), 10.0, 45.0),
     ).collect()[0]
     assert all(abs(v) < 1e-6 for v in center)
+
+
+def test_geojson_ndjson_roundtrip(spark, tmp_path):
+    """GeoJSON interop (reference GeoJSONFileFormat.scala seam): write
+    ring-list geometries as newline-delimited Features, read back, and
+    recover identical net areas + properties; FeatureCollection reader
+    explodes the single-value form too."""
+    import json
+
+    from sedona_spark.functions.st import st_geom_rings_from_wkt, st_rings_stats
+    from sedona_spark.sources.geojson import (
+        read_geojson,
+        read_geojson_collection,
+        write_geojson,
+    )
+
+    wkts = [
+        ("a", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+        ("b", "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 12 0, 12 2, 10 2, 10 0)))"),
+        ("c", "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+    ]
+    df = spark.createDataFrame(wkts, "name string, wkt string").select(
+        "name", st_geom_rings_from_wkt(F.col("wkt")).alias("geom"),
+        F.format_string('{"name": "%s"}', F.col("name")).alias("props"),
+    )
+    want = {
+        r["name"]: round(r["s"]["area"], 9)
+        for r in df.select(
+            "name", st_rings_stats(F.col("geom")).alias("s")
+        ).collect()
+    }
+    path = str(tmp_path / "gj")
+    write_geojson(df, path, geom_col="geom", properties_col="props")
+    back = read_geojson(spark, path)
+    got = {
+        json.loads(r["properties"])["name"]: round(r["s"]["area"], 9)
+        for r in back.select(
+            "properties", st_rings_stats(F.col("geom")).alias("s")
+        ).collect()
+    }
+    assert got == want
+    kinds = {json.loads(r["properties"])["name"]: r["kind"]
+             for r in back.collect()}
+    assert kinds == {"a": "polygon", "b": "multipolygon", "c": "polygon"}
+
+    # FeatureCollection form
+    feats = [json.loads(l["value"]) for l in
+             spark.read.text(path).collect() if l["value"]]
+    coll = {"type": "FeatureCollection", "features": feats}
+    cpath = tmp_path / "coll.geojson"
+    cpath.write_text(json.dumps(coll))
+    back2 = read_geojson_collection(spark, str(cpath))
+    got2 = {
+        json.loads(r["properties"])["name"]: round(r["s"]["area"], 9)
+        for r in back2.select(
+            "properties", st_rings_stats(F.col("geom")).alias("s")
+        ).collect()
+    }
+    assert got2 == want
