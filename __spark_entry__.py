@@ -1760,6 +1760,49 @@ from n
 """
 
 
+def q_st_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_HausdorffDistance + ST_FrechetDistance (r4; JTS discrete
+    variants): polyline A = the zone's bottom edge (3 samples), B = A
+    translated by (hx/4, hy/2) — Hausdorff and Fréchet both equal the
+    translation norm; reversing B's orientation leaves Hausdorff
+    unchanged (set metric) but drives Fréchet to the dog-leash diagonal
+    hypot(2·hx + hx/4, hy/2) (order-aware metric) — the pair of
+    closed forms pins both semantics."""
+    from sedona_spark.functions.st import (
+        st_frechet_distance,
+        st_hausdorff_distance,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    sx, dy = hx / 4, hy / 2
+    a = F.array(cx - hx, cy, cx, cy, cx + hx, cy)
+    b = F.array(cx - hx + sx, cy + dy, cx + sx, cy + dy, cx + hx + sx, cy + dy)
+    b_rev = F.array(
+        cx + hx + sx, cy + dy, cx + sx, cy + dy, cx - hx + sx, cy + dy
+    )
+    return z.select(
+        "n_nationkey",
+        F.round(st_hausdorff_distance(a, b), 6).alias("hd"),
+        F.round(st_frechet_distance(a, b), 6).alias("fd"),
+        F.round(st_hausdorff_distance(a, b_rev), 6).alias("hd_rev"),
+        F.round(st_frechet_distance(a, b_rev), 6).alias("fd_rev"),
+    )
+
+
+def _st_hausdorff_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       round(sqrt((hx / 4e0) * (hx / 4e0) + (hy / 2e0) * (hy / 2e0)), 6) as hd,
+       round(sqrt((hx / 4e0) * (hx / 4e0) + (hy / 2e0) * (hy / 2e0)), 6) as fd,
+       round(sqrt((hx / 4e0) * (hx / 4e0) + (hy / 2e0) * (hy / 2e0)), 6) as hd_rev,
+       round(sqrt((2e0 * hx + hx / 4e0) * (2e0 * hx + hx / 4e0)
+                  + (hy / 2e0) * (hy / 2e0)), 6) as fd_rev
+from z
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -2137,6 +2180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates (planted-cluster recall pytest + full-oracle ann_topk twin
         # in-window) are unaffected; rotates back in r5
         "ann_lsh_topk": q_ann_lsh_topk,
+        # st_hausdorff: new in r4 but the window is full with the 37-query
+        # r3 backlog — verified via tools/driver_check.py this round,
+        # rotates into the r5 window
+        "st_hausdorff": q_st_hausdorff,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2204,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "rs_band_math": _rs_band_math_sql(),
         "spherical_pip": _spherical_pip_sql(),
         "geojson_parse": _geojson_parse_sql(),
+        "st_hausdorff": _st_hausdorff_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

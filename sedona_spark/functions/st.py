@@ -652,6 +652,38 @@ def st_rings_as_geojson(rings: pd.Series) -> pd.Series:
     ])
 
 
+@F.pandas_udf(DoubleType())
+def _hausdorff_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if x is None or y is None else kernels.hausdorff_distance(
+            np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+        )
+        for x, y in zip(a, b)
+    ])
+
+
+@F.pandas_udf(DoubleType())
+def _frechet_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([
+        None if x is None or y is None else kernels.frechet_distance(
+            np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+        )
+        for x, y in zip(a, b)
+    ])
+
+
+def st_hausdorff_distance(a: Column, b: Column) -> Column:
+    """ST_HausdorffDistance (JTS DiscreteHausdorffDistance: vertices vs
+    full segments, symmetric max) over packed coordinate arrays."""
+    return _hausdorff_udf(a, b)
+
+
+def st_frechet_distance(a: Column, b: Column) -> Column:
+    """ST_FrechetDistance (discrete Fréchet, Eiter–Mannila DP — the
+    order-aware 'dog-leash' metric)."""
+    return _frechet_udf(a, b)
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

@@ -2229,3 +2229,54 @@ def point_in_spherical_polygon_batch(
     c = V.mean(axis=0)
     c /= np.linalg.norm(c)
     return (np.abs(winding) > np.pi) & (P @ c > 0.0)
+
+
+def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """ST_HausdorffDistance (JTS DiscreteHausdorffDistance semantics:
+    vertices of each geometry against the FULL segments of the other,
+    symmetric max — exact whenever the true Hausdorff is vertex-attained,
+    which holds for convex/parallel fixtures; densification is the
+    caller's knob via ``segmentize``)."""
+    pa = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+    pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+
+    def directed(v, poly):
+        e0 = poly[:-1]
+        e1 = poly[1:]
+        if len(e0) == 0:
+            d = np.hypot(v[:, 0] - poly[0, 0], v[:, 1] - poly[0, 1])
+            return float(d.max())
+        d = e1 - e0
+        den = np.maximum((d * d).sum(axis=1), 1e-300)
+        ap = v[:, None, :] - e0[None, :, :]
+        t = np.clip((ap * d[None, :, :]).sum(axis=2) / den[None, :], 0.0, 1.0)
+        foot = e0[None, :, :] + t[:, :, None] * d[None, :, :]
+        dist = np.hypot(*(v[:, None, :] - foot).transpose(2, 0, 1))
+        return float(dist.min(axis=1).max())
+
+    return max(directed(pa, pb), directed(pb, pa))
+
+
+def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """ST_FrechetDistance — DISCRETE Fréchet (JTS DiscreteFrechetDistance):
+    the classic Eiter–Mannila dynamic program over the two vertex
+    sequences (order-aware 'dog-leash' distance). O(n·m), vectorized row
+    sweep."""
+    pa = np.asarray(a, dtype=np.float64).reshape(-1, 2)
+    pb = np.asarray(b, dtype=np.float64).reshape(-1, 2)
+    n, m = len(pa), len(pb)
+    d = np.hypot(
+        pa[:, 0][:, None] - pb[:, 0][None, :],
+        pa[:, 1][:, None] - pb[:, 1][None, :],
+    )
+    ca = np.empty((n, m))
+    ca[0, 0] = d[0, 0]
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+        prev = ca[i - 1]
+        row = ca[i]
+        for j in range(1, m):
+            row[j] = max(min(prev[j], prev[j - 1], row[j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
