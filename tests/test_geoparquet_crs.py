@@ -2,6 +2,8 @@
 
 import math
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -172,3 +174,48 @@ def test_geojson_ndjson_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    """Shapefile source/sink (reference ShapefileDataSource.scala): write
+    polygon-with-hole + multipolygon ring lists as .shp/.shx (ESRI
+    winding), read back via the .shx-driven distributed parser, and
+    recover identical canonical ring lists (areas, holes, kinds)."""
+    from sedona_spark.functions.st import st_geom_rings_from_wkt, st_rings_stats
+    from sedona_spark.sources.shapefile import read_shapefile, write_shapefile
+
+    wkts = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+        (1, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 12 0, 12 2, 10 2, 10 0)))"),
+        (2, "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+    ]
+    df = spark.createDataFrame(wkts, "id long, wkt string").orderBy("id").select(
+        st_geom_rings_from_wkt(F.col("wkt")).alias("geom")
+    )
+    want = [
+        (round(r["s"]["area"], 9), r["s"]["n_rings"], r["s"]["n_holes"])
+        for r in df.select(st_rings_stats(F.col("geom")).alias("s")).collect()
+    ]
+    base = str(tmp_path / "layer")
+    n = write_shapefile(df, base, kind="polygon")
+    assert n == 3
+    back = read_shapefile(spark, base).orderBy("rec_id")
+    rows = back.select(
+        "rec_id", "kind", st_rings_stats(F.col("geom")).alias("s")
+    ).collect()
+    got = [(round(r["s"]["area"], 9), r["s"]["n_rings"], r["s"]["n_holes"])
+           for r in rows]
+    assert got == want
+    assert all(r["kind"] == "polygon" for r in rows)
+
+    # point layer
+    pts = spark.createDataFrame(
+        [([np.array([1.5, 2.5]).tolist()],), ([np.array([-3.0, 4.0]).tolist()],)],
+        "geom array<array<double>>",
+    )
+    base2 = str(tmp_path / "pts")
+    assert write_shapefile(pts, base2, kind="point") == 2
+    got_pts = sorted(
+        tuple(r["geom"][0]) for r in read_shapefile(spark, base2).collect()
+    )
+    assert got_pts == [(-3.0, 4.0), (1.5, 2.5)]
