@@ -1643,8 +1643,22 @@ def q_spherical_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lon0 - dl, lat0 - t, lon0 + dl, lat0 - t,
         lon0 + dl, lat0 + t, lon0 - dl, lat0 + t,
     )
-    zz = na.select("n_nationkey", sring.alias("sring"))
+    zz = na.select(
+        "n_nationkey", sring.alias("sring"),
+        lon0.alias("_lon0"), lat0.alias("_lat0"), t.alias("_t"),
+    )
     j = pts.crossJoin(F.broadcast(zz))
+    # pure-Column prefilter before the kernel: the quad's side edges ARE
+    # meridians, so the wrap-aware lon test is EXACT; the lat band is the
+    # vertex span padded by the great-circle bulge bound (max edge
+    # deviation from the parallel is < 8° at dl=18°, |lat|≤69) —
+    # candidates drop ~20× and the UDF sees only the band
+    dlon = F.abs(F.pmod(F.col("x") - F.col("_lon0") + 180.0, 360.0) - 180.0)
+    j = j.filter(
+        (dlon <= 18.0)
+        & (F.col("y") >= F.col("_lat0") - F.col("_t") - 8.0)
+        & (F.col("y") <= F.col("_lat0") + F.col("_t") + 8.0)
+    )
     return (
         j.filter(st_contains_sphere(F.col("sring"), F.col("x"), F.col("y")))
         .groupBy("n_nationkey")

@@ -111,6 +111,13 @@ BENCH_QUERIES = [
     "sql_api",
     "st_make_valid",
     "st_difference_poly",
+    "st_transform_azimuthal",
+    "st_editor",
+    "st_buffer_line",
+    "rs_band_math",
+    "spherical_pip",
+    "geojson_parse",
+    "st_hausdorff",
 ]
 
 
