@@ -1817,6 +1817,41 @@ from z
 """
 
 
+def q_st_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Polygonize + ST_Node (r4; JTS Polygonizer/noding): the zone
+    rect's boundary plus both midlines polygonize into exactly 4 faces
+    totalling the rect area; noding splits the linework into 12
+    non-crossing segments (4 sides × 2 + 2 × 2 midline halves)."""
+    from sedona_spark.functions.st import st_node, st_polygonize, st_rings_stats
+
+    z = zones_from_nation(spark, sf_dir)
+    cx, cy, hx, hy = F.col("zcx"), F.col("zcy"), F.col("hx"), F.col("hy")
+    x0, x1, y0, y1 = cx - hx, cx + hx, cy - hy, cy + hy
+    lines = F.array(
+        F.array(x0, y0, x1, y0), F.array(x1, y0, x1, y1),
+        F.array(x1, y1, x0, y1), F.array(x0, y1, x0, y0),
+        F.array(cx, y0, cx, y1), F.array(x0, cy, x1, cy),
+    )
+    s = st_rings_stats(st_polygonize(lines))
+    return z.select(
+        "n_nationkey",
+        s.getField("n_rings").alias("n_faces"),
+        F.round(s.getField("area"), 6).alias("faces_area"),
+        F.size(st_node(lines)).cast("long").alias("n_noded"),
+    )
+
+
+def _st_polygonize_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(4 as bigint) as n_faces,
+       round(4e0 * hx * hy, 6) as faces_area,
+       cast(12 as bigint) as n_noded
+from z
+"""
+
+
 def q_st_min_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingCircle / Radius (JTS MinimumBoundingCircle): the
     diamond's exact MBC is centered at the zone center with radius
@@ -2194,10 +2229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates (planted-cluster recall pytest + full-oracle ann_topk twin
         # in-window) are unaffected; rotates back in r5
         "ann_lsh_topk": q_ann_lsh_topk,
-        # st_hausdorff: new in r4 but the window is full with the 37-query
-        # r3 backlog — verified via tools/driver_check.py this round,
-        # rotates into the r5 window
+        # st_hausdorff / st_polygonize: new in r4 but the window is full
+        # with the 37-query r3 backlog — verified via tools/driver_check.py
+        # this round, rotate into the r5 window
         "st_hausdorff": q_st_hausdorff,
+        "st_polygonize": q_st_polygonize,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2266,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "spherical_pip": _spherical_pip_sql(),
         "geojson_parse": _geojson_parse_sql(),
         "st_hausdorff": _st_hausdorff_sql(),
+        "st_polygonize": _st_polygonize_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

@@ -684,6 +684,46 @@ def st_frechet_distance(a: Column, b: Column) -> Column:
     return _frechet_udf(a, b)
 
 
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _node_udf(lines: pd.Series) -> pd.Series:
+    out = []
+    for ls in lines:
+        if ls is None:
+            out.append(None)
+            continue
+        segs = kernels.node_segments([
+            np.asarray(s, dtype=np.float64).reshape(-1, 2) for s in ls
+        ])
+        out.append([s.ravel() for s in segs])
+    return pd.Series(out)
+
+
+def st_node(lines: Column) -> Column:
+    """ST_Node: split the input linework at every crossing → non-crossing
+    segments (JTS noding; the Polygonize/MakeValid building block)."""
+    return _node_udf(lines)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _polygonize_udf(lines: pd.Series) -> pd.Series:
+    out = []
+    for ls in lines:
+        if ls is None:
+            out.append(None)
+            continue
+        faces = kernels.polygonize_segments([
+            np.asarray(s, dtype=np.float64).reshape(-1, 2) for s in ls
+        ])
+        out.append([f.ravel() for f in faces])
+    return pd.Series(out)
+
+
+def st_polygonize(lines: Column) -> Column:
+    """ST_Polygonize (JTS Polygonizer): bounded faces of the input
+    linework's arrangement as CCW rings (node + angular face walk)."""
+    return _polygonize_udf(lines)
+
+
 def st_collect_aggr(ring: Column) -> Column:
     """ST_Collect as an AGGREGATE: gather one ring per row into a ring
     list (deterministic only under an upstream sort; pair with

@@ -2280,3 +2280,107 @@ def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
         for j in range(1, m):
             row[j] = max(min(prev[j], prev[j - 1], row[j - 1]), d[i, j])
     return float(ca[n - 1, m - 1])
+
+
+def node_segments(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """ST_Node analog: split every input segment/polyline edge at its
+    crossings with the others → a set of non-crossing segments (shared
+    endpoints keyed exactly like ``make_valid``'s noding)."""
+    edges = []
+    for s in segments:
+        a = np.asarray(s, dtype=np.float64).reshape(-1, 2)
+        for p, q in zip(a[:-1], a[1:]):
+            edges.append((p, q))
+    n = len(edges)
+    # endpoint snap table: a computed crossing within ~1e-9 of an input
+    # endpoint takes the ENDPOINT's exact floats, so a midline touching a
+    # side at its own endpoint never spawns a float-twin sliver segment
+    ends = np.array(
+        [e[0] for e in edges] + [e[1] for e in edges], dtype=np.float64
+    ) if edges else np.empty((0, 2))
+
+    def snap(pt):
+        if len(ends):
+            d = np.abs(ends - pt).max(axis=1)
+            k = int(d.argmin())
+            if d[k] <= 2e-9 * max(1.0, abs(pt[0]), abs(pt[1])):
+                return ends[k]
+        return pt
+
+    cuts: list[list[tuple[float, float, float]]] = [[] for _ in range(n)]
+    for i in range(n):
+        p, r = edges[i][0], edges[i][1] - edges[i][0]
+        for j in range(i + 1, n):
+            q, s = edges[j][0], edges[j][1] - edges[j][0]
+            den = r[0] * s[1] - r[1] * s[0]
+            if abs(den) < 1e-300:
+                continue
+            t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / den
+            u = ((q[0] - p[0]) * r[1] - (q[1] - p[1]) * r[0]) / den
+            if -1e-12 < t < 1 + 1e-12 and -1e-12 < u < 1 + 1e-12:
+                pt = snap(p + t * r)
+                cuts[i].append((t, pt[0], pt[1]))
+                cuts[j].append((u, pt[0], pt[1]))
+    out = []
+    for i, (p, q) in enumerate(edges):
+        pts = [(0.0, p[0], p[1])] + sorted(cuts[i]) + [(1.0, q[0], q[1])]
+        for (_, x0, y0), (_, x1, y1) in zip(pts, pts[1:]):
+            if (round(x0, 9), round(y0, 9)) != (round(x1, 9), round(y1, 9)):
+                out.append(np.array([[x0, y0], [x1, y1]]))
+    return out
+
+
+def polygonize_segments(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """ST_Polygonize (JTS Polygonizer; reference catalog): the BOUNDED
+    faces of the arrangement of the input linework, as CCW rings. Input
+    segments are noded first, then faces are traced with the same
+    angular half-edge walk ``make_valid`` uses (each undirected edge
+    walked once in each direction; the single unbounded face comes out
+    CW and is dropped)."""
+    import math as _m
+
+    def key(x, y):
+        return (round(float(x), 9), round(float(y), 9))
+
+    noded = node_segments(segments)
+    segs = set()
+    verts = {}
+    for s in noded:
+        k0, k1 = key(s[0][0], s[0][1]), key(s[1][0], s[1][1])
+        verts[k0] = (float(s[0][0]), float(s[0][1]))
+        verts[k1] = (float(s[1][0]), float(s[1][1]))
+        if k0 != k1:
+            segs.add((k0, k1))
+
+    out_edges: dict = {}
+    for k0, k1 in segs:
+        out_edges.setdefault(k0, []).append(k1)
+        out_edges.setdefault(k1, []).append(k0)
+    ang = {
+        (u, v): _m.atan2(verts[v][1] - verts[u][1], verts[v][0] - verts[u][0])
+        for u, nbrs in out_edges.items()
+        for v in nbrs
+    }
+    for u in out_edges:
+        out_edges[u].sort(key=lambda v: ang[(u, v)])
+
+    visited = set()
+    faces = []
+    for start in list(segs) + [(k1, k0) for (k0, k1) in segs]:
+        if start in visited:
+            continue
+        face = []
+        e = start
+        while e not in visited:
+            visited.add(e)
+            u, v = e
+            face.append(v)
+            nbrs = out_edges[v]
+            i = nbrs.index(u)
+            e = (v, nbrs[(i - 1) % len(nbrs)])
+        if len(face) >= 3 and e == start:
+            f = np.array([verts[k] for k in face], dtype=np.float64)
+            q = np.roll(f, -1, axis=0)
+            if float((f[:, 0] * q[:, 1] - q[:, 0] * f[:, 1]).sum()) > 1e-300:
+                faces.append(f)
+    return faces
