@@ -167,7 +167,9 @@ def test_high_vertex_rings_bbox_guard():
     assert f["intersects"].all() and f["ii"].all()
     h = kernels.polygons_intersect_batch([a] * 8, [b] * 8)
     assert h.all()
-    assert wall < 2.0, f"high-vertex flags took {wall:.2f}s"
+    # budget guards against QUADRATIC blowup (10-100x), not VM noise:
+    # measured ~0.5-1 s warm on a quiet box, 2.2 s under load (r4 flake)
+    assert wall < 4.0, f"high-vertex flags took {wall:.2f}s"
 
 
 def test_high_vertex_rings_fast():
