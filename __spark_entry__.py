@@ -863,6 +863,47 @@ from pix group by i
 """
 
 
+def q_rs_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Value at world coordinates, BILINEAR (r4): sample point per
+    image at pixel-space (i%17 + 0.75, i%11 + 0.75) — dyadic fractions
+    fx = fy = 0.25, so the interpolated value is exact in both engines
+    and the oracle reproduces it closed-form from the pixel formula."""
+    from sedona_spark.functions.raster import rs_value_bilinear
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=20)
+    i = F.regexp_extract(F.col("image_id"), r"(\d+)", 1).cast("long")
+    ps = 1e-3
+    imgs = imgs.withColumn(
+        "wx", F.col("lon") + ((i % 17).cast("double") + 0.75) * F.lit(ps)
+    ).withColumn(
+        "wy", F.col("lat") - ((i % 11).cast("double") + 0.75) * F.lit(ps)
+    )
+    out = rs_value_bilinear(imgs, band=0, pixel_size=ps)
+    return out.select("image_id", F.round(F.col("value"), 6).alias("bval"))
+
+
+def _rs_bilinear_sql() -> str:
+    pix = ("(((i * 31 + {x} * 3 + {y} * 5) % 251"
+           " + ({x} * {y} * (i % 13 + 1)) % 67) % 256)")
+    cells_xy = [
+        ("(i % 17)", "(i % 11)"), ("(i % 17 + 1)", "(i % 11)"),
+        ("(i % 17)", "(i % 11 + 1)"), ("(i % 17 + 1)", "(i % 11 + 1)"),
+    ]
+    vs = [
+        _DECODED.format(v=pix.format(x=x, y=y)) for x, y in cells_xy
+    ]
+    bil = (f"(0.75e0 * (0.75e0 * ({vs[0]}) + 0.25e0 * ({vs[1]}))"
+           f" + 0.25e0 * (0.75e0 * ({vs[2]}) + 0.25e0 * ({vs[3]})))")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 20 = 0)
+select printf('img_%012d', i) as image_id,
+       round({bil}, 6) as bval
+from sel
+"""
+
+
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile grid of the exploded tiles (tile bytes themselves are checked by
     the pytest byte-identity/PSNR gates; zlib output is not SQL-expressible)."""
@@ -2234,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round, rotate into the r5 window
         "st_hausdorff": q_st_hausdorff,
         "st_polygonize": q_st_polygonize,
+        "rs_bilinear": q_rs_bilinear,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2303,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_parse": _geojson_parse_sql(),
         "st_hausdorff": _st_hausdorff_sql(),
         "st_polygonize": _st_polygonize_sql(),
+        "rs_bilinear": _rs_bilinear_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

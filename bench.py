@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "spherical_pip",
     "geojson_parse",
     "st_hausdorff",
+    "st_polygonize",
 ]
 
 
@@ -204,6 +205,32 @@ def _ensure_images(spark, n_images: int) -> str:
             "overwrite"
         ).parquet(path)
     return path
+
+
+def _contention_telemetry() -> dict:
+    """Ambient-contention markers recorded alongside every bench line.
+
+    This VM has noisy co-tenants: the identical throughput job measures
+    15.5k img/s on a quiet box and 3-4k under ambient load (the r3
+    3,134 artifact). The min-of-N guard cannot detect contention that
+    spans ALL samples, so the JSON carries (a) the 1/5/15-min load
+    averages and (b) a single-thread numpy canary (40 × 1M-element
+    multiply-sum; ~0.05 s warm on this box) — a reader discounts
+    throughput numbers whose canary is far above that baseline."""
+    import numpy as _np
+
+    la = os.getloadavg()
+    a = _np.arange(1_000_000, dtype=_np.float64)
+    acc = float((a * 1.0000001).sum())  # untimed warm (page touch)
+    t0 = time.time()
+    for _ in range(40):
+        acc += float((a * 1.0000001).sum())
+    canary = time.time() - t0
+    assert acc > 0
+    return {
+        "load_avg": [round(x, 1) for x in la],
+        "canary_sec": round(canary, 3),
+    }
 
 
 def _sample_throughput(spark, sf_dir: str, n_images: int | None = None) -> list:
@@ -300,6 +327,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "throughput_job_sec": round(tput_wall, 3),
         "n_images": n_imgs,
         "cpus": cpus,
+        **_contention_telemetry(),
     }
 
 
@@ -397,6 +425,7 @@ def main() -> None:
             "all_walls_sec": [round(w, 2) for w in walls],
             "n_images": n,
             "cpus": CPUS,
+            **_contention_telemetry(),
         }))
         return
     print(json.dumps(run_queries(CPUS, SF_DIR)))
