@@ -265,6 +265,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         },
     )
     qs = entrymod.queries()
+    tele_start = _contention_telemetry()
     timings: dict[str, float] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -327,7 +328,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "throughput_job_sec": round(tput_wall, 3),
         "n_images": n_imgs,
         "cpus": cpus,
-        **_contention_telemetry(),
+        "telemetry_start": tele_start,
+        "telemetry_end": _contention_telemetry(),
     }
 
 
