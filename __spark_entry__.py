@@ -761,6 +761,52 @@ def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup by 64-bit hash hamming distance (r4): the generic
+    pigeonhole band machinery (``hamming_near_dup_pairs``) that serves
+    the input contract's ``phash:int64`` column, driven here by an
+    engine-portable 60-bit md5 hash (bits of md5(doc_id // 4)) with the
+    two low bits perturbed by ``doc_id % 4`` — planting groups of 4 ids
+    whose pairwise hamming ≤ 2, all recovered exactly (6 pairs/group,
+    pigeonhole-complete at max_hamming=5 ⇒ 6 bands of 10 bits). The
+    phash-column path itself is gated by the planted-perturbation pytest
+    (brute-force equality)."""
+    from sedona_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = F.conv(
+        F.substring(
+            F.md5((F.col("doc_id") / 4).cast("long").cast("string").cast("binary")),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    h = base.bitwiseXOR(F.col("doc_id") % 4)
+    df = docs.select("doc_id", h.alias("h64"))
+    return hamming_near_dup_pairs(
+        df, "h64", "doc_id", max_hamming=5, n_bits=60
+    )
+
+
+def _phash_dedup_sql() -> str:
+    return """
+with d as (
+  select doc_id,
+         xor(('0x' || substr(md5(cast(cast(doc_id // 4 as bigint) as varchar)), 1, 15))::bigint,
+             doc_id % 4) as h64
+  from documents),
+chunks as (
+  select doc_id, h64, c.v as band, (h64 >> (10 * c.v)) & 1023 as bv
+  from d, (select unnest(range(0, 6)) as v) c),
+pairs as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b,
+         cast(bit_count(xor(a.h64, b.h64)) as bigint) as hamming
+  from chunks a join chunks b using (band, bv)
+  where a.doc_id < b.doc_id)
+select id_a, id_b, hamming from pairs where hamming <= 5
+"""
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + stats. mean_lum = exact-int pixel sum / size → the DuckDB
     twin regenerates every pixel of the deterministic codec and matches
@@ -2276,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_hausdorff": q_st_hausdorff,
         "st_polygonize": q_st_polygonize,
         "rs_bilinear": q_rs_bilinear,
+        "phash_dedup": q_phash_dedup,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2346,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "st_hausdorff": _st_hausdorff_sql(),
         "st_polygonize": _st_polygonize_sql(),
         "rs_bilinear": _rs_bilinear_sql(),
+        "phash_dedup": _phash_dedup_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

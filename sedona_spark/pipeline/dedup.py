@@ -382,3 +382,74 @@ def ngram_jaccard_pairs(
         F.size(F.array_intersect("g_a", "g_b")).cast("long").alias("inter_size"),
         F.size(F.array_union("g_a", "g_b")).cast("long").alias("union_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming near-dup over ANY int64 hash (phash image dedup, r4)
+# ---------------------------------------------------------------------------
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 7,
+    n_bits: int = 64,
+) -> DataFrame:
+    """EXACT hamming-≤k pairs over any int64 hash column.
+
+    Pigeonhole band blocking: the hash splits into ``max_hamming + 1``
+    equal bands, and any pair within ``max_hamming`` differing bits must
+    agree EXACTLY on at least one band — so the banded equi-join is
+    COMPLETE (no recall loss), and ``bit_count(xor)`` verifies each
+    candidate exactly. One shuffle on (band, value); candidate volume is
+    the only cost knob (narrower bands = hotter buckets; pick
+    ``max_hamming`` so bands stay ≥ 8 bits at your cardinality).
+
+    This is the image-dedup path of the input contract's ``phash:int64``
+    column (see :func:`phash_near_dup_pairs`) and works unchanged for
+    any 64-bit fingerprint."""
+    nb = int(max_hamming) + 1
+    width = (int(n_bits) + nb - 1) // nb
+    mask = (1 << width) - 1
+    bands = df.select(
+        F.col(id_col), F.col(hash_col).alias("_hh"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), width * c)
+                .bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for c in range(nb)
+        ])).alias("_b"),
+    ).select(id_col, "_hh", "_b.band", "_b.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a._hh").bitwiseXOR(F.col("b._hh")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the input contract's ``phash:int64`` column driving the same
+    pigeonhole machinery (8×8-bit bands at the default threshold 7).
+    Plant-and-recover gate: tests/test_pipeline.py perturbs pixels and
+    checks the banded output equals the brute-force pairs."""
+    return hamming_near_dup_pairs(
+        images, phash_col, id_col, max_hamming, n_bits=64
+    )

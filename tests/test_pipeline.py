@@ -245,3 +245,48 @@ def test_ivf_stored_index_partition_pruning(spark, tmp_path):
            ivf_topk(emb, qvec, 10, n_centroids=16, nprobe=6, iters=2,
                     centroids=cents).collect()]
     assert got == mem
+
+
+def test_phash_near_dup_images(spark):
+    """phash:int64 image dedup (input contract): perturbing a few pixels
+    leaves the perceptual hash within a small hamming radius; the
+    pigeonhole-banded pairs EQUAL the brute-force pairs (completeness +
+    soundness), and every planted (original, perturbed) pair is found."""
+    import numpy as np
+
+    from sedona_spark.pipeline.dedup import phash_near_dup_pairs
+    from sedona_spark.sources.images import (
+        decode_image,
+        encode_image,
+        phash64,
+        synthesize_images,
+    )
+
+    base = synthesize_images(spark, 40).collect()
+    rows = []
+    for r in base:
+        rows.append((r["image_id"], int(r["phash"])))
+        arr, _ = decode_image(bytes(r["bytes"]))
+        pert = arr.copy()
+        pert[0:2, 0:2, :] = 255  # tiny corner blot
+        rows.append((r["image_id"] + "_p", phash64(pert)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup_pairs(df, max_hamming=7).collect()
+    }
+    # brute force reference
+    import itertools
+
+    brute = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        # signed int64 hashes: hamming is over the 64-bit two's-complement
+        # pattern (what bit_count(xor) computes JVM-side)
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 7:
+            brute.add((min(ia, ib), max(ia, ib)))
+    assert got == brute
+    planted = {(r["image_id"], r["image_id"] + "_p") for r in base}
+    found_planted = {p for p in planted if p in got}
+    # the blot flips few blocks: the vast majority of planted pairs stay
+    # within hamming 7 and every one inside the radius is recovered
+    assert len(found_planted) >= 0.8 * len(planted), len(found_planted)
