@@ -127,6 +127,32 @@ def _project_body() -> str:
             f"'lat', asin({sinp2}) / {rad})")
 
 
+def _azimuthal_body(kind: str) -> str:
+    """LAEA / AEQD with the projection CENTER as runtime args (lon0,
+    lat0) — the same closed forms as ``crs.st_transform_laea/aeqd`` with
+    the python-constant center terms re-expressed over the arguments."""
+    rad = "pi() / 180e0"
+    sinp, cosp = f"sin(lat * {rad})", f"cos(lat * {rad})"
+    s0, c0 = f"sin(lat0 * {rad})", f"cos(lat0 * {rad})"
+    dl = f"((lon - lon0) * {rad})"
+    cosc = f"({s0} * {sinp} + {c0} * {cosp} * cos({dl}))"
+    if kind == "laea":
+        k = f"sqrt(2e0 / greatest(1e0 + {cosc}, 1e-12))"
+    else:
+        cc = f"acos(least(1e0, greatest(-1e0, {cosc})))"
+        k = f"(case when {cc} < 1e-12 then 1e0 else {cc} / sin({cc}) end)"
+    x = f"6371008.8e0 * {k} * {cosp} * sin({dl})"
+    y = f"6371008.8e0 * {k} * ({c0} * {sinp} - {s0} * {cosp} * cos({dl}))"
+    return f"named_struct('x', {x}, 'y', {y})"
+
+
+_REVERSE = (
+    "flatten(transform(sequence(0, (size(ring) div 2) - 1), i -> array("
+    "element_at(ring, cast(((size(ring) div 2) - 1 - i) * 2 + 1 as int)), "
+    "element_at(ring, cast(((size(ring) div 2) - 1 - i) * 2 + 2 as int)))))"
+)
+
+
 def _geohash_body(max_precision: int = 8) -> str:
     cases = "".join(
         f" when {p} then {_geohash.sql_geohash('lon', 'lat', p)}"
@@ -183,6 +209,17 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
          "BOOLEAN", "ST_PIP(g, px, py) = 0"),
         ("ST_Buffer", "ring ARRAY<DOUBLE>, r DOUBLE", "ARRAY<DOUBLE>",
          "ST_BufferRing(ring, r, 8)"),
+        ("ST_TransformLAEA",
+         "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE",
+         "STRUCT<x: DOUBLE, y: DOUBLE>", _azimuthal_body("laea")),
+        ("ST_TransformAEQD",
+         "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE",
+         "STRUCT<x: DOUBLE, y: DOUBLE>", _azimuthal_body("aeqd")),
+        ("ST_Reverse", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>", _REVERSE),
+        ("ST_ForcePolygonCCW", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"case when {_SIGNED2} >= 0 then ring else {_REVERSE} end"),
+        ("ST_ForcePolygonCW", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"case when {_SIGNED2} <= 0 then ring else {_REVERSE} end"),
     ]
 
 

@@ -143,3 +143,33 @@ def test_sql_spheroid_and_project_match(reg):
         assert abs(g["d"] - w["d"]) < 1e-6
         assert abs(g["plon"] - w["plon"]) < 1e-9
         assert abs(g["plat"] - w["plat"]) < 1e-9
+
+
+def test_sql_azimuthal_and_orientation(reg):
+    spark = reg
+    from sedona_spark.functions.crs import st_transform_aeqd, st_transform_laea
+
+    df = spark.range(1, 15).select(
+        ((F.col("id") * 23 % 300) - 150.0 + 0.5).alias("lon"),
+        ((F.col("id") * 13 % 120) - 60.0 + 0.25).alias("lat"),
+    )
+    df.createOrReplaceTempView("t_az")
+    got = spark.sql(
+        "select ST_TransformLAEA(lon, lat, 1e1, 45e0).x lx, "
+        "ST_TransformAEQD(lon, lat, 1e1, 45e0).y ay from t_az order by lon"
+    ).collect()
+    lx, _ = st_transform_laea(F.col("lon"), F.col("lat"), 10.0, 45.0)
+    _, ay = st_transform_aeqd(F.col("lon"), F.col("lat"), 10.0, 45.0)
+    want = df.select(lx.alias("lx"), ay.alias("ay")).orderBy("lon").collect()
+    for g, w in zip(got, want):
+        assert abs(g["lx"] - w["lx"]) < 1e-6
+        assert abs(g["ay"] - w["ay"]) < 1e-6
+
+    r = spark.sql(
+        "select ST_Reverse(array(0e0, 0e0, 4e0, 0e0, 4e0, 3e0)) rv, "
+        "ST_ForcePolygonCCW(ST_Reverse(array(0e0, 0e0, 4e0, 0e0, 4e0, 3e0, 0e0, 3e0))) f, "
+        "ST_Area(ST_ForcePolygonCW(array(0e0, 0e0, 4e0, 0e0, 4e0, 3e0, 0e0, 3e0))) a"
+    ).collect()[0]
+    assert r["rv"] == [4.0, 3.0, 4.0, 0.0, 0.0, 0.0]
+    assert r["f"] == [0.0, 0.0, 4.0, 0.0, 4.0, 3.0, 0.0, 3.0]
+    assert r["a"] == 12.0
