@@ -950,6 +950,39 @@ from sel
 """
 
 
+def q_rs_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3×3 box convolution (r4, valid mode, exact int64): the
+    oracle re-derives the convolution total WITHOUT windows — each pixel
+    contributes value × (windows containing it) and the participation
+    count is separable: min(x+1, 3, w−2, w−x) per axis."""
+    from sedona_spark.functions.raster import rs_convolve
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=40)
+    return rs_convolve(imgs, [[1, 1, 1], [1, 1, 1], [1, 1, 1]], band=0)
+
+
+def _rs_convolve_sql() -> str:
+    pix = ("(((i * 31 + x.v * 3 + y.v * 5) % 251"
+           " + (x.v * y.v * (i % 13 + 1)) % 67) % 256)")
+    dv = _DECODED.format(v=pix)
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 40 = 0),
+pix as (
+  select i, w, h,
+         ({dv}) * least(x.v + 1, 3, w - 2, w - x.v)
+                * least(y.v + 1, 3, h - 2, h - y.v) as wv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y)
+select printf('img_%012d', i) as image_id,
+       cast(sum(wv) as bigint) as conv_sum,
+       cast((w - 2) * (h - 2) as bigint) as conv_n
+from pix group by i, w, h
+"""
+
+
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile grid of the exploded tiles (tile bytes themselves are checked by
     the pytest byte-identity/PSNR gates; zlib output is not SQL-expressible)."""
@@ -2323,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_polygonize": q_st_polygonize,
         "rs_bilinear": q_rs_bilinear,
         "phash_dedup": q_phash_dedup,
+        "rs_convolve": q_rs_convolve,
         "predicate_matrix_concave": q_predicate_matrix_concave,
         "st_relate": q_st_relate,
         "buffer_area": q_buffer_area,
@@ -2394,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "st_polygonize": _st_polygonize_sql(),
         "rs_bilinear": _rs_bilinear_sql(),
         "phash_dedup": _phash_dedup_sql(),
+        "rs_convolve": _rs_convolve_sql(),
         "predicate_matrix_concave": _predicate_matrix_concave_sql(),
         "st_relate": _st_relate_sql(),
         "buffer_area": _buffer_area_sql(),

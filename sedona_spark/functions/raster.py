@@ -722,3 +722,50 @@ def rs_value_bilinear(
             yield pd.DataFrame({"image_id": ids, "value": vals})
 
     return cols.mapInPandas(gen, "image_id string, value double")
+
+
+def rs_convolve(
+    images: DataFrame,
+    kernel,
+    band: int = 0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Focal convolution (RS_MapAlgebra neighborhood tier / focal
+    statistics): VALID-mode 2-D convolution of ``band`` with an integer
+    3×3 (or any odd-size) kernel — output (h−kh+1)×(w−kw+1), exact int64
+    accumulation, per-image (conv_sum, conv_n) stats. numpy sliding-window
+    sum via cumulative differences, no per-pixel python."""
+    k = np.asarray(kernel, dtype=np.int64)
+    kh, kw = k.shape
+    bnd = int(band)
+    cols = images.select(id_col, bytes_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, sums, ns = [], [], []
+            for iid, buf in zip(b[id_col], b[bytes_col]):
+                arr, _ = decode_image(bytes(buf))
+                a = arr[:, :, bnd].astype(np.int64)
+                hh, ww = a.shape
+                oh, ow = hh - kh + 1, ww - kw + 1
+                if oh <= 0 or ow <= 0:
+                    ids.append(iid)
+                    sums.append(0)
+                    ns.append(0)
+                    continue
+                out = np.zeros((oh, ow), dtype=np.int64)
+                for dy in range(kh):
+                    for dx in range(kw):
+                        if k[dy, dx]:
+                            out += k[dy, dx] * a[dy:dy + oh, dx:dx + ow]
+                ids.append(iid)
+                sums.append(int(out.sum()))
+                ns.append(oh * ow)
+            yield pd.DataFrame(
+                {"image_id": ids, "conv_sum": sums, "conv_n": ns}
+            )
+
+    return cols.mapInPandas(
+        gen, "image_id string, conv_sum long, conv_n long"
+    )
