@@ -215,6 +215,9 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
         ("ST_TransformAEQD",
          "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE",
          "STRUCT<x: DOUBLE, y: DOUBLE>", _azimuthal_body("aeqd")),
+        ("ST_Azimuth", "x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+         "DOUBLE",  # radians clockwise from north, JTS/PostGIS convention
+         "(atan2(x2 - x1, y2 - y1) + 2 * pi()) % (2 * pi())"),
         ("ST_Reverse", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>", _REVERSE),
         ("ST_ForcePolygonCCW", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
          f"case when {_SIGNED2} >= 0 then ring else {_REVERSE} end"),
@@ -249,6 +252,12 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_Difference": _st._difference_udf,
         "ST_IntersectsPolygons": _st._poly_intersects_udf,
     }
+    # RS_ scalar tier (decode is the deterministic sandbox codec; real
+    # formats are the documented images.py seam)
+    from sedona_spark.functions import raster as _rs
+
+    pandas_catalog["RS_Value"] = _rs._rs_value_udf
+    pandas_catalog["RS_PSNR"] = _rs.rs_psnr
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

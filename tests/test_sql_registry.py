@@ -173,3 +173,33 @@ def test_sql_azimuthal_and_orientation(reg):
     assert r["rv"] == [4.0, 3.0, 4.0, 0.0, 0.0, 0.0]
     assert r["f"] == [0.0, 0.0, 4.0, 0.0, 4.0, 3.0, 0.0, 3.0]
     assert r["a"] == 12.0
+
+
+def test_sql_rs_value_and_azimuth(reg):
+    spark = reg
+    import math
+
+    from sedona_spark.sources.images import synthesize_images
+
+    imgs = synthesize_images(spark, 6)
+    imgs.createOrReplaceTempView("t_imgs")
+    from sedona_spark.functions.raster import rs_value
+    from pyspark.sql import functions as FF
+
+    got = spark.sql(
+        "select image_id, RS_Value(bytes, 3, 4, 1) v from t_imgs order by image_id"
+    ).collect()
+    want = imgs.select(
+        "image_id", rs_value(FF.col("bytes"), FF.lit(3), FF.lit(4), FF.lit(1)).alias("v")
+    ).orderBy("image_id").collect()
+    assert [(r["image_id"], r["v"]) for r in got] == [
+        (r["image_id"], r["v"]) for r in want
+    ]
+    az = spark.sql(
+        "select ST_Azimuth(0e0, 0e0, 1e0, 1e0) a, "
+        "ST_Azimuth(0e0, 0e0, 0e0, -1e0) s, "
+        "ST_Azimuth(0e0, 0e0, -1e0, 0e0) w"
+    ).collect()[0]
+    assert abs(az["a"] - math.pi / 4) < 1e-12
+    assert abs(az["s"] - math.pi) < 1e-12
+    assert abs(az["w"] - 3 * math.pi / 2) < 1e-12
