@@ -187,3 +187,62 @@ def test_bucketed_cell_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"drop table if exists {tp}")
         spark.sql(f"drop table if exists {tz}")
+
+
+def test_phash_dedup_plan_single_band_shuffle(spark):
+    """hamming_near_dup_pairs: one shuffle per side on (band, value) —
+    no cartesian, no python eval in the plan (pure Column banding +
+    bit_count verify)."""
+    from sedona_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2654435761).alias("h64")
+    )
+    plan = _plan(hamming_near_dup_pairs(df, "h64", "id", max_hamming=7))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_spherical_pip_query_plan(spark):
+    """spherical_pip: zones broadcast, the wrap-aware meridian + lat-band
+    prefilter sits BEFORE the winding UDF (the UDF must not see the raw
+    cross product)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_spherical_pip(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the wrap-aware meridian prefilter (pmod) runs JVM-side — Catalyst
+    # folds it into the join condition, so no python sees raw pairs
+    pmod_lines = [ln for ln in plan.splitlines() if "pmod" in ln]
+    assert pmod_lines and all(
+        "EvalPython" not in ln for ln in pmod_lines
+    ), plan
+    # exactly one python eval (the winding kernel), above the join
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_stream_stream_join_plan_is_watermarked(spark):
+    """stream_stream_distance_join analysis plan: watermarks on both
+    sides, a stream-stream inner join with the cell equality key, and the
+    dwithin refine — expressible (Spark accepts it in append mode)."""
+    from sedona_spark.streaming.cellify import stream_stream_distance_join
+
+    left = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").alias("lid"),
+                (F.col("value") % 100).cast("double").alias("lon"),
+                (F.col("value") % 50).cast("double").alias("lat"))
+    )
+    right = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").alias("rid"),
+                (F.col("value") % 100).cast("double").alias("lon"),
+                (F.col("value") % 50).cast("double").alias("lat"))
+    )
+    out = stream_stream_distance_join(left, right, 1.0, level=5)
+    lp = out._jdf.queryExecution().analyzed().toString()
+    assert lp.count("EventTimeWatermark") == 2
+    assert "Join Inner" in lp
