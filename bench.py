@@ -253,6 +253,34 @@ def _sample_throughput(spark, sf_dir: str, n_images: int | None = None) -> list:
     return walls
 
 
+def _query_history() -> dict[str, list[float]]:
+    """Trailing per-query walls from previous bench runs (self-maintained
+    at BENCH/history.json) — the baseline for the contended-sample guard:
+    a wall >3× its trailing median is re-sampled instead of recorded
+    (VERDICT r4 what's-wrong #4: count_by_key 9.38 s vs a 1.45 s truth)."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "history.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _append_history(timings: dict[str, float]) -> None:
+    hist = _query_history()
+    for name, wall in timings.items():
+        hist.setdefault(name, []).append(wall)
+        hist[name] = hist[name][-8:]  # trailing window
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "history.json"), "w") as f:
+        json.dump(hist, f)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def run_queries(cpus: int, sf_dir: str) -> dict:
     from sedona_spark.session import get_spark
 
@@ -265,8 +293,10 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         },
     )
     qs = entrymod.queries()
+    hist = _query_history()
     tele_start = _contention_telemetry()
     timings: dict[str, float] = {}
+    qmeta: dict[str, dict] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
     # Arrow batch sizing: 64-row batches ONLY for queries whose python
@@ -288,6 +318,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     for name in BENCH_QUERIES:
         fn = qs[name]
         spark.conf.set(batch_key, "64" if name in BYTE_HEAVY else "10000")
+        load1 = os.getloadavg()[0]
         walls = []
         for _ in range(3):
             t0 = time.time()
@@ -308,7 +339,26 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             t0 = time.time()
             fn(spark, sf_dir).count()
             walls.append(time.time() - t0)
-        timings[name] = round(min(walls[1:]), 3)
+        wall = min(walls[1:])
+        # trailing-median outlier guard: a converged wall still >3× this
+        # query's trailing median means the whole sample window was
+        # contended — buy two more chances at a clean window and mark the
+        # record so a reader knows it was re-sampled
+        prior = hist.get(name, [])
+        rerun = False
+        if len(prior) >= 2 and wall > 3.0 * _median(prior):
+            rerun = True
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                walls.append(time.time() - t0)
+            wall = min(walls[1:])
+        timings[name] = round(wall, 3)
+        qmeta[name] = {
+            "load1": round(load1, 1),
+            "n_samples": len(walls),
+            **({"rerun_outlier": True} if rerun else {}),
+        }
 
     spark.conf.set(batch_key, "64")  # throughput job decodes image bytes
     _ensure_images(spark, N_IMAGES)  # materialize outside the timed window
@@ -317,6 +367,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     n_imgs = N_IMAGES
     tput_wall = min(tput_walls)
     spark.stop()
+    _append_history(timings)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_query_total_sec",
@@ -330,6 +381,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "cpus": cpus,
         "telemetry_start": tele_start,
         "telemetry_end": _contention_telemetry(),
+        "query_meta": qmeta,
     }
 
 
@@ -430,7 +482,36 @@ def main() -> None:
             **_contention_telemetry(),
         }))
         return
-    print(json.dumps(run_queries(CPUS, SF_DIR)))
+    res = run_queries(CPUS, SF_DIR)
+    # Full artifact (per-query walls + telemetry + meta) goes to a file;
+    # stdout gets the full map line THEN a compact headline line LAST.
+    # The driver's stdout capture keeps a bounded TAIL — r4's single long
+    # line lost its head and recorded parsed:null (VERDICT r4 #2), so the
+    # machine-parseable summary must be the final thing printed.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "latest_full.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    meta = res.pop("query_meta")
+    flagged = {k: v for k, v in meta.items() if v.get("rerun_outlier")}
+    print(json.dumps(res))
+    compact = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        "n_queries": len(res["queries"]),
+        "throughput_images_per_sec": res["throughput_images_per_sec"],
+        "throughput_job_sec": res["throughput_job_sec"],
+        "load_avg_end": res["telemetry_end"]["load_avg"],
+        "canary_sec_end": res["telemetry_end"]["canary_sec"],
+        "outlier_reruns": sorted(flagged),
+        **({"sf1_queries": res["sf1_queries"],
+            "sf1_vs_sf01_ratio": res["sf1_vs_sf01_ratio"]}
+           if "sf1_queries" in res else {}),
+        "full_artifact": "BENCH/latest_full.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

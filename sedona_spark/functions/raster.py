@@ -551,36 +551,49 @@ def rs_zonal_stats_agg(
                 vals.append(arr[:, :, bnd].astype(np.int64).ravel())
             if not wxs:
                 continue
-            px = np.concatenate(wxs)
-            py = np.concatenate(wys)
-            vv = np.concatenate(vals)
-            keys, cnts, sums = [], [], []
-            for zi, rl in enumerate(zrings):
-                x0, y0, x1, y1 = zenv[zi]
-                m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
-                if not m.any():
-                    continue
-                sx, sy = px[m], py[m]
-                cross = np.zeros(len(sx), dtype=np.int64)
-                for q in rl:
-                    rx0, ry0 = q[:, 0], q[:, 1]
-                    rx1, ry1 = np.roll(rx0, -1), np.roll(ry0, -1)
-                    cond = (ry0[None, :] > sy[:, None]) != (
-                        ry1[None, :] > sy[:, None]
-                    )
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        dy = ry1 - ry0
-                        xin = rx0[None, :] + (sy[:, None] - ry0[None, :]) * (
-                            rx1 - rx0
-                        )[None, :] / np.where(dy == 0.0, np.inf, dy)[None, :]
-                    cross += (cond & (sx[:, None] < xin)).sum(axis=1)
-                inside = (cross % 2) == 1
-                n = int(inside.sum())
-                if n:
-                    keys.append(zkeys[zi])
-                    cnts.append(n)
-                    sums.append(int(vv[m][inside].sum()))
-            yield pd.DataFrame({"zkey": keys, "pcnt": cnts, "psum": sums})
+            apx = np.concatenate(wxs)
+            apy = np.concatenate(wys)
+            avv = np.concatenate(vals)
+            # chunk the concatenated point block: with the default 10k-row
+            # Arrow batches (bench sets 64 only for byte-heavy queries) the
+            # (n_points × ring_vertices) crossing matrices below would reach
+            # hundreds of MB per zone — 256k-point chunks cap the peak at a
+            # few MB regardless of caller batch sizing (ADVICE r4)
+            acc: dict = {}
+            chunk = 262_144
+            for c0 in range(0, len(apx), chunk):
+                px = apx[c0:c0 + chunk]
+                py = apy[c0:c0 + chunk]
+                vv = avv[c0:c0 + chunk]
+                for zi, rl in enumerate(zrings):
+                    x0, y0, x1, y1 = zenv[zi]
+                    m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                    if not m.any():
+                        continue
+                    sx, sy = px[m], py[m]
+                    cross = np.zeros(len(sx), dtype=np.int64)
+                    for q in rl:
+                        rx0, ry0 = q[:, 0], q[:, 1]
+                        rx1, ry1 = np.roll(rx0, -1), np.roll(ry0, -1)
+                        cond = (ry0[None, :] > sy[:, None]) != (
+                            ry1[None, :] > sy[:, None]
+                        )
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            dy = ry1 - ry0
+                            xin = rx0[None, :] + (sy[:, None] - ry0[None, :]) * (
+                                rx1 - rx0
+                            )[None, :] / np.where(dy == 0.0, np.inf, dy)[None, :]
+                        cross += (cond & (sx[:, None] < xin)).sum(axis=1)
+                    inside = (cross % 2) == 1
+                    n = int(inside.sum())
+                    if n:
+                        cnt, tot = acc.get(zkeys[zi], (0, 0))
+                        acc[zkeys[zi]] = (cnt + n, tot + int(vv[m][inside].sum()))
+            yield pd.DataFrame(
+                {"zkey": list(acc.keys()),
+                 "pcnt": [v[0] for v in acc.values()],
+                 "psum": [v[1] for v in acc.values()]}
+            )
 
     partials = cols.mapInPandas(gen, "zkey long, pcnt long, psum long")
     return partials.groupBy(F.col("zkey").alias(zone_key)).agg(

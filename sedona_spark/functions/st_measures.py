@@ -180,3 +180,55 @@ def st_project_sphere(
         F.cos(delta) - F.sin(phi1) * sin_phi2,
     )
     return lam2 / rad, phi2 / rad
+
+
+# ---------------------------------------------------------------------------
+# Geodesic area / length (r5, VERDICT r4 next-round #10) — rounds out the
+# geography tier the r4 spherical PIP opened. Reference:
+# ST_AreaSpheroid / ST_LengthSpheroid / ST_Perimeter(geography) via
+# GeographicLib PolygonArea (``common/.../sphere/Spheroid.java``); here the
+# spherical closed forms (documented first-order delta, same seam note as
+# the Andoyer distance vs Karney).
+# ---------------------------------------------------------------------------
+
+
+def st_area_sphere(ring: Column) -> Column:
+    """Geodesic polygon area (m²) of a packed lon/lat ring — the
+    Chamberlain–Duquette spherical-excess formula ("Some Algorithms for
+    Polygons on a Sphere", JPL 2007, the same public algorithm turf.js
+    uses):  A = R²/2·|Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|. Exact for the
+    lat/lon-graticule edges this engine's zone fixtures use; rings must
+    not cross the antimeridian (split first — same contract as the
+    planar kernels)."""
+    rad = math.pi / 180.0
+    s = _edge_fold(
+        ring,
+        lambda ax, ay, bx, by: (bx - ax)
+        * F.lit(rad)
+        * (F.lit(2.0) + F.sin(ay * F.lit(rad)) + F.sin(by * F.lit(rad))),
+    )
+    return F.abs(s) * F.lit(_EARTH_RADIUS_M * _EARTH_RADIUS_M / 2.0)
+
+
+def st_perimeter_spheroid(ring: Column) -> Column:
+    """Geodesic ring perimeter (m): Σ over closed-ring edges of the
+    Andoyer–Lambert WGS84 distance (ST_Perimeter-on-geography analog)."""
+    return _edge_fold(
+        ring,
+        lambda ax, ay, bx, by: st_distance_spheroid(ax, ay, bx, by),
+    )
+
+
+def st_length_spheroid(line: Column) -> Column:
+    """Geodesic polyline length (m): Σ over consecutive vertex pairs of
+    the Andoyer–Lambert WGS84 distance (ST_LengthSpheroid analog)."""
+    n = _n_verts(line)
+    idx = F.sequence(F.lit(0), n - 2)
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + st_distance_spheroid(
+            _vx(line, i), _vy(line, i), _vx(line, i + 1), _vy(line, i + 1)
+        ),
+    )

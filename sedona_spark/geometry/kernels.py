@@ -1168,24 +1168,39 @@ def ring_is_simple(ring: np.ndarray) -> bool:
     if len(np.unique(a, axis=0)) != n:
         return False  # repeated vertex
     b = np.roll(a, -1, axis=0)
-    # all non-adjacent edge pairs (j >= i+2, minus the wrap pair), bbox
-    # prefiltered then one vectorized segment test — no Python pair loop
-    # (1,000-vertex ring = ~500k candidate pairs, trivially batch-sized)
-    i, j = np.triu_indices(n, k=2)
-    keep = ~((i == 0) & (j == n - 1))
-    i, j = i[keep], j[keep]
-    if len(i) == 0:
-        return True
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
-    box = (
-        (lo[i, 0] <= hi[j, 0]) & (lo[j, 0] <= hi[i, 0])
-        & (lo[i, 1] <= hi[j, 1]) & (lo[j, 1] <= hi[i, 1])
-    )
-    i, j = i[box], j[box]
-    if len(i) == 0:
-        return True
-    return not _segments_intersect(a[i], b[i], a[j], b[j]).any()
+    # all non-adjacent edge pairs (j >= i+2, minus the wrap pair), bbox
+    # prefiltered then a vectorized segment test — no Python pair loop.
+    # The ~n²/2 pair space is CHUNKED (~1M pairs per block): a 10k-vertex
+    # ring is ~50M pairs, and materializing index + bbox arrays for all of
+    # them at once allocates multiple GB. Blocks keep peak memory flat and
+    # short-circuit on the first intersecting block.
+    block_pairs = 1_000_000
+    counts = np.maximum(n - 2 - np.arange(n), 0)  # pairs per i: j in [i+2, n)
+    i0 = 0
+    while i0 < n - 2:
+        i1 = i0 + 1
+        total = int(counts[i0])
+        while i1 < n - 2 and total + counts[i1] <= block_pairs:
+            total += int(counts[i1])
+            i1 += 1
+        ks = np.arange(i0, i1)
+        i = np.repeat(ks, counts[i0:i1])
+        j = np.concatenate([np.arange(k + 2, n) for k in ks])
+        keep = ~((i == 0) & (j == n - 1))
+        i, j = i[keep], j[keep]
+        i0 = i1
+        if len(i) == 0:
+            continue
+        box = (
+            (lo[i, 0] <= hi[j, 0]) & (lo[j, 0] <= hi[i, 0])
+            & (lo[i, 1] <= hi[j, 1]) & (lo[j, 1] <= hi[i, 1])
+        )
+        i, j = i[box], j[box]
+        if len(i) and _segments_intersect(a[i], b[i], a[j], b[j]).any():
+            return False
+    return True
 
 
 def _segments_touch(p1, p2, p3, p4) -> bool:
@@ -1406,7 +1421,18 @@ def _intersection_witness(pa: np.ndarray, pb: np.ndarray):
     p, r = a1[k], a2[k] - a1[k]
     q, s = b1[k], b2[k] - b1[k]
     den = r[0] * s[1] - r[1] * s[0]
-    if abs(den) < 1e-300:  # collinear touch: any endpoint on the other seg
+    if abs(den) < 1e-300:
+        # collinear touch: _segments_intersect may have flagged this pair
+        # because ANY of the four endpoints lies on the other segment —
+        # return the endpoint that actually passes the on-segment test
+        # (same test as _segments_touch), not a1 unconditionally
+        for pt, s0, s1 in ((a1[k], b1[k], b2[k]), (a2[k], b1[k], b2[k]),
+                           (b1[k], a1[k], a2[k]), (b2[k], a1[k], a2[k])):
+            d = s1 - s0
+            if (float(np.cross(d, pt - s0)) == 0.0
+                    and min(s0[0], s1[0]) <= pt[0] <= max(s0[0], s1[0])
+                    and min(s0[1], s1[1]) <= pt[1] <= max(s0[1], s1[1])):
+                return pt
         return a1[k]
     t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / den
     return p + np.clip(t, 0.0, 1.0) * r

@@ -563,3 +563,49 @@ def knn_join(
     for r in results[1:]:
         out = out.unionByName(r)
     return out.drop("_ring", "_ring_y")
+
+
+def knn_join_approx(
+    queries: DataFrame,
+    objects: DataFrame,
+    k: int,
+    level: int = 7,
+    ring: int = 1,
+    query_id: str = "qid",
+    qx: str = "x",
+    qy: str = "y",
+    obj_x: str = "ox",
+    obj_y: str = "oy",
+) -> DataFrame:
+    """APPROXIMATE kNN join (reference: the approximate-distance join mode
+    of ``KNNJoinExec.scala:55``) — ONE fixed-ring disk pass, no
+    completeness iteration:
+
+    * each query joins objects in its (2·ring+1)² cell neighborhood at
+      ``level`` and keeps the k nearest AMONG THOSE CANDIDATES;
+    * error bound: a returned rank-i neighbor can be wrong only if the
+      true rank-i neighbor lies outside the disk, i.e. farther than
+      ``ring·min(cell_w, cell_h)`` — the result is EXACT whenever the
+      true kth distance is under that bound, and each reported distance
+      is within one disk diameter of the true one otherwise;
+    * queries with < k in-disk candidates return fewer rows (they are the
+      signal to re-run exact ``knn_join``).
+
+    At 100 TB this is the single-shuffle fast path: one equi-join on the
+    cell key + one windowed top-k, no per-round count jobs, no
+    checkpoint loop — and it is fully SQL-expressible, so unlike the
+    exact path it carries a complete value oracle."""
+    obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
+    objects_c = objects.withColumn(
+        "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
+    )
+    qs = queries.withColumn("_ring", F.lit(int(ring)))
+    disk = _disk_join(qs, objects_c, level, qx, qy, obj_x, obj_y)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist_sq").asc(), *[F.col(c).asc() for c in obj_order]
+    )
+    return (
+        disk.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_ring")
+    )

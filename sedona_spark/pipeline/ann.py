@@ -132,6 +132,38 @@ def embedding_near_dup_pairs(
     )
 
 
+def planted_lsh_axes(
+    dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (u, w) pair for a planted LSH fixture with a PROVABLE
+    no-loss guarantee under the seeded hyperplanes:
+
+    * ``u`` solves ``planes @ u = 1`` (minimum-norm via pinv): every
+      hyperplane margin of u is EQUAL and positive — u sits centrally in
+      its sign bucket;
+    * ``w`` is e₁ projected into the null space of ``planes`` (then
+      normalized): ``planes @ w ≈ 0`` to machine precision.
+
+    Any vector ``v = cos θ·u/|u| + σ sin θ·w`` (θ < π/2) has
+    ``planes @ v = cos θ·(planes@u)/|u| ± sin θ·O(1e-15)`` — the SAME sign
+    pattern as u for every plane, hence the same LSH bucket. A fixture
+    whose cluster-A members all take this form puts the entire true top-k
+    in the query's own bucket, so the bucketed search equals exact
+    brute-force and a plain exact-cosine oracle applies (the r4 gap:
+    ``ann_lsh_topk`` had only a recall gate)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    u = np.linalg.pinv(planes) @ np.ones(n_planes)
+    u = u / np.sqrt((u * u).sum())
+    e1 = np.zeros(dim)
+    e1[0] = 1.0
+    w = e1 - planes.T @ (np.linalg.pinv(planes).T @ e1)
+    # remove any u component (u lies in the row space, so this is ~0 —
+    # belt and braces for exact orthogonality of the analytic cosine)
+    w = w - (w @ u) * u
+    w = w / np.sqrt((w * w).sum())
+    return u, w
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the kmeans-partitioned scale path
 # ---------------------------------------------------------------------------

@@ -59,12 +59,17 @@ def write_shapefile(
     path_base: str,
     geom_col: str = "geom",
     kind: str = "polygon",
+    order_col: str | None = None,
 ) -> int:
     """Write ``df``'s ring-list geometries as ``path_base``.shp/.shx.
-    Driver-side by format necessity (see module docstring); rows are
-    collected ordered by a monotonic id so output is deterministic.
-    Returns the record count."""
+    Driver-side by format necessity (see module docstring). Record
+    numbering follows ``order_col`` ascending when given; without it the
+    incoming DataFrame order is used, which for a multi-partition input is
+    NOT deterministic across runs — pass ``order_col`` whenever stable
+    record numbers matter (ADVICE r4). Returns the record count."""
     shape_type = {"point": 1, "linestring": 3, "polygon": 5}[kind]
+    if order_col is not None:
+        df = df.orderBy(order_col)
     rows = df.select(geom_col).collect()
     geoms = []
     for r in rows:
