@@ -119,7 +119,69 @@ BENCH_QUERIES = [
     "geojson_parse",
     "st_hausdorff",
     "st_polygonize",
+    "rs_bilinear",
+    "rs_convolve",
+    "phash_dedup",
+    # r5 additions
+    "knn_join_approx",
+    "sql_api_2",
+    "st_transform_lcc",
+    "st_transform_albers",
+    "st_area_spheroid",
+    "shapefile_read",
 ]
+
+# scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
+# 10× dataset — catches what sf0.1 hides (quadratic candidate growth,
+# per-round loop blowup). Walls should read ~linear (≤ ~10× the sf0.1
+# walls; sub-linear where a broadcast side stays fixed).
+SF1_QUERIES = [
+    "pip_rect_join",
+    "pip_poly_join",
+    "distance_join",
+    "distance_join_meters",
+    "knn_join",
+    "knn_join_broadcast",
+    "knn_join_approx",
+    "dedup_exact",
+    "minhash_pairs",
+]
+
+
+def _ensure_sf1(spark, sf_dir: str) -> str:
+    """Derive a 10×-rows dataset from ``sf_dir``: events/documents are
+    replicated 10-fold with REMAPPED keys — the lattice derivations hash
+    the key, so new keys mean new positions (a genuine 10× point set, not
+    ten co-located copies); the small dimension tables are symlinked.
+    Built once, reused across runs (content is deterministic)."""
+    from pyspark.sql import functions as F
+
+    out = "/tmp/sedona_spark_sf1_" + os.path.basename(sf_dir.rstrip("/"))
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.lexists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    reps = spark.range(10).select(F.col("id").alias("_rep"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ev = ev.count()
+    (ev.crossJoin(reps)
+       .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(n_ev))
+       .drop("_rep")
+       .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_doc = docs.count()
+    (docs.crossJoin(reps)
+         .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(n_doc))
+         .drop("_rep")
+         .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
 
 
 def _throughput_job(spark, sf_dir: str, n_images: int) -> int:
@@ -265,11 +327,14 @@ def _query_history() -> dict[str, list[float]]:
         return {}
 
 
-def _append_history(timings: dict[str, float]) -> None:
+def _append_history(timings: dict[str, float], sf: float) -> None:
+    # walls are keyed per-SF: a sf0.001 smoke run must never contaminate
+    # the sf0.1 trailing medians the outlier guard compares against
     hist = _query_history()
     for name, wall in timings.items():
-        hist.setdefault(name, []).append(wall)
-        hist[name] = hist[name][-8:]  # trailing window
+        key = f"{name}@{sf}"
+        hist.setdefault(key, []).append(wall)
+        hist[key] = hist[key][-8:]  # trailing window
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "history.json"), "w") as f:
         json.dump(hist, f)
@@ -293,6 +358,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         },
     )
     qs = entrymod.queries()
+    sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     hist = _query_history()
     tele_start = _contention_telemetry()
     timings: dict[str, float] = {}
@@ -344,7 +410,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # query's trailing median means the whole sample window was
         # contended — buy two more chances at a clean window and mark the
         # record so a reader knows it was re-sampled
-        prior = hist.get(name, [])
+        prior = hist.get(f"{name}@{sf_val}", [])
         rerun = False
         if len(prior) >= 2 and wall > 3.0 * _median(prior):
             rerun = True
@@ -360,6 +426,22 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
             **({"rerun_outlier": True} if rerun else {}),
         }
 
+    # scale-trend subset at 10× rows (only in the headline sf0.1 run)
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("BENCH_SF1", "1") == "1" and abs(
+        float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) - 0.1
+    ) < 1e-9:
+        sf1_dir = _ensure_sf1(spark, sf_dir)
+        for name in SF1_QUERIES:
+            fn = qs[name]
+            spark.conf.set(batch_key, "10000")
+            walls = []
+            for _ in range(2):  # warm + timed
+                t0 = time.time()
+                fn(spark, sf1_dir).count()
+                walls.append(time.time() - t0)
+            sf1_timings[name] = round(min(walls[1:]), 3)
+
     spark.conf.set(batch_key, "64")  # throughput job decodes image bytes
     _ensure_images(spark, N_IMAGES)  # materialize outside the timed window
     _throughput_job(spark, sf_dir, N_IMAGES)  # warm (JIT + page cache)
@@ -367,7 +449,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     n_imgs = N_IMAGES
     tput_wall = min(tput_walls)
     spark.stop()
-    _append_history(timings)
+    _append_history(timings, sf_val)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_query_total_sec",
@@ -382,6 +464,11 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "telemetry_start": tele_start,
         "telemetry_end": _contention_telemetry(),
         "query_meta": qmeta,
+        **({"sf1_queries": sf1_timings,
+            "sf1_vs_sf01_ratio": round(
+                sum(sf1_timings.values())
+                / max(sum(timings[q] for q in sf1_timings), 1e-9), 2)}
+           if sf1_timings else {}),
     }
 
 

@@ -453,3 +453,101 @@ def phash_near_dup_pairs(
     return hamming_near_dup_pairs(
         images, phash_col, id_col, max_hamming, n_bits=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components + representative selection
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → ``(id,
+    component)`` with component = the MIN member id — the stage that turns
+    pairwise dup evidence into dedup GROUPS (the reference ships the pair
+    tier; grouping is what a corpus dedup actually applies).
+
+    Algorithm: min-label propagation with POINTER JUMPING (the
+    Shiloach–Vishkin contraction idea, public): each round does
+
+    1. neighbor step — ``l(v) ← min(l(v), min_{u∈N(v)} l(u))`` (one
+       shuffle: edges⋈labels then groupBy node), and
+    2. pointer jump — ``l(v) ← l(l(v))`` (labels self-join), which halves
+       the remaining chain depth,
+
+    so rounds ≈ log₂(diameter), not diameter — a 1M-doc boilerplate chain
+    converges in ~20 rounds instead of 1M. Each round ends in an EAGER
+    ``localCheckpoint`` (plan reset: the loop's lineage would otherwise
+    grow quadratically — same discipline as the exact kNN loop), and the
+    convergence test (sum of label changes) piggybacks on the checkpoint
+    materialization. Scale shape: state is one (id, label) row per node;
+    every step is an equi-join/groupBy on the id — AQE-skew-safe, no
+    broadcast of anything unbounded."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("l"))
+        .select(F.col("u").alias("id"), "l")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["u"] == labels["id"])
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("l").alias("nl"))
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("l", F.coalesce("nl", "l")).alias("l"))
+        )
+        jump = stepped.alias("a").join(
+            stepped.select(F.col("id").alias("l"), F.col("l").alias("ll")).alias("b"),
+            "l",
+            "left",
+        )
+        new_labels = jump.select(
+            "id",
+            F.least(F.col("l"), F.coalesce(F.col("ll"), F.col("l"))).alias("l"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("l").alias("component"))
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component, keep): every doc labeled with its near-dup
+    component (isolated docs form their own), keep = (id == component
+    min) — the "retain one representative per dup cluster" filter a
+    training-data pipeline applies after near-dup detection."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )

@@ -1,0 +1,363 @@
+"""Round-5 feature tests: conic CRS round-trips, geodesic measures,
+approximate kNN join semantics, the planted-LSH no-loss fixture, and the
+widened SQL catalog's parity with the DataFrame API."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import sedona_spark
+from sedona_spark.sources.testdata import points_from_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    sedona_spark.register(spark)
+    return spark
+
+
+def test_conic_roundtrip_and_properties(spark):
+    """LCC/Albers closed forms (Snyder §15/§14): forward∘inverse is the
+    identity; the projection origin maps to (0, 0); Albers preserves area
+    (projected planar area of a small graticule rect equals its spherical
+    area within 0.5%) — the defining property of an equal-area conic."""
+    from sedona_spark.functions.crs import (
+        CONIC_EPSG,
+        st_transform_albers,
+        st_transform_albers_inv,
+        st_transform_epsg,
+        st_transform_lcc,
+        st_transform_lcc_inv,
+    )
+    from sedona_spark.functions.st_measures import st_area_sphere
+
+    pts = points_from_events(spark, SF).limit(200)
+    for kind, lon0, lat0, sp1, sp2 in (CONIC_EPSG[2154], CONIC_EPSG[5070]):
+        fwd = st_transform_lcc if kind == "lcc" else st_transform_albers
+        inv = st_transform_lcc_inv if kind == "lcc" else st_transform_albers_inv
+        x, y = fwd(F.col("x"), F.col("y"), lon0, lat0, sp1, sp2)
+        lon2, lat2 = inv(F.col("x2"), F.col("y2"), lon0, lat0, sp1, sp2)
+        back = (
+            pts.select("x", "y", x.alias("x2"), y.alias("y2"))
+            .select("x", "y", lon2.alias("lon2"), lat2.alias("lat2"))
+        )
+        for r in back.collect():
+            assert r["lon2"] == pytest.approx(r["x"], abs=1e-9)
+            assert r["lat2"] == pytest.approx(r["y"], abs=1e-9)
+        origin = spark.range(1).select(
+            *fwd(F.lit(float(lon0)), F.lit(float(lat0)), lon0, lat0, sp1, sp2)
+        ).collect()[0]
+        assert abs(origin[0]) < 1e-6
+        # y(origin) is 0 only when lat0 sits between the parallels (LCC);
+        # Albers grids put lat0 below them — x=0 on the central meridian
+        # is the invariant shared by both
+    # equal-area property: 1°×1° rect at the Albers grid center
+    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[5070]
+    cx, cy = lon0, (sp1 + sp2) / 2.0
+    corners = [(cx - 0.5, cy - 0.5), (cx + 0.5, cy - 0.5),
+               (cx + 0.5, cy + 0.5), (cx - 0.5, cy + 0.5)]
+    ring = [v for p in corners for v in p]
+    df = spark.range(1).select(
+        F.array(*[F.lit(v) for v in ring]).alias("ring")
+    )
+    proj = []
+    for px, py in corners:
+        xx, yy = st_transform_epsg(F.lit(px), F.lit(py), 5070)
+        proj.append(df.select(xx.alias("x"), yy.alias("y")).collect()[0])
+    planar = 0.0
+    for i in range(4):
+        a, b = proj[i], proj[(i + 1) % 4]
+        planar += a["x"] * b["y"] - b["x"] * a["y"]
+    planar = abs(planar) / 2.0
+    sph = df.select(st_area_sphere(F.col("ring")).alias("a")).collect()[0]["a"]
+    assert planar == pytest.approx(sph, rel=5e-3)
+
+
+def test_geodesic_measures_closed_forms(spark):
+    """st_area_sphere equals the spherical BAND closed form on a
+    graticule rect; st_perimeter_spheroid equals the sum of the four
+    Andoyer edges; st_length_spheroid of a 2-point line equals the single
+    Andoyer distance."""
+    from sedona_spark.functions.st_measures import (
+        _EARTH_RADIUS_M,
+        st_area_sphere,
+        st_distance_spheroid,
+        st_length_spheroid,
+        st_perimeter_spheroid,
+    )
+
+    x0, y0, x1, y1 = 10.0, 40.0, 12.5, 43.0
+    ring = [x0, y0, x1, y0, x1, y1, x0, y1]
+    df = spark.range(1).select(
+        F.array(*[F.lit(v) for v in ring]).alias("ring"),
+        F.array(F.lit(x0), F.lit(y0), F.lit(x1), F.lit(y1)).alias("line"),
+    )
+    rad = math.pi / 180.0
+    band = (_EARTH_RADIUS_M ** 2 * (x1 - x0) * rad
+            * (math.sin(y1 * rad) - math.sin(y0 * rad)))
+    got = df.select(
+        st_area_sphere(F.col("ring")).alias("a"),
+        st_perimeter_spheroid(F.col("ring")).alias("p"),
+        st_length_spheroid(F.col("line")).alias("l"),
+    ).collect()[0]
+    assert got["a"] == pytest.approx(band, rel=1e-12)
+
+    def andoyer(ax, ay, bx, by):
+        return df.select(st_distance_spheroid(
+            F.lit(ax), F.lit(ay), F.lit(bx), F.lit(by)
+        ).alias("d")).collect()[0]["d"]
+
+    edges = (andoyer(x0, y0, x1, y0) + andoyer(x1, y0, x1, y1)
+             + andoyer(x1, y1, x0, y1) + andoyer(x0, y1, x0, y0))
+    assert got["p"] == pytest.approx(edges, rel=1e-12)
+    assert got["l"] == pytest.approx(andoyer(x0, y0, x1, y1), rel=1e-12)
+
+
+def test_knn_join_approx_matches_exact_when_disk_covers(spark):
+    """The approximate join's documented guarantee: for every query whose
+    EXACT kth-neighbor distance is under ring·min(cell_w, cell_h), the
+    one-pass approximate result equals the exact result row-for-row."""
+    from sedona_spark import cells
+    from sedona_spark.operators.knn import knn_join, knn_join_approx
+
+    level, k = 6, 5
+    # dense synthetic box (~2000 pts in 10°×10°) so most queries' exact
+    # kth distance sits well under one level-6 cell (~2.8°)
+    pts = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        (F.lit(20.0) + (F.col("id") * 2654435761) % 1000 / 100.0).alias("ox"),
+        (F.lit(40.0) + (F.col("id") * 2246822519) % 1000 / 100.0).alias("oy"),
+    )
+    qs = spark.range(20).select(
+        F.col("id").alias("qid"),
+        (F.lit(22.0) + (F.col("id") * 7919) % 600 / 100.0).alias("qx"),
+        (F.lit(42.0) + (F.col("id") * 104729) % 600 / 100.0).alias("qy"),
+    )
+    exact = knn_join(
+        qs, pts, k=k, level=level, query_id="qid", qx="qx", qy="qy"
+    ).select("qid", "event_id", "knn_rank")
+    approx = knn_join_approx(
+        qs, pts, k=k, level=level, ring=1, query_id="qid", qx="qx", qy="qy"
+    ).select("qid", "event_id", "knn_rank")
+    cell_w = 360.0 / (1 << level)
+    cell_h = 180.0 / (1 << level)
+    bound = min(cell_w, cell_h)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["qid"], set()).add((r["event_id"], r["knn_rank"]))
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["qid"], set()).add((r["event_id"], r["knn_rank"]))
+    # which queries are certified: exact kth dist < bound
+    pts_pd = pts.select("event_id", "ox", "oy").toPandas().set_index("event_id")
+    q_pd = qs.toPandas()
+    certified = 0
+    for _, q in q_pd.iterrows():
+        kth = sorted(
+            math.hypot(pts_pd.loc[e]["ox"] - q["qx"],
+                       pts_pd.loc[e]["oy"] - q["qy"])
+            for e, _ in ex[q["qid"]]
+        )[-1]
+        if kth < bound:
+            certified += 1
+            assert ap[q["qid"]] == ex[q["qid"]], q["qid"]
+    assert certified > 0  # fixture actually exercises the guarantee
+
+
+def test_planted_lsh_axes_no_loss(spark):
+    """The planted fixture's provable property: every cluster-A vector
+    (cos θ·u ± sin θ·w) lands in u's sign bucket under the SEEDED
+    hyperplanes, so LSH bucketing loses nothing and equals brute force."""
+    from sedona_spark.pipeline.ann import (
+        _hyperplanes,
+        lsh_bucketed_topk,
+        planted_lsh_axes,
+    )
+
+    u, w = planted_lsh_axes()
+    planes = _hyperplanes(len(u), 8, 42)
+    assert np.abs(planes @ w).max() < 1e-9          # w in the null space
+    assert abs(float(u @ w)) < 1e-9                  # orthogonal pair
+    margins = planes @ u
+    assert (margins > 0).all()
+    assert margins.std() / margins.mean() < 1e-9     # equal margins
+    for theta in (0.01, 0.1, 0.19):
+        for sig in (1.0, -1.0):
+            v = math.cos(theta) * u + sig * math.sin(theta) * w
+            assert (np.sign(planes @ v) == np.sign(margins)).all()
+
+
+def test_sql_registry_r5_parity(reg):
+    """Widened catalog (r5): each newly SQL-registered function agrees
+    with its DataFrame-API twin on the same rows."""
+    spark = reg
+    from sedona_spark.functions.crs import st_transform_albers, st_transform_lcc
+    from sedona_spark.functions.st import (
+        st_affine,
+        st_hausdorff_distance,
+        st_line_interpolate_point,
+        st_voronoi_polygons,
+    )
+    from sedona_spark.functions.st_measures import (
+        st_area_sphere,
+        st_length_spheroid,
+        st_perimeter_spheroid,
+    )
+
+    df = spark.range(1, 5).select(
+        (F.col("id") * 7.0).alias("cx"), (F.col("id") * 3.0).alias("cy"),
+        (F.col("id") + 1.0).alias("hx"), (F.col("id") * 0.5 + 1.0).alias("hy"),
+    ).select(
+        "cx", "cy", "hx", "hy",
+        F.array(
+            F.col("cx") - F.col("hx"), F.col("cy") - F.col("hy"),
+            F.col("cx") + F.col("hx"), F.col("cy") - F.col("hy"),
+            F.col("cx") + F.col("hx"), F.col("cy") + F.col("hy"),
+            F.col("cx") - F.col("hx"), F.col("cy") + F.col("hy"),
+        ).alias("ring"),
+        F.array(
+            F.col("cx") - F.col("hx"), F.col("cy") - F.col("hy"),
+            F.col("cx") + F.col("hx"), F.col("cy") + F.col("hy"),
+        ).alias("line"),
+    )
+    df.createOrReplaceTempView("t_r5")
+
+    lcc_x, lcc_y = st_transform_lcc(F.col("cx"), F.col("cy"), 3.0, 46.5, 44.0, 49.0)
+    alb_x, alb_y = st_transform_albers(F.col("cx"), F.col("cy"), -96.0, 23.0, 29.5, 45.5)
+    api = df.select(
+        st_area_sphere(F.col("ring")).alias("asph"),
+        st_perimeter_spheroid(F.col("ring")).alias("psph"),
+        st_length_spheroid(F.col("line")).alias("lsph"),
+        st_affine(F.col("ring"), 2.0, 0.5, -0.5, 1.5, 3.0, -2.0).alias("aff"),
+        st_hausdorff_distance(F.col("ring"), F.col("line")).alias("haus"),
+        st_line_interpolate_point(F.col("line"), 0.3).alias("ip"),
+        st_voronoi_polygons(
+            F.col("line"),
+            F.array(F.col("cx") - F.col("hx"), F.col("cy") - F.col("hy"),
+                    F.col("cx") + F.col("hx"), F.col("cy") + F.col("hy")),
+        ).alias("vor"),
+        lcc_x.alias("lx"), lcc_y.alias("ly"),
+        alb_x.alias("ax"), alb_y.alias("ay"),
+    ).collect()
+    got = spark.sql(
+        "select ST_AreaSpheroid(ring) asph, ST_PerimeterSpheroid(ring) psph, "
+        "ST_LengthSpheroid(line) lsph, "
+        "ST_Affine(ring, 2e0, 5e-1, -5e-1, 1.5e0, 3e0, -2e0) aff, "
+        "ST_HausdorffDistance(ring, line) haus, "
+        "ST_LineInterpolatePoint(line, 3e-1) ip, "
+        "ST_VoronoiPolygons(line, array(cx - hx, cy - hy, cx + hx, cy + hy)) vor, "
+        "ST_TransformLCC(cx, cy, 3e0, 46.5e0, 44e0, 49e0).x lx, "
+        "ST_TransformLCC(cx, cy, 3e0, 46.5e0, 44e0, 49e0).y ly, "
+        "ST_TransformAlbers(cx, cy, -96e0, 23e0, 29.5e0, 45.5e0).x ax, "
+        "ST_TransformAlbers(cx, cy, -96e0, 23e0, 29.5e0, 45.5e0).y ay "
+        "from t_r5"
+    ).collect()
+    for a, g in zip(api, got):
+        for c in ("asph", "psph", "lsph", "haus"):
+            assert g[c] == pytest.approx(a[c], rel=1e-9), c
+        # conic SQL bodies recompute n/F/ρ₀ from the args at runtime —
+        # agree with the python-precomputed Column constants to fp noise
+        for c in ("lx", "ly", "ax", "ay"):
+            assert g[c] == pytest.approx(a[c], rel=1e-9, abs=1e-4), c
+        assert list(g["aff"]) == pytest.approx(list(a["aff"]), rel=1e-12)
+        assert list(g["ip"]) == pytest.approx(list(a["ip"]), rel=1e-12)
+        assert len(g["vor"]) == len(a["vor"]) == 2
+    # accessor/editor scalar tier
+    row = spark.sql(
+        "select ST_IsClosed(ring) cl, ST_NumPoints(ST_AddPoint(ring, 0e0, 0e0)) na, "
+        "ST_NumPoints(ST_RemovePoint(ring, 1)) nr, "
+        "element_at(ST_FlipCoordinates(ring), 1) fx, "
+        "element_at(ST_PointN(ring, 3), 1) p3, "
+        "ST_Area(ST_Scale(ring, 2e0, 1e0)) sa, ST_Area(ring) a0 "
+        "from t_r5 limit 1"
+    ).collect()[0]
+    assert row["cl"] is False and row["na"] == 5 and row["nr"] == 3
+    assert row["sa"] == pytest.approx(2 * row["a0"], rel=1e-12)
+
+
+def test_connected_components_random_graph(spark):
+    """Pointer-jumping components equal a union-find reference on a
+    seeded random graph (including isolated nodes via representatives)."""
+    from sedona_spark.pipeline.dedup import (
+        connected_components,
+        dedup_representatives,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(300, 2)) if a != b]
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = {}
+    for v in range(n):
+        r = find(v)
+        want_comp.setdefault(r, []).append(v)
+    want = {v: min(ms) for ms in want_comp.values() for v in ms}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    touched = {v for e in edges for v in e}
+    assert got == {v: want[v] for v in touched}
+
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    rep = dedup_representatives(docs, pairs).collect()
+    assert len(rep) == n
+    for r in rep:
+        assert r["component"] == want[r["id"]]
+        assert r["keep"] == (r["id"] == want[r["id"]])
+
+
+def test_connected_components_long_chain_fast(spark):
+    """A 200-node chain must converge in ~log rounds — the pointer jump
+    is doing its job if max_iter=12 suffices (plain min-label would need
+    ~200 rounds)."""
+    from sedona_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs, max_iter=12).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 200
+
+
+def test_knn_join_approx_plan_shape(spark):
+    """100 TB plan contract for the approximate kNN join: one equi-join on
+    the cell key (no CartesianProduct, no broadcast of the big side), no
+    Python eval anywhere — the candidate generation is pure JVM."""
+    from sedona_spark.operators.knn import knn_join_approx
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = points_from_events(spark, SF).withColumnsRenamed(
+        {"x": "ox", "y": "oy"}
+    )
+    qs = points_from_events(spark, SF).limit(10).select(
+        F.col("event_id").alias("qid"),
+        F.col("x").alias("qx"), F.col("y").alias("qy"),
+    )
+    out = knn_join_approx(qs, pts, k=3, level=6,
+                          query_id="qid", qx="qx", qy="qy")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
