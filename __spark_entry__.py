@@ -1985,6 +1985,51 @@ from z
 """
 
 
+def q_st_transform_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar stereographic (r5): EPSG:3413 (NSIDC Sea Ice North)
+    parameters via the EPSG-table dispatch, spherical closed form per
+    Snyder §21, with the closed-form inverse as an in-band round-trip
+    residual (longitude residual normalized mod 360 — the inverse
+    recovers λ in (λ₀−180, λ₀+180], which wraps for far-east points)."""
+    from sedona_spark.functions.crs import (
+        CONIC_EPSG,
+        st_transform_epsg,
+        st_transform_stereo_inv,
+    )
+
+    _, lon0, lat_ts, _, _ = CONIC_EPSG[3413]
+    z = zones_from_nation(spark, sf_dir)
+    x, y = st_transform_epsg(F.col("zcx"), F.col("zcy"), 3413)
+    z2 = z.select("n_nationkey", "zcx", "zcy", x.alias("x"), y.alias("y"))
+    lon2, lat2 = st_transform_stereo_inv(
+        F.col("x"), F.col("y"), lon0, lat_ts, False
+    )
+    dlon = F.pmod(lon2 - F.col("zcx") + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    return z2.select(
+        "n_nationkey",
+        F.round(F.col("x") / 1e3, 3).alias("st_x_km"),
+        F.round(F.col("y") / 1e3, 3).alias("st_y_km"),
+        F.round(dlon, 6).alias("dlon"),
+        F.round(lat2 - F.col("zcy"), 6).alias("dlat"),
+    )
+
+
+def _st_transform_stereo_sql() -> str:
+    from sedona_spark.functions.crs import CONIC_EPSG, sql_stereo
+
+    _, lon0, lat_ts, _, _ = CONIC_EPSG[3413]
+    x, y = sql_stereo("zcx", "zcy", lon0, lat_ts, False)
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       round(({x}) / 1e3, 3) as st_x_km,
+       round(({y}) / 1e3, 3) as st_y_km,
+       0e0 as dlon,
+       0e0 as dlat
+from z
+"""
+
+
 def q_st_area_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic area + perimeter (r5, VERDICT r4 next-round #10;
     reference ST_AreaSpheroid / ST_LengthSpheroid via GeographicLib,
@@ -2745,6 +2790,7 @@ _NEW_OR_CHANGED = {
     "sql_api_2",           # r5: widened SQL catalog
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
+    "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
     "st_area_spheroid",    # r5: geodesic area/length tier
     "knn_join_approx",     # r5: approximate kNN join mode
     "shapefile_read",      # r5: shapefile read-path driver query
@@ -2824,6 +2870,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_azimuthal": q_st_transform_azimuthal,
         "st_transform_lcc": q_st_transform_lcc,
         "st_transform_albers": q_st_transform_albers,
+        "st_transform_stereo": q_st_transform_stereo,
         "st_area_spheroid": q_st_area_spheroid,
         "knn_join_approx": q_knn_join_approx,
         "st_editor": q_st_editor,
@@ -2944,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),
         "st_transform_lcc": _st_transform_lcc_sql(),
         "st_transform_albers": _st_transform_albers_sql(),
+        "st_transform_stereo": _st_transform_stereo_sql(),
         "st_area_spheroid": _st_area_spheroid_sql(),
         "knn_join_approx": _knn_join_approx_sql(),
         "st_editor": _st_editor_sql(),

@@ -250,6 +250,53 @@ def sql_albers(lon_expr: str, lat_expr: str,
 # are the public EPSG registry parameters (lon0, lat0, sp1, sp2); the MATH
 # here is the spherical closed form (the reference does the ellipsoidal
 # version via GeoTools — documented delta, same seam note as UTM).
+# ---------------------------------------------------------------------------
+# Polar stereographic (spherical, Snyder 1987 §21) — r5. The polar grids
+# (NSIDC sea-ice, Antarctic mapping) are the most common raster CRSs after
+# the conics; reference capability is the same GeoTools ST_Transform seam.
+# k₀ = (1 ± sin φ_ts)/2 puts true scale at the standard parallel.
+# ---------------------------------------------------------------------------
+
+
+def st_transform_stereo(
+    lon: Column, lat: Column, lon0: float, lat_ts: float, south: bool
+) -> tuple[Column, Column]:
+    """Polar stereographic: ρ = 2R·k₀·tan(π/4 ∓ φ/2), x = ρ·sin Δλ,
+    y = ∓ρ·cos Δλ (north: upper signs; Snyder eqs. 21-5..21-12)."""
+    sgn = -1.0 if south else 1.0
+    k0 = (1.0 + sgn * math.sin(lat_ts * _RAD)) / 2.0
+    rho = F.lit(2.0 * _RM * k0) * F.tan(
+        F.lit(math.pi / 4) - F.lit(sgn) * lat * F.lit(_RAD) / 2
+    )
+    dl = (lon - F.lit(float(lon0))) * F.lit(_RAD)
+    return rho * F.sin(dl), F.lit(-sgn) * rho * F.cos(dl)
+
+
+def st_transform_stereo_inv(
+    x: Column, y: Column, lon0: float, lat_ts: float, south: bool
+) -> tuple[Column, Column]:
+    """Inverse polar stereographic (Snyder eqs. 20-14, 20-16, 21-15)."""
+    sgn = -1.0 if south else 1.0
+    k0 = (1.0 + sgn * math.sin(lat_ts * _RAD)) / 2.0
+    rho = F.sqrt(x * x + y * y)
+    lat = F.lit(sgn) * (
+        F.lit(math.pi / 2) - 2.0 * F.atan(rho / F.lit(2.0 * _RM * k0))
+    )
+    lam = F.lit(lon0 * _RAD) + F.atan2(x, F.lit(-sgn) * y)
+    return lam / F.lit(_RAD), lat / F.lit(_RAD)
+
+
+def sql_stereo(lon_expr: str, lat_expr: str,
+               lon0: float, lat_ts: float, south: bool):
+    """Engine-portable SQL twin of :func:`st_transform_stereo`."""
+    sgn = -1.0 if south else 1.0
+    k0 = (1.0 + sgn * math.sin(lat_ts * _RAD)) / 2.0
+    rho = (f"({2.0 * _RM * k0!r} * tan({math.pi / 4!r} "
+           f"- {sgn!r} * {lat_expr} * {_RAD!r} / 2))")
+    dl = f"(({lon_expr} - {float(lon0)!r}) * {_RAD!r})"
+    return f"{rho} * sin({dl})", f"{-sgn!r} * {rho} * cos({dl})"
+
+
 CONIC_EPSG: dict[int, tuple[str, float, float, float, float]] = {
     2154: ("lcc", 3.0, 46.5, 49.0, 44.0),          # RGF93 / Lambert-93
     3347: ("lcc", -91.866667, 63.390675, 49.0, 77.0),  # StatsCan Lambert
@@ -257,6 +304,10 @@ CONIC_EPSG: dict[int, tuple[str, float, float, float, float]] = {
     5070: ("albers", -96.0, 23.0, 29.5, 45.5),     # NAD83 / Conus Albers
     3310: ("albers", -120.0, 0.0, 34.0, 40.5),     # California Albers
     3577: ("albers", 132.0, 0.0, -18.0, -36.0),    # Australian Albers
+    # polar stereographic family: (kind, lon0, lat_ts, unused, unused)
+    3413: ("stereo_n", -45.0, 70.0, 0.0, 0.0),     # NSIDC Sea Ice North
+    3995: ("stereo_n", 0.0, 71.0, 0.0, 0.0),       # Arctic Polar Stereo
+    3031: ("stereo_s", 0.0, -71.0, 0.0, 0.0),      # Antarctic Polar Stereo
 }
 
 
@@ -268,6 +319,8 @@ def st_transform_epsg(
     if epsg == 3857:
         return st_transform_to_mercator(lon, lat)
     kind, lon0, lat0, sp1, sp2 = CONIC_EPSG[epsg]
+    if kind.startswith("stereo"):
+        return st_transform_stereo(lon, lat, lon0, lat0, kind == "stereo_s")
     fn = st_transform_lcc if kind == "lcc" else st_transform_albers
     return fn(lon, lat, lon0, lat0, sp1, sp2)
 

@@ -238,6 +238,19 @@ _AFFINE = (
 )
 
 
+def _stereo_body() -> str:
+    """Polar stereographic with RUNTIME parameters (Snyder §21; twin of
+    ``crs.st_transform_stereo`` with sgn/k₀ re-expressed over the args)."""
+    rad = "(pi() / 180e0)"
+    sgn = "(case when south then -1e0 else 1e0 end)"
+    k0 = f"((1e0 + {sgn} * sin(lat_ts * {rad})) / 2e0)"
+    rho = (f"(2e0 * 6371008.8e0 * {k0} "
+           f"* tan(pi() / 4 - {sgn} * lat * {rad} / 2))")
+    dl = f"((lon - lon0) * {rad})"
+    return (f"named_struct('x', {rho} * sin({dl}), "
+            f"'y', -{sgn} * {rho} * cos({dl}))")
+
+
 def _geohash_body(max_precision: int = 8) -> str:
     cases = "".join(
         f" when {p} then {_geohash.sql_geohash('lon', 'lat', p)}"
@@ -346,6 +359,57 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
          _edge_fold(_spheroid_edge_term())),
         ("ST_LengthSpheroid", "line ARRAY<DOUBLE>", "DOUBLE",
          _spheroid_line_len()),
+        # accessor / constructor tail (Catalog.scala breadth tier)
+        ("ST_NRings", "g ARRAY<ARRAY<DOUBLE>>", "INT", "size(g)"),
+        ("ST_NumInteriorRings", "g ARRAY<ARRAY<DOUBLE>>", "INT",
+         "size(g) - 1"),
+        ("ST_GeometryN", "g ARRAY<ARRAY<DOUBLE>>, n INT", "ARRAY<DOUBLE>",
+         "element_at(g, n)"),
+        ("ST_InteriorRingN", "g ARRAY<ARRAY<DOUBLE>>, n INT",
+         "ARRAY<DOUBLE>", "element_at(g, n + 1)"),
+        ("ST_Expand", "ring ARRAY<DOUBLE>, dx DOUBLE, dy DOUBLE",
+         "ARRAY<DOUBLE>",
+         f"array(array_min({_XS}) - dx, array_min({_YS}) - dy, "
+         f"array_max({_XS}) + dx, array_min({_YS}) - dy, "
+         f"array_max({_XS}) + dx, array_max({_YS}) + dy, "
+         f"array_min({_XS}) - dx, array_max({_YS}) + dy)"),
+        ("ST_BoundingDiagonal", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"array(array_min({_XS}), array_min({_YS}), "
+         f"array_max({_XS}), array_max({_YS}))"),
+        ("ST_Angle",
+         "x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE, x3 DOUBLE, y3 DOUBLE",
+         "DOUBLE",  # clockwise angle P1-P2-P3 in [0, 2π), PostGIS semantics
+         "(atan2(y1 - y2, x1 - x2) - atan2(y3 - y2, x3 - x2) + 4 * pi())"
+         " % (2 * pi())"),
+        ("ST_Degrees", "r DOUBLE", "DOUBLE", "r * 180e0 / pi()"),
+        ("ST_Radians", "d DOUBLE", "DOUBLE", "d * pi() / 180e0"),
+        ("ST_MakeLine", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "concat(a, b)"),
+        ("ST_MakePolygon", "ring ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "array(ring)"),
+        ("ST_Multi", "ring ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "array(ring)"),
+        # normalize: rotate so the lexicographically-min vertex leads
+        # (orientation preserved) — canonical form for geometry equality
+        ("ST_NormalizeShift", "ring ARRAY<DOUBLE>", "INT",
+         "aggregate(sequence(1, (size(ring) div 2) - 1), 0, (acc, i) -> "
+         "case when element_at(ring, cast(i * 2 + 1 as int)) "
+         "< element_at(ring, cast(acc * 2 + 1 as int)) "
+         "or (element_at(ring, cast(i * 2 + 1 as int)) "
+         "= element_at(ring, cast(acc * 2 + 1 as int)) "
+         "and element_at(ring, cast(i * 2 + 2 as int)) "
+         "< element_at(ring, cast(acc * 2 + 2 as int))) "
+         "then cast(i as int) else acc end)"),
+        ("ST_Normalize", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "flatten(transform(sequence(0, (size(ring) div 2) - 1), i -> array("
+         "element_at(ring, cast(((i + ST_NormalizeShift(ring)) "
+         "% (size(ring) div 2)) * 2 + 1 as int)), "
+         "element_at(ring, cast(((i + ST_NormalizeShift(ring)) "
+         "% (size(ring) div 2)) * 2 + 2 as int)))))"),
+        # polar stereographic with runtime parameters (crs.py twin)
+        ("ST_TransformStereo",
+         "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat_ts DOUBLE, south BOOLEAN",
+         "STRUCT<x: DOUBLE, y: DOUBLE>", _stereo_body()),
         # conic projections with runtime standard parallels (crs.py twins)
         ("ST_TransformLCC",
          "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE, "

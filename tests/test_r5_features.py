@@ -361,3 +361,96 @@ def test_knn_join_approx_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_stereo_projection_properties(spark):
+    """Polar stereographic: round trip is the identity (lon normalized
+    mod 360); true scale at the standard parallel (the projected length
+    of a small E-W arc at lat_ts equals its great-circle length within
+    0.1%); the pole maps to (0, 0)."""
+    from sedona_spark.functions.crs import (
+        st_transform_stereo,
+        st_transform_stereo_inv,
+    )
+    from sedona_spark.functions.st_measures import st_distance_sphere
+
+    pts = points_from_events(spark, SF).limit(200)
+    for lon0, lat_ts, south in ((-45.0, 70.0, False), (0.0, -71.0, True)):
+        x, y = st_transform_stereo(F.col("x"), F.col("y"), lon0, lat_ts, south)
+        lon2, lat2 = st_transform_stereo_inv(
+            F.col("px"), F.col("py"), lon0, lat_ts, south
+        )
+        back = (
+            pts.select("x", "y", x.alias("px"), y.alias("py"))
+            .select(
+                "x", "y",
+                (F.pmod(lon2 - F.col("x") + F.lit(180.0), F.lit(360.0))
+                 - F.lit(180.0)).alias("dlon"),
+                (lat2 - F.col("y")).alias("dlat"),
+            )
+        )
+        for r in back.collect():
+            assert abs(r["dlon"]) < 1e-9
+            assert abs(r["dlat"]) < 1e-9
+        pole = spark.range(1).select(
+            *st_transform_stereo(
+                F.lit(33.0), F.lit(-90.0 if south else 90.0),
+                lon0, lat_ts, south)
+        ).collect()[0]
+        assert abs(pole[0]) < 1e-6 and abs(pole[1]) < 1e-6
+        # true scale at lat_ts: 0.1° east-west arc
+        lt = lat_ts
+        row = spark.range(1).select(
+            *[c.alias(n) for c, n in zip(
+                st_transform_stereo(F.lit(10.0), F.lit(lt), lon0, lat_ts, south)
+                + st_transform_stereo(F.lit(10.1), F.lit(lt), lon0, lat_ts, south),
+                ("ax", "ay", "bx", "by"))],
+            st_distance_sphere(
+                F.lit(10.0), F.lit(lt), F.lit(10.1), F.lit(lt)).alias("gc"),
+        ).collect()[0]
+        planar = math.hypot(row["bx"] - row["ax"], row["by"] - row["ay"])
+        assert planar == pytest.approx(row["gc"], rel=1e-3)
+
+
+def test_sql_registry_accessor_batch(reg):
+    """r5 accessor/constructor batch semantics, including ST_Normalize's
+    canonical rotation and ST_TransformStereo parity with the Column
+    form."""
+    spark = reg
+    from sedona_spark.functions.crs import st_transform_stereo
+
+    df = spark.range(1).select(
+        F.array(F.lit(2.0), F.lit(1.0), F.lit(0.0), F.lit(0.0),
+                F.lit(2.0), F.lit(0.0)).alias("ring"),
+    )
+    df.createOrReplaceTempView("t_acc")
+    row = spark.sql(
+        "select ST_Normalize(ring) nr, "
+        "ST_BoundingDiagonal(ring) bd, "
+        "ST_NRings(array(ring, ring)) nrg, "
+        "element_at(ST_Expand(ring, 1e0, 2e0), 1) ex1, "
+        "ST_Angle(1e0, 0e0, 0e0, 0e0, 0e0, 1e0) ang, "
+        "ST_Degrees(pi()) deg, ST_Radians(180e0) rad, "
+        "size(ST_MakeLine(ring, ring)) ml, "
+        "size(ST_MakePolygon(ring)) mp "
+        "from t_acc"
+    ).collect()[0]
+    assert list(row["nr"]) == [0.0, 0.0, 2.0, 0.0, 2.0, 1.0]
+    assert list(row["bd"]) == [0.0, 0.0, 2.0, 1.0]
+    assert row["nrg"] == 2 and row["ex1"] == -1.0
+    assert row["ang"] == pytest.approx(3 * math.pi / 2)
+    assert row["deg"] == pytest.approx(180.0)
+    assert row["rad"] == pytest.approx(math.pi)
+    assert row["ml"] == 12 and row["mp"] == 1
+    # stereo SQL vs Column parity
+    pts = points_from_events(spark, SF).limit(50)
+    pts.createOrReplaceTempView("t_stereo")
+    cx, cy = st_transform_stereo(F.col("x"), F.col("y"), -45.0, 70.0, False)
+    api = pts.select(cx.alias("sx"), cy.alias("sy")).collect()
+    got = spark.sql(
+        "select ST_TransformStereo(x, y, -45e0, 70e0, false).x sx, "
+        "ST_TransformStereo(x, y, -45e0, 70e0, false).y sy from t_stereo"
+    ).collect()
+    for a, g in zip(api, got):
+        assert g["sx"] == pytest.approx(a["sx"], rel=1e-12)
+        assert g["sy"] == pytest.approx(a["sy"], rel=1e-12)
