@@ -637,13 +637,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = F.when(idx_a % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
     ct = F.when(in_a, F.cos(theta)).otherwise(-F.cos(phi))
     st_ = F.when(in_a, sig * F.sin(theta)).otherwise(-F.sin(phi))
-    vec = F.array(
-        *[F.lit(float(u[j])) * ct + F.lit(float(wax[j])) * st_ for j in range(len(u))]
+    # two-stage construction with a checkpoint between: (a) keeps the
+    # 64-element array codegen small (64 fused multiply-adds over two
+    # resolved columns, not 64 inlined trig/when trees — the single-stage
+    # form compiled ~30 s cold), and (b) materializes the vectors once so
+    # neither the bucket fold nor the re-rank re-evaluates them
+    base = ids.select("vec_id", ct.alias("_ct"), st_.alias("_st")).localCheckpoint(
+        eager=False
     )
-    # materialize the synthetic vectors ONCE: the 64-element trig array
-    # would otherwise be re-inlined into both the bucket fold and the
-    # re-rank dot product (measured 7 s vs ~1 s at sf0.1)
-    fix = ids.withColumn("embedding", vec).localCheckpoint(eager=False)
+    vec = F.array(
+        *[F.lit(float(u[j])) * F.col("_ct") + F.lit(float(wax[j])) * F.col("_st")
+          for j in range(len(u))]
+    )
+    fix = base.withColumn("embedding", vec).drop("_ct", "_st").localCheckpoint(
+        eager=False
+    )
     out = lsh_bucketed_topk(fix, [float(v) for v in u], 10)
     w = F.row_number().over(
         Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

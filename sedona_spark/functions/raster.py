@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -782,3 +783,52 @@ def rs_convolve(
     return cols.mapInPandas(
         gen, "image_id string, conv_sum long, conv_n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# RS_ scalar metadata tier (r5) — SQL-catalog breadth: the reference's
+# RS_Width / RS_Height / RS_NumBands / RS_BandAsArray accessors
+# (RasterAccessors.java / RasterBandAccessors.java) over the engine's
+# encoded-tile binary column.
+# ---------------------------------------------------------------------------
+
+_RS_META_TYPE = StructType(
+    [
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("bands", IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_RS_META_TYPE)
+def _rs_meta_udf(buf: pd.Series) -> pd.DataFrame:
+    """struct(w, h, bands) per encoded image — the RS_Metadata scalar
+    (full decode under the sandbox codec; a header-only parse is the same
+    documented seam as the codec itself)."""
+    ws, hs, bs = [], [], []
+    for b in buf:
+        arr, _ = decode_image(bytes(b))
+        hs.append(arr.shape[0])
+        ws.append(arr.shape[1])
+        bs.append(arr.shape[2] if arr.ndim == 3 else 1)
+    return pd.DataFrame({"w": ws, "h": hs, "bands": bs})
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def _rs_band_as_array_udf(buf: pd.Series, band: pd.Series) -> pd.Series:
+    """RS_BandAsArray: one band's pixels row-major as array<int>."""
+    out = []
+    for b, bi in zip(buf, band):
+        arr, _ = decode_image(bytes(b))
+        out.append(arr[:, :, int(bi)].astype(np.int32).ravel())
+    return pd.Series(out)
+
+
+def rs_metadata(buf) -> "F.Column":
+    return _rs_meta_udf(buf)
+
+
+def rs_band_as_array(buf, band) -> "F.Column":
+    band = band if isinstance(band, F.Column) else F.lit(int(band))
+    return _rs_band_as_array_udf(buf, band)

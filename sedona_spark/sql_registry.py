@@ -475,10 +475,32 @@ def register(spark: SparkSession, force: bool = False) -> None:
 
     pandas_catalog["RS_Value"] = _rs._rs_value_udf
     pandas_catalog["RS_PSNR"] = _rs.rs_psnr
+    pandas_catalog["RS_Metadata"] = _rs._rs_meta_udf
+    pandas_catalog["RS_BandAsArray"] = _rs._rs_band_as_array_udf
+    pandas_catalog["RS_AsRasterFull"] = _rs._as_raster_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 
-    for name, params, ret, body in _sql_udfs():
+    # RS_ accessor sugar over the one metadata decode (same split as the
+    # ST_Contains-over-ST_PIP predicates)
+    rs_sugar = [
+        ("RS_Width", "r BINARY", "INT", "RS_Metadata(r).w"),
+        ("RS_Height", "r BINARY", "INT", "RS_Metadata(r).h"),
+        ("RS_NumBands", "r BINARY", "INT", "RS_Metadata(r).bands"),
+        ("RS_Count", "r BINARY", "INT",
+         "RS_Metadata(r).w * RS_Metadata(r).h"),
+        ("RS_SummaryStats", "r BINARY, band INT",
+         "STRUCT<cnt: INT, sum: BIGINT, mean: DOUBLE, min: INT, max: INT>",
+         "named_struct("
+         "'cnt', size(RS_BandAsArray(r, band)), "
+         "'sum', aggregate(RS_BandAsArray(r, band), cast(0 as bigint), "
+         "(acc, v) -> acc + v), "
+         "'mean', aggregate(RS_BandAsArray(r, band), cast(0 as bigint), "
+         "(acc, v) -> acc + v) / cast(size(RS_BandAsArray(r, band)) as double), "
+         "'min', array_min(RS_BandAsArray(r, band)), "
+         "'max', array_max(RS_BandAsArray(r, band)))"),
+    ]
+    for name, params, ret, body in _sql_udfs() + rs_sugar:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"

