@@ -797,6 +797,44 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (r5): sliding 32-token windows with 8-token
+    overlap over every document — the pack-into-context step of a
+    training-data pipeline, pure Column (split → sequence → slice →
+    concat), zero shuffle. The DuckDB twin mirrors the windowing with
+    list_slice arithmetic."""
+    from sedona_spark.pipeline.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_tokens(docs, max_tokens=32, overlap=8)
+    return out.select(
+        "id", "chunk_id", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
+    )
+
+
+def _chunk_documents_sql() -> str:
+    step, maxt = 24, 32
+    return f"""
+with d as (select doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '') as toks
+           from documents),
+s as (select doc_id, toks, len(toks) as n from d),
+c as (select doc_id, toks, n,
+             unnest(range(0, greatest((n - 1) // {step}, 0) + 1)) as cid
+      from s)
+select doc_id as id,
+       cid as chunk_id,
+       len(list_slice(toks, cid * {step} + 1,
+                      least(cid * {step} + {maxt}, n))) as n_tokens,
+       md5(array_to_string(list_slice(toks, cid * {step} + 1,
+                                      least(cid * {step} + {maxt}, n)), ' '))
+           as chunk_md5
+from c
+where cid * {step} < n or cid = 0
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING (r5): connected components over a pair graph +
     representative selection — the stage that turns pairwise dup evidence
@@ -2803,6 +2841,7 @@ _NEW_OR_CHANGED = {
     "knn_join_approx",     # r5: approximate kNN join mode
     "shapefile_read",      # r5: shapefile read-path driver query
     "dedup_components",    # r5: near-dup clustering (components + representatives)
+    "chunk_documents",     # r5: token-window chunking
 }
 
 
@@ -2924,6 +2963,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "jaccard_adjacent": q_jaccard_adjacent,
         "dedup_components": q_dedup_components,
+        "chunk_documents": q_chunk_documents,
         "ann_topk": q_ann_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2994,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_2": _sql_api_2_sql(),
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),

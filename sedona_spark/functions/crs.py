@@ -251,6 +251,92 @@ def sql_albers(lon_expr: str, lat_expr: str,
 # here is the spherical closed form (the reference does the ellipsoidal
 # version via GeoTools — documented delta, same seam note as UTM).
 # ---------------------------------------------------------------------------
+# General transverse Mercator (r5): the UTM series with RUNTIME central
+# meridian / origin latitude / scale / false offsets — the national TM
+# grids (OSGB, Poland CS92, Gauss–Krüger belts). Same Karney–Krüger n³
+# series and WGS84 ellipse constants as the UTM tier; grids defined on
+# historic ellipsoids (Airy 1830 for OSGB) differ by the datum-shift
+# delta, the same documented seam as every closed-form CRS here.
+# ---------------------------------------------------------------------------
+
+
+def _meridian_arc_xi(lat0: float) -> float:
+    """ξ of the central meridian at lat0 (scalar Python twin of the
+    forward series with Δλ = 0) — the M₀ term for grids with a
+    latitude-of-origin."""
+    if lat0 == 0.0:
+        return 0.0
+    s = math.sin(lat0 * _RAD)
+    t = math.sinh(
+        math.atanh(s) - _TWO_SQRTN * math.atanh(_TWO_SQRTN * s)
+    )
+    xi_p = math.atan2(t, 1.0)
+    xi = xi_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * math.sin(2.0 * j * xi_p)  # cosh(0) = 1
+    return xi
+
+
+def st_transform_tmerc(
+    lon: Column, lat: Column,
+    lon0: float, lat0: float = 0.0, k0: float = 1.0,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """General transverse Mercator: UTM's series with arbitrary
+    parameters. ``st_transform_to_utm(zone z)`` ≡
+    ``st_transform_tmerc(lon0=zone central meridian, k0=0.9996,
+    fe=500000)`` (pytest-pinned identity)."""
+    lam0 = lon0 * _RAD
+    phi = lat * F.lit(_RAD)
+    dlam = lon * F.lit(_RAD) - F.lit(lam0)
+    sphi = F.sin(phi)
+    t = F.sinh(
+        F.atanh(sphi) - F.lit(_TWO_SQRTN) * F.atanh(F.lit(_TWO_SQRTN) * sphi)
+    )
+    xi_p = F.atan2(t, F.cos(dlam))
+    eta_p = F.atanh(F.sin(dlam) / F.sqrt(1.0 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+        eta = eta + F.lit(a) * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
+    e = F.lit(float(fe)) + F.lit(k0 * _A_CAP) * eta
+    nn = F.lit(float(fn) - m0) + F.lit(k0 * _A_CAP) * xi
+    return e, nn
+
+
+def st_transform_tmerc_inv(
+    easting: Column, northing: Column,
+    lon0: float, lat0: float = 0.0, k0: float = 1.0,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """Inverse general transverse Mercator (Krüger β/δ series)."""
+    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
+    xi = (northing - F.lit(float(fn) - m0)) / F.lit(k0 * _A_CAP)
+    eta = (easting - F.lit(float(fe))) / F.lit(k0 * _A_CAP)
+    xi_p = xi
+    eta_p = eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(2.0 * j * chi)
+    lam = F.lit(lon0 * _RAD) + F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    return lam / F.lit(_RAD), phi / F.lit(_RAD)
+
+
+# national TM grids: epsg → (lon0, lat0, k0, false_easting, false_northing)
+TMERC_EPSG: dict[int, tuple[float, float, float, float, float]] = {
+    27700: (-2.0, 49.0, 0.9996012717, 400000.0, -100000.0),  # OSGB36 grid
+    2180: (19.0, 0.0, 0.9993, 500000.0, -5300000.0),         # Poland CS92
+    31468: (12.0, 0.0, 1.0, 4500000.0, 0.0),                 # DHDN GK zone 4
+}
+
+
+# ---------------------------------------------------------------------------
 # Polar stereographic (spherical, Snyder 1987 §21) — r5. The polar grids
 # (NSIDC sea-ice, Antarctic mapping) are the most common raster CRSs after
 # the conics; reference capability is the same GeoTools ST_Transform seam.

@@ -78,3 +78,51 @@ def doc_fingerprint(text: Column, width: int = 16) -> Column:
     exact-dup grouping at scale (md5 is engine-portable)."""
     norm = F.regexp_replace(F.trim(text), r"\s+", " ")
     return F.substring(F.md5(norm.cast("binary")), 1, width).alias("fingerprint")
+
+
+def chunk_tokens(
+    docs: "DataFrame",
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> "DataFrame":
+    """Token-window document CHUNKING (r5) — the pack-into-context step of
+    a training-data pipeline: split each document on whitespace and emit
+    sliding windows of ``max_tokens`` tokens with ``overlap`` tokens of
+    left context, as ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    100 TB shape: pure Column end-to-end — split → sequence over window
+    starts → transform/slice/concat — all whole-stage codegen, one
+    narrow explode (no shuffle at all); a 4096-token window over a
+    trillion-token corpus is a map-only job."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (typing only)
+
+    step = max_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = F.filter(
+        F.split(F.col(text), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    # window starts: 0, step, 2·step, … while start < n (≥1 even if empty)
+    starts = F.sequence(
+        F.lit(0),
+        F.floor(F.greatest(n - F.lit(1), F.lit(0)) / F.lit(step)).cast("int"),
+    )
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_s"),
+    ).filter((F.col("_s") * step < F.size("_toks")) | (F.col("chunk_id") == 0))
+    sl = F.slice(
+        F.col("_toks"),
+        F.col("_s").cast("int") * step + 1,
+        max_tokens,
+    )
+    return out.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -480,3 +480,46 @@ def test_sql_registry_rs_scalar_tier(reg):
     assert row["s"]["mean"] == pytest.approx(band.mean())
     assert row["s"]["min"] == int(band.min())
     assert row["s"]["max"] == int(band.max())
+
+
+def test_tmerc_utm_identity_and_roundtrip(spark):
+    """General transverse Mercator: with UTM zone-30 parameters it must
+    reproduce st_transform_to_utm EXACTLY (same series, same constants);
+    forward∘inverse is the identity for every national-grid parameter
+    set in TMERC_EPSG."""
+    from sedona_spark.functions.crs import (
+        TMERC_EPSG,
+        st_transform_tmerc,
+        st_transform_tmerc_inv,
+        st_transform_to_utm,
+    )
+
+    pts = (
+        points_from_events(spark, SF)
+        .filter((F.col("x") > -6.0) & (F.col("x") < 0.0)
+                & (F.col("y") > 35.0) & (F.col("y") < 60.0))
+        .limit(100)
+    )
+    ue, un = st_transform_to_utm(F.col("x"), F.col("y"), 30)
+    te, tn = st_transform_tmerc(
+        F.col("x"), F.col("y"), lon0=-3.0, k0=0.9996, fe=500000.0
+    )
+    for r in pts.select(ue.alias("ue"), un.alias("un"),
+                        te.alias("te"), tn.alias("tn")).collect():
+        assert r["te"] == r["ue"] and r["tn"] == r["un"]  # bit-identical
+
+    for epsg, (lon0, lat0, k0, fe, fn) in TMERC_EPSG.items():
+        box = pts if epsg == 27700 else points_from_events(spark, SF).filter(
+            (F.abs(F.col("x") - lon0) < 3.0) & (F.abs(F.col("y")) < 70.0)
+        ).limit(100)
+        e, n = st_transform_tmerc(F.col("x"), F.col("y"), lon0, lat0, k0, fe, fn)
+        lon2, lat2 = st_transform_tmerc_inv(
+            F.col("e"), F.col("n"), lon0, lat0, k0, fe, fn
+        )
+        back = box.select("x", "y", e.alias("e"), n.alias("n")).select(
+            "x", "y", lon2.alias("lon2"), lat2.alias("lat2")
+        )
+        rows = back.collect()
+        for r in rows:
+            assert r["lon2"] == pytest.approx(r["x"], abs=1e-8), epsg
+            assert r["lat2"] == pytest.approx(r["y"], abs=1e-8), epsg
