@@ -2373,6 +2373,52 @@ from z
 """
 
 
+def q_geopackage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage source (r5 — closes the r4 'out of scope' row: the
+    container is SQLite, which the Python stdlib reads, so no external
+    data or library is needed; OGC 12-128r18 + the engine's own WKB
+    parser). Writes the zone rects as a spec-compliant .gpkg
+    (driver-side sink, ordered so fid == n_nationkey + 1), reads it back
+    through the DISTRIBUTED rowid-range reader, and reduces to
+    winding-invariant stats the oracle recomputes from nation."""
+    import os as _os
+
+    from sedona_spark.functions.st import st_rings_stats
+    from sedona_spark.sources.geopackage import read_geopackage, write_geopackage
+
+    base = f"/tmp/sedona_spark_gpkg_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _os.makedirs(base, exist_ok=True)
+    path = f"{base}/zones.gpkg"
+    if _os.path.exists(path):
+        _os.remove(path)
+    z = rect_zones_from_nation(spark, sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("nkey"),
+        F.array(F.col("ring")).alias("geom"),
+    )
+    write_geopackage(z, path, table="zones", order_col="nkey")
+    back = read_geopackage(spark, path, table="zones")
+    s = st_rings_stats(F.col("geom"))
+    return back.select(
+        F.col("fid").cast("long").alias("fid"),
+        F.col("nkey").cast("long").alias("nkey"),
+        "kind",
+        F.round(s["area"], 6).alias("area"),
+        s["n_rings"].cast("long").alias("n_rings"),
+    )
+
+
+def _geopackage_read_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey + 1 as fid,
+       n_nationkey as nkey,
+       'polygon' as kind,
+       round(4e0 * hx * hy, 6) as area,
+       cast(1 as bigint) as n_rings
+from z
+"""
+
+
 def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interop (r4, RFC 7946; reference GeoJSONFileFormat.scala):
     the geom_from_wkt fixture re-expressed as GeoJSON — even nations a
@@ -2842,6 +2888,7 @@ _NEW_OR_CHANGED = {
     "shapefile_read",      # r5: shapefile read-path driver query
     "dedup_components",    # r5: near-dup clustering (components + representatives)
     "chunk_documents",     # r5: token-window chunking
+    "geopackage_read",     # r5: GeoPackage source (stdlib sqlite3 + own WKB)
 }
 
 
@@ -2926,6 +2973,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spherical_pip": q_spherical_pip,
         "geojson_parse": q_geojson_parse,
         "shapefile_read": q_shapefile_read,
+        "geopackage_read": q_geopackage_read,
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
         "shortest_line": q_shortest_line,
@@ -3035,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),
+        "geopackage_read": _geopackage_read_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),

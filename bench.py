@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "st_transform_albers",
     "st_area_spheroid",
     "shapefile_read",
+    "st_transform_stereo",
+    "dedup_components",
+    "chunk_documents",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

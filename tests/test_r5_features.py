@@ -523,3 +523,48 @@ def test_tmerc_utm_identity_and_roundtrip(spark):
         for r in rows:
             assert r["lon2"] == pytest.approx(r["x"], abs=1e-8), epsg
             assert r["lat2"] == pytest.approx(r["y"], abs=1e-8), epsg
+
+
+def test_geopackage_roundtrip(spark, tmp_path):
+    """GeoPackage sink/source (OGC 12-128r18 over stdlib sqlite3):
+    polygon-with-hole + multipolygon + attributes round-trip through the
+    spec blob (GP header + ISO WKB) and the distributed rowid-range
+    reader; convention tables present so other tools can open it."""
+    import sqlite3
+
+    from sedona_spark.functions.st import st_geom_rings_from_wkt, st_rings_stats
+    from sedona_spark.sources.geopackage import read_geopackage, write_geopackage
+
+    wkts = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+        (1, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 12 0, 12 2, 10 2, 10 0)))"),
+        (2, "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+    ]
+    df = spark.createDataFrame(wkts, "id long, wkt string").select(
+        "id", st_geom_rings_from_wkt(F.col("wkt")).alias("geom")
+    )
+    want = {
+        r["id"]: (round(r["s"]["area"], 9), r["s"]["n_rings"], r["s"]["n_holes"])
+        for r in df.select(
+            "id", st_rings_stats(F.col("geom")).alias("s")).collect()
+    }
+    path = str(tmp_path / "layer.gpkg")
+    assert write_geopackage(df, path, table="t", order_col="id") == 3
+    # convention tables are present and consistent
+    con = sqlite3.connect(path)
+    assert con.execute(
+        "select data_type from gpkg_contents where table_name='t'"
+    ).fetchone()[0] == "features"
+    assert con.execute(
+        "select column_name from gpkg_geometry_columns where table_name='t'"
+    ).fetchone()[0] == "geom"
+    con.close()
+    back = read_geopackage(spark, path)
+    rows = back.select(
+        "fid", "id", "kind", st_rings_stats(F.col("geom")).alias("s")
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert (round(r["s"]["area"], 9), r["s"]["n_rings"], r["s"]["n_holes"]) \
+            == want[r["id"]]
+        assert r["fid"] == r["id"] + 1
