@@ -2419,6 +2419,41 @@ from z
 """
 
 
+def q_osm_pbf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM PBF source (r5 — closes the second r4 'out of scope' format:
+    the container is protobuf wire format + zlib, both stdlib-parseable
+    with a hand-rolled varint/zigzag codec over the frozen published
+    schema; reference ``OsmPbfFormat.scala``). Writes the event points
+    as DenseNodes blocks (delta + zigzag + packed varint, zlib per
+    blob), re-reads them through the DISTRIBUTED blob-framed reader, and
+    returns the format's native integer 1e-7-degree coordinates — exact
+    ints the oracle recomputes from events directly."""
+    import os as _os
+
+    from sedona_spark.sources.osmpbf import read_osm_pbf, write_osm_pbf
+
+    base = f"/tmp/sedona_spark_pbf_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _os.makedirs(base, exist_ok=True)
+    path = f"{base}/nodes.osm.pbf"
+    pts = points_from_events(spark, sf_dir).select(
+        F.col("event_id").alias("id"), F.col("x").alias("lon"),
+        F.col("y").alias("lat"),
+    )
+    write_osm_pbf(pts, path, nodes_per_block=2048, order_col="id")
+    back = read_osm_pbf(spark, path)
+    return back.select("node_id", "lon_i7", "lat_i7")
+
+
+def _osm_pbf_read_sql() -> str:
+    return f"""
+with z as ({SQL_POINTS})
+select event_id as node_id,
+       cast(round(x * 1e7) as bigint) as lon_i7,
+       cast(round(y * 1e7) as bigint) as lat_i7
+from z
+"""
+
+
 def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interop (r4, RFC 7946; reference GeoJSONFileFormat.scala):
     the geom_from_wkt fixture re-expressed as GeoJSON — even nations a
@@ -2889,6 +2924,7 @@ _NEW_OR_CHANGED = {
     "dedup_components",    # r5: near-dup clustering (components + representatives)
     "chunk_documents",     # r5: token-window chunking
     "geopackage_read",     # r5: GeoPackage source (stdlib sqlite3 + own WKB)
+    "osm_pbf_read",        # r5: OSM PBF DenseNodes source (stdlib protobuf codec)
 }
 
 
@@ -2974,6 +3010,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_parse": q_geojson_parse,
         "shapefile_read": q_shapefile_read,
         "geopackage_read": q_geopackage_read,
+        "osm_pbf_read": q_osm_pbf_read,
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
         "shortest_line": q_shortest_line,
@@ -3084,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "geopackage_read": _geopackage_read_sql(),
+        "osm_pbf_read": _osm_pbf_read_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),

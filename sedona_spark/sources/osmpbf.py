@@ -1,0 +1,306 @@
+"""OSM PBF source + sink — the OpenStreetMap PBF format (public spec:
+wiki.openstreetmap.org/wiki/PBF_Format; reference reader:
+``spark/common/src/main/scala/.../datasources/osm/OsmPbfFormat.scala``).
+
+The container is protobuf wire format + zlib, both parseable with the
+Python STDLIB — a hand-rolled varint/zigzag codec over the few fixed tag
+numbers the format uses (the .proto schemas are frozen and published), so
+no protobuf library is needed. Scope: **DenseNodes** (the geotagged-point
+payload — ids + 100-nanodegree lat/lon, delta-coded), which is the
+image/caption engine's use case; ways/relations keep the same framing and
+are a documented extension seam.
+
+Spark-first shape (same pattern as the Shapefile/GeoPackage readers):
+
+* **read** — the driver scans ONLY the blob framing (each blob = 4-byte
+  big-endian BlobHeader length + BlobHeader{type, datasize} + datasize
+  bytes), yielding a (offset, length) table of OSMData blobs — a few
+  bytes per ~8k-node blob. Blob ranges are partitioned; every task opens
+  the file via ``pyarrow.fs`` and inflates + parses only its own blobs.
+  Blobs are independently compressed by design — THE format property
+  that makes distributed reading possible.
+* **write** — one PrimitiveBlock per ``nodes_per_block`` rows, delta +
+  zigzag + packed-varint encoded, zlib per blob; driver-side emit (the
+  frame stream is sequential), as with the other single-file sinks.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sedona_spark.sources.geoparquet import _fs_for
+
+# --- protobuf wire primitives (public encoding) ----------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _field(tag: int, wire: int) -> bytes:
+    return _varint((tag << 3) | wire)
+
+
+def _len_field(tag: int, payload: bytes) -> bytes:
+    return _field(tag, 2) + _varint(len(payload)) + payload
+
+
+def _packed_sint64(tag: int, vals) -> bytes:
+    body = b"".join(_varint(_zigzag(v)) for v in vals)
+    return _len_field(tag, body)
+
+
+def _iter_fields(buf: bytes):
+    """Yield (tag, wire, value) over a protobuf message; value is the
+    int for varint fields and the bytes slice for length-delimited."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        tag, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            yield tag, wire, v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield tag, wire, buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            yield tag, wire, buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield tag, wire, buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _parse_packed_sint64(payload: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(payload):
+        v, pos = _read_varint(payload, pos)
+        out.append(_unzigzag(v))
+    return out
+
+
+# --- blob framing ----------------------------------------------------------
+
+
+def _blob(type_name: str, payload: bytes) -> bytes:
+    """Frame one blob: BlobHeader{type=1, datasize=3} + Blob{raw_size=2,
+    zlib_data=3}."""
+    z = zlib.compress(payload, 6)
+    blob = _field(2, 0) + _varint(len(payload)) + _len_field(3, z)
+    header = _len_field(1, type_name.encode()) + _field(3, 0) + _varint(len(blob))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def _parse_blob(buf: bytes) -> bytes:
+    """Blob message → decompressed payload."""
+    raw = None
+    for tag, _w, v in _iter_fields(buf):
+        if tag == 1:
+            raw = bytes(v)
+        elif tag == 3:
+            raw = zlib.decompress(bytes(v))
+    if raw is None:
+        raise ValueError("blob carries no raw/zlib data")
+    return raw
+
+
+# --- writer ----------------------------------------------------------------
+
+
+def write_osm_pbf(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    nodes_per_block: int = 8000,
+    order_col: str | None = None,
+) -> int:
+    """Write (id, lon, lat) rows as an OSM PBF of DenseNodes blocks.
+    Driver-side by frame-stream necessity (same posture as the Shapefile
+    sink). Returns the node count."""
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    rows = df.select(id_col, lon, lat).collect()
+    # HeaderBlock: required_features(4) strings
+    header = (_len_field(4, b"OsmSchema-V0.6")
+              + _len_field(4, b"DenseNodes"))
+    out = bytearray(_blob("OSMHeader", header))
+    for i in range(0, len(rows), nodes_per_block):
+        chunk = rows[i:i + nodes_per_block]
+        ids = [int(r[id_col]) for r in chunk]
+        # 100-nanodegree units (granularity 100, offsets 0)
+        lats = [round(float(r[lat]) * 1e7) for r in chunk]
+        lons = [round(float(r[lon]) * 1e7) for r in chunk]
+
+        def delta(vals):
+            prev = 0
+            out_ = []
+            for v in vals:
+                out_.append(v - prev)
+                prev = v
+            return out_
+
+        dense = (_packed_sint64(1, delta(ids))
+                 + _packed_sint64(8, delta(lats))
+                 + _packed_sint64(9, delta(lons)))
+        group = _len_field(2, dense)  # PrimitiveGroup.dense = 2
+        block = (
+            _len_field(1, _len_field(1, b""))  # stringtable with s[0]=""
+            + _len_field(2, group)
+            + _field(17, 0) + _varint(100)     # granularity
+            + _field(19, 0) + _varint(0)       # lat_offset
+            + _field(20, 0) + _varint(0)       # lon_offset
+        )
+        out += _blob("OSMData", block)
+    fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+    name = path.rsplit("/", 1)[-1]
+    with fs.open_output_stream(f"{base}/{name}") as fh:
+        fh.write(bytes(out))
+    return len(rows)
+
+
+# --- reader ----------------------------------------------------------------
+
+
+def _scan_frames(path: str):
+    """Driver-side framing scan: [(type, payload_offset, payload_len)] —
+    reads ONLY the 4-byte lengths and tiny BlobHeaders."""
+    fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+    name = path.rsplit("/", 1)[-1]
+    frames = []
+    with fs.open_input_file(f"{base}/{name}") as fh:
+        size = fh.size()
+        pos = 0
+        while pos + 4 <= size:
+            fh.seek(pos)
+            (hlen,) = struct.unpack(">i", fh.read(4))
+            hdr = fh.read(hlen)
+            btype, dlen = "", 0
+            for tag, _w, v in _iter_fields(hdr):
+                if tag == 1:
+                    btype = bytes(v).decode()
+                elif tag == 3:
+                    dlen = v
+            frames.append((btype, pos + 4 + hlen, dlen))
+            pos = pos + 4 + hlen + dlen
+    return frames
+
+
+def read_osm_pbf(
+    spark: SparkSession, path: str, partitions: int = 0
+) -> DataFrame:
+    """Distributed OSM PBF DenseNodes read → (node_id, lon, lat,
+    lat_i7, lon_i7). The integer 1e-7-degree fields are exact (the
+    format's native units); the doubles are their float projection."""
+    frames = [
+        (off, ln) for t, off, ln in _scan_frames(path) if t == "OSMData"
+    ]
+    nparts = partitions or min(max(1, len(frames)), 64)
+    rdf = spark.createDataFrame(
+        frames or [(0, 0)], "off long, ln long"
+    ).repartition(nparts)
+
+    out_type = StructType([
+        StructField("node_id", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("lon_i7", LongType()),
+        StructField("lat_i7", LongType()),
+    ])
+
+    def gen(batches):
+        fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+        name = path.rsplit("/", 1)[-1]
+        for pdf in batches:
+            recs = []
+            with fs.open_input_file(f"{base}/{name}") as fh:
+                for off, ln in zip(pdf["off"], pdf["ln"]):
+                    if ln == 0:
+                        continue
+                    fh.seek(int(off))
+                    block = _parse_blob(fh.read(int(ln)))
+                    gran, lat_off, lon_off = 100, 0, 0
+                    groups = []
+                    for tag, _w, v in _iter_fields(block):
+                        if tag == 2:
+                            groups.append(bytes(v))
+                        elif tag == 17:
+                            gran = v
+                        elif tag == 19:
+                            lat_off = v
+                        elif tag == 20:
+                            lon_off = v
+                    for g in groups:
+                        for gtag, _gw, gv in _iter_fields(g):
+                            if gtag != 2:  # DenseNodes only
+                                continue
+                            ids = lats = lons = None
+                            for dt, _dw, dv in _iter_fields(bytes(gv)):
+                                if dt == 1:
+                                    ids = _parse_packed_sint64(bytes(dv))
+                                elif dt == 8:
+                                    lats = _parse_packed_sint64(bytes(dv))
+                                elif dt == 9:
+                                    lons = _parse_packed_sint64(bytes(dv))
+                            if not ids:
+                                continue
+                            iid = ilat = ilon = 0
+                            for di, dla, dlo in zip(ids, lats, lons):
+                                iid += di
+                                ilat += dla
+                                ilon += dlo
+                                nlat = lat_off + gran * ilat
+                                nlon = lon_off + gran * ilon
+                                recs.append(
+                                    (iid, nlon * 1e-9, nlat * 1e-9,
+                                     nlon // 100, nlat // 100)
+                                )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in out_type.fields]
+            )
+
+    return rdf.mapInPandas(gen, schema=out_type)

@@ -568,3 +568,28 @@ def test_geopackage_roundtrip(spark, tmp_path):
         assert (round(r["s"]["area"], 9), r["s"]["n_rings"], r["s"]["n_holes"]) \
             == want[r["id"]]
         assert r["fid"] == r["id"] + 1
+
+
+def test_osm_pbf_roundtrip(spark, tmp_path):
+    """OSM PBF DenseNodes round trip through the stdlib protobuf codec:
+    negative coordinates and ids, multiple blobs, delta chains crossing
+    block boundaries; integer 1e-7-degree fields exact."""
+    from sedona_spark.sources.osmpbf import read_osm_pbf, write_osm_pbf
+
+    rows = [
+        (-5, -179.9999999, -89.9999999),
+        (0, 0.0, 0.0),
+        (7, 13.3777041, 52.5162746),      # Brandenburg Gate
+        (100, -73.985656, 40.748433),     # ESB
+        (101, 179.9999999, 89.9999999),
+    ] + [(1000 + i, -10.0 + i * 0.25, 5.0 - i * 0.125) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    path = str(tmp_path / "nodes.osm.pbf")
+    assert write_osm_pbf(df, path, nodes_per_block=8, order_col="id") == len(rows)
+    back = {r["node_id"]: r for r in read_osm_pbf(spark, path).collect()}
+    assert len(back) == len(rows)
+    for i, lon, lat in rows:
+        assert back[i]["lon_i7"] == round(lon * 1e7)
+        assert back[i]["lat_i7"] == round(lat * 1e7)
+        assert back[i]["lon"] == pytest.approx(lon, abs=1e-7)
+        assert back[i]["lat"] == pytest.approx(lat, abs=1e-7)
