@@ -2454,6 +2454,81 @@ from z
 """
 
 
+def q_stac_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAC catalog source (r5 — closes the last r4 'out of scope'
+    source row for the local-mirror case: STAC is plain JSON; only the
+    HTTP fetch was network-bound; reference ``StacDataSource.scala``).
+    Synthesizes a spec-shaped catalog → collection → 25 item Features
+    from the zone rects, walks the link graph driver-side (metadata
+    only), reads the items through Spark's DISTRIBUTED JSON scan, and
+    reduces to closed-form-oracle columns (ring area via the engine's
+    measure fold, bbox width, asset count)."""
+    import json as _json
+    import os as _os
+
+    from sedona_spark.functions.st_measures import st_area
+    from sedona_spark.sources.stac import read_stac
+
+    base = f"/tmp/sedona_spark_stac_{_os.path.basename(sf_dir.rstrip('/'))}"
+    items_dir = f"{base}/items"
+    _os.makedirs(items_dir, exist_ok=True)
+    zones = rect_zones_from_nation(spark, sf_dir).collect()  # 25 rows
+    links = [{"rel": "child", "href": "./collection.json"}]
+    with open(f"{base}/catalog.json", "w") as f:
+        _json.dump({"type": "Catalog", "id": "zones", "stac_version": "1.0.0",
+                    "links": links, "description": "zone catalog"}, f)
+    item_links = []
+    for z in zones:
+        k = z["n_nationkey"]
+        ring = [[z["xmin"], z["ymin"]], [z["xmax"], z["ymin"]],
+                [z["xmax"], z["ymax"]], [z["xmin"], z["ymax"]],
+                [z["xmin"], z["ymin"]]]
+        item = {
+            "type": "Feature", "stac_version": "1.0.0",
+            "id": f"zone-{k:03d}", "collection": "zones",
+            "bbox": [z["xmin"], z["ymin"], z["xmax"], z["ymax"]],
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"datetime": f"2020-01-{(k % 28) + 1:02d}"
+                                       "T00:00:00Z"},
+            "assets": {"image": {"href": f"./tiles/{k}.bin"},
+                       "thumbnail": {"href": f"./thumb/{k}.bin"}},
+            "links": [],
+        }
+        href = f"items/zone-{k:03d}.json"
+        with open(f"{base}/{href}", "w") as f:
+            _json.dump(item, f)
+        item_links.append({"rel": "item", "href": f"./{href}"})
+    with open(f"{base}/collection.json", "w") as f:
+        _json.dump({"type": "Collection", "id": "zones",
+                    "stac_version": "1.0.0", "license": "CC0",
+                    "description": "zones", "extent": {},
+                    "links": item_links}, f)
+    items = read_stac(spark, f"{base}/catalog.json")
+    return items.select(
+        "item_id",
+        "collection",
+        "datetime",
+        F.round(st_area(F.element_at(F.col("geom"), 1)), 6).alias("area"),
+        F.round(F.element_at("bbox", 3) - F.element_at("bbox", 1), 6)
+            .alias("bbox_w"),
+        F.size(F.map_keys(F.col("assets"))).cast("long").alias("n_assets"),
+    )
+
+
+def _stac_read_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select 'zone-' || lpad(cast(n_nationkey as varchar), 3, '0') as item_id,
+       'zones' as collection,
+       '2020-01-' || lpad(cast((n_nationkey % 28) + 1 as varchar), 2, '0')
+           || 'T00:00:00Z' as datetime,
+       round(4e0 * hx * hy, 6) as area,
+       round(2e0 * hx, 6) as bbox_w,
+       cast(2 as bigint) as n_assets
+from z
+"""
+
+
 def q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON interop (r4, RFC 7946; reference GeoJSONFileFormat.scala):
     the geom_from_wkt fixture re-expressed as GeoJSON — even nations a
@@ -2925,6 +3000,7 @@ _NEW_OR_CHANGED = {
     "chunk_documents",     # r5: token-window chunking
     "geopackage_read",     # r5: GeoPackage source (stdlib sqlite3 + own WKB)
     "osm_pbf_read",        # r5: OSM PBF DenseNodes source (stdlib protobuf codec)
+    "stac_read",           # r5: STAC catalog source (local-mirror JSON walk)
 }
 
 
@@ -3011,6 +3087,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_read": q_shapefile_read,
         "geopackage_read": q_geopackage_read,
         "osm_pbf_read": q_osm_pbf_read,
+        "stac_read": q_stac_read,
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
         "shortest_line": q_shortest_line,
@@ -3122,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "geopackage_read": _geopackage_read_sql(),
         "osm_pbf_read": _osm_pbf_read_sql(),
+        "stac_read": _stac_read_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),
