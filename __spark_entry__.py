@@ -2454,6 +2454,72 @@ from z
 """
 
 
+def q_viz_pixelize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viz tier (r5 — closes the survey's LAST ⬜ tier; reference
+    ``sedona_viz/expressions/{Pixelize,Colorize,Render}.scala``): each
+    zone rect is pixelized onto a per-nation w×w grid over its 2×
+    envelope (w = 16 + 8·(n mod 5), so the rect covers exactly the
+    middle half per axis → closed-form pixel set), colorized, and
+    rendered per-tile through the applyInPandas painter. Oracle: pixel
+    count w²/4, exact min/max pixel ids, painted count, non-empty
+    image."""
+    from sedona_spark.viz import render_tiles, st_colorize, st_pixelize
+
+    z = zones_from_nation(spark, sf_dir)
+    w = (F.lit(16) + (F.col("n_nationkey") % 5) * 8).cast("int")
+    ring = F.array(
+        F.col("zcx") - F.col("hx"), F.col("zcy") - F.col("hy"),
+        F.col("zcx") + F.col("hx"), F.col("zcy") - F.col("hy"),
+        F.col("zcx") + F.col("hx"), F.col("zcy") + F.col("hy"),
+        F.col("zcx") - F.col("hx"), F.col("zcy") + F.col("hy"),
+    )
+    env = F.array(
+        F.col("zcx") - 2 * F.col("hx"), F.col("zcy") - 2 * F.col("hy"),
+        F.col("zcx") + 2 * F.col("hx"), F.col("zcy") + 2 * F.col("hy"),
+    )
+    px = z.select(
+        "n_nationkey", w.alias("w"),
+        st_pixelize(ring, env, w, w).alias("pix"),
+    )
+    long = px.select(
+        "n_nationkey", "w", F.explode("pix").alias("pixel_id")
+    ).withColumn("color", st_colorize(F.lit(1.0), 1.0)).withColumn(
+        "tile_id", F.col("n_nationkey").cast("long")
+    )
+    stats = long.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pix"),
+        F.min("pixel_id").alias("min_id"),
+        F.max("pixel_id").alias("max_id"),
+    )
+    # per-tile paint uses the LARGEST grid so every pixel id fits
+    rendered = render_tiles(long, w=48, h=48)
+    return (
+        stats.join(rendered, stats["n_nationkey"] == rendered["tile_id"])
+        .select(
+            "n_nationkey",
+            "n_pix",
+            "min_id",
+            "max_id",
+            "n_painted",
+            (F.length("png") > 0).alias("has_png"),
+        )
+    )
+
+
+def _viz_pixelize_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, 16 + (n_nationkey % 5) * 8 as w from z)
+select n_nationkey,
+       cast(w * w / 4 as bigint) as n_pix,
+       cast((w / 4) * w + (w / 4) as bigint) as min_id,
+       cast((3 * w / 4 - 1) * w + (3 * w / 4 - 1) as bigint) as max_id,
+       cast(w * w / 4 as bigint) as n_painted,
+       true as has_png
+from g
+"""
+
+
 def q_stac_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STAC catalog source (r5 — closes the last r4 'out of scope'
     source row for the local-mirror case: STAC is plain JSON; only the
@@ -3001,6 +3067,7 @@ _NEW_OR_CHANGED = {
     "geopackage_read",     # r5: GeoPackage source (stdlib sqlite3 + own WKB)
     "osm_pbf_read",        # r5: OSM PBF DenseNodes source (stdlib protobuf codec)
     "stac_read",           # r5: STAC catalog source (local-mirror JSON walk)
+    "viz_pixelize",        # r5: viz tier (pixelize → colorize → render)
 }
 
 
@@ -3088,6 +3155,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geopackage_read": q_geopackage_read,
         "osm_pbf_read": q_osm_pbf_read,
         "stac_read": q_stac_read,
+        "viz_pixelize": q_viz_pixelize,
         "rs_resample": q_rs_resample,
         "rs_zonal_stats": q_rs_zonal_stats,
         "shortest_line": q_shortest_line,
@@ -3200,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "geopackage_read": _geopackage_read_sql(),
         "osm_pbf_read": _osm_pbf_read_sql(),
         "stac_read": _stac_read_sql(),
+        "viz_pixelize": _viz_pixelize_sql(),
         "st_make_valid": _st_make_valid_sql(),
         "st_difference_poly": _st_difference_poly_sql(),
         "st_transform_azimuthal": _st_transform_azimuthal_sql(),

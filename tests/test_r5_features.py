@@ -593,3 +593,44 @@ def test_osm_pbf_roundtrip(spark, tmp_path):
         assert back[i]["lat_i7"] == round(lat * 1e7)
         assert back[i]["lon"] == pytest.approx(lon, abs=1e-7)
         assert back[i]["lat"] == pytest.approx(lat, abs=1e-7)
+
+
+def test_viz_pixelize_colorize_render(spark):
+    """Viz pipeline: pixelize a triangle (non-trivial shape), render it,
+    decode the painted image and verify the EXACT nonzero pixel set
+    equals the pixelize output and the painted channel values match the
+    colorizer's ARGB packing."""
+    from sedona_spark.sources.images import decode_image
+    from sedona_spark.viz import render_tiles, st_colorize, st_pixelize
+
+    w = 32
+    df = spark.range(1).select(
+        F.lit(0).cast("long").alias("tile_id"),
+        F.array(*[F.lit(float(v)) for v in
+                  [0.0, 0.0, 4.0, 0.0, 0.0, 4.0]]).alias("ring"),
+        F.array(*[F.lit(float(v)) for v in [0.0, 0.0, 4.0, 4.0]]).alias("env"),
+    )
+    px = df.select(
+        "tile_id", st_pixelize(F.col("ring"), F.col("env"), w, w).alias("pix")
+    )
+    ids = sorted(px.collect()[0]["pix"])
+    # triangle x+y≤4 over [0,4]²: center at (i+.5, j+.5)·4/32 is interior
+    # iff i+j+1 < 32 and ON the hypotenuse iff i+j+1 == 32 — pixelize is
+    # covers-semantics (boundary centers included)
+    want = sorted(j * w + i for j in range(w) for i in range(w)
+                  if i + j + 1 <= w)
+    assert ids == want
+    long = px.select(
+        "tile_id", F.explode("pix").alias("pixel_id")
+    ).withColumn("color", st_colorize(F.lit(0.5), 1.0))
+    out = render_tiles(long, w=w, h=w).collect()[0]
+    assert out["n_painted"] == len(want)
+    arr, _ = decode_image(bytes(out["png"]))
+    nz = sorted(
+        int(y) * w + int(x)
+        for y, x in zip(*np.nonzero(arr.sum(axis=2)))
+    )
+    assert nz == want
+    ys, xs = want[0] // w, want[0] % w
+    assert arr[ys, xs, 0] == 128 and arr[ys, xs, 1] == 128 \
+        and arr[ys, xs, 2] == 64  # red ramp 0.5 → 128; fixed G/B mid-tones
