@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "st_transform_stereo",
     "dedup_components",
     "chunk_documents",
+    "geopackage_read",
+    "osm_pbf_read",
+    "stac_read",
+    "viz_pixelize",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

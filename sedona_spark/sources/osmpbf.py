@@ -304,3 +304,94 @@ def read_osm_pbf(
             )
 
     return rdf.mapInPandas(gen, schema=out_type)
+
+
+# --- ways (r5 extension: same framing; Way = id(1) + packed delta
+# sint64 refs(8); tags = documented seam) --------------------------------
+
+
+def write_osm_pbf_ways(
+    df: DataFrame,
+    path: str,
+    id_col: str = "way_id",
+    refs_col: str = "refs",
+    ways_per_block: int = 4000,
+    order_col: str | None = None,
+) -> int:
+    """Append-style single-file emit of Way blocks (driver-side)."""
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    rows = df.select(id_col, refs_col).collect()
+    header = (_len_field(4, b"OsmSchema-V0.6"))
+    out = bytearray(_blob("OSMHeader", header))
+    for i in range(0, len(rows), ways_per_block):
+        chunk = rows[i:i + ways_per_block]
+        ways = b""
+        for r in chunk:
+            refs = [int(v) for v in r[refs_col]]
+            deltas = [refs[0]] + [b - a for a, b in zip(refs, refs[1:])] \
+                if refs else []
+            way = (_field(1, 0) + _varint(int(r[id_col]))
+                   + _packed_sint64(8, deltas))
+            ways += _len_field(3, way)  # PrimitiveGroup.ways = 3
+        block = (_len_field(1, _len_field(1, b"")) + _len_field(2, ways))
+        out += _blob("OSMData", block)
+    fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+    name = path.rsplit("/", 1)[-1]
+    with fs.open_output_stream(f"{base}/{name}") as fh:
+        fh.write(bytes(out))
+    return len(rows)
+
+
+def read_osm_pbf_ways(
+    spark: SparkSession, path: str, partitions: int = 0
+) -> DataFrame:
+    """Distributed Way read → (way_id, refs array<long>)."""
+    from pyspark.sql.types import ArrayType
+
+    frames = [
+        (off, ln) for t, off, ln in _scan_frames(path) if t == "OSMData"
+    ]
+    nparts = partitions or min(max(1, len(frames)), 64)
+    rdf = spark.createDataFrame(
+        frames or [(0, 0)], "off long, ln long"
+    ).repartition(nparts)
+    out_type = StructType([
+        StructField("way_id", LongType()),
+        StructField("refs", ArrayType(LongType())),
+    ])
+
+    def gen(batches):
+        fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+        name = path.rsplit("/", 1)[-1]
+        for pdf in batches:
+            recs = []
+            with fs.open_input_file(f"{base}/{name}") as fh:
+                for off, ln in zip(pdf["off"], pdf["ln"]):
+                    if ln == 0:
+                        continue
+                    fh.seek(int(off))
+                    block = _parse_blob(fh.read(int(ln)))
+                    for tag, _w, v in _iter_fields(block):
+                        if tag != 2:
+                            continue
+                        for gtag, _gw, gv in _iter_fields(bytes(v)):
+                            if gtag != 3:  # ways
+                                continue
+                            wid, deltas = None, []
+                            for wt, _ww, wv in _iter_fields(bytes(gv)):
+                                if wt == 1:
+                                    wid = wv
+                                elif wt == 8:
+                                    deltas = _parse_packed_sint64(bytes(wv))
+                            refs, acc = [], 0
+                            for d in deltas:
+                                acc += d
+                                refs.append(acc)
+                            if wid is not None:
+                                recs.append((wid, refs))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in out_type.fields]
+            )
+
+    return rdf.mapInPandas(gen, schema=out_type)

@@ -634,3 +634,53 @@ def test_viz_pixelize_colorize_render(spark):
     ys, xs = want[0] // w, want[0] % w
     assert arr[ys, xs, 0] == 128 and arr[ys, xs, 1] == 128 \
         and arr[ys, xs, 2] == 64  # red ramp 0.5 → 128; fixed G/B mid-tones
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    """chunk_documents' 100 TB contract: a map-only job — the executed
+    plan has NO Exchange (shuffle) and no Python eval; a trillion-token
+    corpus chunks in one pass."""
+    from sedona_spark.pipeline.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 100) for i in range(10)], "doc_id long, text string"
+    )
+    out = chunk_tokens(docs, max_tokens=32, overlap=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_plan_bounded(spark):
+    """Connected components' per-round shape: state is one (id, label)
+    row per node and every step is an equi-join/groupBy on the id — no
+    cartesian product, no Python eval in the loop."""
+    from sedona_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_osm_pbf_ways_roundtrip(spark, tmp_path):
+    """OSM PBF Way blocks: delta-coded refs round-trip exactly,
+    including negative and non-monotonic node references."""
+    from sedona_spark.sources.osmpbf import read_osm_pbf_ways, write_osm_pbf_ways
+
+    rows = [
+        (1, [100, 101, 102, 100]),          # closed way
+        (2, [-5, 7, 3, 1000000000000]),     # negative + huge
+        (3, []),                            # empty
+        (9, list(range(50, 0, -1))),        # descending
+    ]
+    df = spark.createDataFrame(rows, "way_id long, refs array<long>")
+    path = str(tmp_path / "ways.osm.pbf")
+    assert write_osm_pbf_ways(df, path, ways_per_block=2,
+                              order_col="way_id") == 4
+    back = {r["way_id"]: list(r["refs"])
+            for r in read_osm_pbf_ways(spark, path).collect()}
+    assert back == {i: refs for i, refs in rows}
