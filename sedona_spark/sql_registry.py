@@ -307,6 +307,15 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
          "BOOLEAN", "ST_PIP(g, px, py) = 0"),
         ("ST_Buffer", "ring ARRAY<DOUBLE>, r DOUBLE", "ARRAY<DOUBLE>",
          "ST_BufferRing(ring, r, 8)"),
+        # converse/alias names (PostGIS/Catalog.scala spellings users
+        # expect; same single PIP classifier underneath)
+        ("ST_Within", "px DOUBLE, py DOUBLE, g ARRAY<ARRAY<DOUBLE>>",
+         "BOOLEAN", "ST_PIP(g, px, py) = 2"),
+        ("ST_CoveredBy", "px DOUBLE, py DOUBLE, g ARRAY<ARRAY<DOUBLE>>",
+         "BOOLEAN", "ST_PIP(g, px, py) >= 1"),
+        ("ST_GeometryType", "g ARRAY<ARRAY<DOUBLE>>", "STRING",
+         "case when size(g) = 0 then 'ST_GeometryCollection' "
+         "when size(g) = 1 then 'ST_Polygon' else 'ST_MultiPolygon' end"),
         ("ST_TransformLAEA",
          "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE",
          "STRUCT<x: DOUBLE, y: DOUBLE>", _azimuthal_body("laea")),
@@ -468,6 +477,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_Snap": _st._snap_udf,
         "ST_Split": _st._split_line_udf,
         "ST_MinimumBoundingCircle": _st._mbc_udf,
+        "ST_IsSimple": _st._is_valid_udf,  # ring simplicity == IsSimple
     }
     # RS_ scalar tier (decode is the deterministic sandbox codec; real
     # formats are the documented images.py seam)

@@ -684,3 +684,23 @@ def test_osm_pbf_ways_roundtrip(spark, tmp_path):
     back = {r["way_id"]: list(r["refs"])
             for r in read_osm_pbf_ways(spark, path).collect()}
     assert back == {i: refs for i, refs in rows}
+
+
+def test_sql_registry_alias_batch(reg):
+    """Converse/alias names: ST_Within/CoveredBy point forms mirror
+    Contains/Covers; GeometryType and SRID report the geometry model."""
+    spark = reg
+    row = spark.sql(
+        "select ST_Within(1e0, 1e0, array(array(0e0,0e0,4e0,0e0,4e0,4e0,0e0,4e0))) w_in, "
+        "ST_Within(9e0, 9e0, array(array(0e0,0e0,4e0,0e0,4e0,4e0,0e0,4e0))) w_out, "
+        "ST_CoveredBy(0e0, 0e0, array(array(0e0,0e0,4e0,0e0,4e0,4e0,0e0,4e0))) cb_edge, "
+        "ST_GeometryType(array(array(0e0,0e0,1e0,0e0,1e0,1e0))) t1, "
+        "ST_GeometryType(array(array(0e0,0e0,1e0,0e0,1e0,1e0), "
+        "array(5e0,5e0,6e0,5e0,6e0,6e0))) t2, "
+        "ST_IsSimple(array(0e0,0e0,4e0,0e0,4e0,4e0,0e0,4e0)) simple_ok, "
+        "ST_IsSimple(array(0e0,0e0,4e0,4e0,4e0,0e0,0e0,4e0)) bowtie"
+    ).collect()[0]
+    assert row["w_in"] is True and row["w_out"] is False
+    assert row["cb_edge"] is True          # boundary covered, not within
+    assert row["t1"] == "ST_Polygon" and row["t2"] == "ST_MultiPolygon"
+    assert row["simple_ok"] is True and row["bowtie"] is False
