@@ -704,3 +704,37 @@ def test_sql_registry_alias_batch(reg):
     assert row["cb_edge"] is True          # boundary covered, not within
     assert row["t1"] == "ST_Polygon" and row["t2"] == "ST_MultiPolygon"
     assert row["simple_ok"] is True and row["bowtie"] is False
+
+
+def test_native_geometry_interop(spark):
+    """Spark 4.1 native GEOMETRY preview interop: canonical rings →
+    engine WKB → native GEOMETRY (JVM builtin) → WKB → rings is the
+    identity, and the SRID stamp survives the native hop. Skips on
+    Sparks without the preview."""
+    from sedona_spark.functions.native_geo import (
+        enable_native_geo,
+        from_native,
+        native_srid,
+        native_to_rings,
+        rings_to_native,
+    )
+    if not enable_native_geo(spark):
+        pytest.skip("native geospatial preview not available")
+    df = spark.createDataFrame(
+        [([[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0],
+           [2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0]],)],
+        "geom array<array<double>>",
+    )
+    native = rings_to_native(F.col("geom"), srid=4326)
+    out = df.select(
+        native_srid(native).alias("srid"),
+        native_to_rings(native).alias("back"),
+        F.length(from_native(native)).alias("wkb_len"),
+    ).collect()[0]
+    assert out["srid"] == 4326
+    assert out["wkb_len"] > 0
+    back = [list(r) for r in out["back"]]
+    assert back == [
+        [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0],
+        [2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0],
+    ]
