@@ -70,3 +70,11 @@ def native_to_rings(geom: Column) -> Column:
     from sedona_spark.functions.st import st_geom_rings_from_wkb
 
     return st_geom_rings_from_wkb(from_native(geom))
+
+
+def to_native_geography(wkb: Column) -> Column:
+    """Engine WKB → native GEOGRAPHY (builtin ``st_geogfromwkb``) — the
+    geography-typed twin of :func:`to_native`; pairs with the engine's
+    spheroid measure/distance tier the way GEOMETRY pairs with the
+    planar tier."""
+    return F.call_function("st_geogfromwkb", wkb)

@@ -738,3 +738,71 @@ def test_native_geometry_interop(spark):
         [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0],
         [2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0],
     ]
+
+
+def test_native_geography_type(spark):
+    """GEOGRAPHY twin: builtin st_geogfromwkb accepts the engine's WKB
+    and yields the native geography type (srid 4326 default)."""
+    from sedona_spark.functions.native_geo import (
+        enable_native_geo,
+        native_srid,
+        to_native_geography,
+    )
+    from sedona_spark.functions.st import st_rings_as_wkb
+
+    if not enable_native_geo(spark):
+        pytest.skip("native geospatial preview not available")
+    df = spark.createDataFrame(
+        [([[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]],)],
+        "geom array<array<double>>",
+    )
+    g = to_native_geography(st_rings_as_wkb(F.col("geom")))
+    row = df.select(native_srid(g).alias("srid")).collect()[0]
+    assert row["srid"] == 4326
+
+
+def test_chunk_tokens_properties(spark):
+    """Hypothesis-style invariants of chunk_tokens over generated docs:
+    (1) every chunk has 1..max_tokens tokens (except a single empty
+    chunk for an empty doc); (2) concatenating each chunk's NON-OVERLAP
+    suffix tokens reconstructs the document's token stream exactly;
+    (3) chunk_ids are dense from 0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    from sedona_spark.pipeline.text import chunk_tokens
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st_h.lists(
+            st_h.integers(min_value=0, max_value=200), min_size=1, max_size=6
+        ),
+        st_h.integers(min_value=2, max_value=16),
+        st_h.integers(min_value=0, max_value=8),
+    )
+    def run(n_tokens_per_doc, max_tokens, overlap):
+        if overlap >= max_tokens:
+            overlap = max_tokens - 1
+        step = max_tokens - overlap
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(n_tokens_per_doc)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_tokens(docs, max_tokens, overlap).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r)
+        for i, n in enumerate(n_tokens_per_doc):
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+            toks = []
+            for c in chunks:
+                ct = c["chunk_text"].split() if c["chunk_text"] else []
+                assert len(ct) == c["n_tokens"] <= max_tokens
+                toks.extend(ct if c["chunk_id"] == 0 else ct[overlap:]
+                            if len(ct) > overlap else ct[len(ct):])
+            want = [f"t{i}_{j}" for j in range(n)]
+            assert toks == want, (i, n, max_tokens, overlap)
+
+    run()
