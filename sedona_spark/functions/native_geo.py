@@ -27,14 +27,37 @@ from pyspark.sql import functions as F
 
 def enable_native_geo(spark: SparkSession) -> bool:
     """Turn on Spark's geospatial preview for this session; returns
-    whether the native type is actually available (False on older
-    Sparks — callers fall back to the WKB column model)."""
+    whether the native type actually RESOLVES here (False on older
+    Sparks — callers fall back to the WKB column model).
+
+    The check is ``typeof``-based, not call-success-based: the engine's
+    own SQL catalog registers ``ST_GeomFromWKB`` over the ring model,
+    and session temp functions shadow the gated builtins at unqualified
+    resolution — a bare call probe would "succeed" against the wrong
+    function. A shadowed session reports False; use
+    :func:`native_bridge_session` to get a resolving one."""
     try:
         spark.conf.set("spark.sql.geospatial.enabled", "true")
-        spark.sql("select st_geomfromwkb(X'010100000000000000000000000000000000000000')").collect()
-        return True
+        t = spark.sql(
+            "select typeof(st_geomfromwkb("
+            "X'010100000000000000000000000000000000000000')) t"
+        ).collect()[0].t
+        return t.lower().startswith(("geometry", "geography"))
     except Exception:
         return False
+
+
+def native_bridge_session(spark: SparkSession) -> SparkSession | None:
+    """A session where the native preview resolves: the given one if
+    unshadowed, else a fresh ``newSession()`` — same SparkContext (no
+    second JVM, shared executors/cache), but its OWN temp-function
+    catalog, so the engine's ``ST_GeomFromWKB``/``ST_AsBinary`` ring-model
+    registrations don't shadow the gated builtins. None when the Spark
+    build has no geospatial preview at all."""
+    if enable_native_geo(spark):
+        return spark
+    bridge = spark.newSession()
+    return bridge if enable_native_geo(bridge) else None
 
 
 def to_native(wkb: Column, srid: int | None = None) -> Column:

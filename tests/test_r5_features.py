@@ -712,13 +712,16 @@ def test_native_geometry_interop(spark):
     identity, and the SRID stamp survives the native hop. Skips on
     Sparks without the preview."""
     from sedona_spark.functions.native_geo import (
-        enable_native_geo,
         from_native,
+        native_bridge_session,
         native_srid,
         native_to_rings,
         rings_to_native,
     )
-    if not enable_native_geo(spark):
+    # the shared fixture session may carry the engine's SQL catalog, whose
+    # ST_GeomFromWKB shadows the gated builtin — bridge de-shadows
+    spark = native_bridge_session(spark)
+    if spark is None:
         pytest.skip("native geospatial preview not available")
     df = spark.createDataFrame(
         [([[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0],
@@ -744,13 +747,14 @@ def test_native_geography_type(spark):
     """GEOGRAPHY twin: builtin st_geogfromwkb accepts the engine's WKB
     and yields the native geography type (srid 4326 default)."""
     from sedona_spark.functions.native_geo import (
-        enable_native_geo,
+        native_bridge_session,
         native_srid,
         to_native_geography,
     )
     from sedona_spark.functions.st import st_rings_as_wkb
 
-    if not enable_native_geo(spark):
+    spark = native_bridge_session(spark)
+    if spark is None:
         pytest.skip("native geospatial preview not available")
     df = spark.createDataFrame(
         [([[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]],)],
