@@ -3059,6 +3059,217 @@ def q_st_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sql_api_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog tail, constructor/accessor/editor tier (r5 batch 2):
+    one ``spark.sql()`` statement over ~30 functions registered this
+    round — text/EWKT constructor aliases, bbox accessors (XMin/XMax/
+    YMin/YMax), NPoints/IsEmpty/Dimension/NumInteriorRing, Boundary/
+    Points/Dump, Force2D/ForceRHR, ReducePrecision/RemoveRepeatedPoints,
+    ShiftLongitude/CrossesDateLine, Z/M constructors + accessors +
+    3DDistance, BestSRID, geohash decode (GeomFromGeoHash/
+    PointFromGeoHash) and the cell-index SQL tier (CellID/H3KRing/
+    H3CellDistance). Every output has a closed form on the rect-zone
+    fixture. Reference surface: ``Catalog.scala:30-329``."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy, r,
+             zcx / 2e0 as lon, zcy / 2e0 as lat,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as rect
+      from z)
+select n_nationkey,
+       round(ST_Area(element_at(ST_GeomFromEWKT(ST_AsEWKT(array(rect))), 1)),
+             6) as ewkt_area,
+       round(ST_XMin(rect), 6) as xmin,
+       round(ST_XMax(rect), 6) as xmax,
+       round(ST_YMin(rect), 6) as ymin,
+       round(ST_YMax(rect), 6) as ymax,
+       cast(ST_NPoints(rect) as bigint) as np,
+       ST_IsEmpty(rect) as emp,
+       cast(ST_Dimension(array(rect)) as bigint) as dim,
+       cast(ST_NumInteriorRing(array(rect,
+           ST_MakeEnvelope(zcx - hx / 2e0, zcy - hy / 2e0,
+                           zcx + hx / 2e0, zcy + hy / 2e0))) as bigint)
+           as nir,
+       round(ST_Length(element_at(ST_Boundary(array(rect)), 1)), 6)
+           as bnd_len,
+       cast(size(ST_Points(rect)) as bigint) as npts,
+       cast(size(ST_Dump(array(rect, rect))) as bigint) as ndump,
+       round(ST_Area(ST_Force2D(ST_ForceRHR(rect))), 6) as f_area,
+       round(element_at(ST_ReducePrecision(
+           array(cast(n_nationkey as double) + 0.1234e0, 0e0), 1e-2), 1), 6)
+           as rp,
+       cast(ST_NPoints(ST_RemoveRepeatedPoints(
+           concat(slice(rect, 1, 2), rect))) as bigint) as rrp_np,
+       round(element_at(ST_ShiftLongitude(array(-zcx - 1e0, zcy)), 1), 6)
+           as shl,
+       ST_CrossesDateLine(array(-179e0, lat, 179e0, lat, 0e0, lat)) as cdl_t,
+       ST_CrossesDateLine(rect) as cdl_f,
+       ST_OrderingEquals(rect, rect) as oeq,
+       ST_OrderingEquals(rect, ST_Reverse(rect)) as oeq_f,
+       cast(ST_BestSRID(zcx, lat) as bigint) as best_srid,
+       round(ST_Z(ST_PointZ(zcx, zcy, r)), 6) as pz,
+       ST_HasM(ST_PointZM(zcx, zcy, r, 7e0)) as hasm,
+       round(ST_M(ST_PointZM(zcx, zcy, r, 7e0)), 6) as pm,
+       round(ST_3DDistance(ST_PointZ(0e0, 0e0, 0e0),
+                           ST_PointZ(hx, hy, r)), 6) as d3,
+       cast(size(ST_Collect(rect, rect)) as bigint) as coll_n,
+       round(ST_Area(ST_PolygonFromEnvelope(zcx - hx, zcy - hy,
+                                            zcx + hx, zcy + hy)), 6)
+           as pe_area,
+       round(ST_XMax(ST_GeomFromGeoHash(ST_GeoHash(lon, lat, 4)))
+             - ST_XMin(ST_GeomFromGeoHash(ST_GeoHash(lon, lat, 4))), 6)
+           as gh_w,
+       round(element_at(ST_PointFromGeoHash(ST_GeoHash(lon, lat, 4)), 1), 6)
+           as gh_cx,
+       cast(ST_CellID(lon, lat, 6) as bigint) as cid,
+       cast(ST_H3CellDistance(ST_CellID(lon, lat, 6),
+                              ST_CellID(lon / 2e0, lat, 6)) as bigint)
+           as cdist,
+       cast(size(ST_H3KRing(ST_CellID(lon, lat, 6), 1)) as bigint) as kr
+from g
+""")
+
+
+def _sql_api_3_sql() -> str:
+    from sedona_spark.cells import sql_cell_id, sql_grid_x
+
+    # geohash precision 4 → 20 bits: 10 lon, 10 lat; decode mirrors the
+    # encoder's floor arithmetic (exact in both engines)
+    ghx = "cast(floor((lon - (-180e0)) / 360e0 * 1024e0) as bigint)"
+    gh_cx = f"(-180e0 + ({ghx} + 5e-1) * (360e0 / 1024e0))"
+    return f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy, r,
+             zcx / 2e0 as lon, zcy / 2e0 as lat from z)
+select n_nationkey,
+       round(4e0 * hx * hy, 6) as ewkt_area,
+       round(zcx - hx, 6) as xmin,
+       round(zcx + hx, 6) as xmax,
+       round(zcy - hy, 6) as ymin,
+       round(zcy + hy, 6) as ymax,
+       cast(4 as bigint) as np,
+       false as emp,
+       cast(2 as bigint) as dim,
+       cast(1 as bigint) as nir,
+       round(4e0 * (hx + hy), 6) as bnd_len,
+       cast(4 as bigint) as npts,
+       cast(2 as bigint) as ndump,
+       round(4e0 * hx * hy, 6) as f_area,
+       round(round((n_nationkey + 0.1234e0) / 1e-2) * 1e-2, 6) as rp,
+       cast(4 as bigint) as rrp_np,
+       round(case when -zcx - 1e0 < 0e0 then -zcx - 1e0 + 360e0
+             else -zcx - 1e0 end, 6) as shl,
+       true as cdl_t,
+       false as cdl_f,
+       true as oeq,
+       false as oeq_f,
+       cast(case when lat >= 0e0 then 32601 + cast(floor((zcx + 180e0) / 6e0)
+                 as int)
+            else 32701 + cast(floor((zcx + 180e0) / 6e0) as int) end
+            as bigint) as best_srid,
+       round(r, 6) as pz,
+       true as hasm,
+       round(7e0, 6) as pm,
+       round(sqrt(hx * hx + hy * hy + r * r), 6) as d3,
+       cast(2 as bigint) as coll_n,
+       round(4e0 * hx * hy, 6) as pe_area,
+       round(360e0 / 1024e0, 6) as gh_w,
+       round({gh_cx}, 6) as gh_cx,
+       cast({sql_cell_id('lon', 'lat', 6)} as bigint) as cid,
+       cast(abs({sql_grid_x('lon', 6)} - {sql_grid_x('(lon / 2e0)', 6)})
+            as bigint) as cdist,
+       cast(9 as bigint) as kr
+from g
+"""
+
+
+def q_sql_api_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog tail, predicate/relate/overlay/proximity tier (r5
+    batch 2): ST_Touches / Overlaps / Equals / Crosses / Relate /
+    RelateMatch over ONE flags kernel eval (``SpatialPredicateEvaluators``
+    split), ST_SymDifference / ST_Union / ST_UnaryUnion tilings,
+    ST_ClosestPoint / ST_MaxDistance / ST_LongestLine /
+    ST_MinimumBoundingRadius. Adjacent / half-overlapping / far translated
+    rect pairs give every output a closed form."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as rect,
+             ST_MakeEnvelope(zcx + hx, zcy - hy, zcx + 3e0 * hx, zcy + hy)
+                 as adj,
+             ST_MakeEnvelope(zcx, zcy - hy, zcx + 2e0 * hx, zcy + hy) as ovr,
+             ST_MakeEnvelope(zcx + 3e0 * hx, zcy - hy, zcx + 5e0 * hx,
+                             zcy + hy) as far
+      from z)
+select n_nationkey,
+       ST_Touches(rect, adj) as tch,
+       ST_Touches(rect, ovr) as tch_f,
+       ST_Overlaps(rect, ovr) as ovl,
+       ST_Overlaps(rect, adj) as ovl_f,
+       ST_Equals(rect, array(zcx + hx, zcy - hy, zcx + hx, zcy + hy,
+                             zcx - hx, zcy + hy, zcx - hx, zcy - hy)) as eq,
+       ST_Equals(rect, ovr) as eq_f,
+       ST_Crosses(rect, ovr) as crs,
+       ST_Relate(rect, adj) as rel_t,
+       ST_Relate(rect, ovr) as rel_o,
+       ST_Relate(rect, far) as rel_d,
+       ST_RelateMatch(ST_Relate(rect, ovr), 'T*T***T**') as rm,
+       ST_RelateMatch(ST_Relate(rect, adj), 'T*T***T**') as rm_f,
+       cast(size(ST_SymDifference(rect, ovr)) as bigint) as sd_n,
+       round(ST_Area(element_at(ST_SymDifference(rect, ovr), 1)), 6)
+           as sd_a,
+       cast(size(ST_Union(rect, ovr)) as bigint) as un_n,
+       round(ST_Area(element_at(ST_Union(rect, ovr), 1)), 6) as un_a,
+       cast(size(ST_UnaryUnion(array(rect, ovr))) as bigint) as uu_n,
+       round(element_at(ST_ClosestPoint(rect, far), 1), 6) as cp_x,
+       round(ST_MaxDistance(rect, far), 6) as mxd,
+       round(ST_LongestLine(rect, far).dist, 6) as ll_d,
+       round(ST_MinimumBoundingRadius(rect), 6) as mbr
+from g
+""")
+
+
+def _sql_api_4_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       true as tch,
+       false as tch_f,
+       true as ovl,
+       false as ovl_f,
+       true as eq,
+       false as eq_f,
+       false as crs,
+       'FF2F11212' as rel_t,
+       '212111212' as rel_o,
+       'FF2FF1212' as rel_d,
+       true as rm,
+       false as rm_f,
+       cast(2 as bigint) as sd_n,
+       round(2e0 * hx * hy, 6) as sd_a,
+       cast(2 as bigint) as un_n,
+       round(4e0 * hx * hy, 6) as un_a,
+       cast(2 as bigint) as uu_n,
+       round(zcx + hx, 6) as cp_x,
+       round(sqrt(36e0 * hx * hx + 4e0 * hy * hy), 6) as mxd,
+       round(sqrt(36e0 * hx * hx + 4e0 * hy * hy), 6) as ll_d,
+       round(sqrt(hx * hx + hy * hy), 6) as mbr
+from z
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -3073,6 +3284,8 @@ _NEW_OR_CHANGED = {
     "ann_lsh_topk",        # r5: planted-cluster fixture → full value oracle
     "ann_ivf_topk",        # r5: same planted fixture → full value oracle
     "sql_api_2",           # r5: widened SQL catalog
+    "sql_api_3",           # r5 batch 2: constructor/accessor/editor SQL tier
+    "sql_api_4",           # r5 batch 2: predicate/relate/overlay SQL tier
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
     "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
@@ -3155,6 +3368,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_from_wkt": q_geom_from_wkt,
         "sql_api": q_sql_api,
         "sql_api_2": q_sql_api_2,
+        "sql_api_3": q_sql_api_3,
+        "sql_api_4": q_sql_api_4,
         "st_make_valid": q_st_make_valid,
         "st_difference_poly": q_st_difference_poly,
         "st_transform_azimuthal": q_st_transform_azimuthal,
@@ -3279,6 +3494,8 @@ def oracle_sql() -> dict[str, str]:
         "geom_from_wkt": _geom_from_wkt_sql(),
         "sql_api": _sql_api_sql(),
         "sql_api_2": _sql_api_2_sql(),
+        "sql_api_3": _sql_api_3_sql(),
+        "sql_api_4": _sql_api_4_sql(),
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),

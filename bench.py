@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "osm_pbf_read",
     "stac_read",
     "viz_pixelize",
+    "sql_api_3",
+    "sql_api_4",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

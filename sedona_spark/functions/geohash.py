@@ -142,3 +142,51 @@ def sql_geohash(lon_expr: str, lat_expr: str, precision: int) -> str:
     grid expressions are named columns (keeps the text tractable)."""
     gx, gy = _sql_grid(lon_expr, lat_expr, precision)
     return _sql_base32(_sql_interleave(f"({gx})", f"({gy})", precision), precision)
+
+
+# ---------------------------------------------------------------------------
+# Decode: geohash string → cell bbox / center (ST_GeomFromGeoHash /
+# ST_PointFromGeoHash, Catalog.scala ST_GeomFromGeoHash tier). Arrow-batched
+# numpy (strings → bit deinterleave → box) — the inverse of st_geohash.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+_CHAR_VAL = {c: i for i, c in enumerate(ALPHABET)}
+
+
+def np_geohash_bbox(hashes) -> np.ndarray:
+    """(n, 4) [lon0, lat0, lon1, lat1] per geohash (mixed precisions ok)."""
+    out = np.empty((len(hashes), 4), dtype=np.float64)
+    for k, h in enumerate(hashes):
+        p = len(h)
+        total, lon_bits, lat_bits = _bits(p)
+        code = 0
+        for c in h:
+            code = (code << 5) | _CHAR_VAL[c]
+        gx = gy = 0
+        for b in range(total):  # MSB-first: even bit → lon, odd → lat
+            bit = (code >> (total - 1 - b)) & 1
+            if b % 2 == 0:
+                gx = (gx << 1) | bit
+            else:
+                gy = (gy << 1) | bit
+        wx, wy = 360.0 / (1 << lon_bits), 180.0 / (1 << lat_bits)
+        out[k] = (-180.0 + gx * wx, -90.0 + gy * wy,
+                  -180.0 + (gx + 1) * wx, -90.0 + (gy + 1) * wy)
+    return out
+
+
+def geohash_bbox_ring(hashes: pd.Series) -> pd.Series:
+    """Packed CCW rect ring of each geohash's cell."""
+    b = np_geohash_bbox(hashes.to_numpy())
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    rings = np.stack([x0, y0, x1, y0, x1, y1, x0, y1], axis=1)
+    return pd.Series(list(rings))
+
+
+def geohash_center(hashes: pd.Series) -> pd.Series:
+    b = np_geohash_bbox(hashes.to_numpy())
+    return pd.Series(list(np.stack(
+        [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2], axis=1)))

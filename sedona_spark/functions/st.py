@@ -1340,3 +1340,68 @@ def st_segmentize(line: Column, max_len) -> Column:
     """ST_Segmentize: densify so no segment exceeds ``max_len``."""
     max_len = max_len if isinstance(max_len, Column) else F.lit(float(max_len))
     return _segmentize_udf(line, max_len)
+
+
+# --- r5 catalog-tail additions: proximity max / geohash decode ---------------
+
+
+_LONGLINE_TYPE = StructType(
+    [
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("x2", DoubleType()),
+        StructField("y2", DoubleType()),
+        StructField("dist", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_LONGLINE_TYPE)
+def _longest_line_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """ST_LongestLine / ST_MaxDistance: the farthest vertex pair of two
+    packed rings. Exact — the maximum of the distance function over two
+    polygon boundaries is attained at a vertex of each (the boundary is a
+    union of segments, and point-to-segment distance is maximized at a
+    segment endpoint). O(n·m) vertex-pair scan per pair, vectorized.
+    Reference: ``Functions.java`` ST_MaxDistance / ST_LongestLine (JTS)."""
+    rows = []
+    for pa, pb in zip(a, b):
+        va = np.asarray(pa, dtype=np.float64).reshape(-1, 2)
+        vb = np.asarray(pb, dtype=np.float64).reshape(-1, 2)
+        d2 = ((va[:, None, :] - vb[None, :, :]) ** 2).sum(axis=2)
+        i, j = np.unravel_index(int(np.argmax(d2)), d2.shape)
+        rows.append((va[i, 0], va[i, 1], vb[j, 0], vb[j, 1],
+                     float(np.sqrt(d2[i, j]))))
+    return pd.DataFrame(rows, columns=["x1", "y1", "x2", "y2", "dist"])
+
+
+def st_longest_line(a: Column, b: Column) -> Column:
+    """ST_LongestLine: struct(x1, y1, x2, y2, dist) — the farthest
+    boundary-vertex pair; ``.dist`` is ST_MaxDistance."""
+    return _longest_line_udf(a, b)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _geohash_ring_udf(h: pd.Series) -> pd.Series:
+    from sedona_spark.functions.geohash import geohash_bbox_ring
+
+    return geohash_bbox_ring(h)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _geohash_point_udf(h: pd.Series) -> pd.Series:
+    from sedona_spark.functions.geohash import geohash_center
+
+    return geohash_center(h)
+
+
+def st_geom_from_geohash(h: Column) -> Column:
+    """ST_GeomFromGeoHash: the cell bbox of a geohash as a packed CCW
+    rect ring (inverse of ST_GeoHash; ``Functions.java`` via
+    ``GeoHashDecoder``)."""
+    return _geohash_ring_udf(h)
+
+
+def st_point_from_geohash(h: Column) -> Column:
+    """ST_PointFromGeoHash: the cell center [lon, lat]."""
+    return _geohash_point_udf(h)

@@ -259,6 +259,52 @@ def _geohash_body(max_precision: int = 8) -> str:
     return f"case precision{cases} end"
 
 
+_REMOVE_REPEATED = (
+    "aggregate(sequence(0, (size(ring) div 2) - 1), "
+    "cast(array() as array<double>), (acc, i) -> "
+    "case when size(acc) >= 2 "
+    "and element_at(acc, cast(size(acc) - 1 as int)) "
+    "= element_at(ring, cast(i * 2 + 1 as int)) "
+    "and element_at(acc, cast(size(acc) as int)) "
+    "= element_at(ring, cast(i * 2 + 2 as int)) then acc "
+    "else concat(acc, array(element_at(ring, cast(i * 2 + 1 as int)), "
+    "element_at(ring, cast(i * 2 + 2 as int)))) end)"
+)
+
+# DE-9IM matrix from the one flags eval (sql twin of st.st_relate; the
+# repeated ST_RelateFlags(a, b) calls collapse to ONE Arrow eval — equal
+# deterministic PythonUDF expressions are deduplicated at extraction)
+_RELATE_BODY = (
+    "concat("
+    "case when ST_RelateFlags(a, b).ii then '2' else 'F' end, "
+    "case when ST_RelateFlags(a, b).b_bnd_ii then '1' else 'F' end, "
+    "case when ST_RelateFlags(a, b).a_in_b then 'F' else '2' end, "
+    "case when ST_RelateFlags(a, b).a_bnd_ii then '1' else 'F' end, "
+    "case when ST_RelateFlags(a, b).bb_dim1 then '1' "
+    "when ST_RelateFlags(a, b).bb_touch then '0' else 'F' end, "
+    "case when ST_RelateFlags(a, b).a_in_b then 'F' else '1' end, "
+    "case when ST_RelateFlags(a, b).b_in_a then 'F' else '2' end, "
+    "case when ST_RelateFlags(a, b).b_in_a then 'F' else '1' end, "
+    "'2')"
+)
+
+
+from sedona_spark.cells import _L_MULT as _CELL_L  # noqa: E402
+from sedona_spark.cells import _X_MULT as _CELL_X  # noqa: E402
+
+
+def _cell_id_cases(max_level: int = 15) -> str:
+    """ST_CellID with a RUNTIME level: case over the supported levels of
+    the flat-grid cell scheme (``cells.sql_cell_id`` per level)."""
+    from sedona_spark import cells
+
+    arms = "".join(
+        f" when {lv} then {cells.sql_cell_id('lon', 'lat', lv)}"
+        for lv in range(max_level + 1)
+    )
+    return f"case level{arms} end"
+
+
 def _sql_udfs() -> list[tuple[str, str, str, str]]:
     """(name, typed-params, return-type, body) for every SQL-tier function."""
     merc_x, merc_y = _crs.sql_to_mercator("lon", "lat")
@@ -428,6 +474,150 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
          "lon DOUBLE, lat DOUBLE, lon0 DOUBLE, lat0 DOUBLE, "
          "sp1 DOUBLE, sp2 DOUBLE",
          "STRUCT<x: DOUBLE, y: DOUBLE>", _albers_body()),
+        # --- r5 catalog tail: constructor / accessor / editor sugar --------
+        ("ST_MakePoint", "x DOUBLE, y DOUBLE", "ARRAY<DOUBLE>", "array(x, y)"),
+        ("ST_PointZ", "x DOUBLE, y DOUBLE, z DOUBLE", "ARRAY<DOUBLE>",
+         "array(x, y, z)"),
+        ("ST_PointZM", "x DOUBLE, y DOUBLE, z DOUBLE, m DOUBLE",
+         "ARRAY<DOUBLE>", "array(x, y, z, m)"),
+        ("ST_Z", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 2)"),
+        ("ST_M", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 3)"),
+        ("ST_HasZ", "p ARRAY<DOUBLE>", "BOOLEAN", "size(p) >= 3"),
+        ("ST_HasM", "p ARRAY<DOUBLE>", "BOOLEAN", "size(p) >= 4"),
+        ("ST_ZMax", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 2)"),
+        ("ST_ZMin", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 2)"),
+        ("ST_NDims", "p ARRAY<DOUBLE>", "INT",
+         "case when size(p) >= 3 then 3 else 2 end"),
+        ("ST_CoordDim", "p ARRAY<DOUBLE>", "INT",
+         "case when size(p) >= 3 then cast(size(p) as int) else 2 end"),
+        ("ST_3DDistance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+         "sqrt(pow(get(a, 0) - get(b, 0), 2) + pow(get(a, 1) - get(b, 1), 2)"
+         " + pow(coalesce(get(a, 2), 0e0) - coalesce(get(b, 2), 0e0), 2))"),
+        ("ST_PolygonFromEnvelope",
+         "x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE", "ARRAY<DOUBLE>",
+         "array(x0, y0, x1, y0, x1, y1, x0, y1)"),
+        ("ST_Polygon", "ring ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "array(ring)"),
+        ("ST_Collect", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+         "ARRAY<ARRAY<DOUBLE>>", "array(a, b)"),
+        ("ST_XMin", "ring ARRAY<DOUBLE>", "DOUBLE", f"array_min({_XS})"),
+        ("ST_XMax", "ring ARRAY<DOUBLE>", "DOUBLE", f"array_max({_XS})"),
+        ("ST_YMin", "ring ARRAY<DOUBLE>", "DOUBLE", f"array_min({_YS})"),
+        ("ST_YMax", "ring ARRAY<DOUBLE>", "DOUBLE", f"array_max({_YS})"),
+        ("ST_IsEmpty", "ring ARRAY<DOUBLE>", "BOOLEAN",
+         "coalesce(size(ring), 0) = 0"),
+        ("ST_NPoints", "ring ARRAY<DOUBLE>", "INT", _N),
+        ("ST_NumInteriorRing", "g ARRAY<ARRAY<DOUBLE>>", "INT",
+         "size(g) - 1"),
+        ("ST_Dimension", "g ARRAY<ARRAY<DOUBLE>>", "INT",
+         "case when coalesce(size(g), 0) = 0 then 0 else 2 end"),
+        ("ST_Boundary", "g ARRAY<ARRAY<DOUBLE>>", "ARRAY<ARRAY<DOUBLE>>",
+         # polygon boundary = its rings as CLOSED lines (first vertex
+         # re-appended): MultiLineString parts
+         "transform(g, r -> concat(r, slice(r, 1, 2)))"),
+        ("ST_Points", "ring ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "transform(sequence(0, (size(ring) div 2) - 1), i -> array("
+         "element_at(ring, cast(i * 2 + 1 as int)), "
+         "element_at(ring, cast(i * 2 + 2 as int))))"),
+        ("ST_DumpPoints", "ring ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "ST_Points(ring)"),
+        ("ST_Dump", "g ARRAY<ARRAY<DOUBLE>>", "ARRAY<ARRAY<ARRAY<DOUBLE>>>",
+         "transform(g, r -> array(r))"),
+        ("ST_Force2D", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>", "ring"),
+        ("ST_Force_2D", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>", "ring"),
+        ("ST_ForceRHR", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         # PostGIS right-hand-rule = CW shells
+         f"case when {_SIGNED2} <= 0 then ring else {_REVERSE} end"),
+        ("ST_ReducePrecision", "ring ARRAY<DOUBLE>, grid DOUBLE",
+         "ARRAY<DOUBLE>", "transform(ring, v -> round(v / grid) * grid)"),
+        ("ST_RemoveRepeatedPoints", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         _REMOVE_REPEATED),
+        ("ST_ShiftLongitude", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "transform(ring, (v, i) -> "
+         "case when i % 2 = 0 and v < 0e0 then v + 360e0 else v end)"),
+        ("ST_CrossesDateLine", "ring ARRAY<DOUBLE>", "BOOLEAN",
+         f"exists(sequence(0, {_N} - 1), i -> abs("
+         "element_at(ring, cast((mod(i + 1, (size(ring) div 2))) * 2 + 1 "
+         "as int)) - element_at(ring, cast(i * 2 + 1 as int))) > 180e0)"),
+        ("ST_OrderingEquals", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "BOOLEAN",
+         "a = b"),
+        ("ST_AsEWKT", "g ARRAY<ARRAY<DOUBLE>>", "STRING",
+         "concat('SRID=4326;', ST_AsText(g))"),
+        ("ST_GeomFromEWKT", "s STRING", "ARRAY<ARRAY<DOUBLE>>",
+         "ST_GeomFromWKT(case when s like 'SRID=%' "
+         "then substring(s, instr(s, ';') + 1) else s end)"),
+        ("ST_BestSRID", "lon DOUBLE, lat DOUBLE", "INT",
+         # UTM zone of the point; UPS codes beyond the UTM band
+         "case when lat > 84e0 then 32661 when lat < -80e0 then 32761 "
+         "when lat >= 0e0 then 32600 + cast(floor((lon + 180e0) / 6e0) "
+         "as int) + 1 "
+         "else 32700 + cast(floor((lon + 180e0) / 6e0) as int) + 1 end"),
+        # --- areal predicate tier over ONE flags eval (Predicates.java) ---
+        ("ST_Touches", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_RelateFlags(a, b).intersects and not ST_RelateFlags(a, b).ii"),
+        ("ST_Overlaps", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_RelateFlags(a, b).ii and not ST_RelateFlags(a, b).a_in_b "
+         "and not ST_RelateFlags(a, b).b_in_a"),
+        ("ST_Equals", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_RelateFlags(a, b).a_in_b and ST_RelateFlags(a, b).b_in_a"),
+        ("ST_Crosses", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "BOOLEAN",
+         "false"),  # areal × areal crosses ≡ false (DE-9IM dim rule)
+        ("ST_Relate", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "STRING",
+         _RELATE_BODY),
+        ("ST_RelateMatch", "rel STRING, pat STRING", "BOOLEAN",
+         "aggregate(sequence(1, 9), true, (acc, i) -> acc and ("
+         "substring(pat, cast(i as int), 1) = '*' "
+         "or (substring(pat, cast(i as int), 1) = 'T' "
+         "and substring(rel, cast(i as int), 1) <> 'F') "
+         "or substring(pat, cast(i as int), 1) "
+         "= substring(rel, cast(i as int), 1)))"),
+        # --- overlay / proximity sugar over registered kernels ------------
+        ("ST_SymDifference", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+         "ARRAY<ARRAY<DOUBLE>>",
+         # disjoint tiling: pieces of a\b plus pieces of b\a (each ring
+         # convex for the side it clips — st.st_sym_difference twin)
+         "concat(ST_Difference(a, b), ST_Difference(b, a))"),
+        ("ST_Union", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+         "ARRAY<ARRAY<DOUBLE>>",
+         # st.st_union_tiled twin: b (convex) + half-plane pieces of a\b
+         "concat(array(b), ST_Difference(a, b))"),
+        ("ST_UnaryUnion", "g ARRAY<ARRAY<DOUBLE>>", "ARRAY<ARRAY<DOUBLE>>",
+         "g"),  # ring lists are already even-odd canonical
+        ("ST_ClosestPoint", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "array(ST_ShortestLine(a, b).x1, ST_ShortestLine(a, b).y1)"),
+        ("ST_MaxDistance", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>", "DOUBLE",
+         "ST_LongestLine(a, b).dist"),
+        ("ST_MinimumBoundingRadius", "pts ARRAY<DOUBLE>", "DOUBLE",
+         "ST_MinimumBoundingCircle(pts).radius"),
+        # --- cell-index SQL tier (flat-grid S2/H3 analog, cells.py) -------
+        ("ST_CellID", "lon DOUBLE, lat DOUBLE, level INT", "BIGINT",
+         _cell_id_cases()),
+        ("ST_S2CellIDs", "lon DOUBLE, lat DOUBLE, level INT",
+         "ARRAY<BIGINT>", "array(ST_CellID(lon, lat, level))"),
+        ("ST_H3CellIDs", "lon DOUBLE, lat DOUBLE, level INT",
+         "ARRAY<BIGINT>", "array(ST_CellID(lon, lat, level))"),
+        ("ST_H3CellDistance", "a BIGINT, b BIGINT", "BIGINT",
+         # Chebyshev grid distance between same-level flat-grid cells —
+         # the k-ring metric (H3 gridDistance analog)
+         f"greatest(abs((a % {_CELL_L}) div {_CELL_X} "
+         f"- (b % {_CELL_L}) div {_CELL_X}), "
+         f"abs(a % {_CELL_X} - b % {_CELL_X}))"),
+        ("ST_H3KRing", "cell BIGINT, k INT", "ARRAY<BIGINT>",
+         # all same-level cells within Chebyshev distance k, grid-clamped
+         "array_sort(array_distinct(filter(flatten("
+         "transform(sequence(-k, k), dx -> "
+         "transform(sequence(-k, k), dy -> "
+         f"case when (cell % {_CELL_L}) div {_CELL_X} + dx >= 0 "
+         f"and (cell % {_CELL_L}) div {_CELL_X} + dx "
+         f"< cast(pow(2e0, cell div {_CELL_L}) as bigint) "
+         f"and cell % {_CELL_X} + dy >= 0 "
+         f"and cell % {_CELL_X} + dy "
+         f"< cast(pow(2e0, cell div {_CELL_L}) as bigint) "
+         f"then (cell div {_CELL_L}) * cast({_CELL_L} as bigint) "
+         f"+ ((cell % {_CELL_L}) div {_CELL_X} + dx) "
+         f"* cast({_CELL_X} as bigint) + (cell % {_CELL_X} + dy) "
+         "else cast(-1 as bigint) end))), c -> c >= 0)))"),
     ]
 
 
@@ -478,6 +668,30 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_Split": _st._split_line_udf,
         "ST_MinimumBoundingCircle": _st._mbc_udf,
         "ST_IsSimple": _st._is_valid_udf,  # ring simplicity == IsSimple
+        # --- r5 catalog tail: text-constructor aliases (Catalog.scala
+        # registers each spelling separately; all parse the same WKT
+        # grammar — one Arrow kernel here) ---
+        "ST_GeomFromText": _st.st_geom_rings_from_wkt,
+        "ST_GeometryFromText": _st.st_geom_rings_from_wkt,
+        "ST_PolygonFromText": _st.st_geom_rings_from_wkt,
+        "ST_LineFromText": _st.st_geom_rings_from_wkt,
+        "ST_LineStringFromText": _st.st_geom_rings_from_wkt,
+        "ST_MPolyFromText": _st.st_geom_rings_from_wkt,
+        "ST_MLineFromText": _st.st_geom_rings_from_wkt,
+        "ST_GeomCollFromText": _st.st_geom_rings_from_wkt,
+        "ST_PointFromWKB": _st.st_geom_rings_from_wkb,
+        "ST_LineFromWKB": _st.st_geom_rings_from_wkb,
+        "ST_LinestringFromWKB": _st.st_geom_rings_from_wkb,
+        "ST_GeomFromEWKB": _st.st_geom_rings_from_wkb,
+        "ST_GeomFromGeoJSON": _st.st_geom_rings_from_geojson,
+        "ST_AsGeoJSON": _st.st_rings_as_geojson,
+        "ST_AsEWKB": _st.st_rings_as_wkb,  # no SRID header in this model
+        # flags kernel (ONE eval feeds the whole derived predicate tier)
+        "ST_RelateFlags": _st._pair_flags_udf,
+        "ST_LongestLine": _st._longest_line_udf,
+        "ST_TriangulatePolygon": _st._triangulate_udf,
+        "ST_GeomFromGeoHash": _st._geohash_ring_udf,
+        "ST_PointFromGeoHash": _st._geohash_point_udf,
     }
     # RS_ scalar tier (decode is the deterministic sandbox codec; real
     # formats are the documented images.py seam)
