@@ -3270,6 +3270,253 @@ from z
 """
 
 
+def q_sql_api_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog tail, linework / M-coordinate tier (r5 batch 3):
+    ST_SetPoint / IsRing / SRID / SetSRID / Zmflag / MMin / MMax / PointM /
+    Force3D-3DM-4D / ForceCollection / IsCollection / CollectionExtract /
+    Length2D / Perimeter2D / LineSegments / AddMeasure / LocateAlong /
+    AsHEXEWKB / H3ToGeom / GeoHashNeighbor / PointFromText / RotateX-Y /
+    ScaleGeom / GeogFromText. A 3-vertex L-polyline (legs hx then hy)
+    gives the measure family closed forms; the WKB hex check pins the
+    ISO little-endian polygon layout. Reference surface:
+    ``Catalog.scala:30-329`` linework/measure tail."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy, r,
+             zcx / 2e0 as lon, zcy / 2e0 as lat,
+             array(zcx - hx, zcy, zcx, zcy, zcx, zcy + hy) as line,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as rect
+      from z)
+select n_nationkey,
+       round(element_at(ST_SetPoint(line, 1, array(zcx + hx, zcy)), 3), 6)
+           as sp_x,
+       cast(size(ST_SetPoint(line, 1, array(zcx + hx, zcy))) as bigint)
+           as sp_n,
+       ST_IsRing(concat(rect, slice(rect, 1, 2))) as ring_t,
+       ST_IsRing(line) as ring_f,
+       cast(ST_SRID(rect) as bigint) as srid,
+       round(ST_Area(ST_SetSRID(rect, 3857)), 6) as srid_area,
+       cast(ST_Zmflag(array(zcx, zcy)) as bigint) as zmf0,
+       cast(ST_Zmflag(ST_PointZ(zcx, zcy, r)) as bigint) as zmf2,
+       cast(ST_Zmflag(ST_PointZM(zcx, zcy, r, 7e0)) as bigint) as zmf3,
+       round(ST_MMin(ST_PointM(zcx, zcy, r)), 6) as mmin,
+       round(ST_MMax(ST_MakePointM(zcx, zcy, r)), 6) as mmax,
+       round(get(ST_Force3D(array(zcx, zcy), r), 2), 6) as f3z,
+       round(get(ST_Force3DZ(array(zcx, zcy), r), 2), 6) as f3z2,
+       round(get(ST_Force3DM(array(zcx, zcy), r), 3), 6) as f3m,
+       round(get(ST_Force4D(array(zcx, zcy), 1e0, 2e0), 2), 6) as f4z,
+       round(get(ST_Force4D(array(zcx, zcy), 1e0, 2e0), 3), 6) as f4m,
+       cast(size(ST_ForceCollection(rect)) as bigint) as fc_n,
+       ST_IsCollection(array(rect, rect)) as isc_t,
+       ST_IsCollection(array(rect)) as isc_f,
+       cast(size(ST_CollectionExtract(array(rect))) as bigint) as ce_n,
+       round(ST_Length2D(line) - (hx + hy), 6) as len2d,
+       round(ST_Perimeter2D(rect), 6) as per2d,
+       cast(size(ST_LineSegments(line)) as bigint) as seg_n,
+       round(element_at(element_at(ST_LineSegments(line), 2), 1), 6)
+           as seg2_x,
+       round(element_at(ST_AddMeasure(line, 0e0, 10e0), 2), 6) as am_mid,
+       round(element_at(ST_AddMeasure(line, 0e0, 10e0), 3), 6) as am_end,
+       round(get(ST_LocateAlong(line, 0e0, 10e0,
+                                10e0 * hx / (hx + hy)), 0) - zcx, 6)
+           as la_dx,
+       substring(ST_AsHEXEWKB(array(rect)), 1, 26) as hex_pre,
+       cast(length(ST_AsHEXEWKB(array(rect))) as bigint) as hex_len,
+       round(ST_XMin(ST_H3ToGeom(ST_CellID(lon, lat, 6))), 6) as h3_x0,
+       round(ST_XMax(ST_H3ToGeom(ST_CellID(lon, lat, 6)))
+             - ST_XMin(ST_H3ToGeom(ST_CellID(lon, lat, 6))), 6) as h3_w,
+       round(ST_XMin(ST_S2ToGeom(ST_CellID(lon, lat, 6))), 6) as s2_x0,
+       ST_GeoHashNeighbor(ST_GeoHash(lon, lat, 4), 1, 0) as ghn_e,
+       ST_GeoHashNeighbor(ST_GeoHash(lon, lat, 4), 0, -1) as ghn_s,
+       round(get(ST_PointFromText(concat(cast(n_nationkey as string), ',',
+           cast(n_nationkey * 2 as string)), ','), 1), 6) as pft_y,
+       round(get(ST_RotateX(ST_PointZ(zcx, zcy, r), pi() / 2e0), 2) - zcy,
+             6) as rx_dz,
+       round(get(ST_RotateY(ST_PointZ(zcx, zcy, r), pi() / 2e0), 0) - r,
+             6) as ry_dx,
+       round(ST_Area(ST_ScaleGeom(rect, 2e0, 3e0)), 6) as sc_area,
+       round(ST_Area(element_at(
+           ST_GeogFromText(ST_AsText(array(rect))), 1))
+           - 4e0 * hx * hy, 4) as geog_darea,
+       round(ST_Area(element_at(
+           ST_GeogFromEWKT(ST_AsEWKT(array(rect))), 1))
+           - 4e0 * hx * hy, 4) as geog_darea2
+from g
+""")
+
+
+def _sql_api_5_sql() -> str:
+    from sedona_spark import cells
+    from sedona_spark.functions import geohash as gh
+
+    def enc(xe: str, ye: str, p: int = 4) -> str:
+        return gh._sql_base32(f"({gh._sql_interleave(xe, ye, p)})", p)
+
+    gx, gy = gh._sql_grid("lon", "lat", 4)
+    return f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy, r,
+             zcx / 2e0 as lon, zcy / 2e0 as lat from z),
+h as (select g.*, {gx} as gx4, {gy} as gy4,
+             {cells.sql_grid_x('lon', 6)} as cx6 from g)
+select n_nationkey,
+       round(zcx + hx, 6) as sp_x,
+       cast(6 as bigint) as sp_n,
+       true as ring_t,
+       false as ring_f,
+       cast(4326 as bigint) as srid,
+       round(4e0 * hx * hy, 6) as srid_area,
+       cast(0 as bigint) as zmf0,
+       cast(2 as bigint) as zmf2,
+       cast(3 as bigint) as zmf3,
+       round(r, 6) as mmin,
+       round(r, 6) as mmax,
+       round(r, 6) as f3z,
+       round(r, 6) as f3z2,
+       round(r, 6) as f3m,
+       round(1e0, 6) as f4z,
+       round(2e0, 6) as f4m,
+       cast(1 as bigint) as fc_n,
+       true as isc_t,
+       false as isc_f,
+       cast(1 as bigint) as ce_n,
+       round(0e0, 6) as len2d,
+       round(4e0 * (hx + hy), 6) as per2d,
+       cast(2 as bigint) as seg_n,
+       round(zcx, 6) as seg2_x,
+       round(10e0 * hx / (hx + hy), 6) as am_mid,
+       round(10e0, 6) as am_end,
+       round(0e0, 6) as la_dx,
+       '01030000000100000005000000' as hex_pre,
+       cast(186 as bigint) as hex_len,
+       round(-180e0 + cx6 * (360e0 / 64e0), 6) as h3_x0,
+       round(360e0 / 64e0, 6) as h3_w,
+       round(-180e0 + cx6 * (360e0 / 64e0), 6) as s2_x0,
+       {enc('(gx4 + 1)', 'gy4')} as ghn_e,
+       {enc('gx4', '(gy4 - 1)')} as ghn_s,
+       round(n_nationkey * 2e0, 6) as pft_y,
+       round(0e0, 6) as rx_dz,
+       round(0e0, 6) as ry_dx,
+       round(24e0 * hx * hy, 6) as sc_area,
+       round(0e0, 4) as geog_darea,
+       round(0e0, 4) as geog_darea2
+from h
+"""
+
+
+def q_st_shape_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-metric tier (r5): ST_OrientedEnvelope (rotating calipers),
+    ST_MinimumClearance(Line), ST_SimplifyVW, ST_MaximumInscribedCircle /
+    ST_LabelPoint / ST_PointOnSurface (polylabel), ST_IsValidReason /
+    ST_IsValidDetail (self-intersection witness), seeded
+    ST_GeneratePoints, ST_BuildArea. Closed forms: the oriented envelope
+    of a diamond is the diamond itself; a rect's clearance is its short
+    side; VW drops the densified rect's zero-area midpoints; the rect MIC
+    radius is min(hx, hy); the planted bowtie's witness is an integer
+    crossing; the point generator's Weyl lattice is mirrored verbatim in
+    SQL. Reference: ``Functions.java`` (JTS-backed there)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as rect,
+             array(zcx - hx, zcy, zcx, zcy - hx,
+                   zcx + hx, zcy, zcx, zcy + hx) as diamond,
+             array(zcx - hx, zcy - hy, zcx, zcy - hy, zcx + hx, zcy - hy,
+                   zcx + hx, zcy, zcx + hx, zcy + hy, zcx, zcy + hy,
+                   zcx - hx, zcy + hy, zcx - hx, zcy) as dense,
+             array(cast(n_nationkey as double), 0e0,
+                   cast(n_nationkey as double) + 2e0, 2e0,
+                   cast(n_nationkey as double) + 2e0, 0e0,
+                   cast(n_nationkey as double), 2e0) as bowtie,
+             cast(n_nationkey as bigint) as seed
+      from z)
+select n_nationkey,
+       round(ST_OrientedEnvelope(diamond).width - hx * sqrt(2e0), 6)
+           as oe_dw,
+       round(ST_OrientedEnvelope(diamond).height - hx * sqrt(2e0), 6)
+           as oe_dh,
+       round(ST_OrientedEnvelope(diamond).area - 2e0 * hx * hx, 6)
+           as oe_darea,
+       round(element_at(ST_OrientedEnvelope(diamond).ring, 1)
+             - (zcx - hx), 6) as oe_dx1,
+       round(ST_OrientedEnvelope(rect).area - 4e0 * hx * hy, 6)
+           as oe_rarea,
+       round(ST_MinimumClearance(rect), 6) as clr,
+       cast(size(ST_MinimumClearanceLine(rect)) as bigint) as clr_n,
+       cast(size(ST_SimplifyVW(dense, 1e-9)) as bigint) as vw_n,
+       round(ST_Area(ST_SimplifyVW(dense, 1e-9)), 6) as vw_area,
+       round(ST_MaximumInscribedCircle(array(rect)).radius
+             - least(hx, hy), 6) as mic_dr,
+       ST_MaximumInscribedCircle(array(rect)).x
+           between zcx - hx and zcx + hx as mic_in,
+       get(ST_LabelPoint(array(rect)), 1)
+           between zcy - hy and zcy + hy as lp_in,
+       get(ST_PointOnSurface(rect), 0)
+           between zcx - hx and zcx + hx as pos_in,
+       ST_IsValidReason(rect) as ivr_ok,
+       ST_IsValidReason(bowtie) as ivr_bow,
+       ST_IsValidDetail(rect).valid as ivd_ok,
+       cast(size(ST_GeneratePoints(array(rect), 4, seed)) as bigint)
+           as gp_n,
+       round(get(element_at(ST_GeneratePoints(array(rect), 4, seed), 3),
+                 0), 6) as gp_x2,
+       round(get(element_at(ST_GeneratePoints(array(rect), 4, seed), 3),
+                 1), 6) as gp_y2,
+       cast(size(ST_BuildArea(array(
+           array(zcx - hx, zcy - hy, zcx + hx, zcy - hy),
+           array(zcx + hx, zcy - hy, zcx + hx, zcy + hy),
+           array(zcx + hx, zcy + hy, zcx - hx, zcy + hy),
+           array(zcx - hx, zcy + hy, zcx - hx, zcy - hy)))) as bigint)
+           as bld_n
+from g
+""")
+
+
+def _st_shape_metrics_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             cast(n_nationkey as bigint) as seed from z)
+select n_nationkey,
+       round(0e0, 6) as oe_dw,
+       round(0e0, 6) as oe_dh,
+       round(0e0, 6) as oe_darea,
+       round(0e0, 6) as oe_dx1,
+       round(0e0, 6) as oe_rarea,
+       round(least(2e0 * hx, 2e0 * hy), 6) as clr,
+       cast(4 as bigint) as clr_n,
+       cast(8 as bigint) as vw_n,
+       round(4e0 * hx * hy, 6) as vw_area,
+       round(0e0, 6) as mic_dr,
+       true as mic_in,
+       true as lp_in,
+       true as pos_in,
+       'Valid Geometry' as ivr_ok,
+       concat('Self-intersection at or near (',
+              cast(n_nationkey + 1 as varchar), ' 1)') as ivr_bow,
+       true as ivd_ok,
+       cast(4 as bigint) as gp_n,
+       round((zcx - hx) + (((2 * 2654435761 + seed) % 4096 + 5e-1)
+             / 4096e0) * ((zcx + hx) - (zcx - hx)), 6) as gp_x2,
+       round((zcy - hy) + (((2 * 2246822519 + seed) % 2048 + 5e-1)
+             / 2048e0) * ((zcy + hy) - (zcy - hy)), 6) as gp_y2,
+       cast(1 as bigint) as bld_n
+from g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -3286,6 +3533,9 @@ _NEW_OR_CHANGED = {
     "sql_api_2",           # r5: widened SQL catalog
     "sql_api_3",           # r5 batch 2: constructor/accessor/editor SQL tier
     "sql_api_4",           # r5 batch 2: predicate/relate/overlay SQL tier
+    "sql_api_5",           # r5 batch 3: linework / M-coordinate SQL tier
+    "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
+                           #     valid-reason / generate-points tier
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
     "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
@@ -3370,6 +3620,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_2": q_sql_api_2,
         "sql_api_3": q_sql_api_3,
         "sql_api_4": q_sql_api_4,
+        "sql_api_5": q_sql_api_5,
+        "st_shape_metrics": q_st_shape_metrics,
         "st_make_valid": q_st_make_valid,
         "st_difference_poly": q_st_difference_poly,
         "st_transform_azimuthal": q_st_transform_azimuthal,
@@ -3496,6 +3748,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_2": _sql_api_2_sql(),
         "sql_api_3": _sql_api_3_sql(),
         "sql_api_4": _sql_api_4_sql(),
+        "sql_api_5": _sql_api_5_sql(),
+        "st_shape_metrics": _st_shape_metrics_sql(),
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),

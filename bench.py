@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "viz_pixelize",
     "sql_api_3",
     "sql_api_4",
+    "sql_api_5",
+    "st_shape_metrics",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     DoubleType,
     BooleanType,
     ByteType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1405,3 +1406,163 @@ def st_geom_from_geohash(h: Column) -> Column:
 def st_point_from_geohash(h: Column) -> Column:
     """ST_PointFromGeoHash: the cell center [lon, lat]."""
     return _geohash_point_udf(h)
+
+
+@F.pandas_udf(IntegerType())
+def _srid_udf(ring: pd.Series) -> pd.Series:
+    """ST_SRID: the column model carries one CRS — EPSG:4326 lon/lat
+    (reference default behavior; transforms are the explicit
+    ST_Transform* family). Arrow UDF because the name is a Spark 4.1
+    native-preview builtin only this path may replace."""
+    return pd.Series(np.full(len(ring), 4326, dtype=np.int32))
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _set_srid_udf(ring: pd.Series, srid: pd.Series) -> pd.Series:
+    """ST_SetSRID: identity on the single-CRS ring model (the SRID tag
+    lives in the writer sidecars, e.g. GeoParquet metadata)."""
+    return ring
+
+
+# --- r5 shape-metric tier (Catalog.scala: ST_OrientedEnvelope /
+# ST_MinimumClearance(Line) / ST_SimplifyVW / ST_LabelPoint /
+# ST_PointOnSurface / ST_MaximumInscribedCircle / ST_IsValidReason /
+# ST_GeneratePoints — JTS-backed in the reference, numpy kernels here) ----
+
+
+_OENV_TYPE = StructType(
+    [
+        StructField("ring", ArrayType(DoubleType())),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("area", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_OENV_TYPE)
+def _oriented_envelope_udf(ring: pd.Series) -> pd.DataFrame:
+    rows = []
+    for r in ring:
+        rg, w, h, a = kernels.oriented_envelope(
+            np.asarray(r, dtype=np.float64).reshape(-1, 2)
+        )
+        rows.append((list(rg), w, h, a))
+    return pd.DataFrame(rows, columns=["ring", "width", "height", "area"])
+
+
+def st_oriented_envelope(ring: Column) -> Column:
+    """ST_OrientedEnvelope: struct(ring, width, height, area) — the
+    minimum-area rotated rectangle (rotating calipers)."""
+    return _oriented_envelope_udf(ring)
+
+
+_CLEAR_TYPE = StructType(
+    [
+        StructField("dist", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("x2", DoubleType()),
+        StructField("y2", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_CLEAR_TYPE)
+def _min_clearance_udf(ring: pd.Series) -> pd.DataFrame:
+    rows = [kernels.minimum_clearance(np.asarray(r, dtype=np.float64))
+            for r in ring]
+    return pd.DataFrame(rows, columns=["dist", "x1", "y1", "x2", "y2"])
+
+
+def st_minimum_clearance(ring: Column) -> Column:
+    """ST_MinimumClearance: ``.dist`` is the clearance;
+    (x1,y1)-(x2,y2) is ST_MinimumClearanceLine."""
+    return _min_clearance_udf(ring)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _simplify_vw_udf(ring: pd.Series, min_area: pd.Series) -> pd.Series:
+    return pd.Series([
+        kernels.simplify_vw(np.asarray(r, dtype=np.float64),
+                            float(a)).ravel().tolist()
+        for r, a in zip(ring, min_area)
+    ])
+
+
+def st_simplify_vw(ring: Column, min_area) -> Column:
+    """ST_SimplifyVW: Visvalingam–Whyatt with an effective-area floor."""
+    min_area = (min_area if isinstance(min_area, Column)
+                else F.lit(float(min_area)))
+    return _simplify_vw_udf(ring, min_area)
+
+
+_MIC_TYPE = StructType(
+    [
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("radius", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_MIC_TYPE)
+def _polylabel_udf(g: pd.Series) -> pd.DataFrame:
+    rows = []
+    for rl in g:
+        x, y, d = kernels.polylabel(
+            [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rl]
+        )
+        rows.append((x, y, d))
+    return pd.DataFrame(rows, columns=["x", "y", "radius"])
+
+
+def st_maximum_inscribed_circle(g: Column) -> Column:
+    """ST_MaximumInscribedCircle over a ring list: struct(x, y, radius).
+    (x, y) doubles as ST_LabelPoint / a guaranteed-interior
+    ST_PointOnSurface."""
+    return _polylabel_udf(g)
+
+
+@F.pandas_udf(StringType())
+def _is_valid_reason_udf(ring: pd.Series) -> pd.Series:
+    out = []
+    for r in ring:
+        w = kernels.self_intersection_witness(
+            np.asarray(r, dtype=np.float64)
+        )
+        if w is None:
+            out.append("Valid Geometry")
+        else:
+            out.append(f"Self-intersection at or near ({w[0]:.10g} "
+                       f"{w[1]:.10g})")
+    return pd.Series(out)
+
+
+def st_is_valid_reason(ring: Column) -> Column:
+    """ST_IsValidReason: 'Valid Geometry' or the JTS-style
+    self-intersection message with the witness coordinate."""
+    return _is_valid_reason_udf(ring)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _generate_points_udf(
+    g: pd.Series, n: pd.Series, seed: pd.Series
+) -> pd.Series:
+    out = []
+    for rl, k, s in zip(g, n, seed):
+        pts = kernels.generate_points_in_rings(
+            [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rl],
+            int(k), int(s),
+        )
+        out.append([list(p) for p in pts])
+    return pd.Series(out)
+
+
+def st_generate_points(g: Column, n, seed) -> Column:
+    """ST_GeneratePoints with a deterministic seed: integer-lattice
+    candidates over the shell bbox, PIP-rejected — reproducible across
+    partitions and engines."""
+    n = n if isinstance(n, Column) else F.lit(int(n))
+    seed = seed if isinstance(seed, Column) else F.lit(int(seed))
+    return _generate_points_udf(g, n, seed)

@@ -2410,3 +2410,232 @@ def polygonize_segments(segments: list[np.ndarray]) -> list[np.ndarray]:
             if float((f[:, 0] * q[:, 1] - q[:, 0] * f[:, 1]).sum()) > 1e-300:
                 faces.append(f)
     return faces
+
+
+# ---------------------------------------------------------------------------
+# Shape metrics (r5): oriented envelope, minimum clearance, Visvalingam
+# simplify, polylabel (pole of inaccessibility), self-intersection witness,
+# seeded point generation. Reference surface: ``Functions.java``
+# ST_OrientedEnvelope / ST_MinimumClearance / ST_SimplifyVW /
+# ST_LabelPoint / ST_IsValidReason / ST_GeneratePoints (all JTS-backed
+# there; numpy here).
+# ---------------------------------------------------------------------------
+
+
+def oriented_envelope(points: np.ndarray):
+    """Minimum-area oriented rectangle of a point set (rotating
+    calipers over the convex hull): returns (ring8, width, height, area)
+    with ``ring8`` the 4 rect corners packed CCW. The optimal rectangle
+    has one side collinear with a hull edge, so scanning hull-edge
+    directions is exact."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    h = convex_hull(pts)
+    if len(h) == 1:
+        p = h[0]
+        return np.tile(p, 4), 0.0, 0.0, 0.0
+    if len(h) == 2:
+        d = h[1] - h[0]
+        w = float(np.hypot(*d))
+        ring = np.concatenate([h[0], h[1], h[1], h[0]])
+        return ring, w, 0.0, 0.0
+    e = np.roll(h, -1, axis=0) - h                     # hull edges (m, 2)
+    ln = np.hypot(e[:, 0], e[:, 1])
+    u = e / np.maximum(ln, 1e-300)[:, None]            # unit directions
+    v = np.stack([-u[:, 1], u[:, 0]], axis=1)          # normals
+    pu = h @ u.T                                       # (n, m) projections
+    pv = h @ v.T
+    w = pu.max(axis=0) - pu.min(axis=0)
+    t = pv.max(axis=0) - pv.min(axis=0)
+    k = int(np.argmin(w * t))
+    u0, v0 = u[k], v[k]
+    a0, a1 = pu[:, k].min(), pu[:, k].max()
+    b0, b1 = pv[:, k].min(), pv[:, k].max()
+    corners = np.array([
+        a0 * u0 + b0 * v0, a1 * u0 + b0 * v0,
+        a1 * u0 + b1 * v0, a0 * u0 + b1 * v0,
+    ])
+    # canonical CCW start at the lexicographically smallest corner
+    s = int(np.lexsort((corners[:, 1], corners[:, 0]))[0])
+    corners = np.roll(corners, -s, axis=0)
+    return (corners.ravel(), float(a1 - a0), float(b1 - b0),
+            float((a1 - a0) * (b1 - b0)))
+
+
+def minimum_clearance(ring: np.ndarray):
+    """JTS MinimumClearance: the smallest vertex move that changes the
+    geometry — min over (a) distances between distinct vertices and
+    (b) distances from each vertex to each segment it is not an endpoint
+    of. Returns (dist, x1, y1, x2, y2) with the witness segment."""
+    p = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    n = len(p)
+    if n < 2:
+        return 0.0, p[0, 0], p[0, 1], p[0, 0], p[0, 1]
+    # (a) vertex-vertex
+    d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+    d2[np.arange(n), np.arange(n)] = np.inf
+    i, j = np.unravel_index(int(np.argmin(d2)), d2.shape)
+    best = (float(np.sqrt(d2[i, j])), p[i], p[j])
+    # (b) vertex-edge, excluding the two edges incident to the vertex
+    e0, e1 = p, np.roll(p, -1, axis=0)
+    d = e1 - e0
+    den = np.maximum((d * d).sum(axis=1), 1e-300)
+    ap = p[:, None, :] - e0[None, :, :]
+    t = np.clip((ap * d[None, :, :]).sum(axis=2) / den[None, :], 0.0, 1.0)
+    foot = e0[None, :, :] + t[:, :, None] * d[None, :, :]
+    dist = np.hypot(*(p[:, None, :] - foot).transpose(2, 0, 1))
+    vi = np.arange(n)
+    dist[vi, vi] = np.inf                     # edge starting at the vertex
+    dist[vi, (vi - 1) % n] = np.inf           # edge ending at the vertex
+    i, j = np.unravel_index(int(np.argmin(dist)), dist.shape)
+    if dist[i, j] < best[0]:
+        best = (float(dist[i, j]), p[i], foot[i, j])
+    d0, w1, w2 = best
+    return d0, float(w1[0]), float(w1[1]), float(w2[0]), float(w2[1])
+
+
+def simplify_vw(ring: np.ndarray, min_area: float) -> np.ndarray:
+    """Visvalingam–Whyatt ring simplification: iteratively drop the
+    vertex whose effective triangle area is smallest, while it is below
+    ``min_area``; never reduces below a triangle."""
+    p = [tuple(q) for q in np.asarray(ring, dtype=np.float64).reshape(-1, 2)]
+
+    def tri_area(a, b, c):
+        return abs((b[0] - a[0]) * (c[1] - a[1])
+                   - (c[0] - a[0]) * (b[1] - a[1])) / 2.0
+
+    while len(p) > 3:
+        areas = [tri_area(p[k - 1], p[k], p[(k + 1) % len(p)])
+                 for k in range(len(p))]
+        k = int(np.argmin(areas))
+        if areas[k] >= min_area:
+            break
+        p.pop(k)
+    return np.array(p, dtype=np.float64)
+
+
+def polylabel(rings, precision: float | None = None):
+    """Pole of inaccessibility (Mapbox polylabel): the interior point
+    farthest from the boundary, by quadtree refinement over the shell
+    bbox. ``rings`` is a canonical ring list (shell + holes). Returns
+    (x, y, dist). Used for ST_LabelPoint / ST_PointOnSurface /
+    ST_MaximumInscribedCircle (center + radius).
+
+    ``precision`` is the stop tolerance on the radius, default
+    bbox_diag/1000 (JTS MaximumInscribedCircle takes the same explicit
+    tolerance). It must stay RELATIVE to the shape: on a plateau of
+    optima (any rectangle's medial segment) the number of quadtree cells
+    grows as plateau_length/precision, so an absolute 1e-7 default would
+    blow up on large geometries."""
+    import heapq
+
+    rl = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
+    shell = rl[0]
+    x0, y0 = shell.min(axis=0)
+    x1, y1 = shell.max(axis=0)
+
+    def signed_dist(x, y):
+        """+inside distance to the nearest edge of any ring."""
+        best = np.inf
+        for r in rl:
+            e0, e1 = r, np.roll(r, -1, axis=0)
+            d = e1 - e0
+            den = np.maximum((d * d).sum(axis=1), 1e-300)
+            ap = np.array([x, y]) - e0
+            t = np.clip((ap * d).sum(axis=1) / den, 0.0, 1.0)
+            foot = e0 + t[:, None] * d
+            dd = np.hypot(foot[:, 0] - x, foot[:, 1] - y).min()
+            best = min(best, float(dd))
+        inside = bool(point_in_rings_batch(
+            [[list(map(tuple, r)) for r in rl]],
+            np.array([x]), np.array([y]))[0])
+        return best if inside else -best
+
+    half = max(x1 - x0, y1 - y0) / 2.0
+    if half <= 0:
+        return float(shell[0, 0]), float(shell[0, 1]), 0.0
+    if precision is None:
+        precision = float(np.hypot(x1 - x0, y1 - y0)) / 1000.0
+    # seed cells: a grid over the bbox plus the centroid
+    heap = []
+    step = min(x1 - x0, y1 - y0)
+    if step <= 0:
+        step = 2 * half
+    xs = np.arange(x0 + step / 2, x1, step)
+    ys = np.arange(y0 + step / 2, y1, step)
+    h0 = step / 2
+
+    def push(cx, cy, h):
+        d = signed_dist(cx, cy)
+        # max possible improvement inside this cell
+        heapq.heappush(heap, (-(d + h * np.sqrt(2)), cx, cy, h, d))
+
+    for cx in xs:
+        for cy in ys:
+            push(float(cx), float(cy), h0)
+    cgx, cgy = shell.mean(axis=0)
+    best_x, best_y, best_d = float(cgx), float(cgy), signed_dist(cgx, cgy)
+    while heap:
+        neg, cx, cy, h, d = heapq.heappop(heap)
+        if d > best_d:
+            best_x, best_y, best_d = cx, cy, d
+        if -neg - best_d <= precision:    # no cell can beat best
+            break
+        nh = h / 2.0
+        for dx in (-nh, nh):
+            for dy in (-nh, nh):
+                push(cx + dx, cy + dy, nh)
+    return best_x, best_y, float(best_d)
+
+
+def self_intersection_witness(ring: np.ndarray):
+    """First crossing of two non-adjacent edges of ``ring`` (None for a
+    simple ring) — the coordinate ST_IsValidReason reports."""
+    p = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    n = len(p)
+    if n < 4:
+        return None
+    e0, e1 = p, np.roll(p, -1, axis=0)
+    ii, jj = np.triu_indices(n, k=2)
+    keep = ~((ii == 0) & (jj == n - 1))   # closing edge adjacency
+    ii, jj = ii[keep], jj[keep]
+    hit = _segments_intersect(e0[ii], e1[ii], e0[jj], e1[jj])
+    if not hit.any():
+        return None
+    k = int(np.argmax(hit))
+    a1, a2 = e0[ii[k]], e1[ii[k]]
+    b1, b2 = e0[jj[k]], e1[jj[k]]
+    r, s = a2 - a1, b2 - b1
+    den = r[0] * s[1] - r[1] * s[0]
+    if abs(den) < 1e-300:
+        return float(b1[0]), float(b1[1])
+    t = ((b1[0] - a1[0]) * s[1] - (b1[1] - a1[1]) * s[0]) / den
+    w = a1 + np.clip(t, 0.0, 1.0) * r
+    return float(w[0]), float(w[1])
+
+
+def generate_points_in_rings(rings, n: int, seed: int) -> np.ndarray:
+    """``n`` deterministic points inside a ring list (ST_GeneratePoints
+    with a seed): a Weyl / fixed-multiplier integer lattice over the
+    shell bbox with PIP rejection — reproducible across partitions and
+    engines (no float RNG state). Returns (n, 2)."""
+    rl = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
+    shell = rl[0]
+    x0, y0 = shell.min(axis=0)
+    x1, y1 = shell.max(axis=0)
+    out = np.empty((n, 2), dtype=np.float64)
+    got, k = 0, 0
+    rings_arg = [[list(map(tuple, r)) for r in rl]]
+    while got < n:
+        m = max(2 * (n - got), 64)
+        ks = np.arange(k, k + m, dtype=np.int64)
+        ux = (((ks * 2654435761 + seed) % 4096) + 0.5) / 4096.0
+        uy = (((ks * 2246822519 + seed) % 2048) + 0.5) / 2048.0
+        px = x0 + ux * (x1 - x0)
+        py = y0 + uy * (y1 - y0)
+        inside = point_in_rings_batch(rings_arg * m, px, py)
+        sel = np.flatnonzero(inside)[: n - got]
+        out[got: got + len(sel), 0] = px[sel]
+        out[got: got + len(sel), 1] = py[sel]
+        got += len(sel)
+        k += m
+    return out

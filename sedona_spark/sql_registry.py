@@ -618,6 +618,148 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
          f"+ ((cell % {_CELL_L}) div {_CELL_X} + dx) "
          f"* cast({_CELL_X} as bigint) + (cell % {_CELL_X} + dy) "
          "else cast(-1 as bigint) end))), c -> c >= 0)))"),
+        # --- r5 catalog tail batch 3: linework / M-coordinate sugar --------
+        # (``Catalog.scala`` tail: SetPoint/IsRing/Zmflag/Force*/measure
+        # family). The column model carries one CRS (EPSG:4326 lon/lat) —
+        # ST_SRID/ST_SetSRID are the reference's no-op defaults; transforms
+        # are the explicit ST_Transform* family.
+        ("ST_SetPoint", "line ARRAY<DOUBLE>, idx INT, p ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "concat(slice(line, 1, idx * 2), slice(p, 1, 2), "
+         "slice(line, idx * 2 + 3, size(line) - idx * 2 - 2))"),
+        ("ST_IsRing", "line ARRAY<DOUBLE>", "BOOLEAN",
+         # closed (first point == last) AND simple on the open vertex list
+         "element_at(line, 1) = element_at(line, cast(size(line) - 1 as "
+         "int)) and element_at(line, 2) = element_at(line, cast(size(line) "
+         "as int)) and ST_IsSimple(slice(line, 1, size(line) - 2))"),
+        # (ST_SRID / ST_SetSRID are Spark 4.1 native-preview builtins a
+        # SQL UDF cannot replace — registered as Arrow UDFs below instead)
+        ("ST_Zmflag", "p ARRAY<DOUBLE>", "INT",
+         # PostGIS: 0 = 2D, 2 = 3DZ, 3 = 4D (3DM indistinguishable from
+         # 3DZ in a packed coordinate array)
+         "case when size(p) >= 4 then 3 when size(p) = 3 then 2 else 0 "
+         "end"),
+        ("ST_MMin", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 3)"),
+        ("ST_MMax", "p ARRAY<DOUBLE>", "DOUBLE", "get(p, 3)"),
+        ("ST_PointM", "x DOUBLE, y DOUBLE, m DOUBLE", "ARRAY<DOUBLE>",
+         "array(x, y, 0e0, m)"),
+        ("ST_MakePointM", "x DOUBLE, y DOUBLE, m DOUBLE", "ARRAY<DOUBLE>",
+         "array(x, y, 0e0, m)"),
+        ("ST_Force3D", "p ARRAY<DOUBLE>, z DOUBLE", "ARRAY<DOUBLE>",
+         "case when size(p) >= 3 then p else concat(slice(p, 1, 2), "
+         "array(z)) end"),
+        ("ST_Force3DZ", "p ARRAY<DOUBLE>, z DOUBLE", "ARRAY<DOUBLE>",
+         "ST_Force3D(p, z)"),
+        ("ST_Force3DM", "p ARRAY<DOUBLE>, m DOUBLE", "ARRAY<DOUBLE>",
+         "case when size(p) >= 4 then p else concat(slice(p, 1, 2), "
+         "array(0e0, m)) end"),
+        ("ST_Force4D", "p ARRAY<DOUBLE>, z DOUBLE, m DOUBLE",
+         "ARRAY<DOUBLE>",
+         "case when size(p) >= 4 then p else array(get(p, 0), get(p, 1), "
+         "coalesce(get(p, 2), z), m) end"),
+        ("ST_ForceCollection", "ring ARRAY<DOUBLE>",
+         "ARRAY<ARRAY<DOUBLE>>", "array(ring)"),
+        ("ST_IsCollection", "g ARRAY<ARRAY<DOUBLE>>", "BOOLEAN",
+         "size(g) > 1"),
+        ("ST_CollectionExtract", "g ARRAY<ARRAY<DOUBLE>>",
+         "ARRAY<ARRAY<DOUBLE>>", "g"),  # areal-only ring-list model
+        ("ST_Length2D", "line ARRAY<DOUBLE>", "DOUBLE", _LINE_LEN),
+        ("ST_Perimeter2D", "ring ARRAY<DOUBLE>", "DOUBLE", _PERIMETER),
+        ("ST_LineSegments", "line ARRAY<DOUBLE>", "ARRAY<ARRAY<DOUBLE>>",
+         "transform(sequence(0, (size(line) div 2) - 2), i -> array("
+         "element_at(line, cast(i * 2 + 1 as int)), "
+         "element_at(line, cast(i * 2 + 2 as int)), "
+         "element_at(line, cast(i * 2 + 3 as int)), "
+         "element_at(line, cast(i * 2 + 4 as int))))"),
+        ("ST_AddMeasure", "line ARRAY<DOUBLE>, m0 DOUBLE, m1 DOUBLE",
+         # per-vertex measures, linear in cumulative arc length; the j=0
+         # guard matters — sequence(0, -1) is DESCENDING in Spark, not
+         # empty, and would index element 0
+         "ARRAY<DOUBLE>",
+         f"transform(sequence(0, (size(line) div 2) - 1), j -> "
+         f"m0 + (m1 - m0) * (case when j = 0 then 0e0 else "
+         f"aggregate(sequence(0, cast(j as int) - 1), "
+         f"cast(0 as double), (acc, i) -> acc + sqrt("
+         f"pow(element_at(line, cast(i*2+3 as int)) "
+         f"- element_at(line, cast(i*2+1 as int)), 2) "
+         f"+ pow(element_at(line, cast(i*2+4 as int)) "
+         f"- element_at(line, cast(i*2+2 as int)), 2))) end) "
+         f"/ greatest({_LINE_LEN}, 1e-300))"),
+        ("ST_LocateAlong", "line ARRAY<DOUBLE>, m0 DOUBLE, m1 DOUBLE, "
+         "m DOUBLE", "ARRAY<DOUBLE>",
+         # the point whose linearly-interpolated measure equals m
+         "ST_LineInterpolatePoint(line, (m - m0) / (m1 - m0))"),
+        ("ST_AsHEXEWKB", "g ARRAY<ARRAY<DOUBLE>>", "STRING",
+         "hex(ST_AsBinary(g))"),
+        ("ST_H3ToGeom", "cell BIGINT", "ARRAY<DOUBLE>",
+         # cell id → its bbox ring (inverse of ST_CellID at the cell's
+         # own level; flat-grid S2/H3 analog)
+         f"array("
+         f"-180e0 + ((cell % {_CELL_L}) div {_CELL_X}) "
+         f"* (360e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-90e0 + (cell % {_CELL_X}) "
+         f"* (180e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-180e0 + ((cell % {_CELL_L}) div {_CELL_X} + 1) "
+         f"* (360e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-90e0 + (cell % {_CELL_X}) "
+         f"* (180e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-180e0 + ((cell % {_CELL_L}) div {_CELL_X} + 1) "
+         f"* (360e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-90e0 + (cell % {_CELL_X} + 1) "
+         f"* (180e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-180e0 + ((cell % {_CELL_L}) div {_CELL_X}) "
+         f"* (360e0 / pow(2e0, cell div {_CELL_L})), "
+         f"-90e0 + (cell % {_CELL_X} + 1) "
+         f"* (180e0 / pow(2e0, cell div {_CELL_L})))"),
+        ("ST_S2ToGeom", "cell BIGINT", "ARRAY<DOUBLE>",
+         "ST_H3ToGeom(cell)"),
+        ("ST_GeoHashNeighbor", "h STRING, dx INT, dy INT", "STRING",
+         # decode center + cell extent, shift one cell, re-encode at the
+         # same precision
+         "ST_GeoHash(get(ST_PointFromGeoHash(h), 0) + dx * ("
+         "ST_XMax(ST_GeomFromGeoHash(h)) - ST_XMin(ST_GeomFromGeoHash(h))"
+         "), get(ST_PointFromGeoHash(h), 1) + dy * ("
+         "ST_YMax(ST_GeomFromGeoHash(h)) - ST_YMin(ST_GeomFromGeoHash(h))"
+         "), cast(length(h) as int))"),
+        ("ST_PointFromText", "s STRING, d STRING", "ARRAY<DOUBLE>",
+         "array(cast(split(s, d)[0] as double), "
+         "cast(split(s, d)[1] as double))"),
+        ("ST_RotateX", "p ARRAY<DOUBLE>, angle DOUBLE", "ARRAY<DOUBLE>",
+         "array(get(p, 0), get(p, 1) * cos(angle) "
+         "- coalesce(get(p, 2), 0e0) * sin(angle), "
+         "get(p, 1) * sin(angle) + coalesce(get(p, 2), 0e0) * cos(angle))"),
+        ("ST_RotateY", "p ARRAY<DOUBLE>, angle DOUBLE", "ARRAY<DOUBLE>",
+         "array(coalesce(get(p, 2), 0e0) * sin(angle) "
+         "+ get(p, 0) * cos(angle), get(p, 1), "
+         "coalesce(get(p, 2), 0e0) * cos(angle) "
+         "- get(p, 0) * sin(angle))"),
+        ("ST_ScaleGeom", "ring ARRAY<DOUBLE>, fx DOUBLE, fy DOUBLE",
+         "ARRAY<DOUBLE>", "ST_Scale(ring, fx, fy)"),
+        ("ST_GeogFromEWKT", "s STRING", "ARRAY<ARRAY<DOUBLE>>",
+         "ST_GeomFromEWKT(s)"),
+        # --- shape-metric sugar over the struct kernels above --------------
+        ("ST_MinimumClearance", "ring ARRAY<DOUBLE>", "DOUBLE",
+         "ST_MinimumClearanceInfo(ring).dist"),
+        ("ST_MinimumClearanceLine", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "array(ST_MinimumClearanceInfo(ring).x1, "
+         "ST_MinimumClearanceInfo(ring).y1, "
+         "ST_MinimumClearanceInfo(ring).x2, "
+         "ST_MinimumClearanceInfo(ring).y2)"),
+        ("ST_LabelPoint", "g ARRAY<ARRAY<DOUBLE>>", "ARRAY<DOUBLE>",
+         "array(ST_MaximumInscribedCircle(g).x, "
+         "ST_MaximumInscribedCircle(g).y)"),
+        ("ST_PointOnSurface", "ring ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "ST_LabelPoint(array(ring))"),
+        ("ST_SimplifyPreserveTopology", "ring ARRAY<DOUBLE>, tol DOUBLE",
+         # ring-model Douglas-Peucker never collapses below a triangle,
+         # which is the topology-preservation contract for simple rings
+         "ARRAY<DOUBLE>", "ST_Simplify(ring, tol)"),
+        ("ST_IsValidDetail", "ring ARRAY<DOUBLE>",
+         "STRUCT<valid: BOOLEAN, reason: STRING>",
+         "named_struct('valid', ST_IsValid(ring), "
+         "'reason', ST_IsValidReason(ring))"),
+        ("ST_BuildArea", "lines ARRAY<ARRAY<DOUBLE>>",
+         "ARRAY<ARRAY<DOUBLE>>", "ST_Polygonize(lines)"),
     ]
 
 
@@ -692,6 +834,28 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_TriangulatePolygon": _st._triangulate_udf,
         "ST_GeomFromGeoHash": _st._geohash_ring_udf,
         "ST_PointFromGeoHash": _st._geohash_point_udf,
+        # geography spellings parse the same WKT/WKB grammar (the model
+        # carries one CRS; the geography tier is the ST_*Spheroid /
+        # spherical-PIP function family, not a distinct storage type)
+        "ST_GeogFromText": _st.st_geom_rings_from_wkt,
+        "ST_GeogFromWKT": _st.st_geom_rings_from_wkt,
+        "ST_GeogCollFromText": _st.st_geom_rings_from_wkt,
+        "ST_MPointFromText": _st.st_geom_rings_from_wkt,
+        "ST_GeogFromWKB": _st.st_geom_rings_from_wkb,
+        "ST_GeogFromEWKB": _st.st_geom_rings_from_wkb,
+        # native-preview builtin names (st_srid/st_setsrid): the engine's
+        # single-CRS ring model pins EPSG:4326; only the Arrow-UDF path
+        # may replace a non-SQL builtin
+        "ST_SRID": _st._srid_udf,
+        "ST_SetSRID": _st._set_srid_udf,
+        # shape-metric tier (numpy kernels; SQL sugar below derives the
+        # scalar spellings from the one struct eval)
+        "ST_OrientedEnvelope": _st._oriented_envelope_udf,
+        "ST_MinimumClearanceInfo": _st._min_clearance_udf,
+        "ST_MaximumInscribedCircle": _st._polylabel_udf,
+        "ST_SimplifyVW": _st._simplify_vw_udf,
+        "ST_IsValidReason": _st._is_valid_reason_udf,
+        "ST_GeneratePoints": _st._generate_points_udf,
     }
     # RS_ scalar tier (decode is the deterministic sandbox codec; real
     # formats are the documented images.py seam)
