@@ -3517,6 +3517,146 @@ from g
 """
 
 
+def q_rs_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Interpolate (r5): IDW fill of nodata(=0) pixels from the valid
+    pixels in a Chebyshev-radius-2 window, per channel
+    (``RasterEditors.java`` RS_Interpolate). The deterministic codec
+    makes every hole position and every neighbor value integer-
+    reproducible; fill_sum is gated at round(·, 2) (summation-order fp
+    noise only). fjpg-quantized images have no zero pixels — their rows
+    assert the n_nodata=0 path."""
+    from sedona_spark.functions.raster import rs_interpolate_idw
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=50)
+    out = rs_interpolate_idw(imgs, nodata=0, radius=2)
+    return out.select(
+        "image_id", "n_nodata", F.round("fill_sum", 2).alias("fill_sum")
+    )
+
+
+def _rs_interpolate_sql() -> str:
+    pix = ("((i * 31 + x.v * 3 + y.v * 5 + c.v * 7) % 251"
+           " + (x.v * y.v * (i % 13 + 1)) % 67) % 256")
+    dv = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 50 = 0),
+pix as (
+  select i, x.v as x, y.v as y, c.v as c, {dv} as v
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c),
+holes as (select i, x, y, c from pix where v = 0),
+fill as (
+  select h.i,
+         sum(p.v / cast((p.x - h.x) * (p.x - h.x)
+                        + (p.y - h.y) * (p.y - h.y) as double))
+         / sum(1e0 / cast((p.x - h.x) * (p.x - h.x)
+                          + (p.y - h.y) * (p.y - h.y) as double)) as idw
+  from holes h
+  join pix p
+    on p.i = h.i and p.c = h.c and p.v <> 0
+   and abs(p.x - h.x) <= 2 and abs(p.y - h.y) <= 2
+   and not (p.x = h.x and p.y = h.y)
+  group by h.i, h.x, h.y, h.c),
+agg as (select i, sum(idw) as fill_sum from fill group by i),
+cnt as (select i, count(*) as n_nodata from holes group by i)
+select printf('img_%012d', s.i) as image_id,
+       cast(coalesce(c.n_nodata, 0) as bigint) as n_nodata,
+       round(coalesce(a.fill_sum, 0e0), 2) as fill_sum
+from sel s
+left join cnt c on c.i = s.i
+left join agg a on a.i = s.i
+"""
+
+
+def q_rs_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_BuildPyramid (r5): overview levels 1..2, each output pixel the
+    integer mean (floor) of its 2^L × 2^L block per channel, remainder
+    truncated — pure integer arithmetic, so the oracle regenerates every
+    overview pixel exactly (GDAL overview convention; raster pyramid
+    write path)."""
+    from sedona_spark.functions.raster import rs_build_pyramid
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=100)
+    out = rs_build_pyramid(imgs, max_level=2)
+    return out.select("image_id", "level", "out_w", "out_h", "pix_sum")
+
+
+def _rs_pyramid_sql() -> str:
+    pix = ("((i * 31 + x.v * 3 + y.v * 5 + c.v * 7) % 251"
+           " + (x.v * y.v * (i % 13 + 1)) % 67) % 256")
+    dv = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 100 = 0),
+lv as (select unnest(range(1, 3)) as level),
+pix as (
+  select i, w, h, x.v as x, y.v as y, c.v as c, {dv} as v
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c),
+blocks as (
+  select p.i, l.level,
+         (p.w // (1 << l.level)) as ow, (p.h // (1 << l.level)) as oh,
+         p.x // (1 << l.level) as bx, p.y // (1 << l.level) as by, p.c,
+         sum(p.v) // ((1 << l.level) * (1 << l.level)) as vout
+  from pix p, lv l
+  where p.x < (p.w // (1 << l.level)) * (1 << l.level)
+    and p.y < (p.h // (1 << l.level)) * (1 << l.level)
+  group by p.i, l.level, p.w, p.h, p.x // (1 << l.level),
+           p.y // (1 << l.level), p.c)
+select printf('img_%012d', i) as image_id,
+       cast(level as bigint) as level,
+       cast(ow as bigint) as out_w, cast(oh as bigint) as out_h,
+       cast(sum(vout) as bigint) as pix_sum
+from blocks
+group by i, level, ow, oh
+"""
+
+
+def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell counts (r5): the locality-preserving cell-id
+    option (``cells.hilbert_cell_id``) — the curve order GeoParquet/
+    Iceberg use for spatial file sorting, here as the partition key of a
+    cell-count aggregation. Pure Column bit arithmetic (level unrolled
+    xy2d iterations, whole-stage codegen; no Python); the oracle runs
+    the identical walk as chained CTEs in DuckDB."""
+    from sedona_spark import cells
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = points_from_events(spark, sf_dir)
+    cell = cells.hilbert_cell_id(F.col("x"), F.col("y"), 4)
+    return pts.groupBy(cell.alias("hcell")).agg(
+        F.count("*").alias("n_points")
+    )
+
+
+def _hilbert_cells_sql() -> str:
+    from sedona_spark import cells
+
+    lv = 4
+    gx = cells.sql_grid_x("p.x", lv)
+    gy = cells.sql_grid_y("p.y", lv)
+    walk = cells.sql_hilbert_ctes("grid", lv)
+    # sql_hilbert_ctes returns "hh0 as (...), ... select * from hhK" —
+    # splice our grid CTE in front and aggregate over the walk's output
+    body, tail = walk.rsplit(" select * from ", 1)
+    return f"""
+with pts as ({SQL_POINTS}),
+grid as (select cast({gx} as bigint) as hx, cast({gy} as bigint) as hy
+         from pts p),
+{body}
+select {lv} * {cells._L_MULT} + hd as hcell, count(*) as n_points
+from {tail}
+group by hd
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -3536,6 +3676,9 @@ _NEW_OR_CHANGED = {
     "sql_api_5",           # r5 batch 3: linework / M-coordinate SQL tier
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
+    "rs_interpolate",      # r5: IDW nodata fill
+    "rs_pyramid",          # r5: overview pyramid levels
+    "hilbert_cells",       # r5: Hilbert-curve cell-id option
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
     "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
@@ -3622,6 +3765,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_4": q_sql_api_4,
         "sql_api_5": q_sql_api_5,
         "st_shape_metrics": q_st_shape_metrics,
+        "rs_interpolate": q_rs_interpolate,
+        "rs_pyramid": q_rs_pyramid,
+        "hilbert_cells": q_hilbert_cells,
         "st_make_valid": q_st_make_valid,
         "st_difference_poly": q_st_difference_poly,
         "st_transform_azimuthal": q_st_transform_azimuthal,
@@ -3750,6 +3896,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_4": _sql_api_4_sql(),
         "sql_api_5": _sql_api_5_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
+        "rs_interpolate": _rs_interpolate_sql(),
+        "rs_pyramid": _rs_pyramid_sql(),
+        "hilbert_cells": _hilbert_cells_sql(),
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "sql_api_4",
     "sql_api_5",
     "st_shape_metrics",
+    "rs_interpolate",
+    "rs_pyramid",
+    "hilbert_cells",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
@@ -386,7 +389,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     BYTE_HEAVY = {
         "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
-        "rs_zonal_stats", "rs_resample",
+        "rs_zonal_stats", "rs_resample", "rs_interpolate", "rs_pyramid",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

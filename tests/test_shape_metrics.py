@@ -88,3 +88,66 @@ def test_generate_points_deterministic_inside_count():
     p = K.generate_points_in_rings([ell], 32, 3)
     inside = K.point_in_rings_batch([[ell]] * 32, p[:, 0], p[:, 1])
     assert inside.all()
+
+
+# --- Hilbert cell option (cells.py r5) ---------------------------------------
+
+
+def test_hilbert_bijective_unit_steps_multilevel():
+    from sedona_spark import cells
+
+    for lv in (1, 2, 3, 5):
+        n = 1 << lv
+        gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+        d = cells.hilbert_np(gx.ravel(), gy.ravel(), lv)
+        assert sorted(d.tolist()) == list(range(n * n))
+        order = np.argsort(d)
+        step = (np.abs(np.diff(gx.ravel()[order]))
+                + np.abs(np.diff(gy.ravel()[order])))
+        assert (step == 1).all()
+
+
+def test_hilbert_locality_beats_row_major():
+    """The pruning property: a contiguous INDEX range (one file /
+    partition of a curve-sorted table) covers a compact bbox. Row-major
+    ranges span the full grid width; Hilbert ranges stay ~sqrt(k)."""
+    from sedona_spark import cells
+
+    lv = 5
+    n = 1 << lv
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    gx, gy = gx.ravel(), gy.ravel()
+
+    def max_window_extent(order_idx, k=64):
+        xs, ys = gx[order_idx], gy[order_idx]
+        worst = 0
+        for s in range(0, n * n, k):
+            wx = xs[s: s + k].max() - xs[s: s + k].min()
+            wy = ys[s: s + k].max() - ys[s: s + k].min()
+            worst = max(worst, int(wx), int(wy))
+        return worst
+
+    h_order = np.argsort(cells.hilbert_np(gx, gy, lv))
+    rm_order = np.argsort(gy * n + gx)
+    assert max_window_extent(h_order) <= 8      # 64 cells ≈ 8×8 block
+    assert max_window_extent(rm_order) >= n - 1  # full-width strips
+
+
+def test_hilbert_column_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from sedona_spark import cells
+
+    lv = 4
+    n = 1 << lv
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
+    )
+    got = (
+        df.select("gx", "gy",
+                  cells.hilbert_from_grid(F.col("gx"), F.col("gy"), lv)
+                  .alias("d"))
+        .toPandas().sort_values(["gx", "gy"])
+    )
+    exp = cells.hilbert_np(got.gx.to_numpy(), got.gy.to_numpy(), lv)
+    assert (got.d.to_numpy() == exp).all()
