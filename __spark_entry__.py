@@ -3657,6 +3657,73 @@ group by hd
 """
 
 
+def q_markup_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GML/KML markup interop (r5): ST_AsGML (GML2 JTS-GMLWriter layout)
+    / ST_AsKML emit, ST_GeomFromGML / ST_GeomFromKML parse — round-trip
+    through BOTH markups on a polygon WITH hole, plus a GML3 posList
+    document built from integer coordinates in SQL (exact closed-form
+    area). Emission is %.10g like the WKT writer, so round-trip areas
+    are gated at round(Δ, 4)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             array(ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy),
+                   ST_Reverse(ST_MakeEnvelope(zcx - hx / 2e0, zcy - hy / 2e0,
+                                              zcx + hx / 2e0,
+                                              zcy + hy / 2e0))) as geom,
+             concat('<gml:Polygon><gml:exterior><gml:LinearRing>',
+                    '<gml:posList>0 0 ', cast(n_nationkey + 1 as string),
+                    ' 0 ', cast(n_nationkey + 1 as string), ' ',
+                    cast(n_nationkey + 1 as string), ' 0 ',
+                    cast(n_nationkey + 1 as string),
+                    ' 0 0</gml:posList></gml:LinearRing></gml:exterior>',
+                    '</gml:Polygon>') as gml3
+      from z)
+select n_nationkey,
+       substring(ST_AsGML(geom), 1, 13) as gml_pre,
+       substring(ST_AsKML(geom), 1, 9) as kml_pre,
+       cast(size(split(ST_AsGML(geom), '<gml:innerBoundaryIs>')) - 1
+            as bigint) as gml_holes,
+       cast(size(split(ST_AsKML(geom), '<innerBoundaryIs>')) - 1
+            as bigint) as kml_holes,
+       cast(size(ST_GeomFromGML(ST_AsGML(geom))) as bigint) as rt_rings,
+       round(ST_Area(element_at(ST_GeomFromGML(ST_AsGML(geom)), 1))
+             - 4e0 * hx * hy, 4) as gml_dshell,
+       round(ST_Area(element_at(ST_GeomFromGML(ST_AsGML(geom)), 2))
+             - hx * hy, 4) as gml_dhole,
+       round(ST_Area(element_at(ST_GeomFromKML(ST_AsKML(geom)), 1))
+             - 4e0 * hx * hy, 4) as kml_dshell,
+       round(ST_Area(element_at(ST_GeomFromKML(ST_AsKML(geom)), 2))
+             - hx * hy, 4) as kml_dhole,
+       round(ST_Area(element_at(ST_GeomFromGML(gml3), 1)), 6) as gml3_area
+from g
+""")
+
+
+def _markup_io_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       '<gml:Polygon>' as gml_pre,
+       '<Polygon>' as kml_pre,
+       cast(1 as bigint) as gml_holes,
+       cast(1 as bigint) as kml_holes,
+       cast(2 as bigint) as rt_rings,
+       round(0e0, 4) as gml_dshell,
+       round(0e0, 4) as gml_dhole,
+       round(0e0, 4) as kml_dshell,
+       round(0e0, 4) as kml_dhole,
+       round((n_nationkey + 1e0) * (n_nationkey + 1e0), 6) as gml3_area
+from z
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -3679,6 +3746,7 @@ _NEW_OR_CHANGED = {
     "rs_interpolate",      # r5: IDW nodata fill
     "rs_pyramid",          # r5: overview pyramid levels
     "hilbert_cells",       # r5: Hilbert-curve cell-id option
+    "markup_io",           # r5: GML/KML emit + parse round trip
     "st_transform_lcc",    # r5: Lambert conformal conic
     "st_transform_albers", # r5: Albers equal-area conic
     "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
@@ -3768,6 +3836,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
         "hilbert_cells": q_hilbert_cells,
+        "markup_io": q_markup_io,
         "st_make_valid": q_st_make_valid,
         "st_difference_poly": q_st_difference_poly,
         "st_transform_azimuthal": q_st_transform_azimuthal,
@@ -3899,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),
         "hilbert_cells": _hilbert_cells_sql(),
+        "markup_io": _markup_io_sql(),
         "shapefile_read": _shapefile_read_sql(),
         "dedup_components": _dedup_components_sql(),
         "chunk_documents": _chunk_documents_sql(),

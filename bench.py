@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "rs_interpolate",
     "rs_pyramid",
     "hilbert_cells",
+    "markup_io",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

@@ -1566,3 +1566,58 @@ def st_generate_points(g: Column, n, seed) -> Column:
     n = n if isinstance(n, Column) else F.lit(int(n))
     seed = seed if isinstance(seed, Column) else F.lit(int(seed))
     return _generate_points_udf(g, n, seed)
+
+
+# --- GML / KML markup tier (Catalog.scala ST_AsGML/AsKML/GeomFromGML/
+# GeomFromKML; geometry/markup.py does the string work) ----------------------
+
+
+@F.pandas_udf(StringType())
+def _as_gml_udf(g: pd.Series) -> pd.Series:
+    from sedona_spark.geometry import markup
+
+    return pd.Series([
+        None if rl is None else markup.rings_to_gml(
+            [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rl]
+        )
+        for rl in g
+    ])
+
+
+@F.pandas_udf(StringType())
+def _as_kml_udf(g: pd.Series) -> pd.Series:
+    from sedona_spark.geometry import markup
+
+    return pd.Series([
+        None if rl is None else markup.rings_to_kml(
+            [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rl]
+        )
+        for rl in g
+    ])
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _from_markup_udf(s: pd.Series) -> pd.Series:
+    from sedona_spark.geometry import markup
+
+    return pd.Series([
+        None if t is None
+        else [r.ravel() for r in markup.parse_markup_rings(t)]
+        for t in s
+    ])
+
+
+def st_as_gml(g: Column) -> Column:
+    """ST_AsGML: GML2 Polygon markup (JTS GMLWriter layout)."""
+    return _as_gml_udf(g)
+
+
+def st_as_kml(g: Column) -> Column:
+    """ST_AsKML: KML 2.2 Polygon markup."""
+    return _as_kml_udf(g)
+
+
+def st_geom_from_markup(s: Column) -> Column:
+    """ST_GeomFromGML / ST_GeomFromKML: one parser accepts GML2
+    ``coordinates``, GML3 ``posList``, and KML Polygon markup."""
+    return _from_markup_udf(s)

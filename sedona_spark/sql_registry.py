@@ -856,6 +856,11 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_SimplifyVW": _st._simplify_vw_udf,
         "ST_IsValidReason": _st._is_valid_reason_udf,
         "ST_GeneratePoints": _st._generate_points_udf,
+        # markup tier — one parser serves GML2/GML3/KML
+        "ST_AsGML": _st._as_gml_udf,
+        "ST_AsKML": _st._as_kml_udf,
+        "ST_GeomFromGML": _st._from_markup_udf,
+        "ST_GeomFromKML": _st._from_markup_udf,
     }
     # RS_ scalar tier (decode is the deterministic sandbox codec; real
     # formats are the documented images.py seam)

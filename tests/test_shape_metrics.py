@@ -151,3 +151,27 @@ def test_hilbert_column_matches_numpy(spark):
     )
     exp = cells.hilbert_np(got.gx.to_numpy(), got.gy.to_numpy(), lv)
     assert (got.d.to_numpy() == exp).all()
+
+
+# --- GML/KML markup tier (geometry/markup.py r5) ------------------------------
+
+
+def test_markup_round_trip_gml_kml_and_gml3():
+    from sedona_spark.geometry import markup as M
+
+    shell = np.array([[0, 0], [4, 0], [4, 2], [0, 2]], float)
+    hole = np.array([[1, 0.5], [3, 0.5], [3, 1.5], [1, 1.5]], float)[::-1]
+    for emit in (M.rings_to_gml, M.rings_to_kml):
+        rl = M.parse_markup_rings(emit([shell, hole]))
+        assert len(rl) == 2
+        assert np.array_equal(rl[0], shell)
+        assert np.array_equal(rl[1], hole)
+    g3 = ("<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>"
+          "0 0 4 0 4 2 0 2 0 0</gml:posList></gml:LinearRing>"
+          "</gml:exterior></gml:Polygon>")
+    assert np.array_equal(M.parse_markup_rings(g3)[0], shell)
+    # orientation canonicalized: CW shell input comes back CCW
+    g_cw = M.rings_to_gml([shell[::-1]])
+    assert np.array_equal(M.parse_markup_rings(g_cw)[0][0], shell[0])
+    with pytest.raises(ValueError):
+        M.parse_markup_rings("<Polygon></Polygon>")
