@@ -3724,6 +3724,365 @@ from z
 """
 
 
+_RS_BANDS_SPARK = """
+b as (select n_nationkey,
+      transform(sequence(0, 24),
+                i -> cast((n_nationkey * 7 + i * 13) % 97 as double)) as b1,
+      transform(sequence(0, 24),
+                i -> cast((n_nationkey * 11 + i * 5) % 89 + 1 as double)) as b2,
+      transform(sequence(0, 24),
+                i -> cast((n_nationkey + i) % 7 as double)) as b3
+      from z)
+"""
+
+
+def q_sql_api_rs_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-ARRAY map-algebra SQL tier (r5c): the reference registers ~22
+    ``double[]``-in/``double[]``-out functions (``MapAlgebra.java:288-654``,
+    RS_Add … RS_FetchRegion at ``Catalog.scala``); here each is a SQL
+    scalar UDF over ``ARRAY<DOUBLE>`` that Catalyst inlines into whole-stage
+    codegen (``sql_registry._rs_array_sql_udfs``). Bands are synthesized
+    per nation row by a fixed integer formula, so the DuckDB oracle
+    re-derives every output with ITS OWN list lambdas, mirroring the Java
+    quirks independently (reversed subtract, floor(x·100+0.5)/100 rounding,
+    0→−1 remap in NormalizedDifference, constant→zeros Normalize,
+    unique→unchanged Mode)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    agg = "aggregate({0}, 0e0, (a, v) -> a + v)"
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+{_RS_BANDS_SPARK}
+select n_nationkey,
+       round({agg.format('RS_Add(b1, b2)')}, 6) as add_sum,
+       round(element_at(RS_Subtract(b1, b2), 4), 6) as sub4,
+       round({agg.format('RS_Multiply(b1, b2)')}, 6) as mul_sum,
+       round({agg.format('RS_Divide(b1, b2)')}, 6) as div_sum,
+       round(element_at(RS_MultiplyFactor(b1, 2.5e0), 6), 6) as mf6,
+       round({agg.format('RS_Modulo(b1, 7e0)')}, 6) as mod_sum,
+       round(element_at(RS_SquareRoot(b1), 6), 6) as sqrt6,
+       round({agg.format('RS_BitwiseAnd(b1, b2)')}, 6) as and_sum,
+       round({agg.format('RS_BitwiseOr(b1, b2)')}, 6) as or_sum,
+       round({agg.format('RS_LogicalDifference(b1, b2)')}, 6) as ld_sum,
+       round({agg.format('RS_LogicalOver(b3, b2)')}, 6) as lo_sum,
+       round({agg.format('RS_Normalize(b1)')}, 4) as nz_sum,
+       round({agg.format('RS_NormalizedDifference(b1, b2)')}, 6) as nd_sum,
+       round(RS_Mean(b1), 6) as mean1,
+       round(element_at(RS_Mode(b3), 1), 6) as mode3,
+       cast(size(RS_Mode(b3)) as bigint) as mode3_n,
+       cast(RS_CountValue(b3, 2e0) as bigint) as cv2,
+       round({agg.format('RS_GreaterThan(b1, 48e0)')}, 6) as gt_sum,
+       round({agg.format('RS_GreaterThanEqual(b1, 48e0)')}, 6) as ge_sum,
+       round({agg.format('RS_LessThan(b1, 48e0)')}, 6) as lt_sum,
+       round({agg.format('RS_LessThanEqual(b1, 48e0)')}, 6) as le_sum,
+       round({agg.format(
+           'RS_FetchRegion(b1, array(1, 1, 3, 4), array(5, 5))')}, 6)
+           as fr_sum,
+       cast(size(RS_FetchRegion(b1, array(1, 1, 3, 4), array(5, 5)))
+           as bigint) as fr_n,
+       round({agg.format(
+           'RS_Array(4, cast(n_nationkey as double))')}, 6) as arr_sum
+from b
+""")
+
+
+def _sql_api_rs_math_sql() -> str:
+    """DuckDB twin: same band formulas, Java-semantics mirrored with
+    DuckDB's own list lambdas (1-based indexing, fmod, floor-rounding)."""
+    zsum = ("list_aggregate(list_transform(range(1, 26), "
+            "i -> {0}), 'sum')")
+    jr2 = "floor(({0}) * 100 + 0.5) / 100"
+    ndx = "(case when b1[i] = 0 then -1.0 else b1[i] end)"
+    ndy = "(case when b2[i] = 0 then -1.0 else b2[i] end)"
+    maxfreq = ("list_max(list_transform(b3, "
+               "v -> len(list_filter(b3, w -> w = v))))")
+    return f"""
+with z as ({SQL_ZONES}),
+b as (select n_nationkey,
+      list_transform(range(0, 25),
+          i -> cast((n_nationkey * 7 + i * 13) % 97 as double)) as b1,
+      list_transform(range(0, 25),
+          i -> cast((n_nationkey * 11 + i * 5) % 89 + 1 as double)) as b2,
+      list_transform(range(0, 25),
+          i -> cast((n_nationkey + i) % 7 as double)) as b3
+      from z)
+select n_nationkey,
+    round({zsum.format('b1[i] + b2[i]')}, 6) as add_sum,
+    round(b2[4] - b1[4], 6) as sub4,
+    round({zsum.format('b1[i] * b2[i]')}, 6) as mul_sum,
+    round({zsum.format(jr2.format('b1[i] / b2[i]'))}, 6) as div_sum,
+    round(b1[6] * 2.5, 6) as mf6,
+    round({zsum.format('fmod(b1[i], 7.0)')}, 6) as mod_sum,
+    round({jr2.format('sqrt(b1[6])')}, 6) as sqrt6,
+    round({zsum.format(
+        'cast(cast(b1[i] as int) & cast(b2[i] as int) as double)')}, 6)
+        as and_sum,
+    round({zsum.format(
+        'cast(cast(b1[i] as int) | cast(b2[i] as int) as double)')}, 6)
+        as or_sum,
+    round({zsum.format(
+        'case when b1[i] <> b2[i] then b1[i] else 0.0 end')}, 6) as ld_sum,
+    round({zsum.format(
+        'case when b3[i] <> 0.0 then b3[i] else b2[i] end')}, 6) as lo_sum,
+    round(case when list_max(b1) = list_min(b1) then 0.0
+          else {zsum.format(
+              '(b1[i] - list_min(b1)) * 255.0 '
+              '/ (list_max(b1) - list_min(b1))')} end, 4) as nz_sum,
+    round({zsum.format(
+        f"case when {ndy} + {ndx} = 0 then 0.0 else "
+        + jr2.format(f'({ndy} - {ndx}) / ({ndy} + {ndx})') + " end")}, 6)
+        as nd_sum,
+    round(list_aggregate(b1, 'sum') / len(b1), 6) as mean1,
+    round(case when {maxfreq} = 1 then b3[1]
+          else list_max(list_filter(b3,
+              v -> len(list_filter(b3, w -> w = v)) = {maxfreq})) end, 6)
+        as mode3,
+    cast(case when {maxfreq} = 1 then len(b3) else 1 end as bigint)
+        as mode3_n,
+    cast(len(list_filter(b3, v -> v = 2.0)) as bigint) as cv2,
+    round({zsum.format('case when b1[i] > 48 then 1.0 else 0.0 end')}, 6)
+        as gt_sum,
+    round({zsum.format('case when b1[i] >= 48 then 1.0 else 0.0 end')}, 6)
+        as ge_sum,
+    round({zsum.format('case when b1[i] < 48 then 1.0 else 0.0 end')}, 6)
+        as lt_sum,
+    round({zsum.format('case when b1[i] <= 48 then 1.0 else 0.0 end')}, 6)
+        as le_sum,
+    round(list_aggregate(list_transform(range(0, 12),
+        k -> b1[(1 + k // 4) * 5 + (1 + k % 4) + 1]), 'sum'), 6) as fr_sum,
+    cast(12 as bigint) as fr_n,
+    round(4.0 * n_nationkey, 6) as arr_sum
+from b
+"""
+
+
+def q_sql_api_rs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Georeferenced-raster SQL tier (r5c): the reference models a raster
+    as GridCoverage2D with an affine georeference + SRID + nodata
+    (``RasterAccessors.java``, ``RasterPredicates.java``); the engine's SQL
+    model is an explicit STRUCT whose accessors/transforms are pure Column
+    arithmetic (``sql_registry._rs_geo_sql_udfs``). Exercises constructors
+    (MakeRasterMeta/SetGeoReference/SetSRID/SetBandNoDataValue), accessors
+    (UpperLeftX/Y, Scale, Skew, SRID, GeoReference GDAL+ESRI strings,
+    GeoTransform, Rotation), both affine directions incl. a skewed raster
+    (RasterToWorldCoord, WorldToRasterCoord — 1-based, floor semantics),
+    pixel geometry (PixelAsCentroid/Polygon/Points), envelopes
+    (Envelope/ConvexHull/MinConvexHull-with-nodata), world-coord pixel
+    reads (ValueAt), band stats (SummaryStatsAll), and the raster×geometry
+    predicate family (Intersects/Contains/Within). The DuckDB twin
+    re-derives every output independently: georef terms from the id
+    formulas, pixel values from the codec generator formula
+    (``_PIX``/``_DECODED``), predicates from interval logic."""
+    import sedona_spark
+    from sedona_spark.sources.images import images_from_part
+
+    sedona_spark.register(spark)
+    images_from_part(spark, sf_dir, id_mod=50).createOrReplaceTempView(
+        "img"
+    )
+    return spark.sql("""
+with m as (select cast(substring(image_id, 5) as bigint) as i, bytes, w, h
+           from img),
+p as (select i, bytes, w, h,
+             cast(i % 7 as double) * 10e0 as gulx,
+             cast(i % 5 as double) * 10e0 + 100e0 as guly,
+             cast(i % 3 as double) + 1e0 as gsx,
+             -(cast(i % 4 as double) + 1e0) as gsy,
+             cast(i % 2 as double) as gkx,
+             cast((i + 1) % 2 as double) as gky,
+             cast(i % 3 as int) as bq
+      from m),
+r as (select p.*,
+             RS_SetBandNoDataValue(RS_SetSRID(RS_SetGeoReference(
+                 RS_MakeRasterMeta(bytes, w, h, 3, 0e0, 0e0, 1e0),
+                 gulx, guly, gsx, gsy, 0e0, 0e0), 3857), 250e0) as r,
+             RS_SetGeoReference(
+                 RS_MakeRasterMeta(bytes, w, h, 3, 0e0, 0e0, 1e0),
+                 gulx, guly, gsx, gsy, gkx, gky) as rk
+      from p)
+select i,
+  round(RS_UpperLeftX(r), 6) as ulx_o,
+  round(RS_UpperLeftY(r), 6) as uly_o,
+  round(RS_ScaleX(r), 6) as sx_o,
+  round(RS_ScaleY(r), 6) as sy_o,
+  round(RS_SkewX(rk), 6) as kx_o,
+  round(RS_SkewY(rk), 6) as ky_o,
+  RS_SRID(r) as srid_o,
+  RS_GeoReference(r, 'GDAL') as gref_gdal,
+  RS_GeoReference(r, 'ESRI') as gref_esri,
+  round(element_at(RS_GeoTransform(rk), 1), 6) as gt_magi,
+  round(element_at(RS_GeoTransform(rk), 2), 6) as gt_magj,
+  round(element_at(RS_GeoTransform(rk), 3), 6) as gt_thetai,
+  round(element_at(RS_GeoTransform(rk), 4), 6) as gt_thetaij,
+  round(RS_Rotation(rk), 6) as rot_k,
+  round(RS_RasterToWorldCoordX(r, cast(i % 5 as int) + 1,
+                               cast(i % 7 as int) + 1), 6) as wx_o,
+  round(RS_RasterToWorldCoordY(r, cast(i % 5 as int) + 1,
+                               cast(i % 7 as int) + 1), 6) as wy_o,
+  RS_WorldToRasterCoordX(r, gulx + 2.7e0 * gsx, guly + 3.3e0 * gsy)
+      as wc_col,
+  RS_WorldToRasterCoordY(r, gulx + 2.7e0 * gsx, guly + 3.3e0 * gsy)
+      as wc_row,
+  RS_WorldToRasterCoordX(rk, gulx + 2.5e0 * gsx + 3.5e0 * gkx,
+                         guly + 2.5e0 * gky + 3.5e0 * gsy) as wck_col,
+  RS_WorldToRasterCoordY(rk, gulx + 2.5e0 * gsx + 3.5e0 * gkx,
+                         guly + 2.5e0 * gky + 3.5e0 * gsy) as wck_row,
+  round(element_at(RS_PixelAsCentroid(r, 2, 3), 1), 6) as pcx,
+  round(element_at(RS_PixelAsCentroid(r, 2, 3), 2), 6) as pcy,
+  round(element_at(RS_PixelAsPolygon(r, 2, 3), 5), 6) as ppx3,
+  round(element_at(RS_PixelAsPolygon(r, 2, 3), 6), 6) as ppy3,
+  round(element_at(RS_Envelope(r), 1), 6) as env_minx,
+  round(element_at(RS_Envelope(r), 2), 6) as env_miny,
+  round(element_at(RS_Envelope(r), 5), 6) as env_maxx,
+  round(element_at(RS_Envelope(r), 6), 6) as env_maxy,
+  round(element_at(RS_ConvexHull(rk), 5), 6) as ch_x11,
+  round(element_at(RS_ConvexHull(rk), 6), 6) as ch_y11,
+  round(element_at(RS_MinConvexHull(r, bq), 1), 6) as mch_minx,
+  round(element_at(RS_MinConvexHull(r, bq), 2), 6) as mch_miny,
+  round(element_at(RS_MinConvexHull(r, bq), 5), 6) as mch_maxx,
+  round(element_at(RS_MinConvexHull(r, bq), 6), 6) as mch_maxy,
+  cast(RS_ValueAt(r, gulx + (cast(i % 13 as double) + 5e-1) * gsx,
+                  guly + (cast(i % 11 as double) + 5e-1) * gsy, bq)
+      as bigint) as va,
+  element_at(RS_PixelAsPoints(r, 0), 38).cx as pap_cx,
+  element_at(RS_PixelAsPoints(r, 0), 38).cy as pap_cy,
+  round(element_at(RS_PixelAsPoints(r, 0), 38).px, 6) as pap_px,
+  round(element_at(RS_PixelAsPoints(r, 0), 38).py, 6) as pap_py,
+  cast(element_at(RS_PixelAsPoints(r, 0), 38).v as bigint) as pap_v,
+  RS_SummaryStatsAll(r, bq).cnt as ss_cnt,
+  cast(RS_SummaryStatsAll(r, bq).sum as bigint) as ss_sum,
+  round(RS_SummaryStatsAll(r, bq).mean, 6) as ss_mean,
+  round(RS_SummaryStatsAll(r, bq).stddev, 4) as ss_std,
+  cast(RS_SummaryStatsAll(r, bq).min as bigint) as ss_min,
+  cast(RS_SummaryStatsAll(r, bq).max as bigint) as ss_max,
+  RS_BandIsNoData(r, bq) as bnd,
+  round(RS_BandNoDataValue(r), 6) as ndv,
+  RS_Contains(r, ST_MakeEnvelope(
+      gulx + 0.25e0 * w * gsx, guly + 0.75e0 * h * gsy,
+      gulx + 0.75e0 * w * gsx, guly + 0.25e0 * h * gsy)) as rc_in,
+  RS_Contains(r, ST_MakeEnvelope(gulx - 3e0, guly - 3e0,
+                                 gulx + 3e0, guly + 3e0)) as rc_edge,
+  RS_Intersects(r, ST_MakeEnvelope(gulx - 3e0, guly - 3e0,
+                                   gulx + 3e0, guly + 3e0)) as ri_edge,
+  RS_Within(r, ST_MakeEnvelope(gulx - 100e0, guly + 100e0 * gsy - 100e0,
+                               gulx + 100e0 * gsx + 100e0, guly + 100e0))
+      as rw_big
+from r
+""")
+
+
+def _sql_api_rs_geo_sql() -> str:
+    pixv = _PIX.format(x="(i % 13)", y="(i % 11)")
+    pixv = pixv.replace("c.v * 7", "(i % 3) * 7")
+    va = _DECODED.format(v=f"({pixv})")
+    pap = _PIX.format(x="(37 % w)", y="(37 // w)")
+    pap = pap.replace("c.v * 7", "0 * 7")
+    papv = _DECODED.format(v=f"({pap})")
+    band = _PIX.format(x="x.v", y="y.v").replace("c.v * 7", "(i % 3) * 7")
+    dv = _DECODED.format(v=f"({band})")
+    mag_i = "sqrt(gsx * gsx + gky * gky)"
+    mag_j = "sqrt(gsy * gsy + gkx * gkx)"
+    theta_i = (f"(case when acos(gky / {mag_i}) < pi() / 2 "
+               f"then -acos(gsx / {mag_i}) else acos(gsx / {mag_i}) end)")
+    theta_ij = (f"(case when acos((-gky * gkx + gsx * gsy) "
+                f"/ ({mag_i} * {mag_j})) > pi() / 2 "
+                f"then -acos((gsx * gkx + gky * gsy) / ({mag_i} * {mag_j})) "
+                f"else acos((gsx * gkx + gky * gsy) "
+                f"/ ({mag_i} * {mag_j})) end)")
+    # E'' so DuckDB interprets the \n escapes (plain '' strings do not)
+    gref = "E'%f \\n%f \\n%f \\n%f \\n%f \\n%f'"
+    return f"""
+with img as ({_img_meta_sql()}),
+p as (select i, w, h, fmt,
+             cast(i % 7 as double) * 10 as gulx,
+             cast(i % 5 as double) * 10 + 100 as guly,
+             cast(i % 3 as double) + 1 as gsx,
+             -(cast(i % 4 as double) + 1) as gsy,
+             cast(i % 2 as double) as gkx,
+             cast((i + 1) % 2 as double) as gky
+      from img where i % 50 = 0),
+bandstats as (
+  select i,
+         count(*) as cnt, sum({dv}) as s,
+         sum(cast({dv} as double) * {dv}) as s2,
+         min({dv}) as mn, max({dv}) as mx,
+         min(case when {dv} <> 250 then x.v end) as live_c0,
+         max(case when {dv} <> 250 then x.v end) as live_c1,
+         min(case when {dv} <> 250 then y.v end) as live_r0,
+         max(case when {dv} <> 250 then y.v end) as live_r1
+  from img,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y
+  where i % 50 = 0
+  group by i)
+select p.i,
+  round(gulx, 6) as ulx_o,
+  round(guly, 6) as uly_o,
+  round(gsx, 6) as sx_o,
+  round(gsy, 6) as sy_o,
+  round(gkx, 6) as kx_o,
+  round(gky, 6) as ky_o,
+  3857 as srid_o,
+  printf({gref}, gsx, 0.0, 0.0, gsy, gulx, guly) as gref_gdal,
+  printf({gref}, gsx, 0.0, 0.0, gsy,
+         gulx + gsx / 2, guly + gsy / 2) as gref_esri,
+  round({mag_i}, 6) as gt_magi,
+  round({mag_j}, 6) as gt_magj,
+  round({theta_i}, 6) as gt_thetai,
+  round({theta_ij}, 6) as gt_thetaij,
+  round({theta_i}, 6) as rot_k,
+  round(gulx + (i % 5) * gsx, 6) as wx_o,
+  round(guly + (i % 7) * gsy, 6) as wy_o,
+  3 as wc_col,
+  4 as wc_row,
+  3 as wck_col,
+  4 as wck_row,
+  round(gulx + 1.5 * gsx, 6) as pcx,
+  round(guly + 2.5 * gsy, 6) as pcy,
+  round(gulx + 2 * gsx, 6) as ppx3,
+  round(guly + 3 * gsy, 6) as ppy3,
+  round(least(gulx, gulx + w * gsx), 6) as env_minx,
+  round(least(guly, guly + h * gsy), 6) as env_miny,
+  round(greatest(gulx, gulx + w * gsx), 6) as env_maxx,
+  round(greatest(guly, guly + h * gsy), 6) as env_maxy,
+  round(gulx + w * gsx + h * gkx, 6) as ch_x11,
+  round(guly + w * gky + h * gsy, 6) as ch_y11,
+  round(least(gulx + live_c0 * gsx, gulx + (live_c1 + 1) * gsx), 6)
+      as mch_minx,
+  round(least(guly + live_r0 * gsy, guly + (live_r1 + 1) * gsy), 6)
+      as mch_miny,
+  round(greatest(gulx + live_c0 * gsx, gulx + (live_c1 + 1) * gsx), 6)
+      as mch_maxx,
+  round(greatest(guly + live_r0 * gsy, guly + (live_r1 + 1) * gsy), 6)
+      as mch_maxy,
+  cast({va} as bigint) as va,
+  cast(37 % w + 1 as int) as pap_cx,
+  cast(37 // w + 1 as int) as pap_cy,
+  round(gulx + (37 % w) * gsx, 6) as pap_px,
+  round(guly + (37 // w) * gsy, 6) as pap_py,
+  cast({papv} as bigint) as pap_v,
+  cast(cnt as bigint) as ss_cnt,
+  cast(s as bigint) as ss_sum,
+  round(cast(s as double) / cnt, 6) as ss_mean,
+  round(sqrt(greatest(0.0, cast(s2 as double) / cnt
+             - (cast(s as double) / cnt) * (cast(s as double) / cnt))), 4)
+      as ss_std,
+  cast(mn as bigint) as ss_min,
+  cast(mx as bigint) as ss_max,
+  false as bnd,
+  round(250.0, 6) as ndv,
+  true as rc_in,
+  false as rc_edge,
+  true as ri_edge,
+  true as rw_big
+from p join bandstats using (i)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -3741,6 +4100,8 @@ _NEW_OR_CHANGED = {
     "sql_api_3",           # r5 batch 2: constructor/accessor/editor SQL tier
     "sql_api_4",           # r5 batch 2: predicate/relate/overlay SQL tier
     "sql_api_5",           # r5 batch 3: linework / M-coordinate SQL tier
+    "sql_api_rs_math",     # r5 batch 4: band-array map-algebra SQL tier
+    "sql_api_rs_geo",      # r5 batch 4: georeferenced-raster SQL tier
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -3832,6 +4193,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_3": q_sql_api_3,
         "sql_api_4": q_sql_api_4,
         "sql_api_5": q_sql_api_5,
+        "sql_api_rs_math": q_sql_api_rs_math,
+        "sql_api_rs_geo": q_sql_api_rs_geo,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -3964,6 +4327,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_3": _sql_api_3_sql(),
         "sql_api_4": _sql_api_4_sql(),
         "sql_api_5": _sql_api_5_sql(),
+        "sql_api_rs_math": _sql_api_rs_math_sql(),
+        "sql_api_rs_geo": _sql_api_rs_geo_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

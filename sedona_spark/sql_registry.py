@@ -763,6 +763,319 @@ def _sql_udfs() -> list[tuple[str, str, str, str]]:
     ]
 
 
+# Java Math.round(v) == floor(v + 0.5) for doubles — the 2-decimal rounding
+# convention several reference MapAlgebra ops bake into their results
+# (MapAlgebra.java:336-391). Spark's round() is HALF_UP (differs on negative
+# midpoints), so the mirror is written as an explicit floor.
+def _jround2(expr: str) -> str:
+    return f"floor(({expr}) * 100e0 + 0.5e0) / 100e0"
+
+
+def _rs_array_sql_udfs() -> list[tuple[str, str, str, str]]:
+    """The reference's band-ARRAY map-algebra tier (``MapAlgebra.java:288-
+    654``, registered at ``Catalog.scala`` RS_Add…RS_FetchRegion): every
+    function is pure element-wise/fold arithmetic on ``double[]`` bands, so
+    the SQL registration is a Catalyst-inlined lambda over ``ARRAY<DOUBLE>``
+    — whole-stage codegen, no Python, no shuffle. Semantics mirrored
+    op-for-op, including the quirks: RS_Subtract computes band2 − band1,
+    RS_Divide / RS_SquareRoot / RS_NormalizedDifference round to 2 decimals
+    with Java's floor(x·100+0.5)/100, RS_NormalizedDifference remaps 0 → −1
+    first, RS_Normalize maps a constant band to all-zeros, and RS_Mode
+    returns the band unchanged when every value is unique (ties broken by
+    the LARGEST value — deterministic where the reference's HashMap
+    iteration order is not)."""
+    freq = "size(filter(b, w -> w = v))"
+    maxfreq = f"array_max(transform(b, v -> {freq}))"
+    nd_x = "(case when x = 0e0 then -1e0 else x end)"
+    nd_y = "(case when y = 0e0 then -1e0 else y end)"
+    return [
+        ("RS_Add", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> x + y)"),
+        ("RS_Subtract", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> y - x)"),
+        ("RS_Multiply", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> x * y)"),
+        ("RS_Divide", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"zip_with(b1, b2, (x, y) -> {_jround2('x / y')})"),
+        ("RS_MultiplyFactor", "b ARRAY<DOUBLE>, f DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> v * f)"),
+        ("RS_Modulo", "b ARRAY<DOUBLE>, m DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> v % m)"),
+        ("RS_SquareRoot", "b ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"transform(b, v -> {_jround2('sqrt(v)')})"),
+        ("RS_BitwiseAnd", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> "
+         "cast(cast(x as int) & cast(y as int) as double))"),
+        ("RS_BitwiseOr", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> "
+         "cast(cast(x as int) | cast(y as int) as double))"),
+        ("RS_LogicalDifference", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> case when x <> y then x else 0e0 end)"),
+        ("RS_LogicalOver", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         "zip_with(b1, b2, (x, y) -> case when x <> 0e0 then x else y end)"),
+        ("RS_Normalize", "b ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         "case when array_max(b) = array_min(b) "
+         "then transform(b, v -> 0e0) "
+         "else transform(b, v -> (v - array_min(b)) * 255e0 "
+         "/ (array_max(b) - array_min(b))) end"),
+        # 0-denominator guard (x' = −y' after the 0→−1 remap, e.g. bands
+        # (0, 1)): the reference would Math.round(±Infinity) into a junk
+        # long (MapAlgebra.java:487-507); we define the result as 0 —
+        # deterministic and mirrored by the DuckDB oracle.
+        ("RS_NormalizedDifference", "b1 ARRAY<DOUBLE>, b2 ARRAY<DOUBLE>",
+         "ARRAY<DOUBLE>",
+         f"zip_with(b1, b2, (x, y) -> case when {nd_y} + {nd_x} = 0e0 "
+         f"then 0e0 else "
+         f"{_jround2(f'({nd_y} - {nd_x}) / ({nd_y} + {nd_x})')} end)"),
+        ("RS_Mean", "b ARRAY<DOUBLE>", "DOUBLE",
+         "aggregate(b, 0e0, (a, v) -> a + v) / size(b)"),
+        ("RS_Mode", "b ARRAY<DOUBLE>", "ARRAY<DOUBLE>",
+         f"case when {maxfreq} = 1 then b "
+         f"else array(array_max(filter(b, v -> {freq} = {maxfreq}))) end"),
+        ("RS_CountValue", "b ARRAY<DOUBLE>, t DOUBLE", "INT",
+         "size(filter(b, v -> v = t))"),
+        ("RS_GreaterThan", "b ARRAY<DOUBLE>, t DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> case when v > t then 1e0 else 0e0 end)"),
+        ("RS_GreaterThanEqual", "b ARRAY<DOUBLE>, t DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> case when v >= t then 1e0 else 0e0 end)"),
+        ("RS_LessThan", "b ARRAY<DOUBLE>, t DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> case when v < t then 1e0 else 0e0 end)"),
+        ("RS_LessThanEqual", "b ARRAY<DOUBLE>, t DOUBLE", "ARRAY<DOUBLE>",
+         "transform(b, v -> case when v <= t then 1e0 else 0e0 end)"),
+        # region fetch: coordinates = (minRow, minCol, maxRow, maxCol)
+        # inclusive, dim = (width, height) — row-major flatten, exactly
+        # MapAlgebra.fetchRegion's i*dim[0]+j walk
+        ("RS_FetchRegion",
+         "b ARRAY<DOUBLE>, coords ARRAY<INT>, dim ARRAY<INT>",
+         "ARRAY<DOUBLE>",
+         "flatten(transform("
+         "sequence(element_at(coords, 1), element_at(coords, 3)), i -> "
+         "transform(sequence(element_at(coords, 2), element_at(coords, 4)), "
+         "j -> element_at(b, i * element_at(dim, 1) + j + 1))))"),
+        ("RS_Array", "n INT, v DOUBLE", "ARRAY<DOUBLE>",
+         "array_repeat(v, n)"),
+    ]
+
+
+# --- georeferenced-raster SQL model ----------------------------------------
+# The reference raster type (GeoTools GridCoverage2D) carries a grid + an
+# affine georeference + SRID + per-band nodata. The engine's SQL model is an
+# explicit STRUCT over the same state — pixel payload in the engine codec's
+# BINARY, affine terms as plain DOUBLE fields — so every accessor/transform
+# below is pure Column arithmetic that Catalyst inlines (the reference routes
+# these through JAI/GeoTools objects; there is nothing grid-side to compute).
+# Conventions mirrored from the reference exactly:
+#   * grid coords are 1-based (colX, rowY), UPPER_LEFT anchored
+#     (RasterUtils.getWorldCornerCoordinates: Position2D(colX-1, rowY-1));
+#   * world→grid = inverse affine then floor then +1
+#     (RasterUtils.getGridCoordinatesFromWorld + RasterAccessors:211-242);
+#   * sx/sy = scaleX/scaleY, kx/ky = skewX/skewY (sy normally negative);
+#   * RS_GeoReference prints GDAL order (scaleX skewY skewX scaleY ulx uly,
+#     '%f \n'-joined) and ESRI shifts the anchor by half a pixel
+#     (RasterAccessors.getGeoReference:117-146);
+#   * RS_GeoTransform returns (|i|, |j|, thetaI, thetaIJ, offsetX, offsetY)
+#     with the same acos sign tests (RasterAccessors.getGeoTransform).
+_RST = (
+    "STRUCT<buf: BINARY, w: INT, h: INT, bands: INT, "
+    "ulx: DOUBLE, uly: DOUBLE, sx: DOUBLE, sy: DOUBLE, "
+    "kx: DOUBLE, ky: DOUBLE, srid: INT, nodata: DOUBLE>"
+)
+
+_RST_FIELDS = ("buf", "w", "h", "bands", "ulx", "uly",
+               "sx", "sy", "kx", "ky", "srid", "nodata")
+
+
+def _rst_with(**overrides: str) -> str:
+    """named_struct rebuilding raster ``r`` with some fields replaced."""
+    parts = []
+    for f in _RST_FIELDS:
+        parts.append(f"'{f}', {overrides.get(f, f'r.{f}')}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
+
+# forward affine (1-based grid corner → world)
+_WX = "(r.ulx + (cx - 1) * r.sx + (cy - 1) * r.kx)"
+_WY = "(r.uly + (cx - 1) * r.ky + (cy - 1) * r.sy)"
+# inverse affine (world → fractional 0-based grid)
+_DET = "(r.sx * r.sy - r.kx * r.ky)"
+_GI = f"((r.sy * (x - r.ulx) - r.kx * (y - r.uly)) / {_DET})"
+_GJ = f"((r.sx * (y - r.uly) - r.ky * (x - r.ulx)) / {_DET})"
+# raster corner coordinates (grid (0,0), (w,0), (w,h), (0,h))
+_CORNERS = {
+    "x00": "r.ulx", "y00": "r.uly",
+    "x10": "(r.ulx + r.w * r.sx)", "y10": "(r.uly + r.w * r.ky)",
+    "x11": "(r.ulx + r.w * r.sx + r.h * r.kx)",
+    "y11": "(r.uly + r.w * r.ky + r.h * r.sy)",
+    "x01": "(r.ulx + r.h * r.kx)", "y01": "(r.uly + r.h * r.sy)",
+}
+
+
+def _rs_geo_sql_udfs() -> list[tuple[str, str, str, str]]:
+    c = _CORNERS
+    xs = f"array({c['x00']}, {c['x10']}, {c['x11']}, {c['x01']})"
+    ys = f"array({c['y00']}, {c['y10']}, {c['y11']}, {c['y01']})"
+    env = (f"array(array_min({xs}), array_min({ys}), "
+           f"array_max({xs}), array_min({ys}), "
+           f"array_max({xs}), array_max({ys}), "
+           f"array_min({xs}), array_max({ys}))")
+    mag_i = "sqrt(r.sx * r.sx + r.ky * r.ky)"
+    mag_j = "sqrt(r.sy * r.sy + r.kx * r.kx)"
+    theta_i = (f"(case when acos(r.ky / {mag_i}) < pi() / 2 "
+               f"then -acos(r.sx / {mag_i}) "
+               f"else acos(r.sx / {mag_i}) end)")
+    theta_ij = (f"(case when acos((-r.ky * r.kx + r.sx * r.sy) "
+                f"/ ({mag_i} * {mag_j})) > pi() / 2 "
+                f"then -acos((r.sx * r.kx + r.ky * r.sy) "
+                f"/ ({mag_i} * {mag_j})) "
+                f"else acos((r.sx * r.kx + r.ky * r.sy) "
+                f"/ ({mag_i} * {mag_j})) end)")
+    # non-nodata pixel column/row index pools (nulls where nodata)
+    ba = "RS_BandAsArray(r.buf, band)"
+    live_c = (f"zip_with({ba}, sequence(1, r.w * r.h), (v, k) -> "
+              f"case when r.nodata is null or cast(v as double) <> r.nodata "
+              f"then cast((k - 1) % r.w as double) end)")
+    live_r = (f"zip_with({ba}, sequence(1, r.w * r.h), (v, k) -> "
+              f"case when r.nodata is null or cast(v as double) <> r.nodata "
+              f"then cast((k - 1) div r.w as double) end)")
+    mch = []
+    for lo_c, hi_c, lo_r, hi_r in [
+        (f"array_min({live_c})", f"array_max({live_c}) + 1",
+         f"array_min({live_r})", f"array_max({live_r}) + 1")
+    ]:
+        x0 = f"(r.ulx + ({lo_c}) * r.sx)"
+        x1 = f"(r.ulx + ({hi_c}) * r.sx)"
+        y0 = f"(r.uly + ({lo_r}) * r.sy)"
+        y1 = f"(r.uly + ({hi_r}) * r.sy)"
+        mch.append(
+            f"array(least({x0}, {x1}), least({y0}, {y1}), "
+            f"greatest({x0}, {x1}), least({y0}, {y1}), "
+            f"greatest({x0}, {x1}), greatest({y0}, {y1}), "
+            f"least({x0}, {x1}), greatest({y0}, {y1}))"
+        )
+    gref = "'%f \\n%f \\n%f \\n%f \\n%f \\n%f'"
+    return [
+        ("RS_MakeRasterMeta",
+         "buf BINARY, w INT, h INT, bands INT, "
+         "ulx DOUBLE, uly DOUBLE, cellsize DOUBLE", _RST,
+         "named_struct('buf', buf, 'w', w, 'h', h, 'bands', bands, "
+         "'ulx', ulx, 'uly', uly, 'sx', cellsize, 'sy', -cellsize, "
+         "'kx', 0e0, 'ky', 0e0, 'srid', 0, "
+         "'nodata', cast(null as double))"),
+        ("RS_UpperLeftX", f"r {_RST}", "DOUBLE", "r.ulx"),
+        ("RS_UpperLeftY", f"r {_RST}", "DOUBLE", "r.uly"),
+        ("RS_ScaleX", f"r {_RST}", "DOUBLE", "r.sx"),
+        ("RS_ScaleY", f"r {_RST}", "DOUBLE", "r.sy"),
+        ("RS_SkewX", f"r {_RST}", "DOUBLE", "r.kx"),
+        ("RS_SkewY", f"r {_RST}", "DOUBLE", "r.ky"),
+        ("RS_SRID", f"r {_RST}", "INT", "r.srid"),
+        ("RS_SetSRID", f"r {_RST}, srid INT", _RST, _rst_with(srid="srid")),
+        ("RS_SetGeoReference",
+         f"r {_RST}, ulx DOUBLE, uly DOUBLE, sx DOUBLE, sy DOUBLE, "
+         "kx DOUBLE, ky DOUBLE", _RST,
+         _rst_with(ulx="ulx", uly="uly", sx="sx", sy="sy",
+                   kx="kx", ky="ky")),
+        ("RS_BandNoDataValue", f"r {_RST}", "DOUBLE", "r.nodata"),
+        ("RS_SetBandNoDataValue", f"r {_RST}, v DOUBLE", _RST,
+         _rst_with(nodata="v")),
+        ("RS_BandIsNoData", f"r {_RST}, band INT", "BOOLEAN",
+         "r.nodata is not null and forall(RS_BandAsArray(r.buf, band), "
+         "v -> cast(v as double) = r.nodata)"),
+        ("RS_GeoReference", f"r {_RST}, fmt STRING", "STRING",
+         f"case when upper(fmt) = 'ESRI' then format_string({gref}, "
+         "r.sx, r.ky, r.kx, r.sy, r.ulx + r.sx / 2, r.uly + r.sy / 2) "
+         f"else format_string({gref}, "
+         "r.sx, r.ky, r.kx, r.sy, r.ulx, r.uly) end"),
+        ("RS_GeoTransform", f"r {_RST}", "ARRAY<DOUBLE>",
+         f"array({mag_i}, {mag_j}, {theta_i}, {theta_ij}, r.ulx, r.uly)"),
+        ("RS_Rotation", f"r {_RST}", "DOUBLE",
+         "element_at(RS_GeoTransform(r), 3)"),
+        ("RS_RasterToWorldCoordX", f"r {_RST}, cx INT, cy INT", "DOUBLE",
+         _WX),
+        ("RS_RasterToWorldCoordY", f"r {_RST}, cx INT, cy INT", "DOUBLE",
+         _WY),
+        ("RS_RasterToWorldCoord", f"r {_RST}, cx INT, cy INT",
+         "ARRAY<DOUBLE>", f"array({_WX}, {_WY})"),
+        ("RS_WorldToRasterCoordX", f"r {_RST}, x DOUBLE, y DOUBLE", "INT",
+         f"cast(floor({_GI}) as int) + 1"),
+        ("RS_WorldToRasterCoordY", f"r {_RST}, x DOUBLE, y DOUBLE", "INT",
+         f"cast(floor({_GJ}) as int) + 1"),
+        ("RS_WorldToRasterCoord", f"r {_RST}, x DOUBLE, y DOUBLE",
+         "ARRAY<DOUBLE>",
+         f"array(cast(cast(floor({_GI}) as int) + 1 as double), "
+         f"cast(cast(floor({_GJ}) as int) + 1 as double))"),
+        ("RS_PixelAsPoint", f"r {_RST}, cx INT, cy INT", "ARRAY<DOUBLE>",
+         f"array({_WX}, {_WY})"),
+        ("RS_PixelAsCentroid", f"r {_RST}, cx INT, cy INT",
+         "ARRAY<DOUBLE>",
+         "array(r.ulx + (cx - 5e-1) * r.sx + (cy - 5e-1) * r.kx, "
+         "r.uly + (cx - 5e-1) * r.ky + (cy - 5e-1) * r.sy)"),
+        ("RS_PixelAsPolygon", f"r {_RST}, cx INT, cy INT",
+         "ARRAY<DOUBLE>",
+         f"array({_WX}, {_WY}, "
+         f"{_WX.replace('cx - 1', 'cx')}, {_WY.replace('cx - 1', 'cx')}, "
+         + _WX.replace("cx - 1", "cx").replace("cy - 1", "cy") + ", "
+         + _WY.replace("cx - 1", "cx").replace("cy - 1", "cy") + ", "
+         f"{_WX.replace('cy - 1', 'cy')}, {_WY.replace('cy - 1', 'cy')})"),
+        ("RS_PixelAsPoints", f"r {_RST}, band INT",
+         "ARRAY<STRUCT<cx: INT, cy: INT, px: DOUBLE, py: DOUBLE, "
+         "v: DOUBLE>>",
+         "zip_with(RS_BandAsArray(r.buf, band), sequence(1, r.w * r.h), "
+         "(v, k) -> named_struct("
+         "'cx', cast((k - 1) % r.w + 1 as int), "
+         "'cy', cast((k - 1) div r.w + 1 as int), "
+         "'px', r.ulx + ((k - 1) % r.w) * r.sx + ((k - 1) div r.w) * r.kx, "
+         "'py', r.uly + ((k - 1) % r.w) * r.ky + ((k - 1) div r.w) * r.sy, "
+         "'v', cast(v as double)))"),
+        ("RS_Envelope", f"r {_RST}", "ARRAY<DOUBLE>", env),
+        ("RS_ConvexHull", f"r {_RST}", "ARRAY<DOUBLE>",
+         f"array({c['x00']}, {c['y00']}, {c['x10']}, {c['y10']}, "
+         f"{c['x11']}, {c['y11']}, {c['x01']}, {c['y01']})"),
+        # axis-aligned (north-up) non-nodata envelope; skewed rasters keep
+        # the reference's envelope-of-region semantics only when kx=ky=0
+        ("RS_MinConvexHull", f"r {_RST}, band INT", "ARRAY<DOUBLE>",
+         mch[0]),
+        ("RS_ValueAt", f"r {_RST}, x DOUBLE, y DOUBLE, band INT", "DOUBLE",
+         "cast(element_at(RS_BandAsArray(r.buf, band), "
+         f"cast(floor({_GJ}) as int) * r.w + cast(floor({_GI}) as int) + 1) "
+         "as double)"),
+        # raster-envelope × polygon-ring predicates (the reference converts
+        # the raster to its envelope geometry first: RasterPredicates.java)
+        ("RS_Intersects", f"r {_RST}, g ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_IntersectsPolygons(RS_ConvexHull(r), g)"),
+        ("RS_Contains", f"r {_RST}, g ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_RelateFlags(RS_ConvexHull(r), g).b_in_a "
+         "and ST_RelateFlags(RS_ConvexHull(r), g).ii"),
+        ("RS_Within", f"r {_RST}, g ARRAY<DOUBLE>", "BOOLEAN",
+         "ST_RelateFlags(RS_ConvexHull(r), g).a_in_b "
+         "and ST_RelateFlags(RS_ConvexHull(r), g).ii"),
+        ("RS_SummaryStatsAll", f"r {_RST}, band INT",
+         "STRUCT<cnt: BIGINT, sum: DOUBLE, mean: DOUBLE, stddev: DOUBLE, "
+         "min: DOUBLE, max: DOUBLE>",
+         "named_struct("
+         "'cnt', cast(size(RS_BandAsArray(r.buf, band)) as bigint), "
+         "'sum', aggregate(RS_BandAsArray(r.buf, band), 0e0, "
+         "(a, v) -> a + v), "
+         "'mean', aggregate(RS_BandAsArray(r.buf, band), 0e0, "
+         "(a, v) -> a + v) / size(RS_BandAsArray(r.buf, band)), "
+         "'stddev', sqrt(greatest(0e0, "
+         "aggregate(RS_BandAsArray(r.buf, band), 0e0, "
+         "(a, v) -> a + cast(v as double) * v) "
+         "/ size(RS_BandAsArray(r.buf, band)) "
+         "- pow(aggregate(RS_BandAsArray(r.buf, band), 0e0, "
+         "(a, v) -> a + v) / size(RS_BandAsArray(r.buf, band)), 2))), "
+         "'min', cast(array_min(RS_BandAsArray(r.buf, band)) as double), "
+         "'max', cast(array_max(RS_BandAsArray(r.buf, band)) as double))"),
+        ("RS_AsBase64", "buf BINARY", "STRING", "base64(buf)"),
+        ("RS_AsImage", "buf BINARY, wpx INT", "STRING",
+         "format_string('<img src=\"data:image/fpng;base64,%s\" "
+         "width=\"%d\" />', base64(buf), wpx)"),
+    ]
+
+
 def register(spark: SparkSession, force: bool = False) -> None:
     """Install the ST_ SQL catalog on a session (idempotent; temporary
     functions, session-scoped — same lifetime as the reference's
@@ -893,7 +1206,9 @@ def register(spark: SparkSession, force: bool = False) -> None:
          "'min', array_min(RS_BandAsArray(r, band)), "
          "'max', array_max(RS_BandAsArray(r, band)))"),
     ]
-    for name, params, ret, body in _sql_udfs() + rs_sugar:
+    for name, params, ret, body in (_sql_udfs() + rs_sugar
+                                    + _rs_array_sql_udfs()
+                                    + _rs_geo_sql_udfs()):
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"

@@ -203,3 +203,122 @@ def test_sql_rs_value_and_azimuth(reg):
     assert abs(az["a"] - math.pi / 4) < 1e-12
     assert abs(az["s"] - math.pi) < 1e-12
     assert abs(az["w"] - 3 * math.pi / 2) < 1e-12
+
+
+def test_sql_rs_band_array_map_algebra(reg):
+    """The MapAlgebra array tier mirrors the reference's Java semantics
+    (MapAlgebra.java:288-654): reversed subtract, floor(x*100+0.5)/100
+    rounding, 0->-1 remap + 0-denominator guard in NormalizedDifference,
+    constant->zeros Normalize, unique->unchanged Mode (largest-value
+    tie-break), and fetchRegion's row-major i*dim[0]+j walk."""
+    spark = reg
+    r = spark.sql(
+        "select RS_Add(array(1e0,2e0), array(3e0,4e0)) a, "
+        "RS_Subtract(array(1e0,2e0), array(3e0,5e0)) s, "
+        "RS_Divide(array(1e0,2e0), array(3e0,7e0)) d, "
+        "RS_SquareRoot(array(2e0,9e0)) sq, "
+        "RS_BitwiseAnd(array(6e0,5e0), array(3e0,3e0)) ba, "
+        "RS_BitwiseOr(array(6e0,5e0), array(3e0,3e0)) bo, "
+        "RS_Normalize(array(10e0,20e0,30e0)) nz, "
+        "RS_Normalize(array(5e0,5e0)) nzc, "
+        "RS_NormalizedDifference(array(0e0,2e0), array(4e0,6e0)) nd, "
+        "RS_NormalizedDifference(array(0e0), array(1e0)) ndz, "
+        "RS_Mean(array(1e0,2e0,4e0)) mn, "
+        "RS_Mode(array(1e0,2e0,2e0,3e0)) md, "
+        "RS_Mode(array(1e0,2e0,3e0)) mdu, "
+        "RS_Mode(array(1e0,1e0,3e0,3e0)) mdt, "
+        "RS_CountValue(array(1e0,2e0,2e0), 2e0) cv, "
+        "RS_GreaterThan(array(1e0,5e0), 2e0) gt, "
+        "RS_LessThanEqual(array(1e0,5e0), 1e0) le, "
+        "RS_FetchRegion(array(0e0,1e0,2e0,3e0,4e0,5e0), "
+        "  array(0,1,1,2), array(3,2)) fr, "
+        "RS_Array(3, 7e0) ar, "
+        "RS_LogicalDifference(array(1e0,2e0), array(1e0,5e0)) ld, "
+        "RS_LogicalOver(array(0e0,2e0), array(9e0,8e0)) lo, "
+        "RS_Modulo(array(7e0,-7e0), 3e0) mo, "
+        "RS_MultiplyFactor(array(2e0,3e0), 2.5e0) mf"
+    ).collect()[0]
+    assert r["a"] == [4.0, 6.0]
+    assert r["s"] == [2.0, 3.0]          # band2 - band1
+    assert r["d"] == [0.33, 0.29]        # 2-decimal Java rounding
+    assert r["sq"] == [1.41, 3.0]
+    assert r["ba"] == [2.0, 1.0] and r["bo"] == [7.0, 7.0]
+    assert r["nz"] == [0.0, 127.5, 255.0]
+    assert r["nzc"] == [0.0, 0.0]        # constant band -> zeros
+    assert r["nd"] == [1.67, 0.5]        # 0 remapped to -1 first
+    assert r["ndz"] == [0.0]             # guarded 0 denominator
+    assert abs(r["mn"] - 7.0 / 3) < 1e-12
+    assert r["md"] == [2.0]
+    assert r["mdu"] == [1.0, 2.0, 3.0]   # all unique -> unchanged
+    assert r["mdt"] == [3.0]             # tie -> largest value
+    assert r["cv"] == 2
+    assert r["gt"] == [0.0, 1.0] and r["le"] == [1.0, 0.0]
+    assert r["fr"] == [1.0, 2.0, 4.0, 5.0]
+    assert r["ar"] == [7.0, 7.0, 7.0]
+    assert r["ld"] == [0.0, 2.0]
+    assert r["lo"] == [9.0, 2.0]
+    assert r["mo"] == [1.0, -1.0]        # Java % keeps dividend sign
+    assert r["mf"] == [5.0, 7.5]
+
+
+def test_sql_rs_georeferenced_raster_struct(reg):
+    """The georef STRUCT raster tier mirrors RasterAccessors.java: 1-based
+    UPPER_LEFT-anchored grid<->world affine, GDAL/ESRI georeference
+    strings, geotransform magnitudes/angles with the reference's acos sign
+    tests, pixel geometry, nodata-aware MinConvexHull, and the
+    envelope-based raster predicates (RasterPredicates.java)."""
+    import numpy as np
+
+    from sedona_spark.sources.images import encode_image
+
+    spark = reg
+    arr = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)  # w=4, h=3
+    df = spark.createDataFrame([(encode_image(arr, "fpng"),)], "buf binary")
+    df.createOrReplaceTempView("rst_t")
+    r = spark.sql("""
+with r as (select RS_SetGeoReference(
+             RS_SetSRID(RS_MakeRasterMeta(buf, 4, 3, 3, 0e0, 0e0, 1e0),
+                        4326),
+             10e0, 20e0, 2e0, -2e0, 0e0, 0e0) as r from rst_t)
+select RS_UpperLeftX(r) ulx, RS_ScaleY(r) sy, RS_SRID(r) srid,
+       RS_GeoReference(r, 'GDAL') gd, RS_GeoReference(r, 'ESRI') es,
+       RS_GeoTransform(r) gt, RS_Rotation(r) rot,
+       RS_RasterToWorldCoordX(r, 2, 3) wx,
+       RS_RasterToWorldCoordY(r, 2, 3) wy,
+       RS_WorldToRasterCoord(r, 13e0, 15e0) gc,
+       RS_PixelAsCentroid(r, 1, 1) pc,
+       RS_PixelAsPolygon(r, 2, 2) pp,
+       RS_Envelope(r) env, RS_ConvexHull(r) ch,
+       element_at(RS_PixelAsPoints(r, 0), 3) p3,
+       RS_ValueAt(r, 13e0, 15e0, 0) va,
+       RS_SummaryStatsAll(r, 0) ss,
+       RS_BandIsNoData(RS_SetBandNoDataValue(r, 0e0), 0) bnd_f,
+       RS_Intersects(r, array(12e0,12e0, 30e0,12e0, 30e0,19e0, 12e0,19e0))
+           ri,
+       RS_Contains(r, array(11e0,15e0, 13e0,15e0, 13e0,17e0, 11e0,17e0))
+           rc,
+       RS_Contains(r, array(5e0,15e0, 13e0,15e0, 13e0,17e0, 5e0,17e0))
+           rc_out,
+       RS_Within(r, array(0e0,0e0, 99e0,0e0, 99e0,99e0, 0e0,99e0)) rw
+from r
+""").collect()[0]
+    assert r["ulx"] == 10.0 and r["sy"] == -2.0 and r["srid"] == 4326
+    assert r["gd"].split(" \n") == [
+        "2.000000", "0.000000", "0.000000", "-2.000000", "10.000000",
+        "20.000000"]
+    assert r["es"].split(" \n")[4:] == ["11.000000", "19.000000"]
+    assert r["gt"][:2] == [2.0, 2.0] and r["gt"][4:] == [10.0, 20.0]
+    assert r["rot"] == 0.0
+    assert abs(r["gt"][3] + 1.5707963267948966) < 1e-12  # north-up: -pi/2
+    assert (r["wx"], r["wy"]) == (12.0, 16.0)  # 1-based corner anchor
+    assert r["gc"] == [2.0, 3.0]               # floor + 1
+    assert r["pc"] == [11.0, 19.0]
+    assert r["pp"] == [12.0, 18.0, 14.0, 18.0, 14.0, 16.0, 12.0, 16.0]
+    assert r["env"] == [10.0, 14.0, 18.0, 14.0, 18.0, 20.0, 10.0, 20.0]
+    assert r["ch"][:4] == [10.0, 20.0, 18.0, 20.0]
+    assert (r["p3"]["cx"], r["p3"]["cy"], r["p3"]["v"]) == (3, 1, 6.0)
+    assert r["va"] == 27.0                     # arr[2, 1, 0]
+    assert r["ss"]["cnt"] == 12 and r["ss"]["sum"] == 198.0
+    assert abs(r["ss"]["stddev"] - 3 * np.arange(12).std()) < 1e-9
+    assert r["bnd_f"] is False                 # band has non-nodata pixels
+    assert r["ri"] and r["rc"] and r["rw"] and not r["rc_out"]
