@@ -4083,6 +4083,148 @@ from p join bandstats using (i)
 """
 
 
+def q_sql_api_rs_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster constructor / band-editor / IO SQL tier (r5c): the
+    reference's RasterConstructors / RasterBandEditors /
+    PixelFunctionEditors / RasterOutputs families re-expressed as SQL
+    sugar over four tiny Arrow-batched codec primitives
+    (``sql_registry._rs_io_sql_udfs``). Exercises RS_MakeEmptyRaster
+    (zero-filled), RS_MakeRaster (georef copied, values uint8-clipped),
+    RS_SetValue/RS_SetValues (1-based window burn), RS_AddBandFromArray /
+    RS_AddBand / RS_Band (band append/copy/select), RS_AsMatrix,
+    RS_AsArcGrid → RS_FromArcInfoAsciiGrid (public ESRI ASCII grid text,
+    full round trip incl. the lower-left → upper-left anchor flip), and
+    the plural pixel generators. Every raster is built from a per-nation
+    integer formula, so the DuckDB twin re-derives all sums, strings and
+    georeferences with its own list lambdas — including the clip
+    semantics (least/greatest at the uint8 bounds)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+p as (select n_nationkey as n,
+             cast(n_nationkey % 5 + 2 as int) as w,
+             cast(n_nationkey % 3 + 2 as int) as h,
+             cast(n_nationkey % 3 + 1 as double) as cs
+      from z),
+b as (select p.*,
+             RS_MakeEmptyRaster(1, w, h, n * 1.5e0, n * 2.5e0, cs) as e,
+             transform(sequence(0, w * h - 1),
+                 i -> cast((n * 7 + i * 11) % 260 as double)) as vals,
+             transform(sequence(0, w * h - 1),
+                 i -> cast((i * 13) % 300 - 20 as double)) as vals2
+      from p),
+x as (select b.*,
+             RS_MakeRaster(e, vals) as rm,
+             RS_AddBandFromArray(RS_MakeRaster(e, vals), vals2) as mb
+      from b)
+select n,
+  aggregate(RS_BandAsArray(e.buf, 0), 0, (a, v) -> a + v) as empty_sum,
+  e.bands as e_nb,
+  round(e.sy, 6) as e_sy,
+  aggregate(RS_BandAsArray(rm.buf, 0), 0, (a, v) -> a + v) as rm_sum,
+  aggregate(RS_BandAsArray(
+      RS_SetValues(rm, 0, 1, 1, 2, 2, 9e0).buf, 0), 0,
+      (a, v) -> a + v) as sv2_sum,
+  aggregate(RS_BandAsArray(
+      RS_SetValue(rm, 0, w, h, 5e0).buf, 0), 0,
+      (a, v) -> a + v) as sv1_sum,
+  mb.bands as mb_nb,
+  aggregate(RS_BandAsArray(mb.buf, 1), 0, (a, v) -> a + v) as ab_sum,
+  RS_AddBand(rm, mb, 2).bands as adb_nb,
+  aggregate(RS_BandAsArray(RS_AddBand(rm, mb, 2).buf, 1), 0,
+      (a, v) -> a + v) as adb_sum,
+  aggregate(RS_BandAsArray(RS_Band(mb.buf, array(2)), 0), 0,
+      (a, v) -> a + v) as selb_sum,
+  RS_Metadata(RS_Band(mb.buf, array(2, 1))).bands as selb_nb,
+  RS_AsMatrix(rm, 0) as mat,
+  RS_AsArcGrid(rm, 0) as arc,
+  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).ulx, 6) as rt_ulx,
+  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).uly, 6) as rt_uly,
+  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).sy, 6) as rt_sy,
+  RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).w as rt_w,
+  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).nodata, 6) as rt_nd,
+  aggregate(RS_BandAsArray(
+      RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).buf, 0), 0,
+      (a, v) -> a + v) as rt_sum,
+  RS_BandPixelType(e, 0) as bpt,
+  round(element_at(RS_PixelAsCentroids(e, 0), 2).px, 6) as pac_px,
+  round(element_at(RS_PixelAsCentroids(e, 0), 2).py, 6) as pac_py,
+  round(element_at(element_at(RS_PixelAsPolygons(e, 0), 1).ring, 3), 6)
+      as pap_x2
+from x
+""")
+
+
+def _sql_api_rs_io_sql() -> str:
+    v = "least((n * 7 + i * 11) % 260, 255)"
+    v2 = "least(greatest((i * 13) % 300 - 20, 0), 255)"
+    vsum = f"list_aggregate(list_transform(range(0, w * h), i -> {v}), 'sum')"
+    v2sum = (f"list_aggregate(list_transform(range(0, w * h), i -> {v2}), "
+             "'sum')")
+    vk = "least((n * 7 + {k} * 11) % 260, 255)"
+    # matrix pieces in list order mirror the Spark aggregate fold
+    mat = (
+        "list_aggregate(list_transform(range(0, w * h), k -> "
+        "concat(case when k % w = 0 then '|' else '' end, "
+        f"printf(' %d ', {vk.format(k='k')}), "
+        "case when (k + 1) % w = 0 then '|' || chr(10) else '' end)), "
+        "'string_agg', '')"
+    )
+    arc_rows = (
+        "list_aggregate(list_transform(range(0, h), r -> "
+        "list_aggregate(list_transform(range(0, w), c -> "
+        f"cast({vk.format(k='(r * w + c)')} as varchar)), "
+        "'string_agg', ' ')), 'string_agg', chr(10))"
+    )
+    arc = (
+        "printf('ncols %d', w) || chr(10) || printf('nrows %d', h) || "
+        "chr(10) || printf('xllcorner %g', n * 1.5) || chr(10) || "
+        "printf('yllcorner %g', n * 2.5 - h * cs) || chr(10) || "
+        "printf('cellsize %g', cs) || chr(10) || 'NODATA_value -9999' || "
+        f"chr(10) || {arc_rows} || chr(10)"
+    )
+    return f"""
+with z as ({SQL_ZONES}),
+p as (select n_nationkey as n,
+             n_nationkey % 5 + 2 as w,
+             n_nationkey % 3 + 2 as h,
+             cast(n_nationkey % 3 + 1 as double) as cs
+      from z)
+select n,
+  0 as empty_sum,
+  1 as e_nb,
+  round(-cs, 6) as e_sy,
+  {vsum} as rm_sum,
+  {vsum} + 4 * 9 - ({vk.format(k='0')} + {vk.format(k='1')}
+      + {vk.format(k='w')} + {vk.format(k='(w + 1)')}) as sv2_sum,
+  {vsum} + 5 - {vk.format(k='(w * h - 1)')} as sv1_sum,
+  2 as mb_nb,
+  {v2sum} as ab_sum,
+  2 as adb_nb,
+  {v2sum} as adb_sum,
+  {v2sum} as selb_sum,
+  2 as selb_nb,
+  {mat} as mat,
+  {arc} as arc,
+  round(n * 1.5, 6) as rt_ulx,
+  round(n * 2.5, 6) as rt_uly,
+  round(-cs, 6) as rt_sy,
+  cast(w as int) as rt_w,
+  round(-9999.0, 6) as rt_nd,
+  {vsum} as rt_sum,
+  'UNSIGNED_8BITS' as bpt,
+  round(n * 1.5 + 1.5 * cs, 6) as pac_px,
+  round(n * 2.5 - 0.5 * cs, 6) as pac_py,
+  round(n * 1.5 + cs, 6) as pap_x2
+from p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4102,6 +4244,7 @@ _NEW_OR_CHANGED = {
     "sql_api_5",           # r5 batch 3: linework / M-coordinate SQL tier
     "sql_api_rs_math",     # r5 batch 4: band-array map-algebra SQL tier
     "sql_api_rs_geo",      # r5 batch 4: georeferenced-raster SQL tier
+    "sql_api_rs_io",       # r5 batch 4: raster constructor/editor/IO tier
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4195,6 +4338,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_5": q_sql_api_5,
         "sql_api_rs_math": q_sql_api_rs_math,
         "sql_api_rs_geo": q_sql_api_rs_geo,
+        "sql_api_rs_io": q_sql_api_rs_io,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4329,6 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_5": _sql_api_5_sql(),
         "sql_api_rs_math": _sql_api_rs_math_sql(),
         "sql_api_rs_geo": _sql_api_rs_geo_sql(),
+        "sql_api_rs_io": _sql_api_rs_io_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -984,3 +984,170 @@ def rs_build_pyramid(
             )
 
     return cols.mapInPandas(gen, schema=_PYRAMID_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Raster constructor / band-editor scalar tier (r5c) — the pandas-UDF
+# primitives under the SQL catalog's RS_MakeEmptyRaster / RS_MakeRaster /
+# RS_Band / RS_AddBand(FromArray) / RS_SetValue(s) / RS_AsArcGrid /
+# RS_FromArcInfoAsciiGrid registrations (reference:
+# RasterConstructors.java, RasterBandEditors.java, PixelFunctionEditors.java,
+# RasterOutputs.java). Pixel payloads stay in the engine codec (uint8,
+# band-interleaved); multi-band value arrays are BAND-MAJOR (band, row,
+# col), matching the reference's one-band-at-a-time double[] convention.
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(BinaryType())
+def _make_raster_from_array_udf(
+    vals: pd.Series, w: pd.Series, h: pd.Series, bands: pd.Series
+) -> pd.Series:
+    """ARRAY<DOUBLE> (band-major, length w*h*bands) -> encoded raster.
+    Values are clipped to the codec's uint8 range like the reference
+    clamps to the band data type."""
+    out = []
+    for v, ww, hh, bb in zip(vals, w, h, bands):
+        ww, hh, bb = int(ww), int(hh), int(bb)
+        a = np.clip(np.asarray(v, dtype=np.float64), 0, 255)
+        a = a.reshape(bb, hh, ww).transpose(1, 2, 0)
+        out.append(encode_image(np.ascontiguousarray(a.astype(np.uint8)),
+                                "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _select_bands_udf(buf: pd.Series, bands: pd.Series) -> pd.Series:
+    """RS_Band: new raster keeping the given bands (1-based, re-orderable,
+    repeatable — RasterBandEditors.java RS_Band)."""
+    out = []
+    for b, sel in zip(buf, bands):
+        arr, _ = decode_image(bytes(b))
+        idx = [int(s) - 1 for s in sel]
+        out.append(encode_image(np.ascontiguousarray(arr[:, :, idx]),
+                                "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _add_band_from_array_udf(buf: pd.Series, vals: pd.Series) -> pd.Series:
+    """RS_AddBandFromArray: append one band (row-major double[], clipped
+    to uint8) to the raster."""
+    out = []
+    for b, v in zip(buf, vals):
+        arr, _ = decode_image(bytes(b))
+        h, w = arr.shape[:2]
+        band = np.clip(np.asarray(v, dtype=np.float64), 0, 255)
+        band = band.reshape(h, w, 1).astype(np.uint8)
+        out.append(encode_image(
+            np.ascontiguousarray(np.concatenate([arr, band], axis=2)),
+            "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _append_band_udf(
+    buf1: pd.Series, buf2: pd.Series, band: pd.Series
+) -> pd.Series:
+    """RS_AddBand(r1, r2, band): copy band (1-based) of r2 onto r1
+    (same w×h — RasterBandEditors.java RS_AddBand)."""
+    out = []
+    for b1, b2, bi in zip(buf1, buf2, band):
+        a1, _ = decode_image(bytes(b1))
+        a2, _ = decode_image(bytes(b2))
+        band_px = a2[:, :, int(bi) - 1:int(bi)]
+        out.append(encode_image(
+            np.ascontiguousarray(np.concatenate([a1, band_px], axis=2)),
+            "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _set_values_region_udf(
+    buf: pd.Series, band: pd.Series, x0: pd.Series, y0: pd.Series,
+    w: pd.Series, h: pd.Series, v: pd.Series
+) -> pd.Series:
+    """RS_SetValues: burn value v into the 1-based [x0, x0+w)×[y0, y0+h)
+    window of band (clipped to the raster — PixelFunctionEditors.java)."""
+    out = []
+    for b, bi, xx, yy, ww, hh, vv in zip(buf, band, x0, y0, w, h, v):
+        arr, _ = decode_image(bytes(b))
+        t = arr.copy()
+        xx, yy = int(xx) - 1, int(yy) - 1
+        t[yy:yy + int(hh), xx:xx + int(ww), int(bi)] = np.uint8(
+            np.clip(float(vv), 0, 255))
+        out.append(encode_image(t, "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def _as_arc_grid_udf(
+    buf: pd.Series, band: pd.Series, xll: pd.Series, yll: pd.Series,
+    cellsize: pd.Series, nodata: pd.Series
+) -> pd.Series:
+    """RS_AsArcGrid: one band as the public ESRI ArcInfo ASCII grid text
+    (RasterOutputs.java asArcGrid; format spec is public GDAL/ESRI)."""
+    out = []
+    for b, bi, x, y, cs, nd in zip(buf, band, xll, yll, cellsize, nodata):
+        arr, _ = decode_image(bytes(b))
+        g = arr[:, :, int(bi)]
+        head = (
+            f"ncols {g.shape[1]}\n"
+            f"nrows {g.shape[0]}\n"
+            f"xllcorner {float(x):g}\n"
+            f"yllcorner {float(y):g}\n"
+            f"cellsize {float(cs):g}\n"
+            f"NODATA_value {-9999 if nd is None or pd.isna(nd) else int(nd)}\n"
+        )
+        rows = "\n".join(" ".join(str(int(p)) for p in row) for row in g)
+        out.append(head + rows + "\n")
+    return pd.Series(out)
+
+
+# full georeferenced-raster struct shape (field-for-field the SQL model
+# in sql_registry._RST) so the parse registers directly as
+# RS_FromArcInfoAsciiGrid with no re-invoking sugar
+_ARC_SCHEMA = StructType([
+    StructField("buf", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("bands", IntegerType()),
+    StructField("ulx", DoubleType()),
+    StructField("uly", DoubleType()),
+    StructField("sx", DoubleType()),
+    StructField("sy", DoubleType()),
+    StructField("kx", DoubleType()),
+    StructField("ky", DoubleType()),
+    StructField("srid", IntegerType()),
+    StructField("nodata", DoubleType()),
+])
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_arc_grid_udf(txt: pd.Series) -> pd.DataFrame:
+    """RS_FromArcInfoAsciiGrid: parse the public ESRI ASCII grid text into
+    a single-band engine raster struct (RasterConstructors.java
+    fromArcInfoAsciiGrid). xllcorner/yllcorner anchor the LOWER-left, so
+    uly = yll + nrows*cellsize and sy = -cellsize (north-up)."""
+    recs = []
+    for t in txt:
+        toks = str(t).split()
+        hdr: dict[str, float] = {}
+        i = 0
+        while i + 1 < len(toks) and toks[i].lower() in (
+            "ncols", "nrows", "xllcorner", "yllcorner", "cellsize",
+            "nodata_value",
+        ):
+            hdr[toks[i].lower()] = float(toks[i + 1])
+            i += 2
+        w, h = int(hdr["ncols"]), int(hdr["nrows"])
+        vals = np.array(toks[i:i + w * h], dtype=np.float64)
+        arr = np.clip(vals, 0, 255).reshape(h, w, 1).astype(np.uint8)
+        cs = hdr.get("cellsize", 1.0)
+        recs.append((
+            encode_image(arr, "fpng"), w, h, 1,
+            hdr.get("xllcorner", 0.0),
+            hdr.get("yllcorner", 0.0) + h * cs,
+            cs, -cs, 0.0, 0.0, 0, hdr.get("nodata_value"),
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])

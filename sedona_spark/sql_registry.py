@@ -1076,6 +1076,90 @@ def _rs_geo_sql_udfs() -> list[tuple[str, str, str, str]]:
     ]
 
 
+def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
+    """Raster constructor / band-editor / IO sugar over the pandas-UDF
+    primitives in ``functions/raster.py`` (reference:
+    RasterConstructors.java, RasterBandEditors.java,
+    PixelFunctionEditors.java, RasterOutputs.java). External binary
+    formats (GeoTIFF/NetCDF/PNG) remain the documented codec seam in
+    ``sources/images.py`` and are deliberately NOT registered."""
+    matrix = (
+        "aggregate(zip_with(RS_BandAsArray(r.buf, band), "
+        "sequence(1, r.w * r.h), (v, k) -> named_struct('v', v, 'k', k)), "
+        "'', (acc, s) -> concat(acc, "
+        "case when (s.k - 1) % r.w = 0 then '|' else '' end, "
+        "format_string(' %d ', s.v), "
+        "case when s.k % r.w = 0 then '|\\n' else '' end))"
+    )
+    return [
+        ("RS_MakeEmptyRaster",
+         "nb INT, w INT, h INT, ulx DOUBLE, uly DOUBLE, cs DOUBLE", _RST,
+         "named_struct('buf', "
+         "RS_MakeRasterFromArray(RS_Array(w * h * nb, 0e0), w, h, nb), "
+         "'w', w, 'h', h, 'bands', nb, 'ulx', ulx, 'uly', uly, "
+         "'sx', cs, 'sy', -cs, 'kx', 0e0, 'ky', 0e0, 'srid', 0, "
+         "'nodata', cast(null as double))"),
+        ("RS_MakeRaster", f"r {_RST}, vals ARRAY<DOUBLE>", _RST,
+         _rst_with(buf="RS_MakeRasterFromArray(vals, r.w, r.h, 1)",
+                   bands="1")),
+        ("RS_AddBandFromArray", f"r {_RST}, vals ARRAY<DOUBLE>", _RST,
+         _rst_with(buf="RS_AddBandData(r.buf, vals)",
+                   bands="r.bands + 1")),
+        ("RS_AddBand", f"r1 {_RST}, r2 {_RST}, band INT", _RST,
+         "named_struct('buf', RS_AppendBand(r1.buf, r2.buf, band), "
+         "'w', r1.w, 'h', r1.h, 'bands', r1.bands + 1, "
+         "'ulx', r1.ulx, 'uly', r1.uly, 'sx', r1.sx, 'sy', r1.sy, "
+         "'kx', r1.kx, 'ky', r1.ky, 'srid', r1.srid, "
+         "'nodata', r1.nodata)"),
+        ("RS_SetValues",
+         f"r {_RST}, band INT, x0 INT, y0 INT, nw INT, nh INT, v DOUBLE",
+         _RST,
+         _rst_with(buf="RS_SetValuesRegion(r.buf, band, x0, y0, nw, nh, "
+                       "v)")),
+        ("RS_SetValue", f"r {_RST}, band INT, x INT, y INT, v DOUBLE",
+         _RST, "RS_SetValues(r, band, x, y, 1, 1, v)"),
+        ("RS_AsArcGrid", f"r {_RST}, band INT", "STRING",
+         "RS_AsArcGridRaw(r.buf, band, r.ulx, r.uly + r.h * r.sy, r.sx, "
+         "r.nodata)"),
+        ("RS_AsMatrix", f"r {_RST}, band INT", "STRING", matrix),
+        # the engine codec is uint8 band-interleaved — every band reports
+        # the reference's name for that storage type
+        ("RS_BandPixelType", f"r {_RST}, band INT", "STRING",
+         "'UNSIGNED_8BITS'"),
+        ("RS_PixelAsCentroids", f"r {_RST}, band INT",
+         "ARRAY<STRUCT<cx: INT, cy: INT, px: DOUBLE, py: DOUBLE, "
+         "v: DOUBLE>>",
+         "zip_with(RS_BandAsArray(r.buf, band), sequence(1, r.w * r.h), "
+         "(v, k) -> named_struct("
+         "'cx', cast((k - 1) % r.w + 1 as int), "
+         "'cy', cast((k - 1) div r.w + 1 as int), "
+         "'px', r.ulx + ((k - 1) % r.w + 5e-1) * r.sx "
+         "+ ((k - 1) div r.w + 5e-1) * r.kx, "
+         "'py', r.uly + ((k - 1) % r.w + 5e-1) * r.ky "
+         "+ ((k - 1) div r.w + 5e-1) * r.sy, "
+         "'v', cast(v as double)))"),
+        ("RS_PixelAsPolygons", f"r {_RST}, band INT",
+         "ARRAY<STRUCT<cx: INT, cy: INT, ring: ARRAY<DOUBLE>, "
+         "v: DOUBLE>>",
+         "zip_with(RS_BandAsArray(r.buf, band), sequence(1, r.w * r.h), "
+         "(v, k) -> named_struct("
+         "'cx', cast((k - 1) % r.w + 1 as int), "
+         "'cy', cast((k - 1) div r.w + 1 as int), "
+         "'ring', array("
+         "r.ulx + ((k - 1) % r.w) * r.sx + ((k - 1) div r.w) * r.kx, "
+         "r.uly + ((k - 1) % r.w) * r.ky + ((k - 1) div r.w) * r.sy, "
+         "r.ulx + ((k - 1) % r.w + 1) * r.sx + ((k - 1) div r.w) * r.kx, "
+         "r.uly + ((k - 1) % r.w + 1) * r.ky + ((k - 1) div r.w) * r.sy, "
+         "r.ulx + ((k - 1) % r.w + 1) * r.sx "
+         "+ ((k - 1) div r.w + 1) * r.kx, "
+         "r.uly + ((k - 1) % r.w + 1) * r.ky "
+         "+ ((k - 1) div r.w + 1) * r.sy, "
+         "r.ulx + ((k - 1) % r.w) * r.sx + ((k - 1) div r.w + 1) * r.kx, "
+         "r.uly + ((k - 1) % r.w) * r.ky + ((k - 1) div r.w + 1) * r.sy), "
+         "'v', cast(v as double)))"),
+    ]
+
+
 def register(spark: SparkSession, force: bool = False) -> None:
     """Install the ST_ SQL catalog on a session (idempotent; temporary
     functions, session-scoped — same lifetime as the reference's
@@ -1184,6 +1268,14 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_Metadata"] = _rs._rs_meta_udf
     pandas_catalog["RS_BandAsArray"] = _rs._rs_band_as_array_udf
     pandas_catalog["RS_AsRasterFull"] = _rs._as_raster_udf
+    # constructor/editor primitives under the _rs_io_sql_udfs sugar
+    pandas_catalog["RS_MakeRasterFromArray"] = _rs._make_raster_from_array_udf
+    pandas_catalog["RS_Band"] = _rs._select_bands_udf
+    pandas_catalog["RS_AddBandData"] = _rs._add_band_from_array_udf
+    pandas_catalog["RS_AppendBand"] = _rs._append_band_udf
+    pandas_catalog["RS_SetValuesRegion"] = _rs._set_values_region_udf
+    pandas_catalog["RS_AsArcGridRaw"] = _rs._as_arc_grid_udf
+    pandas_catalog["RS_FromArcInfoAsciiGrid"] = _rs._from_arc_grid_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 
@@ -1208,7 +1300,8 @@ def register(spark: SparkSession, force: bool = False) -> None:
     ]
     for name, params, ret, body in (_sql_udfs() + rs_sugar
                                     + _rs_array_sql_udfs()
-                                    + _rs_geo_sql_udfs()):
+                                    + _rs_geo_sql_udfs()
+                                    + _rs_io_sql_udfs()):
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"

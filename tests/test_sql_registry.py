@@ -322,3 +322,57 @@ from r
     assert abs(r["ss"]["stddev"] - 3 * np.arange(12).std()) < 1e-9
     assert r["bnd_f"] is False                 # band has non-nodata pixels
     assert r["ri"] and r["rc"] and r["rw"] and not r["rc_out"]
+
+
+def test_sql_rs_constructor_editor_io_tier(reg):
+    """Constructor/band-editor/IO sugar over the codec primitives:
+    RS_MakeEmptyRaster zero-fill, RS_MakeRaster uint8 clip + georef copy,
+    RS_SetValue(s) 1-based window burn, band append/copy/select, matrix
+    formatting, and the ESRI ASCII grid emit->parse round trip with the
+    lower-left -> upper-left anchor flip."""
+    spark = reg
+    r = spark.sql("""
+with e as (select RS_MakeEmptyRaster(2, 4, 3, 10e0, 20e0, 2e0) as r),
+x as (select r,
+             RS_SetValues(r, 1, 2, 1, 2, 3, 9e0) as rs,
+             RS_MakeRaster(r, transform(sequence(0, 11),
+                 i -> cast(i * 30 as double))) as rm
+      from e)
+select aggregate(RS_BandAsArray(r.buf, 0), 0, (a, v) -> a + v) empty_sum,
+       r.bands nb,
+       aggregate(RS_BandAsArray(rs.buf, 1), 0, (a, v) -> a + v) set_sum,
+       aggregate(RS_BandAsArray(rm.buf, 0), 0, (a, v) -> a + v) mk_sum,
+       rm.bands mk_nb,
+       RS_AsArcGrid(rm, 0) arc,
+       RS_AsMatrix(RS_MakeRaster(RS_MakeEmptyRaster(1, 2, 2, 0e0, 0e0,
+           1e0), array(1e0, 2e0, 3e0, 4e0)), 0) mat,
+       RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).uly rt_uly,
+       aggregate(RS_BandAsArray(
+           RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).buf, 0), 0,
+           (a, v) -> a + v) rt_sum,
+       RS_AddBandFromArray(r, RS_Array(12, 7e0)).bands ab_nb,
+       aggregate(RS_BandAsArray(
+           RS_AddBandFromArray(r, RS_Array(12, 7e0)).buf, 2), 0,
+           (a, v) -> a + v) ab_sum,
+       aggregate(RS_BandAsArray(RS_Band(
+           RS_AddBandFromArray(r, RS_Array(12, 7e0)).buf, array(3)), 0),
+           0, (a, v) -> a + v) selb_sum,
+       RS_AddBand(r, rm, 1).bands adb_nb,
+       RS_BandPixelType(r, 0) bpt
+from x
+""").collect()[0]
+    assert r["empty_sum"] == 0 and r["nb"] == 2
+    assert r["set_sum"] == 9 * 6          # 2x3 burn window on band 1
+    # values 0,30,...,330 clipped at 255: sum(0..240 step 30) + 255*3
+    assert r["mk_sum"] == sum(min(i * 30, 255) for i in range(12))
+    assert r["mk_nb"] == 1
+    assert r["arc"].startswith(
+        "ncols 4\nnrows 3\nxllcorner 10\nyllcorner 14\ncellsize 2\n"
+        "NODATA_value -9999\n")
+    assert r["mat"] == "| 1  2 |\n| 3  4 |\n"
+    assert r["rt_uly"] == 20.0            # yll + nrows*cellsize
+    assert r["rt_sum"] == r["mk_sum"]     # lossless text round trip
+    assert r["ab_nb"] == 3 and r["ab_sum"] == 7 * 12
+    assert r["selb_sum"] == 7 * 12        # RS_Band selected the new band
+    assert r["adb_nb"] == 3
+    assert r["bpt"] == "UNSIGNED_8BITS"
