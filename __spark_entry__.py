@@ -4225,6 +4225,111 @@ from p
 """
 
 
+def q_sql_api_6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-tail ST_ stragglers (r5c): orientation predicates
+    (ST_IsPolygonCW/CCW with the reference's exterior-CW + interiors-CCW
+    split, Functions.java:1430-1560), GeometryType (unprefixed JTS name),
+    ST_LineFromMultiPoint, trajectory/measure functions
+    (ST_IsValidTrajectory, ST_InterpolatePoint — M at the closest point,
+    Functions.java:1013/2668), ST_GeomFromMySQL (4-byte LE SRID + WKB),
+    geography casts, ST_GeogFromGeoHash, and the table-driven general
+    ST_TransformEpsg (every code in ``crs.CONIC_EPSG`` + 3857)."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey, zcx, zcy, hx, hy,
+             ST_MakeEnvelope(zcx - hx, zcy - hy, zcx + hx, zcy + hy)
+                 as rect,
+             array(zcx - hx, zcy - hy, zcx + hx, zcy + hy) as dia2
+      from z)
+select n_nationkey,
+  GeometryType(array(rect)) as gtype,
+  ST_IsPolygonCCW(array(rect)) as ccw_t,
+  ST_IsPolygonCW(array(rect)) as cw_f,
+  ST_IsPolygonCW(array(ST_Reverse(rect))) as cw_t,
+  ST_IsPolygonCCW(array(rect, ST_Reverse(rect))) as ccw_h_t,
+  ST_IsPolygonCW(array(rect, ST_Reverse(rect))) as cw_h_f,
+  round(element_at(ST_LineFromMultiPoint(
+      array(array(zcx - hx, zcy - hy), array(zcx + hx, zcy + hy))), 3), 6)
+      as lmp_x2,
+  cast(size(ST_LineFromMultiPoint(array(array(zcx, zcy),
+      array(zcx + hx, zcy), array(zcx, zcy + hy)))) as bigint) as lmp_n,
+  ST_IsValidTrajectory(ST_AddMeasure(dia2, 0e0, 1e0 + hx)) as vt_t,
+  ST_IsValidTrajectory(ST_AddMeasure(dia2, 1e0 + hx, 0e0)) as vt_f,
+  round(ST_InterpolatePoint(dia2, ST_AddMeasure(dia2, 0e0, 8e0),
+      zcx, zcy - hy), 6) as ip_m,
+  round(ST_TransformEpsg(zcx, zcy, 3857).x, 2) as merc_x,
+  round(ST_TransformEpsg(zcx, zcy, 2154).y, 2) as lcc_y,
+  round(ST_TransformEpsg(zcx, zcy, 5070).x, 2) as alb_x,
+  round(ST_TransformEpsg(zcx, zcy, 3413).y, 2) as nsidc_y,
+  round(ST_TransformEpsg(zcx, zcy, 99999).x, 6) as fall_x,
+  round(ST_Area(element_at(ST_GeomFromMySQL(concat(unhex('E6100000'),
+      ST_AsBinary(ST_MakePolygon(rect)))), 1)), 6) as my_area,
+  round(ST_Area(element_at(
+      ST_GeogToGeometry(ST_GeomToGeography(array(rect))), 1)), 6)
+      as gg_area,
+  round(element_at(ST_GeogFromGeoHash(ST_GeoHash(zcx, zcy, 5)), 1), 6)
+      as gh_x0,
+  round(element_at(ST_GeogFromGeoHash(ST_GeoHash(zcx, zcy, 5)), 4), 6)
+      as gh_y0
+from g
+""")
+
+
+def _sql_api_6_sql() -> str:
+    from sedona_spark.functions.crs import (
+        CONIC_EPSG, sql_albers, sql_lcc, sql_stereo, sql_to_mercator,
+    )
+    from sedona_spark.functions.geohash import _bits, _sql_grid
+
+    mx, _ = sql_to_mercator("zcx", "zcy")
+    _, lcc_y = sql_lcc("zcx", "zcy", *CONIC_EPSG[2154][1:])
+    alb_x, _ = sql_albers("zcx", "zcy", *CONIC_EPSG[5070][1:])
+    _, st_y = sql_stereo("zcx", "zcy", CONIC_EPSG[3413][1],
+                         CONIC_EPSG[3413][2], south=False)
+    # mirror of the engine's per-segment projection ARITHMETIC (same IEEE
+    # op order) for the one live segment of the 2-point diagonal
+    tt = ("((zcx - (zcx - hx)) * ((zcx + hx) - (zcx - hx)) "
+          "+ ((zcy - hy) - (zcy - hy)) * ((zcy + hy) - (zcy - hy))) "
+          "/ greatest(pow((zcx + hx) - (zcx - hx), 2) "
+          "+ pow((zcy + hy) - (zcy - hy), 2), 1e-300)")
+    # geohash cell lower-left corner at precision 5, from the grid indices
+    _, lon_bits, lat_bits = _bits(5)
+    gx, gy = _sql_grid("zcx", "zcy", 5)
+    gh_x0 = f"(-180.0 + {gx} * (360.0 / {1 << lon_bits}))"
+    gh_y0 = f"(-90.0 + {gy} * (180.0 / {1 << lat_bits}))"
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+  'POLYGON' as gtype,
+  true as ccw_t,
+  false as cw_f,
+  true as cw_t,
+  true as ccw_h_t,
+  false as cw_h_f,
+  round(zcx + hx, 6) as lmp_x2,
+  cast(6 as bigint) as lmp_n,
+  true as vt_t,
+  false as vt_f,
+  round(0e0 + least(1.0, greatest(0.0, {tt})) * (8e0 - 0e0), 6) as ip_m,
+  round({mx}, 2) as merc_x,
+  round({lcc_y}, 2) as lcc_y,
+  round({alb_x}, 2) as alb_x,
+  round({st_y}, 2) as nsidc_y,
+  round(zcx, 6) as fall_x,
+  round(4 * hx * hy, 6) as my_area,
+  round(4 * hx * hy, 6) as gg_area,
+  round({gh_x0}, 6) as gh_x0,
+  round({gh_y0}, 6) as gh_y0
+from z
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4245,6 +4350,7 @@ _NEW_OR_CHANGED = {
     "sql_api_rs_math",     # r5 batch 4: band-array map-algebra SQL tier
     "sql_api_rs_geo",      # r5 batch 4: georeferenced-raster SQL tier
     "sql_api_rs_io",       # r5 batch 4: raster constructor/editor/IO tier
+    "sql_api_6",           # r5 batch 4: catalog-tail ST_ stragglers
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4339,6 +4445,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_rs_math": q_sql_api_rs_math,
         "sql_api_rs_geo": q_sql_api_rs_geo,
         "sql_api_rs_io": q_sql_api_rs_io,
+        "sql_api_6": q_sql_api_6,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4474,6 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_rs_math": _sql_api_rs_math_sql(),
         "sql_api_rs_geo": _sql_api_rs_geo_sql(),
         "sql_api_rs_io": _sql_api_rs_io_sql(),
+        "sql_api_6": _sql_api_6_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -1160,6 +1160,101 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
     ]
 
 
+def _st_straggler_sql_udfs() -> list[tuple[str, str, str, str]]:
+    """The catalog's remaining ST_ spellings (Catalog.scala tail):
+    orientation predicates, MySQL WKB, geography casts, trajectory/measure
+    functions, and a table-driven general ST_TransformEpsg. Spark SQL
+    lambdas cannot reference ANY registered function (inlining drops the
+    lambda binding), so every per-ring/per-segment body below is generated
+    as fully-inline expression text."""
+    from sedona_spark.functions.crs import (
+        CONIC_EPSG, sql_albers, sql_lcc, sql_stereo, sql_to_mercator,
+    )
+
+    # signed area ×2 of ring variable `rr` (shoelace fold, standalone text)
+    sa = _edge_fold("ax * by - bx * ay").replace("ring", "rr")
+    areas = f"transform(g, rr -> ({sa}) / 2)"
+    holes = f"slice({areas}, 2, greatest(size(g) - 1, 0))"
+    # per-segment closest-point parameter + squared distance + segment-
+    # interpolated measure (piecewise M == arc-length M within a segment)
+    ax = "element_at(line, cast(i * 2 + 1 as int))"
+    ay = "element_at(line, cast(i * 2 + 2 as int))"
+    bx = "element_at(line, cast(i * 2 + 3 as int))"
+    by = "element_at(line, cast(i * 2 + 4 as int))"
+    tt = (f"least(1e0, greatest(0e0, "
+          f"((px - {ax}) * ({bx} - {ax}) + (py - {ay}) * ({by} - {ay})) "
+          f"/ greatest(pow({bx} - {ax}, 2) + pow({by} - {ay}, 2), "
+          f"1e-300)))")
+    dd = (f"(pow(px - ({ax} + {tt} * ({bx} - {ax})), 2) "
+          f"+ pow(py - ({ay} + {tt} * ({by} - {ay})), 2))")
+    mm = (f"(element_at(ms, cast(i + 1 as int)) + {tt} "
+          f"* (element_at(ms, cast(i + 2 as int)) "
+          f"- element_at(ms, cast(i + 1 as int))))")
+    interp = (
+        f"aggregate(sequence(0, (size(line) div 2) - 2), "
+        f"named_struct('d', cast('Infinity' as double), "
+        f"'m', element_at(ms, 1)), "
+        f"(acc, i) -> case when {dd} < acc.d "
+        f"then named_struct('d', {dd}, 'm', {mm}) else acc end).m"
+    )
+    # general transform: every EPSG the engine's projection table carries
+    # (FunctionsGeoTools.java seam; formulas are the closed public ones)
+    mx, my = sql_to_mercator("lon", "lat")
+    arms = [f"when 3857 then named_struct('x', {mx}, 'y', {my})"]
+    for code, (kind, lon0, lat0, sp1, sp2) in sorted(CONIC_EPSG.items()):
+        if kind == "lcc":
+            x, y = sql_lcc("lon", "lat", lon0, lat0, sp1, sp2)
+        elif kind == "albers":
+            x, y = sql_albers("lon", "lat", lon0, lat0, sp1, sp2)
+        else:
+            x, y = sql_stereo("lon", "lat", lon0, lat0,
+                              south=kind == "stereo_s")
+        arms.append(f"when {code} then named_struct('x', {x}, 'y', {y})")
+    transform_epsg = (
+        "case code " + " ".join(arms)
+        + " else named_struct('x', lon, 'y', lat) end"
+    )
+    return [
+        # JTS-style type name without the reference's ST_ prefix
+        # (Catalog.scala GeometryType): 'POLYGON', 'MULTIPOLYGON', ...
+        ("GeometryType", "g ARRAY<ARRAY<DOUBLE>>", "STRING",
+         "upper(substring(ST_GeometryType(g), 4))"),
+        # Functions.java:1430-1560 checkIfPolygonCW/CCW: exterior ring CW
+        # (negative shoelace) + interior rings CCW, and the converse;
+        # single polygon-with-holes semantics (ring-list model)
+        ("ST_IsPolygonCW", "g ARRAY<ARRAY<DOUBLE>>", "BOOLEAN",
+         f"size(g) > 0 and element_at({areas}, 1) < 0e0 "
+         f"and size(filter({holes}, a -> a <= 0e0)) = 0"),
+        ("ST_IsPolygonCCW", "g ARRAY<ARRAY<DOUBLE>>", "BOOLEAN",
+         f"size(g) > 0 and element_at({areas}, 1) > 0e0 "
+         f"and size(filter({holes}, a -> a >= 0e0)) = 0"),
+        # Functions.java:1096 — concatenate the multipoint's points
+        ("ST_LineFromMultiPoint", "g ARRAY<ARRAY<DOUBLE>>",
+         "ARRAY<DOUBLE>", "flatten(g)"),
+        # MySQL internal format: 4-byte little-endian SRID then plain WKB
+        ("ST_GeomFromMySQL", "b BINARY", "ARRAY<ARRAY<DOUBLE>>",
+         "ST_GeomFromWKB(substring(b, 5))"),
+        # the engine carries one CRS; geography<->geometry casts are
+        # identity at the value level (GeographyFunctions seam)
+        ("ST_GeogToGeometry", "g ARRAY<ARRAY<DOUBLE>>",
+         "ARRAY<ARRAY<DOUBLE>>", "g"),
+        ("ST_GeomToGeography", "g ARRAY<ARRAY<DOUBLE>>",
+         "ARRAY<ARRAY<DOUBLE>>", "g"),
+        # Functions.java:1013 — LineString with strictly increasing M
+        ("ST_IsValidTrajectory", "ms ARRAY<DOUBLE>", "BOOLEAN",
+         "size(ms) >= 2 and forall(zip_with("
+         "slice(ms, 1, size(ms) - 1), slice(ms, 2, size(ms) - 1), "
+         "(a, b) -> b > a), x -> x)"),
+        # Functions.java:2668 interpolatePoint — M at the closest point on
+        # the line, interpolated within the winning segment
+        ("ST_InterpolatePoint",
+         "line ARRAY<DOUBLE>, ms ARRAY<DOUBLE>, px DOUBLE, py DOUBLE",
+         "DOUBLE", interp),
+        ("ST_TransformEpsg", "lon DOUBLE, lat DOUBLE, code INT",
+         "STRUCT<x: DOUBLE, y: DOUBLE>", transform_epsg),
+    ]
+
+
 def register(spark: SparkSession, force: bool = False) -> None:
     """Install the ST_ SQL catalog on a session (idempotent; temporary
     functions, session-scoped — same lifetime as the reference's
@@ -1240,6 +1335,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_MPointFromText": _st.st_geom_rings_from_wkt,
         "ST_GeogFromWKB": _st.st_geom_rings_from_wkb,
         "ST_GeogFromEWKB": _st.st_geom_rings_from_wkb,
+        "ST_GeogFromGeoHash": _st._geohash_ring_udf,
         # native-preview builtin names (st_srid/st_setsrid): the engine's
         # single-CRS ring model pins EPSG:4326; only the Arrow-UDF path
         # may replace a non-SQL builtin
@@ -1301,7 +1397,8 @@ def register(spark: SparkSession, force: bool = False) -> None:
     for name, params, ret, body in (_sql_udfs() + rs_sugar
                                     + _rs_array_sql_udfs()
                                     + _rs_geo_sql_udfs()
-                                    + _rs_io_sql_udfs()):
+                                    + _rs_io_sql_udfs()
+                                    + _st_straggler_sql_udfs()):
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"

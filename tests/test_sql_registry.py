@@ -376,3 +376,42 @@ from x
     assert r["selb_sum"] == 7 * 12        # RS_Band selected the new band
     assert r["adb_nb"] == 3
     assert r["bpt"] == "UNSIGNED_8BITS"
+
+
+def test_sql_st_straggler_tier(reg):
+    """Catalog-tail stragglers: orientation predicates with the
+    exterior-CW + interiors-CCW split, LineFromMultiPoint, MySQL WKB
+    (4-byte LE SRID prefix), trajectory/measure functions, and the
+    table-driven general ST_TransformEpsg."""
+    spark = reg
+    r = spark.sql("""
+select GeometryType(array(array(0e0,0e0,4e0,0e0,4e0,3e0,0e0,3e0))) gt,
+       ST_IsPolygonCCW(array(array(0e0,0e0,4e0,0e0,4e0,3e0,0e0,3e0))) ccw,
+       ST_IsPolygonCW(array(array(0e0,0e0,0e0,3e0,4e0,3e0,4e0,0e0),
+                            array(1e0,1e0,2e0,1e0,2e0,2e0,1e0,2e0))) cw_h,
+       ST_LineFromMultiPoint(array(array(1e0,2e0), array(3e0,4e0))) lmp,
+       ST_IsValidTrajectory(array(1e0,2e0,3e0)) vt,
+       ST_IsValidTrajectory(array(1e0,1e0,3e0)) vt_f,
+       ST_InterpolatePoint(array(0e0,0e0,10e0,0e0,10e0,10e0),
+                           array(0e0,5e0,9e0), 4e0, 1e0) ip,
+       ST_InterpolatePoint(array(0e0,0e0,10e0,0e0,10e0,10e0),
+                           array(0e0,5e0,9e0), 11e0, 5e0) ip2,
+       round(ST_TransformEpsg(2e0, 48e0, 3857).x, 2) tx,
+       round(ST_TransformEpsg(7e0, 12e0, 99999).x, 6) fall,
+       size(ST_GeomFromMySQL(concat(unhex('E6100000'),
+           ST_AsBinary(array(array(0e0,0e0,4e0,0e0,4e0,3e0,0e0,3e0))))))
+           nrings,
+       ST_Area(element_at(ST_GeomFromMySQL(concat(unhex('E6100000'),
+           ST_AsBinary(array(array(0e0,0e0,4e0,0e0,4e0,3e0,0e0,3e0))))),
+           1)) my_area
+""").collect()[0]
+    assert r["gt"] == "POLYGON"
+    assert r["ccw"] is True
+    assert r["cw_h"] is True      # CW shell + CCW hole
+    assert r["lmp"] == [1.0, 2.0, 3.0, 4.0]
+    assert r["vt"] is True and r["vt_f"] is False
+    assert r["ip"] == 2.0         # closest (4,0), t=0.4 on m 0->5
+    assert r["ip2"] == 7.0        # closest (10,5), t=0.5 on m 5->9
+    assert abs(r["tx"] - 222638.98) < 0.01
+    assert r["fall"] == 7.0       # unknown code -> identity
+    assert r["nrings"] == 1 and r["my_area"] == 12.0
