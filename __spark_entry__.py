@@ -4330,6 +4330,69 @@ from z
 """
 
 
+def q_distance_band_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band spatial weighting (r5c): the reference's
+    ST_BinaryDistanceBandColumn / ST_WeightedDistanceBandColumn
+    (``Weighting.scala:66-211``) annotate each point with its
+    within-threshold neighbors + weights (1 or dist^alpha). The reference
+    builds them with a raw theta self-join (cross product at plan level);
+    the engine routes the self-join through the cell-blocked
+    ``distance_join`` — grid-disk explode, cell equi-join, exact refine —
+    the only shape that survives a 10^12-row table. Weights lists are
+    sorted by neighbor id so the fold order is deterministic; the DuckDB
+    oracle is an independent O(n²) self-join with the same IEEE arithmetic
+    sequence."""
+    from sedona_spark.operators.weighting import (
+        add_binary_distance_band_column, add_weighted_distance_band_column,
+    )
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = (
+        points_from_events(spark, sf_dir)
+        .filter(F.col("event_id") % 20 == 0)
+        .select(F.col("event_id").alias("id"), "x", "y")
+    )
+    b = add_binary_distance_band_column(pts, 3.0, result_name="bw")
+    w = add_weighted_distance_band_column(
+        b, 3.0, alpha=-1.0, result_name="ww"
+    )
+    return w.select(
+        F.col("id").alias("event_id"),
+        F.size("bw").cast("long").alias("nb_n"),
+        F.round(
+            F.aggregate(
+                "ww", F.lit(0.0), lambda a, s: a + s["weight"]
+            ), 6,
+        ).alias("wsum"),
+        F.get(F.col("bw"), 0)["neighbor_id"].alias("first_nb"),
+    )
+
+
+def _distance_band_weights_sql() -> str:
+    return f"""
+with p as (select event_id, x, y from ({SQL_POINTS})
+           where event_id % 20 = 0),
+pairs as (
+  select a.event_id as id, b.event_id as nid,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) as d
+  from p a join p b
+    on a.event_id <> b.event_id
+   and (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9.0),
+agg as (
+  select id,
+         count(*) as nb_n,
+         list_aggregate(list(pow(d, -1.0) order by nid)
+             filter (where d > 0), 'sum') as wsum,
+         min(nid) as first_nb
+  from pairs group by id)
+select p.event_id,
+       cast(coalesce(agg.nb_n, 0) as bigint) as nb_n,
+       round(coalesce(agg.wsum, 0.0), 6) as wsum,
+       agg.first_nb
+from p left join agg on p.event_id = agg.id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4351,6 +4414,7 @@ _NEW_OR_CHANGED = {
     "sql_api_rs_geo",      # r5 batch 4: georeferenced-raster SQL tier
     "sql_api_rs_io",       # r5 batch 4: raster constructor/editor/IO tier
     "sql_api_6",           # r5 batch 4: catalog-tail ST_ stragglers
+    "distance_band_weights",  # r5 batch 4: spatial weighting (stats tier)
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4446,6 +4510,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_rs_geo": q_sql_api_rs_geo,
         "sql_api_rs_io": q_sql_api_rs_io,
         "sql_api_6": q_sql_api_6,
+        "distance_band_weights": q_distance_band_weights,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4582,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_rs_geo": _sql_api_rs_geo_sql(),
         "sql_api_rs_io": _sql_api_rs_io_sql(),
         "sql_api_6": _sql_api_6_sql(),
+        "distance_band_weights": _distance_band_weights_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

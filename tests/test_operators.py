@@ -205,3 +205,42 @@ def test_parallelism_invariance(spark, uniform):
         .collect()
     }
     assert base == re
+
+
+def test_distance_band_weighting(spark):
+    """Weighting.scala semantics: binary weight 1 within threshold,
+    weighted = dist^alpha, empty list for isolated points, include_self
+    appends (id, self_weight)."""
+    from sedona_spark.operators.weighting import (
+        add_binary_distance_band_column,
+        add_distance_band_column,
+        add_weighted_distance_band_column,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 4.0), (3, 6.0, 8.0), (4, 100.0, 100.0)],
+        "id long, x double, y double",
+    )
+    b = {
+        r["id"]: r["weights"]
+        for r in add_binary_distance_band_column(pts, 5.0).collect()
+    }
+    assert [w["neighbor_id"] for w in b[1]] == [2]
+    assert [w["neighbor_id"] for w in b[2]] == [1, 3]
+    assert b[4] == []                      # isolated -> empty, row kept
+    assert all(w["weight"] == 1.0 for w in b[2])
+
+    w = {
+        r["id"]: r["weights"]
+        for r in add_weighted_distance_band_column(pts, 5.0).collect()
+    }
+    assert abs(w[1][0]["weight"] - 1 / 5.0) < 1e-12   # dist^-1
+
+    s = {
+        r["id"]: r["weights"]
+        for r in add_distance_band_column(
+            pts, 5.0, include_self=True, self_weight=7.0
+        ).collect()
+    }
+    assert (s[4][0]["neighbor_id"], s[4][0]["weight"]) == (4, 7.0)
+    assert [x["neighbor_id"] for x in s[2]] == [1, 2, 3]
