@@ -4393,6 +4393,64 @@ from p left join agg on p.event_id = agg.id
 """
 
 
+def q_st_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_StraightSkeleton / ST_ApproximateMedialAxis (r5c): exact
+    event-loop straight skeleton for convex rings
+    (``kernels.straight_skeleton``; the reference's SFCGAL-backed
+    ST_StraightSkeleton covers the general case — for convex input the
+    two operators coincide with the medial axis). On the rect-zone
+    fixture the skeleton is known in closed form — four corner bisectors
+    of length min(hx,hy)·√2 plus a ridge of length 2(max−min) — so the
+    DuckDB oracle derives segment count, total/max/min length and the
+    endpoint envelope independently."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey,
+             ST_StraightSkeleton(ST_MakeEnvelope(
+                 zcx - hx, zcy - hy, zcx + hx, zcy + hy)) as sk,
+             ST_ApproximateMedialAxis(ST_MakeEnvelope(
+                 zcx - hx, zcy - hy, zcx + hx, zcy + hy)) as ma
+      from z),
+l as (select n_nationkey, sk,
+             transform(sk, s -> sqrt(
+                 (element_at(s, 3) - element_at(s, 1))
+                 * (element_at(s, 3) - element_at(s, 1))
+                 + (element_at(s, 4) - element_at(s, 2))
+                 * (element_at(s, 4) - element_at(s, 2)))) as lens,
+             transform(ma, s -> element_at(s, 1)) as xs
+      from g)
+select n_nationkey,
+       cast(size(sk) as bigint) as nseg,
+       round(aggregate(lens, 0e0, (a, v) -> a + v), 6) as total_len,
+       round(array_max(lens), 6) as max_len,
+       round(array_min(lens), 6) as min_len,
+       round(array_min(xs), 6) as min_x
+from l
+""")
+
+
+def _st_skeleton_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES}),
+d as (select n_nationkey, zcx, zcy, hx,
+             least(hx, hy) as mind, greatest(hx, hy) as maxd
+      from z)
+select n_nationkey,
+       cast(5 as bigint) as nseg,
+       round(4 * sqrt(2.0) * mind + 2 * (maxd - mind), 6) as total_len,
+       round(greatest(sqrt(2.0) * mind, 2 * (maxd - mind)), 6) as max_len,
+       round(least(sqrt(2.0) * mind, 2 * (maxd - mind)), 6) as min_len,
+       round(zcx - hx, 6) as min_x
+from d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4415,6 +4473,7 @@ _NEW_OR_CHANGED = {
     "sql_api_rs_io",       # r5 batch 4: raster constructor/editor/IO tier
     "sql_api_6",           # r5 batch 4: catalog-tail ST_ stragglers
     "distance_band_weights",  # r5 batch 4: spatial weighting (stats tier)
+    "st_skeleton",         # r5 batch 4: straight skeleton / medial axis
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4511,6 +4570,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_rs_io": q_sql_api_rs_io,
         "sql_api_6": q_sql_api_6,
         "distance_band_weights": q_distance_band_weights,
+        "st_skeleton": q_st_skeleton,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4648,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_rs_io": _sql_api_rs_io_sql(),
         "sql_api_6": _sql_api_6_sql(),
         "distance_band_weights": _distance_band_weights_sql(),
+        "st_skeleton": _st_skeleton_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

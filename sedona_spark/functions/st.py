@@ -1621,3 +1621,23 @@ def st_geom_from_markup(s: Column) -> Column:
     """ST_GeomFromGML / ST_GeomFromKML: one parser accepts GML2
     ``coordinates``, GML3 ``posList``, and KML Polygon markup."""
     return _from_markup_udf(s)
+
+
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _skeleton_udf(ring: pd.Series) -> pd.Series:
+    """ST_StraightSkeleton / ST_ApproximateMedialAxis (convex subset —
+    identical for convex input; reference delegates the general case to
+    SFCGAL): array of skeleton segments (x1, y1, x2, y2) per ring.
+    See ``kernels.straight_skeleton``."""
+    out = []
+    for r in ring:
+        segs = kernels.straight_skeleton(np.asarray(r, dtype=np.float64))
+        out.append([s for s in segs])
+    return pd.Series(out)
+
+
+def st_straight_skeleton(ring: Column) -> Column:
+    """Exact straight skeleton of a convex polygon ring (== its medial
+    axis). Reference: Catalog.scala ST_StraightSkeleton /
+    ST_ApproximateMedialAxis (SFCGAL-backed there)."""
+    return _skeleton_udf(ring)

@@ -2639,3 +2639,153 @@ def generate_points_in_rings(rings, n: int, seed: int) -> np.ndarray:
         got += len(sel)
         k += m
     return out
+
+
+# ---------------------------------------------------------------------------
+# Straight skeleton / medial axis of a CONVEX polygon (r5c).
+# Reference capability: ST_StraightSkeleton / ST_ApproximateMedialAxis
+# (Catalog.scala; SFCGAL-backed in the reference). For a convex polygon the
+# medial axis and the straight skeleton coincide, and the wavefront has no
+# split events — only edge collapses — so the exact skeleton is computable
+# with a plain event loop: all edges offset inward at unit speed, vertices
+# travel along angle bisectors, and each event merges the two endpoints of
+# the first collapsing edge(s). Concave input is the documented unsupported
+# subset (the reference routes it to SFCGAL; raise rather than approximate).
+# ---------------------------------------------------------------------------
+
+
+def _wavefront_velocities(pts: np.ndarray) -> np.ndarray:
+    """Unit-speed inward-offset vertex velocities of a convex CCW polygon:
+    v_i = (n_prev + n_cur) / (1 + n_prev . n_cur) with n = inward edge
+    normals (the standard bisector speed 1/sin(theta/2))."""
+    e = np.roll(pts, -1, axis=0) - pts
+    ln = np.hypot(e[:, 0], e[:, 1])
+    n_in = np.stack([-e[:, 1] / ln, e[:, 0] / ln], axis=1)  # CCW inward
+    n_prev = np.roll(n_in, 1, axis=0)
+    denom = 1.0 + (n_prev * n_in).sum(axis=1)
+    return (n_prev + n_in) / denom[:, None]
+
+
+def straight_skeleton(ring: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Exact straight skeleton (== medial axis) of a convex polygon ring.
+    Returns an (m, 4) array of skeleton segments (x1, y1, x2, y2)."""
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("straight_skeleton needs a polygon")
+    nxt = np.roll(pts, -1, axis=0)
+    if (pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]).sum() < 0:
+        pts = pts[::-1].copy()
+    if not ring_is_convex(pts):
+        raise ValueError(
+            "straight_skeleton: convex polygons only (the reference "
+            "delegates concave input to SFCGAL)"
+        )
+    segs: list[tuple[float, float, float, float]] = []
+    cur = pts.copy()
+    while len(cur) > 2:
+        if len(cur) == 3:
+            a = np.hypot(*(cur[2] - cur[1]))
+            b = np.hypot(*(cur[0] - cur[2]))
+            c = np.hypot(*(cur[1] - cur[0]))
+            inc = (a * cur[0] + b * cur[1] + c * cur[2]) / (a + b + c)
+            for p in cur:
+                segs.append((p[0], p[1], inc[0], inc[1]))
+            break
+        v = _wavefront_velocities(cur)
+        e0 = np.roll(cur, -1, axis=0) - cur
+        d = np.roll(v, -1, axis=0) - v
+        dd = (d * d).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -(e0 * d).sum(axis=1) / dd
+        # a true collapse closes the edge completely at time t
+        resid = e0 + t[:, None] * d
+        ok = (dd > eps) & (t > eps) & (np.abs(resid).max(axis=1) < 1e-6)
+        if not ok.any():
+            raise ValueError("straight_skeleton: no collapse event found")
+        tmin = t[ok].min()
+        moved = cur + tmin * v
+        # merge every edge collapsing at (or within eps of) tmin
+        collapse = ok & (t <= tmin + eps)
+        keep = np.ones(len(cur), dtype=bool)
+        for i in np.flatnonzero(collapse):
+            j = (i + 1) % len(cur)
+            m = (moved[i] + moved[j]) / 2
+            segs.append((cur[i, 0], cur[i, 1], m[0], m[1]))
+            segs.append((cur[j, 0], cur[j, 1], m[0], m[1]))
+            moved[i] = m
+            keep[j] = False
+        nxt = moved[keep]
+        # emit trace segments only at events; surviving vertices continue
+        # from their advanced positions (their full trace is emitted when
+        # they terminate at a later event)
+        survivors = keep.copy()
+        for i in np.flatnonzero(collapse):
+            survivors[i] = False
+        for i in np.flatnonzero(survivors):
+            segs.append((cur[i, 0], cur[i, 1], moved[i, 0], moved[i, 1]))
+        cur = _drop_consecutive_dups(nxt)
+        if len(cur) == 2:
+            if np.hypot(*(cur[1] - cur[0])) > eps:
+                segs.append((cur[0, 0], cur[0, 1], cur[1, 0], cur[1, 1]))
+            break
+    out = np.array(segs, dtype=np.float64).reshape(-1, 4)
+    # drop zero-length pieces (simultaneous events meeting at one point)
+    ln = np.hypot(out[:, 2] - out[:, 0], out[:, 3] - out[:, 1])
+    out = out[ln > eps]
+    # simultaneous ADJACENT collapses emit a vertex's trace once per
+    # incident edge — dedupe on the direction-canonical rounded segment
+    a, b = out[:, :2], out[:, 2:]
+    flip = (a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
+    canon = np.where(flip[:, None], np.concatenate([b, a], axis=1), out)
+    _, idx = np.unique(canon.round(9), axis=0, return_index=True)
+    out = out[np.sort(idx)]
+    # a surviving vertex's trace is emitted once per event it outlives —
+    # merge consecutive collinear pieces sharing an endpoint back into one
+    # skeleton arc (the minimal 2n-3 edge decomposition)
+    pieces = [tuple(s) for s in out]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(pieces)):
+            for j in range(i + 1, len(pieces)):
+                s1, s2 = pieces[i], pieces[j]
+                for p1, q1 in ((s1[:2], s1[2:]), (s1[2:], s1[:2])):
+                    for p2, q2 in ((s2[:2], s2[2:]), (s2[2:], s2[:2])):
+                        if (abs(q1[0] - p2[0]) < 1e-9
+                                and abs(q1[1] - p2[1]) < 1e-9):
+                            # merge through the shared point only if it is
+                            # a degree-2 chain point, not a skeleton node
+                            deg = sum(
+                                (abs(s[0] - q1[0]) < 1e-9
+                                 and abs(s[1] - q1[1]) < 1e-9)
+                                + (abs(s[2] - q1[0]) < 1e-9
+                                   and abs(s[3] - q1[1]) < 1e-9)
+                                for s in pieces
+                            )
+                            u = (q1[0] - p1[0], q1[1] - p1[1])
+                            w = (q2[0] - p2[0], q2[1] - p2[1])
+                            cross = u[0] * w[1] - u[1] * w[0]
+                            dot = u[0] * w[0] + u[1] * w[1]
+                            if deg == 2 and abs(cross) < 1e-9 and dot > 0:
+                                pieces[i] = (p1[0], p1[1], q2[0], q2[1])
+                                del pieces[j]
+                                merged = True
+                                break
+                    if merged:
+                        break
+                if merged:
+                    break
+            if merged:
+                break
+    return np.array(pieces, dtype=np.float64).reshape(-1, 4)
+
+
+def ring_is_convex(pts: np.ndarray, eps: float = 1e-12) -> bool:
+    """True iff the (open) ring is convex (all cross products one sign)."""
+    a = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    e = np.roll(a, -1, axis=0) - a
+    cr = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] \
+        - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    return bool((cr >= -eps).all() or (cr <= eps).all())

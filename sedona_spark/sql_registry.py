@@ -1349,6 +1349,10 @@ def register(spark: SparkSession, force: bool = False) -> None:
         "ST_SimplifyVW": _st._simplify_vw_udf,
         "ST_IsValidReason": _st._is_valid_reason_udf,
         "ST_GeneratePoints": _st._generate_points_udf,
+        # skeleton tier — exact for convex rings (== medial axis there;
+        # the reference's SFCGAL backend covers the general case)
+        "ST_StraightSkeleton": _st._skeleton_udf,
+        "ST_ApproximateMedialAxis": _st._skeleton_udf,
         # markup tier — one parser serves GML2/GML3/KML
         "ST_AsGML": _st._as_gml_udf,
         "ST_AsKML": _st._as_kml_udf,

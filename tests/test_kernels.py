@@ -231,3 +231,59 @@ def test_spherical_pip_winding():
     tri = np.array([[0, 45], [90, 45], [45, 0]], float)
     got = pip_s(tri, np.array([45.0, 45.0, 225.0]), np.array([50.0, 60.0, -50.0]))
     assert got.tolist() == [True, False, False]
+
+
+def test_straight_skeleton_convex():
+    """Exact straight skeleton of convex polygons (== medial axis):
+    closed forms for rect/square/hexagon, 2n-3 arc count and the
+    medial equidistance property for an irregular pentagon, and a
+    hard rejection of concave input (the reference delegates that to
+    SFCGAL)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.geometry.kernels import straight_skeleton
+
+    rect = np.array([0, 0, 10, 0, 10, 4, 0, 4], float)
+    s = straight_skeleton(rect)
+    ln = np.hypot(s[:, 2] - s[:, 0], s[:, 3] - s[:, 1])
+    assert len(s) == 5
+    assert abs(ln.sum() - (4 * 2 * np.sqrt(2) + 6)) < 1e-9
+
+    sq = straight_skeleton(np.array([0, 0, 4, 0, 4, 4, 0, 4], float))
+    assert len(sq) == 4          # four diagonals to the degree-4 center
+    lsq = np.hypot(sq[:, 2] - sq[:, 0], sq[:, 3] - sq[:, 1])
+    assert abs(lsq.sum() - 8 * np.sqrt(2)) < 1e-9
+
+    th = np.arange(6) * np.pi / 3
+    hx = straight_skeleton(
+        np.stack([np.cos(th), np.sin(th)], axis=1).ravel())
+    assert len(hx) == 6
+    lhx = np.hypot(hx[:, 2] - hx[:, 0], hx[:, 3] - hx[:, 1])
+    assert abs(lhx.sum() - 6.0) < 1e-9
+
+    pent = np.array([0, 0, 6, 0, 8, 3, 4, 6, -1, 3], float)
+    s4 = straight_skeleton(pent)
+    assert len(s4) == 2 * 5 - 3  # generic convex n-gon: 2n-3 arcs
+    pv = pent.reshape(-1, 2)
+
+    def edge_dists(p):
+        out = []
+        for i in range(len(pv)):
+            a, b = pv[i], pv[(i + 1) % len(pv)]
+            ab = b - a
+            t = np.clip(np.dot(p - a, ab) / np.dot(ab, ab), 0, 1)
+            out.append(np.hypot(*(p - (a + t * ab))))
+        return sorted(out)
+
+    ends = {tuple(x) for x in np.vstack([s4[:, :2], s4[:, 2:]]).round(9)}
+    for p in ends:
+        p = np.array(p)
+        if min(abs(p - v).sum() for v in pv) < 1e-9:
+            continue                     # polygon vertex endpoint
+        d = edge_dists(p)
+        assert d[1] - d[0] < 1e-6        # equidistant from >= 2 edges
+
+    with _pytest.raises(ValueError):
+        straight_skeleton(
+            np.array([0, 0, 4, 0, 4, 4, 2, 1, 0, 4], float))  # concave
