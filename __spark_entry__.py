@@ -4451,6 +4451,56 @@ from d
 """
 
 
+def q_st_simplify_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SimplifyPolygonHull (r5c, JTS PolygonHullSimplifier semantics):
+    on a notched rect (reflex apex at the zone center) the OUTER hull at
+    vertex-factor 0.8 fills the notch back to the rectangle (area
+    4·hx·hy, contains the input) and the INNER hull cuts the
+    smallest-area convex corner (area 2·hx·hy, contained by the input) —
+    both in closed form for the DuckDB oracle, alongside the original
+    notched area 3·hx·hy."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(f"""
+with z as ({SQL_ZONES}),
+g as (select n_nationkey,
+             array(zcx - hx, zcy - hy, zcx + hx, zcy - hy,
+                   zcx + hx, zcy + hy, zcx, zcy,
+                   zcx - hx, zcy + hy) as notched
+      from z),
+h as (select n_nationkey, notched,
+             ST_SimplifyPolygonHull(notched, 0.8e0, true) as outer_h,
+             ST_SimplifyPolygonHull(notched, 0.8e0, false) as inner_h
+      from g)
+select n_nationkey,
+       cast(size(notched) div 2 as bigint) as orig_n,
+       round(ST_Area(notched), 6) as orig_area,
+       cast(size(outer_h) div 2 as bigint) as outer_n,
+       round(ST_Area(outer_h), 6) as outer_area,
+       cast(size(inner_h) div 2 as bigint) as inner_n,
+       round(ST_Area(inner_h), 6) as inner_area
+from h
+""")
+
+
+def _st_simplify_hull_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select n_nationkey,
+       cast(5 as bigint) as orig_n,
+       round(3 * hx * hy, 6) as orig_area,
+       cast(4 as bigint) as outer_n,
+       round(4 * hx * hy, 6) as outer_area,
+       cast(4 as bigint) as inner_n,
+       round(2 * hx * hy, 6) as inner_area
+from z
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4474,6 +4524,7 @@ _NEW_OR_CHANGED = {
     "sql_api_6",           # r5 batch 4: catalog-tail ST_ stragglers
     "distance_band_weights",  # r5 batch 4: spatial weighting (stats tier)
     "st_skeleton",         # r5 batch 4: straight skeleton / medial axis
+    "st_simplify_hull",    # r5 batch 4: polygon hull simplifier
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4571,6 +4622,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_6": q_sql_api_6,
         "distance_band_weights": q_distance_band_weights,
         "st_skeleton": q_st_skeleton,
+        "st_simplify_hull": q_st_simplify_hull,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4709,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_6": _sql_api_6_sql(),
         "distance_band_weights": _distance_band_weights_sql(),
         "st_skeleton": _st_skeleton_sql(),
+        "st_simplify_hull": _st_simplify_hull_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -1641,3 +1641,20 @@ def st_straight_skeleton(ring: Column) -> Column:
     axis). Reference: Catalog.scala ST_StraightSkeleton /
     ST_ApproximateMedialAxis (SFCGAL-backed there)."""
     return _skeleton_udf(ring)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _simplify_hull_udf(
+    ring: pd.Series, frac: pd.Series, outer: pd.Series
+) -> pd.Series:
+    """ST_SimplifyPolygonHull (JTS PolygonHullSimplifier): outer hull
+    fills reflex vertices (result contains input), inner hull cuts convex
+    vertices (result contained by input); smallest-triangle-first with a
+    boundary-crossing guard. See ``kernels.simplify_polygon_hull``."""
+    out = []
+    for r, f, o in zip(ring, frac, outer):
+        res = kernels.simplify_polygon_hull(
+            np.asarray(r, dtype=np.float64), float(f), bool(o)
+        )
+        out.append(res.ravel())
+    return pd.Series(out)

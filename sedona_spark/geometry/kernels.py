@@ -2789,3 +2789,61 @@ def ring_is_convex(pts: np.ndarray, eps: float = 1e-12) -> bool:
     cr = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] \
         - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
     return bool((cr >= -eps).all() or (cr <= eps).all())
+
+
+def simplify_polygon_hull(
+    ring: np.ndarray, vertex_frac: float, outer: bool = True
+) -> np.ndarray:
+    """ST_SimplifyPolygonHull (JTS PolygonHullSimplifier, public
+    algorithm): reduce the ring to about ``vertex_frac`` of its vertices
+    while guaranteeing the OUTER hull contains the input (only reflex
+    vertices are filled — removing one can only grow the polygon) or the
+    INNER hull is contained by it (only convex vertices are cut).
+    Each step removes the candidate with the smallest triangle area whose
+    replacement edge does not cross the remaining boundary."""
+    a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(a) >= 2 and (a[0] == a[-1]).all():
+        a = a[:-1]
+    n0 = len(a)
+    if n0 < 4:
+        return a.copy()
+    nxt = np.roll(a, -1, axis=0)
+    ccw = (a[:, 0] * nxt[:, 1] - nxt[:, 0] * a[:, 1]).sum() >= 0
+    target = max(3, int(np.ceil(n0 * float(vertex_frac))))
+    cur = a.copy()
+    while len(cur) > target:
+        n = len(cur)
+        p = np.roll(cur, 1, axis=0)
+        q = np.roll(cur, -1, axis=0)
+        cross = ((cur[:, 0] - p[:, 0]) * (q[:, 1] - p[:, 1])
+                 - (cur[:, 1] - p[:, 1]) * (q[:, 0] - p[:, 0]))
+        # reflex iff the turn disagrees with the ring orientation
+        reflex = cross < 0 if ccw else cross > 0
+        cand = reflex if outer else ~reflex
+        area = np.abs(cross) / 2
+        order = np.argsort(area, kind="stable")
+        removed = False
+        for i in order:
+            if not cand[i]:
+                continue
+            # the shortcut edge p[i]->q[i] must not cross any boundary
+            # edge; edges incident to vertex i or SHARING an endpoint with
+            # the shortcut (at p[i] / q[i]) are excluded — they meet it at
+            # that endpoint by construction, which is not a crossing
+            skip = {i, (i - 1) % n, (i + 1) % n, (i - 2) % n}
+            js = np.array(
+                [j for j in range(n) if j not in skip], dtype=np.int64
+            )
+            if len(js):
+                b1 = cur[js]
+                b2 = cur[(js + 1) % n]
+                a1 = np.repeat(p[i][None, :], len(js), axis=0)
+                a2 = np.repeat(q[i][None, :], len(js), axis=0)
+                if _segments_intersect(a1, a2, b1, b2).any():
+                    continue
+            cur = np.delete(cur, i, axis=0)
+            removed = True
+            break
+        if not removed:
+            break  # no admissible removal — hull cannot shrink further
+    return cur

@@ -1353,6 +1353,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
         # the reference's SFCGAL backend covers the general case)
         "ST_StraightSkeleton": _st._skeleton_udf,
         "ST_ApproximateMedialAxis": _st._skeleton_udf,
+        "ST_SimplifyPolygonHull": _st._simplify_hull_udf,
         # markup tier — one parser serves GML2/GML3/KML
         "ST_AsGML": _st._as_gml_udf,
         "ST_AsKML": _st._as_kml_udf,

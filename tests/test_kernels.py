@@ -287,3 +287,38 @@ def test_straight_skeleton_convex():
     with _pytest.raises(ValueError):
         straight_skeleton(
             np.array([0, 0, 4, 0, 4, 4, 2, 1, 0, 4], float))  # concave
+
+
+def test_simplify_polygon_hull():
+    """JTS PolygonHullSimplifier semantics: outer hull fills reflex
+    vertices (contains input), inner hull cuts convex corners (contained
+    by input), convex input is a fixed point of the outer hull."""
+    import numpy as np
+
+    from sedona_spark.geometry.kernels import (
+        point_in_rings_batch,
+        simplify_polygon_hull,
+    )
+
+    notched = np.array([0, 0, 10, 0, 10, 6, 5, 3, 0, 6], float)
+    outer = simplify_polygon_hull(notched, 0.8, outer=True)
+    assert outer.tolist() == [[0, 0], [10, 0], [10, 6], [0, 6]]
+
+    inner = simplify_polygon_hull(notched, 0.8, outer=False)
+    assert len(inner) == 4
+    pv = inner
+    rings_arg = [[list(map(tuple, notched.reshape(-1, 2)))]] * len(pv)
+    assert point_in_rings_batch(rings_arg, pv[:, 0], pv[:, 1]).all()
+
+    zig = np.array(
+        [0, 0, 12, 0, 12, 4, 10, 3, 8, 4, 6, 1, 4, 4, 2, 3.5, 0, 4],
+        float,
+    )
+    o = simplify_polygon_hull(zig, 0.5, outer=True)
+    assert len(o) <= 6
+    ov = zig.reshape(-1, 2)
+    rings_o = [[list(map(tuple, o))]] * len(ov)
+    assert point_in_rings_batch(rings_o, ov[:, 0], ov[:, 1]).all()
+
+    convex = np.array([0, 0, 4, 0, 4, 4, 0, 4], float)
+    assert simplify_polygon_hull(convex, 0.5, outer=True).shape == (4, 2)
