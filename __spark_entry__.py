@@ -4501,6 +4501,81 @@ from z
 """
 
 
+def q_geotiff_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF interop (r5c): RS_AsGeoTiff / RS_FromGeoTiff over a REAL
+    pure-stdlib baseline GeoTIFF codec (``sources/geotiff.py`` — TIFF 6.0
+    IFD, single uncompressed chunky strip, ModelPixelScale/ModelTiepoint
+    + GeoKeyDirectory EPSG; compressed/BigTIFF variants remain the
+    documented external seam and raise). The emitted layout is
+    deterministic, so the DuckDB twin derives the byte LENGTH in closed
+    form (8 + 174-byte IFD + 116 blob bytes + w*h*3 pixels), checks the
+    'II*\\0' magic by hex prefix, and re-derives the round-tripped
+    georeference and band-0 pixel sum from the id formulas."""
+    import sedona_spark
+    from sedona_spark.sources.images import images_from_part
+
+    sedona_spark.register(spark)
+    images_from_part(spark, sf_dir, id_mod=50).createOrReplaceTempView(
+        "img"
+    )
+    return spark.sql("""
+with m as (select cast(substring(image_id, 5) as bigint) as i, bytes, w, h
+           from img),
+p as (select i, w, h,
+             RS_SetGeoReference(RS_SetSRID(
+                 RS_MakeRasterMeta(bytes, w, h, 3, 0e0, 0e0, 1e0), 4326),
+                 cast(i % 7 as double) * 10e0,
+                 cast(i % 5 as double) * 10e0 + 100e0,
+                 cast(i % 3 as double) + 1e0,
+                 -(cast(i % 4 as double) + 1e0), 0e0, 0e0) as r
+      from m),
+t as (select i, w, h, RS_AsGeoTiff(r) as tif from p),
+rt as (select i, w, h, tif, RS_FromGeoTiff(tif) as r2 from t)
+select i,
+  cast(length(tif) as bigint) as tif_len,
+  hex(substring(tif, 1, 4)) as tif_magic,
+  round(r2.ulx, 6) as rt_ulx,
+  round(r2.uly, 6) as rt_uly,
+  round(r2.sx, 6) as rt_sx,
+  round(r2.sy, 6) as rt_sy,
+  r2.srid as rt_srid,
+  r2.w as rt_w,
+  r2.h as rt_h,
+  r2.bands as rt_nb,
+  aggregate(RS_BandAsArray(r2.buf, 0), 0, (a, v) -> a + v) as rt_sum0
+from rt
+""")
+
+
+def _geotiff_io_sql() -> str:
+    band0 = _PIX.format(x="x.v", y="y.v").replace("c.v * 7", "0 * 7")
+    dv = _DECODED.format(v=f"({band0})")
+    return f"""
+with img as ({_img_meta_sql()}),
+s as (
+  select i, sum({dv}) as sum0
+  from img,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y
+  where i % 50 = 0
+  group by i)
+select i,
+  cast(8 + 174 + 116 + w * h * 3 as bigint) as tif_len,
+  '49492A00' as tif_magic,
+  round(cast(i % 7 as double) * 10, 6) as rt_ulx,
+  round(cast(i % 5 as double) * 10 + 100, 6) as rt_uly,
+  round(cast(i % 3 as double) + 1, 6) as rt_sx,
+  round(-(cast(i % 4 as double) + 1), 6) as rt_sy,
+  4326 as rt_srid,
+  cast(w as int) as rt_w,
+  cast(h as int) as rt_h,
+  3 as rt_nb,
+  cast(s.sum0 as int) as rt_sum0
+from img join s using (i)
+where i % 50 = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4525,6 +4600,7 @@ _NEW_OR_CHANGED = {
     "distance_band_weights",  # r5 batch 4: spatial weighting (stats tier)
     "st_skeleton",         # r5 batch 4: straight skeleton / medial axis
     "st_simplify_hull",    # r5 batch 4: polygon hull simplifier
+    "geotiff_io",          # r5 batch 4: real baseline GeoTIFF codec
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4623,6 +4699,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_band_weights": q_distance_band_weights,
         "st_skeleton": q_st_skeleton,
         "st_simplify_hull": q_st_simplify_hull,
+        "geotiff_io": q_geotiff_io,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4762,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_band_weights": _distance_band_weights_sql(),
         "st_skeleton": _st_skeleton_sql(),
         "st_simplify_hull": _st_simplify_hull_sql(),
+        "geotiff_io": _geotiff_io_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -1151,3 +1151,39 @@ def _from_arc_grid_udf(txt: pd.Series) -> pd.DataFrame:
         ))
     return pd.DataFrame(
         recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
+@F.pandas_udf(BinaryType())
+def _as_geotiff_udf(
+    buf: pd.Series, ulx: pd.Series, uly: pd.Series,
+    sx: pd.Series, sy: pd.Series, srid: pd.Series
+) -> pd.Series:
+    """RS_AsGeoTiff: engine raster + georeference -> baseline uncompressed
+    GeoTIFF bytes (RasterOutputs.java; codec: sources/geotiff.py)."""
+    from sedona_spark.sources.geotiff import encode_geotiff
+
+    out = []
+    for b, x, y, gsx, gsy, sr in zip(buf, ulx, uly, sx, sy, srid):
+        arr, _ = decode_image(bytes(b))
+        out.append(encode_geotiff(
+            arr, float(x), float(y), float(gsx), float(gsy), int(sr)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_geotiff_udf(buf: pd.Series) -> pd.DataFrame:
+    """RS_FromGeoTiff: baseline uncompressed GeoTIFF bytes -> raster
+    struct (RasterConstructors.java:68; compressed/exotic variants raise
+    — the documented external seam)."""
+    from sedona_spark.sources.geotiff import decode_geotiff
+
+    recs = []
+    for b in buf:
+        arr, ulx, uly, sx, sy, srid = decode_geotiff(bytes(b))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            arr.shape[1], arr.shape[0], arr.shape[2],
+            ulx, uly, sx, sy, 0.0, 0.0, srid, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])

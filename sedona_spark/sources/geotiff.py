@@ -1,0 +1,212 @@
+"""Uncompressed GeoTIFF codec — pure stdlib, public spec (TIFF 6.0 +
+GeoTIFF 1.1: baseline IFD, Compression=1, chunky RGB/gray strips;
+georeference via ModelPixelScaleTag 33550 + ModelTiepointTag 33922 and
+the EPSG code via GeoKeyDirectoryTag 34735 / GeographicTypeGeoKey 2048 or
+ProjectedCSTypeGeoKey 3072).
+
+Reference capability: ``RS_FromGeoTiff`` / ``RS_AsGeoTiff``
+(``RasterConstructors.java:68`` / ``RasterOutputs.java``, ImageIO-backed
+there). This engine previously stubbed ALL external raster formats behind
+the ``images.py`` seam; baseline uncompressed GeoTIFF is simple enough to
+implement faithfully without an image library, so the seam now only
+covers compressed/exotic variants (JPEG/deflate tiles, BigTIFF) — a
+parse of one of those raises with a clear message instead of guessing.
+
+Layout written by :func:`encode_geotiff` (and accepted, among other
+baseline layouts, by :func:`decode_geotiff`): little-endian, one strip,
+uint8 samples, band-interleaved-by-pixel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF tag ids (public constants)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTE_COUNTS = 279
+_T_PLANAR = 284
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_GEO_KEYS = 34735
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_DOUBLE = 12
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+
+_GK_MODEL_TYPE = 1024          # 1=projected, 2=geographic
+_GK_RASTER_TYPE = 1025         # 1=PixelIsArea
+_GK_GEOGRAPHIC_TYPE = 2048
+_GK_PROJECTED_CS_TYPE = 3072
+
+
+def encode_geotiff(
+    arr: np.ndarray,
+    ulx: float = 0.0,
+    uly: float = 0.0,
+    sx: float = 1.0,
+    sy: float = -1.0,
+    srid: int = 4326,
+) -> bytes:
+    """uint8 (h, w, bands) + north-up georeference -> GeoTIFF bytes
+    (little-endian, single strip, uncompressed, chunky)."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nb = a.shape
+    pix = a.tobytes()
+
+    geographic = srid == 4326 or 4000 <= srid < 5000
+    geo_keys = [
+        (_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+        (_GK_RASTER_TYPE, 0, 1, 1),
+        (_GK_GEOGRAPHIC_TYPE if geographic else _GK_PROJECTED_CS_TYPE,
+         0, 1, int(srid)),
+    ]
+    gk = struct.pack("<4H", 1, 1, 0, len(geo_keys))
+    for kid, loc, cnt, val in geo_keys:
+        gk += struct.pack("<4H", kid, loc, cnt, val)
+    scale = struct.pack("<3d", abs(float(sx)), abs(float(sy)), 0.0)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0,
+                           float(ulx), float(uly), 0.0)
+
+    entries: list[tuple[int, int, int, bytes | int]] = [
+        (_T_WIDTH, _TYPE_LONG, 1, w),
+        (_T_HEIGHT, _TYPE_LONG, 1, h),
+        (_T_BITS, _TYPE_SHORT, nb,
+         struct.pack(f"<{nb}H", *([8] * nb)) if nb > 2 else
+         int.from_bytes(struct.pack(f"<{nb}H", *([8] * nb)).ljust(4, b"\0"),
+                        "little")),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, 1),
+        (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2 if nb >= 3 else 1),
+        (_T_STRIP_OFFSETS, _TYPE_LONG, 1, None),      # patched below
+        (_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, nb),
+        (_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
+        (_T_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, len(pix)),
+        (_T_PLANAR, _TYPE_SHORT, 1, 1),
+        (_T_SAMPLE_FORMAT, _TYPE_SHORT, nb,
+         struct.pack(f"<{nb}H", *([1] * nb)) if nb > 2 else
+         int.from_bytes(struct.pack(f"<{nb}H", *([1] * nb)).ljust(4, b"\0"),
+                        "little")),
+        (_T_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, 3, scale),
+        (_T_MODEL_TIEPOINT, _TYPE_DOUBLE, 6, tiepoint),
+        (_T_GEO_KEYS, _TYPE_SHORT, len(gk) // 2, gk),
+    ]
+    # layout: header(8) | IFD | out-of-line values | pixel strip
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = ifd_off + ifd_size
+    blobs = []
+    for i, (tag, typ, cnt, val) in enumerate(entries):
+        if isinstance(val, bytes) and len(val) > 4:
+            blobs.append((i, val))
+    blob_pos = {}
+    off = data_off
+    for i, b in blobs:
+        blob_pos[i] = off
+        off += len(b)
+    strip_off = off
+
+    out = bytearray(struct.pack("<2sHL", b"II", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for i, (tag, typ, cnt, val) in enumerate(entries):
+        if tag == _T_STRIP_OFFSETS:
+            v = struct.pack("<L", strip_off)
+        elif isinstance(val, bytes):
+            if len(val) > 4:
+                v = struct.pack("<L", blob_pos[i])
+            else:
+                v = val.ljust(4, b"\0")
+        elif typ == _TYPE_SHORT and cnt == 1:
+            v = struct.pack("<HH", int(val), 0)
+        else:
+            v = struct.pack("<L", int(val))
+        out += struct.pack("<HHL", tag, typ, cnt) + v
+    out += struct.pack("<L", 0)  # no next IFD
+    for _, b in blobs:
+        out += b
+    out += pix
+    return bytes(out)
+
+
+def decode_geotiff(buf: bytes):
+    """GeoTIFF bytes -> (uint8 (h, w, bands), ulx, uly, sx, sy, srid).
+    Baseline uncompressed uint8 only; anything else raises (the
+    compressed/exotic tail stays the documented external seam)."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack(bo + "HL", buf[2:8])
+    if magic != 42:
+        raise NotImplementedError("BigTIFF requires an image library")
+    n = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHL", buf[e:e + 8])
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        raw = buf[e + 8:e + 12]
+        if size > 4:
+            off = struct.unpack(bo + "L", raw)[0]
+            raw = buf[off:off + size]
+        else:
+            raw = raw[:size]
+        if typ == _TYPE_SHORT:
+            vals = struct.unpack(bo + f"{cnt}H", raw)
+        elif typ == _TYPE_LONG:
+            vals = struct.unpack(bo + f"{cnt}L", raw)
+        elif typ == _TYPE_DOUBLE:
+            vals = struct.unpack(bo + f"{cnt}d", raw)
+        else:
+            vals = (raw,)
+        tags[tag] = vals
+    w = int(tags[_T_WIDTH][0])
+    h = int(tags[_T_HEIGHT][0])
+    nb = int(tags.get(_T_SAMPLES_PER_PIXEL, (1,))[0])
+    if int(tags.get(_T_COMPRESSION, (1,))[0]) != 1:
+        raise NotImplementedError(
+            "compressed GeoTIFF requires an image library")
+    if any(b != 8 for b in tags.get(_T_BITS, (8,))):
+        raise NotImplementedError("only 8-bit samples supported")
+    if int(tags.get(_T_PLANAR, (1,))[0]) != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags.get(_T_STRIP_BYTE_COUNTS, (w * h * nb,))
+    pix = b"".join(
+        buf[o:o + c] for o, c in zip(offsets, counts)
+    )
+    arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * nb].reshape(h, w, nb)
+    sx, sy = 1.0, -1.0
+    if _T_MODEL_PIXEL_SCALE in tags:
+        s = tags[_T_MODEL_PIXEL_SCALE]
+        sx, sy = float(s[0]), -abs(float(s[1]))
+    ulx = uly = 0.0
+    if _T_MODEL_TIEPOINT in tags:
+        t = tags[_T_MODEL_TIEPOINT]
+        # world coords of raster point (t0, t1): upper-left anchor
+        ulx = float(t[3]) - float(t[0]) * sx
+        uly = float(t[4]) - float(t[1]) * sy
+    srid = 0
+    if _T_GEO_KEYS in tags:
+        gk = tags[_T_GEO_KEYS]
+        nk = gk[3]
+        for k in range(nk):
+            kid, loc, cnt, val = gk[4 + 4 * k:8 + 4 * k]
+            if kid in (_GK_GEOGRAPHIC_TYPE, _GK_PROJECTED_CS_TYPE) \
+                    and loc == 0:
+                srid = int(val)
+    return arr.copy(), ulx, uly, sx, sy, srid

@@ -1121,6 +1121,8 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
         ("RS_AsArcGrid", f"r {_RST}, band INT", "STRING",
          "RS_AsArcGridRaw(r.buf, band, r.ulx, r.uly + r.h * r.sy, r.sx, "
          "r.nodata)"),
+        ("RS_AsGeoTiff", f"r {_RST}", "BINARY",
+         "RS_AsGeoTiffRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, r.srid)"),
         ("RS_AsMatrix", f"r {_RST}, band INT", "STRING", matrix),
         # the engine codec is uint8 band-interleaved — every band reports
         # the reference's name for that storage type
@@ -1377,6 +1379,8 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_SetValuesRegion"] = _rs._set_values_region_udf
     pandas_catalog["RS_AsArcGridRaw"] = _rs._as_arc_grid_udf
     pandas_catalog["RS_FromArcInfoAsciiGrid"] = _rs._from_arc_grid_udf
+    pandas_catalog["RS_AsGeoTiffRaw"] = _rs._as_geotiff_udf
+    pandas_catalog["RS_FromGeoTiff"] = _rs._from_geotiff_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -229,3 +229,57 @@ def test_rs_resample_modes(spark):
     # downsample back by 2x2 picking = near the original (interp smooths)
     back = brr[1::4][:, 1::4] if False else brr
     assert abs(float(brr.mean()) - float(src.mean())) < 6.0
+
+
+def test_geotiff_codec_roundtrip():
+    """Pure-stdlib baseline GeoTIFF (TIFF 6.0 + GeoTIFF keys): encode ->
+    decode recovers pixels, georeference and EPSG; gray single-band
+    works; big-endian TIFFs parse; compressed input raises (documented
+    external seam)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    arr = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    buf = encode_geotiff(arr, ulx=10.5, uly=20.25, sx=2.0, sy=-2.0,
+                         srid=4326)
+    assert buf[:4] == b"II*\x00"
+    a2, ulx, uly, sx, sy, srid = decode_geotiff(buf)
+    assert np.array_equal(arr, a2)
+    assert (ulx, uly, sx, sy, srid) == (10.5, 20.25, 2.0, -2.0, 4326)
+
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b2 = encode_geotiff(g, ulx=-5, uly=7, sx=0.5, sy=-0.5, srid=3857)
+    a3, ulx3, _, _, _, srid3 = decode_geotiff(b2)
+    assert a3.shape == (4, 4, 1) and np.array_equal(a3[:, :, 0], g)
+    assert (ulx3, srid3) == (-5.0, 3857)
+
+    # deterministic layout: 8 header + 174 IFD + 116 blobs + pixels
+    assert len(buf) == 8 + 174 + 116 + 5 * 7 * 3
+
+    # minimal big-endian gray 1x1 TIFF, hand-built
+    ifd = struct.pack(
+        ">H", 6
+    ) + b"".join(
+        struct.pack(">HHL4s", *e) for e in [
+            (256, 4, 1, struct.pack(">L", 1)),
+            (257, 4, 1, struct.pack(">L", 1)),
+            (258, 3, 1, struct.pack(">HH", 8, 0)),
+            (259, 3, 1, struct.pack(">HH", 1, 0)),
+            (273, 4, 1, struct.pack(">L", 8 + 2 + 6 * 12 + 4)),
+            (279, 4, 1, struct.pack(">L", 1)),
+        ]
+    ) + struct.pack(">L", 0)
+    be = struct.pack(">2sHL", b"MM", 42, 8) + ifd + b"\x2a"
+    abe, *_ = decode_geotiff(be)
+    assert abe.ravel().tolist() == [42]
+
+    bad = bytearray(buf)
+    # flip Compression (tag 259) value to 5 (LZW)
+    comp_off = buf.index(struct.pack("<HHL", 259, 3, 1))
+    bad[comp_off + 8] = 5
+    with _pytest.raises(NotImplementedError):
+        decode_geotiff(bytes(bad))
