@@ -4576,6 +4576,67 @@ where i % 50 = 0
 """
 
 
+def q_netcdf_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF classic interop (r5c): RS_NetCDFInfo / RS_FromNetCDF over a
+    pure-stdlib CDF-1 codec (``sources/netcdf.py`` — published classic
+    header layout; NetCDF-4/HDF5 raises, the documented seam). The
+    fixture synthesizes one classic file per nation row (6×4 NC_INT grid
+    from an id formula) inside mapInPandas, reads the variable back as a
+    raster struct, and the DuckDB twin re-derives the info string and the
+    uint8-clipped band sum from the same formula."""
+    import numpy as np
+    import pandas as pd
+
+    import sedona_spark
+    from sedona_spark.sources.netcdf import encode_netcdf
+
+    sedona_spark.register(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey"
+    )
+
+    def gen(batches):
+        for b in batches:
+            recs = []
+            for n in b["n_nationkey"]:
+                n = int(n)
+                vals = ((n * 7 + np.arange(24) * 11) % 300).astype(
+                    np.int32
+                ).reshape(4, 6)
+                recs.append((n, encode_netcdf({"grid": vals})))
+            yield pd.DataFrame(recs, columns=["n_nationkey", "nc"])
+
+    nation.mapInPandas(
+        gen, "n_nationkey int, nc binary"
+    ).createOrReplaceTempView("ncfix")
+    return spark.sql("""
+with r as (select n_nationkey, nc, RS_FromNetCDF(nc, 'grid') as g
+           from ncfix)
+select n_nationkey,
+       RS_NetCDFInfo(nc) as info,
+       g.w as nc_w, g.h as nc_h, g.bands as nc_nb,
+       round(g.sy, 6) as nc_sy,
+       aggregate(RS_BandAsArray(g.buf, 0), 0, (a, v) -> a + v) as nc_sum,
+       cast(array_max(RS_BandAsArray(g.buf, 0)) as bigint) as nc_max
+from r
+""")
+
+
+def _netcdf_io_sql() -> str:
+    v = "(n_nationkey * 7 + i * 11) % 300"
+    return f"""
+select n_nationkey,
+       'grid(grid_d0=4, grid_d1=6) :4' as info,
+       6 as nc_w, 4 as nc_h, 1 as nc_nb,
+       round(-1.0, 6) as nc_sy,
+       cast(list_aggregate(list_transform(range(0, 24),
+           i -> least({v}, 255)), 'sum') as int) as nc_sum,
+       cast(list_max(list_transform(range(0, 24),
+           i -> least({v}, 255))) as bigint) as nc_max
+from nation
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4601,6 +4662,7 @@ _NEW_OR_CHANGED = {
     "st_skeleton",         # r5 batch 4: straight skeleton / medial axis
     "st_simplify_hull",    # r5 batch 4: polygon hull simplifier
     "geotiff_io",          # r5 batch 4: real baseline GeoTIFF codec
+    "netcdf_io",           # r5 batch 4: NetCDF classic codec
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4700,6 +4762,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_skeleton": q_st_skeleton,
         "st_simplify_hull": q_st_simplify_hull,
         "geotiff_io": q_geotiff_io,
+        "netcdf_io": q_netcdf_io,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4840,6 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         "st_skeleton": _st_skeleton_sql(),
         "st_simplify_hull": _st_simplify_hull_sql(),
         "geotiff_io": _geotiff_io_sql(),
+        "netcdf_io": _netcdf_io_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -1187,3 +1187,31 @@ def _from_geotiff_udf(buf: pd.Series) -> pd.DataFrame:
         ))
     return pd.DataFrame(
         recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
+@F.pandas_udf(StringType())
+def _netcdf_info_udf(buf: pd.Series) -> pd.Series:
+    """RS_NetCDFInfo: classic-format variable listing
+    (RasterConstructors.java:89-110; codec: sources/netcdf.py)."""
+    from sedona_spark.sources.netcdf import netcdf_info
+
+    return pd.Series([netcdf_info(bytes(b)) for b in buf])
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_netcdf_udf(buf: pd.Series, var: pd.Series) -> pd.DataFrame:
+    """RS_FromNetCDF: a 2-D numeric variable of a classic NetCDF file as
+    an engine raster struct (RasterConstructors.java:76-88; values
+    clipped to the uint8 codec range; NetCDF-4/HDF5 raises — the
+    documented external seam)."""
+    from sedona_spark.sources.netcdf import netcdf_variable_as_raster
+
+    recs = []
+    for b, v in zip(buf, var):
+        arr, w, h, _, _ = netcdf_variable_as_raster(bytes(b), str(v))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            w, h, 1, 0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])

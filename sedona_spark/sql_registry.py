@@ -1381,6 +1381,8 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_FromArcInfoAsciiGrid"] = _rs._from_arc_grid_udf
     pandas_catalog["RS_AsGeoTiffRaw"] = _rs._as_geotiff_udf
     pandas_catalog["RS_FromGeoTiff"] = _rs._from_geotiff_udf
+    pandas_catalog["RS_NetCDFInfo"] = _rs._netcdf_info_udf
+    pandas_catalog["RS_FromNetCDF"] = _rs._from_netcdf_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -283,3 +283,36 @@ def test_geotiff_codec_roundtrip():
     bad[comp_off + 8] = 5
     with _pytest.raises(NotImplementedError):
         decode_geotiff(bytes(bad))
+
+
+def test_netcdf_classic_codec():
+    """Pure-stdlib NetCDF classic (CDF-1): writer/reader round trip for
+    int and double 2-D variables, info listing, raster extraction with
+    uint8 clipping, and the NetCDF-4 rejection seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.sources.netcdf import (
+        encode_netcdf,
+        netcdf_info,
+        netcdf_variable_as_raster,
+        parse_netcdf,
+    )
+
+    t = np.arange(12, dtype=np.int32).reshape(3, 4) * 30
+    h = np.arange(12, dtype=np.float64).reshape(3, 4) / 2
+    buf = encode_netcdf({"temp": t, "hum": h})
+    assert buf[:4] == b"CDF\x01"
+    p = parse_netcdf(buf)
+    assert np.array_equal(p["vars"]["temp"]["data"], t)
+    assert np.allclose(p["vars"]["hum"]["data"], h)
+    assert "temp(temp_d0=3, temp_d1=4) :4" in netcdf_info(buf)
+
+    arr, w, hh, lo, hi = netcdf_variable_as_raster(buf, "temp")
+    assert (w, hh) == (4, 3) and (lo, hi) == (0.0, 330.0)
+    assert int(arr.sum()) == sum(min(v, 255) for v in t.ravel().tolist())
+
+    with _pytest.raises(NotImplementedError):
+        parse_netcdf(b"\x89HDF\r\n\x1a\n" + b"\0" * 32)
+    with _pytest.raises(KeyError):
+        netcdf_variable_as_raster(buf, "nope")
