@@ -4276,7 +4276,14 @@ select n_nationkey,
   round(element_at(ST_GeogFromGeoHash(ST_GeoHash(zcx, zcy, 5)), 1), 6)
       as gh_x0,
   round(element_at(ST_GeogFromGeoHash(ST_GeoHash(zcx, zcy, 5)), 4), 6)
-      as gh_y0
+      as gh_y0,
+  ParseAddress(format_string('%d Oak St, City%d, IL %05d',
+      n_nationkey + 1, n_nationkey, 60000 + n_nationkey)).road as addr_rd,
+  ParseAddress(format_string('%d Oak St, City%d, IL %05d',
+      n_nationkey + 1, n_nationkey, 60000 + n_nationkey)).postcode
+      as addr_zip,
+  element_at(ExpandAddress(format_string('%d Oak St, City%d, IL %05d',
+      n_nationkey + 1, n_nationkey, 60000 + n_nationkey)), 2) as addr_ex
 from g
 """)
 
@@ -4325,7 +4332,11 @@ select n_nationkey,
   round(4 * hx * hy, 6) as my_area,
   round(4 * hx * hy, 6) as gg_area,
   round({gh_x0}, 6) as gh_x0,
-  round({gh_y0}, 6) as gh_y0
+  round({gh_y0}, 6) as gh_y0,
+  'Oak St' as addr_rd,
+  printf('%05d', 60000 + n_nationkey) as addr_zip,
+  printf('%d oak street, city%d, il %05d',
+         n_nationkey + 1, n_nationkey, 60000 + n_nationkey) as addr_ex
 from z
 """
 

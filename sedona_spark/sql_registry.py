@@ -1254,6 +1254,31 @@ def _st_straggler_sql_udfs() -> list[tuple[str, str, str, str]]:
          "DOUBLE", interp),
         ("ST_TransformEpsg", "lon DOUBLE, lat DOUBLE, code INT",
          "STRUCT<x: DOUBLE, y: DOUBLE>", transform_epsg),
+        # rule-based address functions (the reference binds libpostal —
+        # an external statistical model; this is the deterministic
+        # "#-street, city, ST zip" subset, documented as such)
+        ("ParseAddress", "addr STRING",
+         "STRUCT<house_number: STRING, road: STRING, city: STRING, "
+         "state: STRING, postcode: STRING>",
+         r"named_struct("
+         r"'house_number', regexp_extract(addr, '^\\s*(\\d+)\\s+', 1), "
+         r"'road', trim(regexp_extract(addr, "
+         r"'^\\s*\\d+\\s+([^,]+),', 1)), "
+         r"'city', trim(regexp_extract(addr, "
+         r"'^[^,]+,\\s*([^,]+),', 1)), "
+         r"'state', regexp_extract(addr, ',\\s*([A-Z]{2})\\s+\\d', 1), "
+         r"'postcode', regexp_extract(addr, '(\\d{5})\\s*$', 1))"),
+        ("ExpandAddress", "addr STRING", "ARRAY<STRING>",
+         "array_distinct(array("
+         "trim(lower(replace(addr, '.', ''))), "
+         "trim(regexp_replace(regexp_replace(regexp_replace("
+         "regexp_replace(regexp_replace("
+         "lower(replace(addr, '.', '')), "
+         "'\\\\bst\\\\b', 'street'), "
+         "'\\\\bave\\\\b', 'avenue'), "
+         "'\\\\bblvd\\\\b', 'boulevard'), "
+         "'\\\\brd\\\\b', 'road'), "
+         "'\\\\bdr\\\\b', 'drive'))))"),
     ]
 
 

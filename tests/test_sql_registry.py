@@ -415,3 +415,19 @@ select GeometryType(array(array(0e0,0e0,4e0,0e0,4e0,3e0,0e0,3e0))) gt,
     assert abs(r["tx"] - 222638.98) < 0.01
     assert r["fall"] == 7.0       # unknown code -> identity
     assert r["nrings"] == 1 and r["my_area"] == 12.0
+
+
+def test_sql_address_functions(reg):
+    """Rule-based ParseAddress/ExpandAddress (deterministic
+    '#-street, city, ST zip' subset of the reference's libpostal
+    binding)."""
+    spark = reg
+    r = spark.sql(
+        "select ParseAddress('123 Main St, Springfield, IL 62704') p, "
+        "ExpandAddress('9 Oak Ave, Denver, CO 80014') e"
+    ).collect()[0]
+    p = r["p"]
+    assert (p["house_number"], p["road"], p["city"], p["state"],
+            p["postcode"]) == (
+        "123", "Main St", "Springfield", "IL", "62704")
+    assert "9 oak avenue, denver, co 80014" in r["e"]
