@@ -4648,6 +4648,56 @@ from nation
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (r5c, training-pipeline
+    tier): top-1-gram fraction, top-adjacent-bigram fraction,
+    distinct-word ratio and mean word length per document — two
+    explode→groupBy passes with map-side partial aggregation
+    (``pipeline/text.repetition_stats``). The DuckDB oracle re-derives
+    everything with unnest + group by."""
+    from sedona_spark.pipeline.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def _repetition_stats_sql() -> str:
+    return """
+with d as (select doc_id, text from documents where doc_id % 10 = 0),
+w as (select doc_id, w, count(*) as c
+      from d, lateral unnest(string_split(text, ' ')) as t(w)
+      where w <> '' group by doc_id, w),
+uni as (select doc_id, max(c) as top1, sum(c) as n_words,
+               count(*) as n_distinct,
+               sum(length(w) * c) as chars
+        from w group by doc_id),
+bl as (select doc_id, ws[i] || ' ' || ws[i + 1] as b
+       from (select doc_id,
+                    list_filter(string_split(text, ' '),
+                                x -> x <> '') as ws
+             from d),
+            lateral unnest(range(1, len(ws))) as t(i)),
+bg as (select doc_id, max(c) as top2, sum(c) as n_bigrams
+       from (select doc_id, b, count(*) as c from bl
+             group by doc_id, b)
+       group by doc_id),
+j as (select uni.*, bg.top2, bg.n_bigrams
+      from uni left join bg using (doc_id))
+select doc_id,
+       cast(n_words as bigint) as n_words,
+       cast(n_distinct as bigint) as n_distinct,
+       round(cast(top1 as double) / n_words, 6) as top1_frac,
+       round(coalesce(cast(top2 as double) / n_bigrams, 0.0), 6)
+           as top2_frac,
+       round(cast(n_distinct as double) / n_words, 6) as distinct_ratio,
+       round(cast(chars as double) / n_words, 6) as mean_word_len
+from j
+order by doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4674,6 +4724,7 @@ _NEW_OR_CHANGED = {
     "st_simplify_hull",    # r5 batch 4: polygon hull simplifier
     "geotiff_io",          # r5 batch 4: real baseline GeoTIFF codec
     "netcdf_io",           # r5 batch 4: NetCDF classic codec
+    "repetition_stats",    # r5 batch 4: Gopher-style repetition signals
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4774,6 +4825,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_simplify_hull": q_st_simplify_hull,
         "geotiff_io": q_geotiff_io,
         "netcdf_io": q_netcdf_io,
+        "repetition_stats": q_repetition_stats,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -4915,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "st_simplify_hull": _st_simplify_hull_sql(),
         "geotiff_io": _geotiff_io_sql(),
         "netcdf_io": _netcdf_io_sql(),
+        "repetition_stats": _repetition_stats_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

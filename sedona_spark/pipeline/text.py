@@ -126,3 +126,68 @@ def chunk_tokens(
         F.size(sl).cast("long").alias("n_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (public
+    heuristics from the Gopher/MassiveText filtering recipe): fraction of
+    words taken by the most frequent word (top-1-gram), fraction of word
+    pairs taken by the most frequent adjacent bigram (top-2-gram),
+    distinct-word ratio, and mean word length. High top-k-gram fractions
+    flag boilerplate/repetitive documents that hurt training.
+
+    Shape: two explode -> groupBy passes (word grain, bigram grain), both
+    shuffling on (doc, token) — partial aggregation map-side, no
+    collect-to-driver, linear in corpus size (the form that holds at
+    100 TB; a per-doc Python loop would not)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(id_col, words.alias("_ws"))
+    uni = (
+        base.select(id_col, F.explode("_ws").alias("_w"))
+        .groupBy(id_col, "_w").count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("_top1"),
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.length("_w") * F.col("count")).alias("_chars"),
+        )
+    )
+    big = (
+        base.select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_ws", 1, F.greatest(F.size("_ws") - 1,
+                                                 F.lit(0))),
+                    F.slice("_ws", 2, F.greatest(F.size("_ws") - 1,
+                                                 F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_b"),
+        )
+        .groupBy(id_col, "_b").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top2"),
+             F.sum("count").alias("n_bigrams"))
+    )
+    return (
+        uni.join(big, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words"),
+            F.col("n_distinct"),
+            F.round(F.col("_top1") / F.col("n_words"), 6)
+                .alias("top1_frac"),
+            F.round(
+                F.coalesce(F.col("_top2") / F.col("n_bigrams"),
+                           F.lit(0.0)), 6,
+            ).alias("top2_frac"),
+            F.round(F.col("n_distinct") / F.col("n_words"), 6)
+                .alias("distinct_ratio"),
+            F.round(F.col("_chars") / F.col("n_words"), 6)
+                .alias("mean_word_len"),
+        )
+    )

@@ -290,3 +290,27 @@ def test_phash_near_dup_images(spark):
     # the blot flips few blocks: the vast majority of planted pairs stay
     # within hamming 7 and every one inside the radius is recovered
     assert len(found_planted) >= 0.8 * len(planted), len(found_planted)
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: a fully repetitive doc scores
+    top1_frac 1.0, a diverse doc scores low; bigram fraction catches
+    alternating boilerplate that unigram fraction misses."""
+    from sedona_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "the quick brown fox jumps"),
+            (3, "ab cd ab cd ab cd ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert r[1]["top1_frac"] == 1.0 and r[1]["top2_frac"] == 1.0
+    assert r[2]["top1_frac"] == 0.2 and r[2]["distinct_ratio"] == 1.0
+    # doc 3: each word half the doc, but "ab cd" is 4/7 of bigrams
+    assert r[3]["top1_frac"] == 0.5
+    assert abs(r[3]["top2_frac"] - 4 / 7) < 1e-6
+    assert r[3]["n_words"] == 8 and r[3]["n_distinct"] == 2
+    assert r[2]["mean_word_len"] == 4.2
