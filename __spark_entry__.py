@@ -4120,9 +4120,28 @@ b as (select p.*,
       from p),
 x as (select b.*,
              RS_MakeRaster(e, vals) as rm,
-             RS_AddBandFromArray(RS_MakeRaster(e, vals), vals2) as mb
+             RS_AddBandFromArray(RS_MakeRaster(e, vals), vals2) as mb,
+             RS_AsPNG(RS_MakeRaster(e, vals)) as png,
+             RS_MakeRasterForTesting(2, w, h, 0e0, 0e0, 1e0, -1e0,
+                                     0e0, 0e0, 4326) as tst,
+             RS_ReprojectMatch(RS_MakeRaster(e, vals),
+                 RS_SetGeoReference(
+                     RS_MakeEmptyRaster(1, w div 2, h div 2,
+                                        0e0, 0e0, 1e0),
+                     n * 1.5e0, n * 2.5e0, 2e0 * cs, -2e0 * cs,
+                     0e0, 0e0)) as rp
       from b)
 select n,
+  hex(substring(png, 1, 8)) as png_magic,
+  hex(substring(png, 17, 4)) as png_w,
+  RS_FromPNG(png).bands as png_nb,
+  aggregate(RS_BandAsArray(RS_FromPNG(png).buf, 0), 0, (a, v) -> a + v)
+      as png_sum,
+  aggregate(RS_BandAsArray(tst.buf, 1), 0, (a, v) -> a + v) as tst_sum1,
+  tst.bands as tst_nb,
+  rp.w as rp_w,
+  round(rp.sx, 6) as rp_sx,
+  aggregate(RS_BandAsArray(rp.buf, 0), 0, (a, v) -> a + v) as rp_sum,
   aggregate(RS_BandAsArray(e.buf, 0), 0, (a, v) -> a + v) as empty_sum,
   e.bands as e_nb,
   round(e.sy, 6) as e_sy,
@@ -4196,6 +4215,19 @@ p as (select n_nationkey as n,
              cast(n_nationkey % 3 + 1 as double) as cs
       from z)
 select n,
+  '89504E470D0A1A0A' as png_magic,
+  printf('%08X', w) as png_w,
+  1 as png_nb,
+  {vsum} as png_sum,
+  cast(list_aggregate(list_transform(range(0, w * h),
+      p -> least(1 + p, 255)), 'sum') as int) as tst_sum1,
+  2 as tst_nb,
+  cast(w // 2 as int) as rp_w,
+  round(2.0 * cs, 6) as rp_sx,
+  cast(list_aggregate(list_transform(range(0, (w // 2) * (h // 2)),
+      k -> least((n * 7 + ((2 * (k // (w // 2)) + 1) * w
+                  + 2 * (k % (w // 2)) + 1) * 11) % 260, 255)),
+      'sum') as int) as rp_sum,
   0 as empty_sum,
   1 as e_nb,
   round(-cs, 6) as e_sy,

@@ -144,6 +144,17 @@ BENCH_QUERIES = [
     "rs_pyramid",
     "hilbert_cells",
     "markup_io",
+    # r5c additions
+    "sql_api_rs_math",
+    "sql_api_rs_geo",
+    "sql_api_rs_io",
+    "sql_api_6",
+    "distance_band_weights",
+    "st_skeleton",
+    "st_simplify_hull",
+    "geotiff_io",
+    "netcdf_io",
+    "repetition_stats",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

@@ -1215,3 +1215,86 @@ def _from_netcdf_udf(buf: pd.Series, var: pd.Series) -> pd.DataFrame:
         ))
     return pd.DataFrame(
         recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
+@F.pandas_udf(BinaryType())
+def _as_png_udf(buf: pd.Series) -> pd.Series:
+    """RS_AsPNG: engine raster -> real PNG bytes (RasterOutputs.java;
+    codec: sources/png.py — pure zlib/CRC32, filter-0 scanlines)."""
+    from sedona_spark.sources.png import encode_png
+
+    out = []
+    for b in buf:
+        arr, _ = decode_image(bytes(b))
+        out.append(encode_png(arr))
+    return pd.Series(out)
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_png_udf(buf: pd.Series) -> pd.DataFrame:
+    """RS_FromPNG: 8-bit gray/RGB/RGBA non-interlaced PNG -> raster
+    struct (all five scanline filters decoded; 16-bit/palette/interlaced
+    raise — the documented external seam)."""
+    from sedona_spark.sources.png import decode_png
+
+    recs = []
+    for b in buf:
+        arr = decode_png(bytes(b))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            arr.shape[1], arr.shape[0], arr.shape[2],
+            0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
+@F.pandas_udf(BinaryType())
+def _reproject_match_udf(
+    buf: pd.Series, ulx1: pd.Series, uly1: pd.Series,
+    sx1: pd.Series, sy1: pd.Series,
+    w2: pd.Series, h2: pd.Series, ulx2: pd.Series, uly2: pd.Series,
+    sx2: pd.Series, sy2: pd.Series,
+) -> pd.Series:
+    """RS_ReprojectMatch core: nearest-neighbor resample of a north-up
+    raster onto a reference north-up grid (RasterEditors.java
+    RS_ReprojectMatch; out-of-coverage target pixels are 0)."""
+    out = []
+    for (b, x1, y1, gx1, gy1, ww, hh, x2, y2, gx2, gy2) in zip(
+        buf, ulx1, uly1, sx1, sy1, w2, h2, ulx2, uly2, sx2, sy2
+    ):
+        arr, _ = decode_image(bytes(b))
+        h1, w1 = arr.shape[:2]
+        ww, hh = int(ww), int(hh)
+        cols = np.arange(ww) + 0.5
+        rows = np.arange(hh) + 0.5
+        wx = float(x2) + cols * float(gx2)
+        wy = float(y2) + rows * float(gy2)
+        sc = np.floor((wx - float(x1)) / float(gx1)).astype(np.int64)
+        sr = np.floor((wy - float(y1)) / float(gy1)).astype(np.int64)
+        t = np.zeros((hh, ww, arr.shape[2]), dtype=np.uint8)
+        okc = (sc >= 0) & (sc < w1)
+        okr = (sr >= 0) & (sr < h1)
+        rr, cc = np.meshgrid(sr, sc, indexing="ij")
+        mask = okr[:, None] & okc[None, :]
+        t[mask] = arr[rr[mask], cc[mask]]
+        out.append(encode_image(t, "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _make_test_raster_udf(
+    nb: pd.Series, w: pd.Series, h: pd.Series
+) -> pd.Series:
+    """RS_MakeRasterForTesting pixel fill: value = k + y*w + x per band k
+    (RasterConstructorsForTesting.java:78-91), uint8-clipped. Lives in
+    Python because Spark cannot pass a lambda-built array into a pandas
+    UDF (codegen limitation on higher-order arguments)."""
+    out = []
+    for b, ww, hh in zip(nb, w, h):
+        b, ww, hh = int(b), int(ww), int(hh)
+        base = np.arange(ww * hh, dtype=np.int64).reshape(hh, ww)
+        arr = np.stack([base + k for k in range(b)], axis=2)
+        out.append(encode_image(np.clip(arr, 0, 255).astype(np.uint8),
+                                "fpng"))
+    return pd.Series(out)

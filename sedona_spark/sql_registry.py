@@ -1123,6 +1123,26 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "r.nodata)"),
         ("RS_AsGeoTiff", f"r {_RST}", "BINARY",
          "RS_AsGeoTiffRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, r.srid)"),
+        ("RS_AsPNG", f"r {_RST}", "BINARY", "RS_AsPNGRaw(r.buf)"),
+        # value = k + y*w + x per band k
+        # (RasterConstructorsForTesting.java:57-91; uint8-clipped here)
+        ("RS_MakeRasterForTesting",
+         "nb INT, w INT, h INT, ulx DOUBLE, uly DOUBLE, "
+         "sx DOUBLE, sy DOUBLE, kx DOUBLE, ky DOUBLE, srid INT", _RST,
+         "named_struct('buf', RS_MakeTestBuf(nb, w, h), "
+         "'w', w, 'h', h, 'bands', nb, 'ulx', ulx, 'uly', uly, "
+         "'sx', sx, 'sy', sy, 'kx', kx, 'ky', ky, 'srid', srid, "
+         "'nodata', cast(null as double))"),
+        # nearest-neighbor resample of r1 onto r2's (north-up) grid;
+        # result carries r2's georeference (RasterEditors.java)
+        ("RS_ReprojectMatch", f"r1 {_RST}, r2 {_RST}", _RST,
+         "named_struct('buf', RS_ReprojectMatchRaw(r1.buf, "
+         "r1.ulx, r1.uly, r1.sx, r1.sy, "
+         "r2.w, r2.h, r2.ulx, r2.uly, r2.sx, r2.sy), "
+         "'w', r2.w, 'h', r2.h, 'bands', r1.bands, "
+         "'ulx', r2.ulx, 'uly', r2.uly, 'sx', r2.sx, 'sy', r2.sy, "
+         "'kx', r2.kx, 'ky', r2.ky, 'srid', r2.srid, "
+         "'nodata', r1.nodata)"),
         ("RS_AsMatrix", f"r {_RST}, band INT", "STRING", matrix),
         # the engine codec is uint8 band-interleaved — every band reports
         # the reference's name for that storage type
@@ -1408,6 +1428,10 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_FromGeoTiff"] = _rs._from_geotiff_udf
     pandas_catalog["RS_NetCDFInfo"] = _rs._netcdf_info_udf
     pandas_catalog["RS_FromNetCDF"] = _rs._from_netcdf_udf
+    pandas_catalog["RS_AsPNGRaw"] = _rs._as_png_udf
+    pandas_catalog["RS_FromPNG"] = _rs._from_png_udf
+    pandas_catalog["RS_ReprojectMatchRaw"] = _rs._reproject_match_udf
+    pandas_catalog["RS_MakeTestBuf"] = _rs._make_test_raster_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

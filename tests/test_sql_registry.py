@@ -431,3 +431,40 @@ def test_sql_address_functions(reg):
             p["postcode"]) == (
         "123", "Main St", "Springfield", "IL", "62704")
     assert "9 oak avenue, denver, co 80014" in r["e"]
+
+
+def test_sql_png_reproject_test_raster(reg):
+    """RS_AsPNG emits genuine PNG bytes (signature + IHDR dims) that
+    RS_FromPNG round-trips; RS_MakeRasterForTesting fills k + y*w + x;
+    RS_ReprojectMatch nearest-neighbor-resamples onto the reference
+    grid and carries its georeference."""
+    spark = reg
+    r = spark.sql("""
+with e as (select RS_MakeRasterForTesting(2, 4, 3, 10e0, 20e0,
+                      1e0, -1e0, 0e0, 0e0, 4326) as t),
+x as (select t, RS_AsPNG(t) as png,
+             RS_ReprojectMatch(t,
+                 RS_SetGeoReference(
+                     RS_MakeEmptyRaster(1, 2, 1, 0e0, 0e0, 1e0),
+                     10e0, 20e0, 2e0, -2e0, 0e0, 0e0)) as rp
+      from e)
+select hex(substring(png, 1, 8)) as magic,
+       hex(substring(png, 17, 4)) as pw,
+       hex(substring(png, 21, 4)) as ph,
+       RS_FromPNG(png).bands as nb,
+       aggregate(RS_BandAsArray(RS_FromPNG(png).buf, 0), 0,
+                 (a, v) -> a + v) as s0,
+       aggregate(RS_BandAsArray(t.buf, 1), 0, (a, v) -> a + v) as s1,
+       rp.w as rp_w, round(rp.sx, 6) as rp_sx, rp.srid as rp_srid,
+       RS_BandAsArray(rp.buf, 0) as rp_vals
+from x
+""").collect()[0]
+    assert r["magic"] == "89504E470D0A1A0A"
+    assert r["pw"] == "00000004" and r["ph"] == "00000003"
+    assert r["nb"] == 2
+    assert r["s0"] == sum(range(12))          # band 0: y*w + x
+    assert r["s1"] == sum(range(12)) + 12     # band 1: +1 per pixel
+    assert (r["rp_w"], r["rp_sx"], r["rp_srid"]) == (2, 2.0, 0)
+    # srid follows the REFERENCE grid (r2), which was never SetSRID
+    # target pixel centers land on source pixels (1,1) and (3,1)
+    assert r["rp_vals"] == [5, 7]
