@@ -4132,6 +4132,40 @@ x as (select b.*,
                      0e0, 0e0)) as rp
       from b)
 select n,
+  aggregate(RS_BandAsArray(RS_NormalizeAll(rm).buf, 0), 0,
+      (a, v) -> a + v) as nz_all_sum,
+  RS_Union(rm, mb).bands as un_nb,
+  round(coalesce(element_at(RS_Values(rm,
+      array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
+            n * 1.5e0 + 1e6),
+      array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
+            n * 2.5e0), 0), 1), -1e0), 6) as rv1,
+  round(coalesce(element_at(RS_Values(rm,
+      array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
+            n * 1.5e0 + 1e6),
+      array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
+            n * 2.5e0), 0), 2), -1e0), 6) as rv2,
+  round(coalesce(element_at(RS_Values(rm,
+      array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
+            n * 1.5e0 + 1e6),
+      array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
+            n * 2.5e0), 0), 3), -1e0), 6) as rv3,
+  RS_Clip(rm, array(
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 1e-1 * cs,
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).w as cl_w,
+  round(RS_Clip(rm, array(
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 1e-1 * cs,
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).ulx, 6) as cl_ulx,
+  aggregate(RS_BandAsArray(RS_Clip(rm, array(
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
+      n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 1e-1 * cs,
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).buf, 0), 0,
+      (a, v) -> a + v) as cl_sum,
   hex(substring(png, 1, 8)) as png_magic,
   hex(substring(png, 17, 4)) as png_w,
   RS_FromPNG(png).bands as png_nb,
@@ -4215,6 +4249,26 @@ p as (select n_nationkey as n,
              cast(n_nationkey % 3 + 1 as double) as cs
       from z)
 select n,
+  cast(list_aggregate(list_transform(range(0, w * h), i ->
+      case when list_max(list_transform(range(0, w * h), j ->
+               least((n * 7 + j * 11) % 260, 255)))
+             = list_min(list_transform(range(0, w * h), j ->
+               least((n * 7 + j * 11) % 260, 255))) then 0
+      else floor(({v} - list_min(list_transform(range(0, w * h), j ->
+               least((n * 7 + j * 11) % 260, 255)))) * 255.0
+           / (list_max(list_transform(range(0, w * h), j ->
+               least((n * 7 + j * 11) % 260, 255)))
+              - list_min(list_transform(range(0, w * h), j ->
+               least((n * 7 + j * 11) % 260, 255))))) end),
+      'sum') as int) as nz_all_sum,
+  3 as un_nb,
+  round(cast({vk.format(k='0')} as double), 6) as rv1,
+  round(cast({vk.format(k='(w * h - 1)')} as double), 6) as rv2,
+  round(-1.0, 6) as rv3,
+  2 as cl_w,
+  round(n * 1.5, 6) as cl_ulx,
+  cast({vk.format(k='0')} + {vk.format(k='1')} + {vk.format(k='w')}
+      + {vk.format(k='(w + 1)')} as int) as cl_sum,
   '89504E470D0A1A0A' as png_magic,
   printf('%08X', w) as png_w,
   1 as png_nb,

@@ -190,3 +190,49 @@ def geohash_center(hashes: pd.Series) -> pd.Series:
     b = np_geohash_bbox(hashes.to_numpy())
     return pd.Series(list(np.stack(
         [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2], axis=1)))
+
+
+def np_geohash_neighbors(lon, lat, precision: int):
+    """Numpy twin of :func:`st_geohash_neighbors` (same wrap/clamp/sort
+    conventions) — powers the SQL registration, where a runtime-precision
+    Column dispatch would be prohibitively large."""
+    total, lon_bits, lat_bits = _bits(precision)
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    gx = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0,
+                 nx - 1).astype(np.int64)
+    gy = np.clip(np.floor((lat + 90.0) / 180.0 * ny), 0,
+                 ny - 1).astype(np.int64)
+
+    def b32(code: np.ndarray) -> list[str]:
+        out = []
+        for v in code:
+            s = "".join(
+                ALPHABET[(int(v) >> (5 * (precision - 1 - c))) & 31]
+                for c in range(precision)
+            )
+            out.append(s)
+        return out
+
+    def interleave(ax: np.ndarray, ay: np.ndarray) -> np.ndarray:
+        code = np.zeros(len(ax), dtype=np.int64)
+        for j in range(lon_bits):
+            code |= ((ax >> (lon_bits - 1 - j)) & 1) << (total - 1 - 2 * j)
+        for j in range(lat_bits):
+            code |= (((ay >> (lat_bits - 1 - j)) & 1)
+                     << (total - 1 - (2 * j + 1)))
+        return code
+
+    home = b32(interleave(gx, gy))
+    cols = [
+        b32(interleave((gx + dx) % nx,
+                       np.clip(gy + dy, 0, ny - 1)))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+    out = []
+    for i in range(len(gx)):
+        s = sorted({c[i] for c in cols} - {home[i]})
+        out.append(s)
+    return out

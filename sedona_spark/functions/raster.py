@@ -1298,3 +1298,98 @@ def _make_test_raster_udf(
         out.append(encode_image(np.clip(arr, 0, 255).astype(np.uint8),
                                 "fpng"))
     return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _normalize_all_udf(buf: pd.Series) -> pd.Series:
+    """RS_NormalizeAll: every band min-max scaled to 0..255 (constant
+    bands -> 0, the MapAlgebra.normalize convention per band)."""
+    out = []
+    for b in buf:
+        arr, _ = decode_image(bytes(b))
+        t = arr.astype(np.float64)
+        lo = t.min(axis=(0, 1), keepdims=True)
+        hi = t.max(axis=(0, 1), keepdims=True)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        t = np.where(hi > lo, (t - lo) * 255.0 / span, 0.0)
+        out.append(encode_image(t.astype(np.uint8), "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _union_bufs_udf(buf1: pd.Series, buf2: pd.Series) -> pd.Series:
+    """RS_Union core: stack ALL bands of two same-grid rasters."""
+    out = []
+    for a, b in zip(buf1, buf2):
+        a1, _ = decode_image(bytes(a))
+        a2, _ = decode_image(bytes(b))
+        out.append(encode_image(
+            np.ascontiguousarray(np.concatenate([a1, a2], axis=2)),
+            "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _values_world_udf(
+    buf: pd.Series, xs: pd.Series, ys: pd.Series,
+    ulx: pd.Series, uly: pd.Series, sx: pd.Series, sy: pd.Series,
+    band: pd.Series,
+) -> pd.Series:
+    """RS_Values core: band values at world points (north-up inverse
+    affine + floor, the getGridCoordinatesFromWorld convention);
+    out-of-range points yield NULL (PixelFunctions.values)."""
+    out = []
+    for b, px, py, x0, y0, gx, gy, bi in zip(
+        buf, xs, ys, ulx, uly, sx, sy, band
+    ):
+        arr, _ = decode_image(bytes(b))
+        h, w = arr.shape[:2]
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        c = np.floor((px - float(x0)) / float(gx)).astype(np.int64)
+        r = np.floor((py - float(y0)) / float(gy)).astype(np.int64)
+        ok = (c >= 0) & (c < w) & (r >= 0) & (r < h)
+        vals = np.full(len(px), np.nan)
+        vals[ok] = arr[r[ok], c[ok], int(bi)]
+        out.append([None if np.isnan(v) else float(v) for v in vals])
+    return pd.Series(out)
+
+
+_CLIP_RING_SCHEMA = StructType([
+    StructField("buf", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("ulx", DoubleType()),
+    StructField("uly", DoubleType()),
+])
+
+
+@F.pandas_udf(_CLIP_RING_SCHEMA)
+def _clip_ring_udf(
+    buf: pd.Series, ring: pd.Series,
+    ulx: pd.Series, uly: pd.Series, sx: pd.Series, sy: pd.Series,
+) -> pd.DataFrame:
+    """RS_Clip core: crop a north-up raster to the bbox of a ring
+    (RasterBandEditors RS_Clip crops to the ROI envelope), returning the
+    cropped grid + its shifted upper-left anchor."""
+    recs = []
+    for b, rg, x0, y0, gx, gy in zip(buf, ring, ulx, uly, sx, sy):
+        arr, _ = decode_image(bytes(b))
+        h, w = arr.shape[:2]
+        r = np.asarray(rg, dtype=np.float64).reshape(-1, 2)
+        bx0, by0 = r.min(axis=0)
+        bx1, by1 = r.max(axis=0)
+        gx, gy = float(gx), float(gy)
+        c0 = max(0, int(np.floor((bx0 - float(x0)) / gx)))
+        c1 = min(w, int(np.ceil((bx1 - float(x0)) / gx)))
+        # gy < 0 (north-up): top of the bbox is the SMALLER row index
+        r0 = max(0, int(np.floor((by1 - float(y0)) / gy)))
+        r1 = min(h, int(np.ceil((by0 - float(y0)) / gy)))
+        c1, r1 = max(c1, c0 + 1), max(r1, r0 + 1)
+        t = np.ascontiguousarray(arr[r0:r1, c0:c1])
+        recs.append((
+            encode_image(t, "fpng"), t.shape[1], t.shape[0],
+            float(x0) + c0 * gx, float(y0) + r0 * gy,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _CLIP_RING_SCHEMA.fields])

@@ -1658,3 +1658,29 @@ def _simplify_hull_udf(
         )
         out.append(res.ravel())
     return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _geohash_neighbors_udf(
+    lon: pd.Series, lat: pd.Series, precision: pd.Series
+) -> pd.Series:
+    """ST_GeoHashNeighbors: sorted 8-neighborhood of the point's geohash
+    cell (lon wraps, lat clamps) at a RUNTIME precision — numpy twin of
+    the Column k-ring in functions/geohash.py."""
+    from sedona_spark.functions.geohash import np_geohash_neighbors
+
+    out = []
+    # group by precision so the bit layout is computed once per value
+    import numpy as _np
+
+    lon_a = lon.to_numpy()
+    lat_a = lat.to_numpy()
+    prec_a = precision.to_numpy()
+    res: list[list[str] | None] = [None] * len(lon_a)
+    for p in _np.unique(prec_a):
+        ix = _np.flatnonzero(prec_a == p)
+        vals = np_geohash_neighbors(lon_a[ix], lat_a[ix], int(p))
+        for j, v in zip(ix, vals):
+            res[j] = v
+    out = res
+    return pd.Series(out)

@@ -1133,6 +1133,34 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "'w', w, 'h', h, 'bands', nb, 'ulx', ulx, 'uly', uly, "
          "'sx', sx, 'sy', sy, 'kx', kx, 'ky', ky, 'srid', srid, "
          "'nodata', cast(null as double))"),
+        ("RS_NormalizeAll", f"r {_RST}", _RST,
+         _rst_with(buf="RS_NormalizeAllBuf(r.buf)")),
+        ("RS_Union", f"r1 {_RST}, r2 {_RST}", _RST,
+         "named_struct('buf', RS_UnionBufs(r1.buf, r2.buf), "
+         "'w', r1.w, 'h', r1.h, 'bands', r1.bands + r2.bands, "
+         "'ulx', r1.ulx, 'uly', r1.uly, 'sx', r1.sx, 'sy', r1.sy, "
+         "'kx', r1.kx, 'ky', r1.ky, 'srid', r1.srid, "
+         "'nodata', r1.nodata)"),
+        ("RS_Values",
+         f"r {_RST}, xs ARRAY<DOUBLE>, ys ARRAY<DOUBLE>, band INT",
+         "ARRAY<DOUBLE>",
+         "RS_ValuesWorld(r.buf, xs, ys, r.ulx, r.uly, r.sx, r.sy, band)"),
+        # the engine codec stores uint8 only; any other type is an
+        # explicit error, not a silent cast
+        ("RS_SetPixelType", f"r {_RST}, t STRING", _RST,
+         "case when upper(t) in ('B', 'UNSIGNED_8BITS') then r "
+         "else raise_error(concat('RS_SetPixelType: engine codec is "
+         "uint8; unsupported type ', t)) end"),
+        ("RS_Clip", f"r {_RST}, g ARRAY<DOUBLE>", _RST,
+         "named_struct("
+         "'buf', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).buf, "
+         "'w', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).w, "
+         "'h', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).h, "
+         "'bands', r.bands, "
+         "'ulx', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).ulx, "
+         "'uly', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).uly, "
+         "'sx', r.sx, 'sy', r.sy, 'kx', r.kx, 'ky', r.ky, "
+         "'srid', r.srid, 'nodata', r.nodata)"),
         # nearest-neighbor resample of r1 onto r2's (north-up) grid;
         # result carries r2's georeference (RasterEditors.java)
         ("RS_ReprojectMatch", f"r1 {_RST}, r2 {_RST}", _RST,
@@ -1274,6 +1302,16 @@ def _st_straggler_sql_udfs() -> list[tuple[str, str, str, str]]:
          "DOUBLE", interp),
         ("ST_TransformEpsg", "lon DOUBLE, lat DOUBLE, code INT",
          "STRUCT<x: DOUBLE, y: DOUBLE>", transform_epsg),
+        # the reference's string spelling: ST_Transform(geom, 'EPSG:src',
+        # 'EPSG:dst'); the engine model is fixed EPSG:4326 source
+        ("ST_Transform", "lon DOUBLE, lat DOUBLE, dst STRING",
+         "STRUCT<x: DOUBLE, y: DOUBLE>",
+         "ST_TransformEpsg(lon, lat, "
+         "cast(regexp_extract(dst, '(\\\\d+)\\\\s*$', 1) as int))"),
+        # generator spelling: same subdivision array; explode() at the
+        # call site is Spark's lateral-view idiom for SQL generators
+        ("ST_SubDivideExplode", "ring ARRAY<DOUBLE>, nx INT, ny INT",
+         "ARRAY<ARRAY<DOUBLE>>", "ST_SubDivide(ring, nx, ny)"),
         # rule-based address functions (the reference binds libpostal —
         # an external statistical model; this is the deterministic
         # "#-street, city, ST zip" subset, documented as such)
@@ -1432,6 +1470,12 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_FromPNG"] = _rs._from_png_udf
     pandas_catalog["RS_ReprojectMatchRaw"] = _rs._reproject_match_udf
     pandas_catalog["RS_MakeTestBuf"] = _rs._make_test_raster_udf
+    pandas_catalog["RS_NormalizeAllBuf"] = _rs._normalize_all_udf
+    pandas_catalog["RS_UnionBufs"] = _rs._union_bufs_udf
+    pandas_catalog["RS_ValuesWorld"] = _rs._values_world_udf
+    pandas_catalog["RS_ClipRing"] = _rs._clip_ring_udf
+    pandas_catalog["RS_AsRaster"] = _rs._as_raster_udf  # catalog spelling
+    pandas_catalog["ST_GeoHashNeighbors"] = _st._geohash_neighbors_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -468,3 +468,46 @@ from x
     # srid follows the REFERENCE grid (r2), which was never SetSRID
     # target pixel centers land on source pixels (1,1) and (3,1)
     assert r["rp_vals"] == [5, 7]
+
+
+def test_sql_catalog_final_batch(reg):
+    """RS_NormalizeAll / RS_Union / RS_Values / RS_SetPixelType /
+    RS_Clip, ST_GeoHashNeighbors (pandas twin == Column k-ring),
+    ST_Transform string spelling, ST_SubDivideExplode alias."""
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.functions.geohash import st_geohash_neighbors
+
+    spark = reg
+    r = spark.sql("""
+with e as (select RS_MakeRasterForTesting(1, 4, 4, 10e0, 20e0,
+                      1e0, -1e0, 0e0, 0e0, 4326) as t)
+select RS_BandAsArray(RS_NormalizeAll(t).buf, 0)[15] as nz15,
+       RS_Union(t, t).bands as un_nb,
+       RS_Values(t, array(10.5e0, 99e0), array(19.5e0, 99e0), 0) as vals,
+       RS_SetPixelType(t, 'B').w as spt_w,
+       RS_Clip(t, array(11e0,17e0, 13e0,17e0, 13e0,19e0, 11e0,19e0)) cl,
+       round(ST_Transform(2e0, 48e0, 'EPSG:3857').x, 2) as tfx,
+       size(ST_SubDivideExplode(
+           array(0e0,0e0, 4e0,0e0, 4e0,4e0, 0e0,4e0), 2, 2)) as sde
+from e
+""").collect()[0]
+    assert r["nz15"] == 255            # max value -> 255
+    assert r["un_nb"] == 2
+    assert r["vals"] == [0.0, None]    # in-range pixel, out-of-range NULL
+    assert r["spt_w"] == 4
+    cl = r["cl"]
+    # bbox (11,17)-(13,19) -> 2x2 crop anchored one pixel in
+    assert (cl["w"], cl["h"], cl["ulx"], cl["uly"]) == (2, 2, 11.0, 19.0)
+    assert abs(r["tfx"] - 222638.98) < 0.01
+    assert r["sde"] == 4
+
+    pts = spark.createDataFrame(
+        [(0.1, 0.1), (-179.9, 0.0), (10.0, 89.5)], "lon double, lat double"
+    )
+    both = pts.select(
+        F2.expr("ST_GeoHashNeighbors(lon, lat, 4)").alias("a"),
+        st_geohash_neighbors(F2.col("lon"), F2.col("lat"), 4).alias("b"),
+    ).collect()
+    for row in both:
+        assert row["a"] == row["b"]    # pandas twin == Column k-ring
