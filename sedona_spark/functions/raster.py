@@ -1393,3 +1393,129 @@ def _clip_ring_udf(
         ))
     return pd.DataFrame(
         recs, columns=[f.name for f in _CLIP_RING_SCHEMA.fields])
+
+
+@F.pandas_udf(BinaryType())
+def _resample_nearest_udf(
+    buf: pd.Series, ow: pd.Series, oh: pd.Series
+) -> pd.Series:
+    """RS_Resample scalar core: nearest-neighbor to (ow, oh) — source
+    index floor((j+0.5)*in/out), the GDAL nearest convention used by the
+    DataFrame op (rs_resample)."""
+    out = []
+    for b, w2, h2 in zip(buf, ow, oh):
+        arr, _ = decode_image(bytes(b))
+        h1, w1 = arr.shape[:2]
+        w2, h2 = int(w2), int(h2)
+        cs = np.floor((np.arange(w2) + 0.5) * w1 / w2).astype(np.int64)
+        rs = np.floor((np.arange(h2) + 0.5) * h1 / h2).astype(np.int64)
+        out.append(encode_image(
+            np.ascontiguousarray(arr[rs][:, cs]), "fpng"))
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(StructType([
+    StructField("tx", IntegerType()),
+    StructField("ty", IntegerType()),
+    StructField("tile", BinaryType()),
+])))
+def _tile_array_udf(
+    buf: pd.Series, tw: pd.Series, th: pd.Series
+) -> pd.Series:
+    """RS_Tile scalar core: row-major clipped tiles as an array (explode
+    at the call site = RS_TileExplode; same grid semantics as the
+    DataFrame op rs_tile_explode)."""
+    out = []
+    for b, ww, hh in zip(buf, tw, th):
+        arr, fmt = decode_image(bytes(b))
+        h, w = arr.shape[:2]
+        ww, hh = int(ww), int(hh)
+        tiles = []
+        for ty in range(-(-h // hh)):
+            for tx in range(-(-w // ww)):
+                t = arr[ty * hh: min((ty + 1) * hh, h),
+                        tx * ww: min((tx + 1) * ww, w)]
+                tiles.append(
+                    (tx, ty, encode_image(np.ascontiguousarray(t), fmt)))
+        out.append(tiles)
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
+def _zonal_stat_scalar_udf(
+    buf: pd.Series, ring: pd.Series, band: pd.Series, stat: pd.Series,
+    ulx: pd.Series, uly: pd.Series, sx: pd.Series, sy: pd.Series,
+) -> pd.Series:
+    """RS_ZonalStats scalar core: stat over band pixels whose CENTERS
+    fall inside the ring's bbox-clipped polygon (north-up; ray-casting
+    via the shared kernel). stats: count/sum/mean/min/max/stddev."""
+    from sedona_spark.geometry.kernels import point_in_rings_batch
+
+    out = []
+    for b, rg, bi, st, x0, y0, gx, gy in zip(
+        buf, ring, band, stat, ulx, uly, sx, sy
+    ):
+        arr, _ = decode_image(bytes(b))
+        h, w = arr.shape[:2]
+        cx = float(x0) + (np.arange(w) + 0.5) * float(gx)
+        cy = float(y0) + (np.arange(h) + 0.5) * float(gy)
+        px = np.repeat(cx[None, :], h, axis=0).ravel()
+        py = np.repeat(cy[:, None], w, axis=1).ravel()
+        rr = [[list(map(tuple,
+                        np.asarray(rg, dtype=np.float64).reshape(-1, 2)))]]
+        # classify codes: 0 outside, 1 boundary, 2 interior -> boolean
+        inside = point_in_rings_batch(rr * len(px), px, py) > 0
+        vals = arr[:, :, int(bi)].ravel()[inside].astype(np.float64)
+        s = str(st).lower()
+        if len(vals) == 0:
+            out.append(None)
+        elif s == "count":
+            out.append(float(len(vals)))
+        elif s == "sum":
+            out.append(float(vals.sum()))
+        elif s == "mean":
+            out.append(float(vals.mean()))
+        elif s == "min":
+            out.append(float(vals.min()))
+        elif s == "max":
+            out.append(float(vals.max()))
+        elif s in ("std", "stddev"):
+            out.append(float(vals.std()))
+        else:
+            raise ValueError(f"unknown stat {st!r}")
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(BinaryType())
+def _idw_fill_udf(
+    buf: pd.Series, nodata: pd.Series, radius: pd.Series
+) -> pd.Series:
+    """RS_Interpolate scalar core — same IDW accumulation as the
+    DataFrame op (rs_interpolate_idw), returning only the filled buf."""
+    out = []
+    for b, nd, rad in zip(buf, nodata, radius):
+        arr, _ = decode_image(bytes(b))
+        nd, rad = int(nd), int(rad)
+        a = arr.astype(np.float64)
+        hole = arr == nd
+        num = np.zeros_like(a)
+        den = np.zeros_like(a)
+        h, w = a.shape[:2]
+        for dy in range(-rad, rad + 1):
+            for dx in range(-rad, rad + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                wgt = 1.0 / (dx * dx + dy * dy)
+                ys0, ys1 = max(0, dy), min(h, h + dy)
+                xs0, xs1 = max(0, dx), min(w, w + dx)
+                src = arr[ys0 - dy: ys1 - dy, xs0 - dx: xs1 - dx]
+                valid = src != nd
+                num[ys0:ys1, xs0:xs1] += np.where(valid, src * wgt, 0.0)
+                den[ys0:ys1, xs0:xs1] += np.where(valid, wgt, 0.0)
+        fillable = hole & (den > 0)
+        idw = np.where(fillable, num / np.maximum(den, 1e-300), 0.0)
+        o = arr.copy()
+        o[fillable] = np.clip(np.rint(idw[fillable]), 0, 255).astype(
+            np.uint8)
+        out.append(encode_image(o, "fpng"))
+    return pd.Series(out)

@@ -1161,6 +1161,42 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "'uly', RS_ClipRing(r.buf, g, r.ulx, r.uly, r.sx, r.sy).uly, "
          "'sx', r.sx, 'sy', r.sy, 'kx', r.kx, 'ky', r.ky, "
          "'srid', r.srid, 'nodata', r.nodata)"),
+        # scalar spellings over the same kernels as the DataFrame ops
+        # (rs_resample / rs_tile_explode / rs_zonal_stats_agg /
+        # rs_interpolate_idw) — capability identical, shape scalar
+        ("RS_Resample", f"r {_RST}, ow INT, oh INT", _RST,
+         "named_struct('buf', RS_ResampleBuf(r.buf, ow, oh), "
+         "'w', ow, 'h', oh, 'bands', r.bands, "
+         "'ulx', r.ulx, 'uly', r.uly, "
+         "'sx', r.sx * r.w / ow, 'sy', r.sy * r.h / oh, "
+         "'kx', r.kx, 'ky', r.ky, 'srid', r.srid, "
+         "'nodata', r.nodata)"),
+        ("RS_TileExplode", f"r {_RST}, tw INT, th INT",
+         "ARRAY<STRUCT<tx: INT, ty: INT, tile: BINARY>>",
+         "RS_Tile(r.buf, tw, th)"),
+        ("RS_ZonalStats",
+         f"r {_RST}, g ARRAY<DOUBLE>, band INT, stat STRING", "DOUBLE",
+         "RS_ZonalStatsCore(r.buf, g, band, stat, "
+         "r.ulx, r.uly, r.sx, r.sy)"),
+        ("RS_ZonalStatsAll", f"r {_RST}, g ARRAY<DOUBLE>, band INT",
+         "STRUCT<cnt: DOUBLE, sum: DOUBLE, mean: DOUBLE, "
+         "stddev: DOUBLE, min: DOUBLE, max: DOUBLE>",
+         "named_struct("
+         "'cnt', RS_ZonalStatsCore(r.buf, g, band, 'count', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'sum', RS_ZonalStatsCore(r.buf, g, band, 'sum', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'mean', RS_ZonalStatsCore(r.buf, g, band, 'mean', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'stddev', RS_ZonalStatsCore(r.buf, g, band, 'stddev', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'min', RS_ZonalStatsCore(r.buf, g, band, 'min', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'max', RS_ZonalStatsCore(r.buf, g, band, 'max', "
+         "r.ulx, r.uly, r.sx, r.sy))"),
+        ("RS_Interpolate", f"r {_RST}, nodata DOUBLE, radius INT", _RST,
+         _rst_with(buf="RS_InterpolateBuf(r.buf, "
+                       "cast(nodata as int), radius)")),
         # nearest-neighbor resample of r1 onto r2's (north-up) grid;
         # result carries r2's georeference (RasterEditors.java)
         ("RS_ReprojectMatch", f"r1 {_RST}, r2 {_RST}", _RST,
@@ -1476,6 +1512,10 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_ClipRing"] = _rs._clip_ring_udf
     pandas_catalog["RS_AsRaster"] = _rs._as_raster_udf  # catalog spelling
     pandas_catalog["ST_GeoHashNeighbors"] = _st._geohash_neighbors_udf
+    pandas_catalog["RS_ResampleBuf"] = _rs._resample_nearest_udf
+    pandas_catalog["RS_Tile"] = _rs._tile_array_udf
+    pandas_catalog["RS_ZonalStatsCore"] = _rs._zonal_stat_scalar_udf
+    pandas_catalog["RS_InterpolateBuf"] = _rs._idw_fill_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -511,3 +511,37 @@ from e
     ).collect()
     for row in both:
         assert row["a"] == row["b"]    # pandas twin == Column k-ring
+
+
+def test_sql_raster_scalar_spellings(reg):
+    """Scalar RS_Resample / RS_Tile(Explode) / RS_ZonalStats(All) /
+    RS_Interpolate over the same kernels as the DataFrame ops."""
+    spark = reg
+    r = spark.sql("""
+with e as (select RS_MakeRasterForTesting(1, 4, 4, 0e0, 0e0,
+                      1e0, -1e0, 0e0, 0e0, 0) as t)
+select RS_Resample(t, 8, 8) as up,
+       aggregate(RS_BandAsArray(RS_Resample(t, 8, 8).buf, 0), 0,
+                 (a, v) -> a + v) as up_sum,
+       size(RS_TileExplode(t, 2, 2)) as n_tiles,
+       RS_TileExplode(t, 3, 3)[3].tx as t3x,
+       RS_ZonalStats(t, array(0e0,-4e0, 2e0,-4e0, 2e0,0e0, 0e0,0e0),
+                     0, 'sum') as zs_left,
+       RS_ZonalStatsAll(t, array(0e0,-4e0, 4e0,-4e0, 4e0,0e0, 0e0,0e0),
+                        0) as za,
+       aggregate(RS_BandAsArray(
+           RS_Interpolate(RS_SetValue(t, 0, 1, 1, 0e0), 0e0, 1).buf, 0),
+           0, (a, v) -> a + v) as idw_sum
+from e
+""").collect()[0]
+    assert r["up"]["w"] == 8 and r["up"]["sx"] == 0.5
+    assert r["up_sum"] == 4 * sum(range(16))   # x2 nearest upsample
+    assert r["n_tiles"] == 4
+    assert r["t3x"] == 1                       # row-major 2x2 grid of 3x3
+    # left half columns of values y*4+x: sum over x<2
+    assert r["zs_left"] == sum(y * 4 + x for y in range(4)
+                               for x in range(2))
+    assert r["za"]["cnt"] == 16.0 and r["za"]["max"] == 15.0
+    # pixel (1-based 1,1) already holds 0 == nodata; IDW fills it
+    # from neighbors 1, 4, 5 (weights 1, 1, 1/2) -> 7.5/2.5 = 3
+    assert r["idw_sum"] == sum(range(16)) + 3
