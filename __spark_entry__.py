@@ -4784,6 +4784,123 @@ order by doc_id
 """
 
 
+def q_intersection_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection_Aggr (r5c; reference Aggregator at
+    ``Catalog.scala`` / ``AbstractCatalog``): group-wide geometric
+    intersection. Two engine paths, cross-checked against each other in
+    the SAME result row: the rect fast path is a PURE Spark aggregate
+    (max x0 / max y0 / min x1 / min y1 — map-side partial combine, the
+    form the reference's sequential JTS fold cannot take), and the
+    general path folds the exact Sutherland–Hodgman kernel per group via
+    applyInPandas. The DuckDB oracle re-derives the interval logic with
+    SQL aggregates."""
+    from sedona_spark.operators.overlay import (
+        intersection_aggr_rect, intersection_aggr_rings,
+    )
+
+    z = zones_from_nation(spark, sf_dir)
+    rects = z.select(
+        (F.col("n_nationkey") % 5).alias("grp"),
+        (F.col("zcx") - F.col("hx")).alias("x0"),
+        (F.col("zcy") - F.col("hy")).alias("y0"),
+        (F.col("zcx") + F.col("hx")).alias("x1"),
+        (F.col("zcy") + F.col("hy")).alias("y1"),
+        F.array(
+            F.col("zcx") - F.col("hx"), F.col("zcy") - F.col("hy"),
+            F.col("zcx") + F.col("hx"), F.col("zcy") - F.col("hy"),
+            F.col("zcx") + F.col("hx"), F.col("zcy") + F.col("hy"),
+            F.col("zcx") - F.col("hx"), F.col("zcy") + F.col("hy"),
+        ).alias("ring"),
+    )
+    fast = intersection_aggr_rect(rects, "grp")
+    exact = intersection_aggr_rings(rects, "grp").select(
+        "grp", F.col("inter_area").alias("ring_area")
+    )
+    return (
+        fast.join(exact, "grp")
+        .select(
+            "grp", "n_members",
+            F.round("ix0", 6).alias("ix0"),
+            F.round("iy1", 6).alias("iy1"),
+            F.round("inter_area", 6).alias("inter_area"),
+            F.round("ring_area", 6).alias("ring_area"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _intersection_aggr_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES}),
+r as (select n_nationkey % 5 as grp,
+             zcx - hx as x0, zcy - hy as y0,
+             zcx + hx as x1, zcy + hy as y1
+      from z),
+g as (select grp, count(*) as n_members,
+             max(x0) as ix0, max(y0) as iy0,
+             min(x1) as ix1, min(y1) as iy1
+      from r group by grp)
+select grp,
+       cast(n_members as bigint) as n_members,
+       round(case when ix1 <= ix0 or iy1 <= iy0 then null
+             else ix0 end, 6) as ix0,
+       round(case when ix1 <= ix0 or iy1 <= iy0 then null
+             else iy1 end, 6) as iy1,
+       round(case when ix1 <= ix0 or iy1 <= iy0 then 0.0
+             else (ix1 - ix0) * (iy1 - iy0) end, 6) as inter_area,
+       round(case when ix1 <= ix0 or iy1 <= iy0 then 0.0
+             else (ix1 - ix0) * (iy1 - iy0) end, 6) as ring_area
+from g
+order by grp
+"""
+
+
+def q_rs_union_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RS_Union_Aggr (r5c; ``RasterUdafCatalog.scala``): band-stack each
+    group's same-grid rasters ordered by image id — grouped
+    applyInPandas, one task per group. Fixture: the 32×32 images
+    (id % 150 = 0) paired by id div 300; the DuckDB oracle re-derives
+    member counts and the exact total pixel sum from the codec
+    formula."""
+    from sedona_spark.functions.raster import rs_union_aggr
+    from sedona_spark.sources.images import images_from_part
+
+    imgs = images_from_part(spark, sf_dir, id_mod=150)
+    keyed = imgs.withColumn(
+        "grp",
+        (F.col("image_id").substr(F.lit(5), F.lit(12)).cast("long")
+         / 300).cast("long"),
+    )
+    out = rs_union_aggr(keyed, "grp")
+    return out.select(
+        "grp",
+        F.col("bands").cast("long").alias("bands"),
+        F.col("total_sum"),
+    ).orderBy("grp")
+
+
+def _rs_union_aggr_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dv = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+s as (
+  select i, sum({dv}) as isum
+  from img,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c
+  where i % 150 = 0
+  group by i)
+select cast(i // 300 as bigint) as grp,
+       cast(3 * count(*) as bigint) as bands,
+       cast(sum(isum) as bigint) as total_sum
+from s
+group by i // 300
+order by grp
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4811,6 +4928,8 @@ _NEW_OR_CHANGED = {
     "geotiff_io",          # r5 batch 4: real baseline GeoTIFF codec
     "netcdf_io",           # r5 batch 4: NetCDF classic codec
     "repetition_stats",    # r5 batch 4: Gopher-style repetition signals
+    "intersection_aggr",   # r5 batch 4: ST_Intersection_Aggr
+    "rs_union_aggr",       # r5 batch 4: RS_Union_Aggr
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -4912,6 +5031,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_io": q_geotiff_io,
         "netcdf_io": q_netcdf_io,
         "repetition_stats": q_repetition_stats,
+        "intersection_aggr": q_intersection_aggr,
+        "rs_union_aggr": q_rs_union_aggr,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -5054,6 +5175,8 @@ def oracle_sql() -> dict[str, str]:
         "geotiff_io": _geotiff_io_sql(),
         "netcdf_io": _netcdf_io_sql(),
         "repetition_stats": _repetition_stats_sql(),
+        "intersection_aggr": _intersection_aggr_sql(),
+        "rs_union_aggr": _rs_union_aggr_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

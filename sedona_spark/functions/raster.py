@@ -1519,3 +1519,39 @@ def _idw_fill_udf(
             np.uint8)
         out.append(encode_image(o, "fpng"))
     return pd.Series(out)
+
+
+def rs_union_aggr(
+    images: DataFrame,
+    key_col: str,
+    order_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """RS_Union_Aggr (RasterUdafCatalog.scala): stack ALL bands of each
+    group's same-grid rasters into one multiband raster, ordered by
+    ``order_col`` (the reference sorts by the aggregate's index column).
+    Grouped applyInPandas — one task per group, shuffle on the key only;
+    returns (key, union buf, bands, total_sum) with total_sum as the
+    exact-integer oracle handle."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        arrs = [decode_image(bytes(b))[0] for b in pdf[bytes_col]]
+        u = np.concatenate(arrs, axis=2)
+        return pd.DataFrame({
+            "key": [pdf["_k"].iloc[0]],
+            "union_bytes": [encode_image(np.ascontiguousarray(u), "fpng")],
+            "bands": [u.shape[2]],
+            "total_sum": [int(u.sum(dtype=np.int64))],
+        })
+
+    return (
+        images.select(
+            F.col(key_col).alias("_k"), order_col, bytes_col
+        )
+        .groupBy("_k")
+        .applyInPandas(
+            agg, "key long, union_bytes binary, bands int, total_sum long"
+        )
+        .withColumnRenamed("key", key_col)
+    )

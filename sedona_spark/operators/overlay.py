@@ -126,3 +126,76 @@ def union_area_by_key(
         # (Python/numpy banker's rounding would diverge at .5 boundaries)
         out = out.withColumn("union_area", F.round("union_area", round_to))
     return out
+
+
+def intersection_aggr_rect(
+    df: DataFrame,
+    key: str,
+    x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1",
+) -> DataFrame:
+    """ST_Intersection_Aggr for axis-aligned rectangles: the group-wide
+    intersection is (max x0, max y0, min x1, min y1) — a PURE Spark
+    aggregate (partial map-side combine, one shuffle on the key; the
+    reference folds JTS intersections sequentially inside its Aggregator
+    — not parallelizable the same way). Empty intersections surface as
+    NULL bounds via the width/height guard."""
+    g = df.groupBy(key).agg(
+        F.max(x0).alias("ix0"), F.max(y0).alias("iy0"),
+        F.min(x1).alias("ix1"), F.min(y1).alias("iy1"),
+        F.count("*").alias("n_members"),
+    )
+    empty = (F.col("ix1") <= F.col("ix0")) | (F.col("iy1") <= F.col("iy0"))
+    area = F.when(
+        empty, F.lit(0.0)
+    ).otherwise((F.col("ix1") - F.col("ix0")) * (F.col("iy1") - F.col("iy0")))
+    return g.select(
+        key, "n_members",
+        F.when(empty, None).otherwise(F.col("ix0")).alias("ix0"),
+        F.when(empty, None).otherwise(F.col("iy0")).alias("iy0"),
+        F.when(empty, None).otherwise(F.col("ix1")).alias("ix1"),
+        F.when(empty, None).otherwise(F.col("iy1")).alias("iy1"),
+        area.alias("inter_area"),
+    )
+
+
+def intersection_aggr_rings(
+    df: DataFrame, key: str, ring_col: str = "ring"
+) -> DataFrame:
+    """ST_Intersection_Aggr for general convex rings: per-group pandas
+    fold over the exact pairwise intersection kernel
+    (kernels.convex_polygon_intersection analog used by
+    st_intersection_geom) — grouped applyInPandas, so each group is one
+    task and the shuffle is on the group key only."""
+    import numpy as np
+    import pandas as pd
+
+    from sedona_spark.geometry import kernels
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cur = np.asarray(pdf[ring_col].iloc[0], dtype=np.float64)
+        for r in pdf[ring_col].iloc[1:]:
+            if len(cur) < 6:
+                break
+            cur = kernels.clip_convex(
+                cur.reshape(-1, 2),
+                np.asarray(r, dtype=np.float64).reshape(-1, 2),
+            ).ravel()
+        area = 0.0
+        if len(cur) >= 6:
+            p = cur.reshape(-1, 2)
+            q = np.roll(p, -1, axis=0)
+            area = float(
+                abs((p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum()) / 2
+            )
+        return pd.DataFrame({
+            "key": [pdf["_k"].iloc[0]],
+            "n_members": [len(pdf)],
+            "inter_area": [area],
+        })
+
+    return (
+        df.select(F.col(key).alias("_k"), ring_col)
+        .groupBy("_k")
+        .applyInPandas(agg, "key long, n_members long, inter_area double")
+        .withColumnRenamed("key", key)
+    )

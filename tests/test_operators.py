@@ -244,3 +244,56 @@ def test_distance_band_weighting(spark):
     }
     assert (s[4][0]["neighbor_id"], s[4][0]["weight"]) == (4, 7.0)
     assert [x["neighbor_id"] for x in s[2]] == [1, 2, 3]
+
+
+def test_intersection_and_union_aggregates(spark):
+    """ST_Intersection_Aggr (rect fast path == Sutherland-Hodgman fold)
+    and RS_Union_Aggr (ordered band stack)."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.functions.raster import rs_union_aggr
+    from sedona_spark.operators.overlay import (
+        intersection_aggr_rect,
+        intersection_aggr_rings,
+    )
+    from sedona_spark.sources.images import decode_image, encode_image
+
+    rows = [
+        (1, 0.0, 0.0, 10.0, 10.0),
+        (1, 2.0, 3.0, 12.0, 8.0),
+        (1, -1.0, 1.0, 9.0, 20.0),
+        (2, 0.0, 0.0, 1.0, 1.0),
+        (2, 5.0, 5.0, 6.0, 6.0),   # disjoint -> empty intersection
+    ]
+    df = spark.createDataFrame(
+        rows, "grp long, x0 double, y0 double, x1 double, y1 double"
+    ).withColumn(
+        "ring",
+        F2.array("x0", "y0", "x1", "y0", "x1", "y1", "x0", "y1"),
+    )
+    fast = {r["grp"]: r for r in intersection_aggr_rect(df, "grp").collect()}
+    assert (fast[1]["ix0"], fast[1]["iy0"], fast[1]["ix1"],
+            fast[1]["iy1"]) == (2.0, 3.0, 9.0, 8.0)
+    assert fast[1]["inter_area"] == 35.0
+    assert fast[2]["inter_area"] == 0.0 and fast[2]["ix0"] is None
+    rings = {r["grp"]: r
+             for r in intersection_aggr_rings(df, "grp").collect()}
+    assert rings[1]["inter_area"] == 35.0
+    assert rings[2]["inter_area"] == 0.0
+
+    a = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    b = a + 100
+    imgs = spark.createDataFrame(
+        [(1, "a", encode_image(a, "fpng")),
+         (1, "b", encode_image(b, "fpng")),
+         (2, "c", encode_image(a, "fpng"))],
+        "grp long, image_id string, bytes binary",
+    )
+    u = {r["grp"]: r for r in rs_union_aggr(imgs, "grp").collect()}
+    assert u[1]["bands"] == 6 and u[2]["bands"] == 3
+    assert u[1]["total_sum"] == int(a.sum()) + int(b.sum())
+    arr = decode_image(bytes(u[1]["union_bytes"]))[0]
+    assert arr.shape == (2, 2, 6)
+    assert np.array_equal(arr[:, :, :3], a)   # ordered by image_id
+    assert np.array_equal(arr[:, :, 3:], b)
