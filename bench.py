@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "geotiff_io",
     "netcdf_io",
     "repetition_stats",
+    "intersection_aggr",
+    "rs_union_aggr",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
