@@ -4935,6 +4935,104 @@ limit 50
 """
 
 
+_PII_SUFFIX = (
+    " reach user%d@mail%d.example.com or 555-%03d-%04d at 10.%d.0.%d now"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (r5c, training-pipeline tier): count + replace emails,
+    NANP phones and IPv4 literals with typed placeholders — pure Column
+    regexps (``pipeline/text.pii_scrub``), no Python in the hot path.
+    The fixture plants one of each per document by a doc_id formula; the
+    oracle re-derives counts and the md5 of the scrubbed text with
+    DuckDB's regexp engine ('g' flag — Spark replaces all by default)."""
+    from sedona_spark.pipeline.text import pii_scrub
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    _PII_SUFFIX,
+                    F.col("doc_id"), F.col("doc_id") % 7,
+                    F.col("doc_id") % 1000, F.col("doc_id") % 10000,
+                    F.col("doc_id") % 256, F.col("doc_id") % 200,
+                ),
+            ).alias("text"),
+        )
+    )
+    return pii_scrub(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    from sedona_spark.pipeline.text import _PII_PATTERNS
+
+    suffix = _PII_SUFFIX.replace("%03d", "%03d").replace("%04d", "%04d")
+    build = (f"text || printf('{suffix}', doc_id, doc_id % 7, "
+             "doc_id % 1000, doc_id % 10000, doc_id % 256, doc_id % 200)")
+    scrub = build
+    for name, pat in _PII_PATTERNS.items():
+        scrub = (f"regexp_replace({scrub}, '{pat}', "
+                 f"'<{name.upper()}>', 'g')")
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all({build}, '{pat}')) as bigint) "
+        f"as n_{name}"
+        for name, pat in _PII_PATTERNS.items()
+    )
+    return f"""
+select doc_id, {counts}, md5({scrub}) as scrub_md5
+from documents
+where doc_id % 10 = 0
+order by doc_id
+"""
+
+
+def q_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-n-gram fraction (r5c): the dedupe-
+    repeated-substrings stage of web-corpus pipelines — per doc, the
+    share of its 5-grams that appear in at least 2 documents. Two
+    shuffles on the n-gram key, map-side combine, no driver state
+    (``pipeline/text.crossdoc_ngram_stats``). DuckDB twin: list-built
+    5-grams + the same two aggregations."""
+    from sedona_spark.pipeline.text import crossdoc_ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return crossdoc_ngram_stats(docs, n=5, min_docs=1).orderBy("doc_id")
+
+
+def _crossdoc_ngram_stats_sql() -> str:
+    return """
+with d as (select doc_id,
+                  list_filter(string_split(text, ' '), w -> w <> '') as ws
+           from documents where doc_id % 10 = 0),
+g as (select doc_id, gram
+      from d, lateral unnest(list_transform(
+          range(1, greatest(len(ws) - 3, 1)),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+               || ws[i+3] || ' ' || ws[i+4])) as t(gram)),
+pd as (select doc_id, gram, count(*) as c from g group by doc_id, gram),
+df as (select gram, count(*) as ndocs from pd group by gram),
+j as (select pd.doc_id, pd.c, df.ndocs from pd join df using (gram))
+select doc_id,
+       cast(sum(c) as bigint) as n_grams,
+       cast(sum(case when ndocs >= 2 then c else 0 end) as bigint)
+           as n_shared,
+       round(cast(sum(case when ndocs >= 2 then c else 0 end) as double)
+             / sum(c), 6) as shared_frac
+from j group by doc_id
+order by doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -4965,6 +5063,8 @@ _NEW_OR_CHANGED = {
     "intersection_aggr",   # r5 batch 4: ST_Intersection_Aggr
     "rs_union_aggr",       # r5 batch 4: RS_Union_Aggr
     "hex_cell_counts",     # r5 batch 4: hexagonal (H3-analog) binning
+    "pii_scrub",           # r5 batch 4: PII masking (training pipeline)
+    "crossdoc_ngram_stats",  # r5 batch 4: cross-doc repeated n-grams
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -5069,6 +5169,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_aggr": q_intersection_aggr,
         "rs_union_aggr": q_rs_union_aggr,
         "hex_cell_counts": q_hex_cell_counts,
+        "pii_scrub": q_pii_scrub,
+        "crossdoc_ngram_stats": q_crossdoc_ngram_stats,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -5214,6 +5316,8 @@ def oracle_sql() -> dict[str, str]:
         "intersection_aggr": _intersection_aggr_sql(),
         "rs_union_aggr": _rs_union_aggr_sql(),
         "hex_cell_counts": _hex_cell_counts_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "crossdoc_ngram_stats": _crossdoc_ngram_stats_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

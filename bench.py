@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "repetition_stats",
     "intersection_aggr",
     "rs_union_aggr",
+    "hex_cell_counts",
+    "pii_scrub",
+    "crossdoc_ngram_stats",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

@@ -191,3 +191,97 @@ def repetition_stats(
                 .alias("mean_word_len"),
         )
     )
+
+
+# public PII patterns (same regex class both engines: no lookarounds)
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-pipeline PII masking: count + replace emails, NANP
+    phone numbers and IPv4 literals with typed placeholder tokens
+    (<EMAIL>/<PHONE>/<IP>). Pure Column regexps — JVM-side, codegen, no
+    Python; the patterns avoid lookarounds so any engine (and the DuckDB
+    oracle) runs the same class."""
+    out = docs.withColumn("scrubbed", F.col(text_col))
+    counts = []
+    for name, pat in _PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long").alias(f"n_{name}")
+        )
+    for name, pat in _PII_PATTERNS.items():
+        out = out.withColumn(
+            "scrubbed",
+            F.regexp_replace("scrubbed", pat, f"<{name.upper()}>"),
+        )
+    return out.select(id_col, *counts, "scrubbed")
+
+
+def crossdoc_ngram_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-n-gram signal (the dedupe-repeated-
+    substrings stage of web-corpus pipelines, cf. the MassiveText /
+    C4 boilerplate filters): for each doc, the fraction of its word
+    n-grams that also occur in >= ``min_docs`` OTHER documents.
+
+    Shape: explode n-grams once; one groupBy on the n-gram hash for
+    document frequency (map-side combine); broadcast-free re-join on the
+    same key. Both shuffles are on the n-gram hash — linear in corpus
+    size, no driver-side state (the 100 TB form)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = (
+        docs.select(id_col, words.alias("_ws"))
+        .select(
+            id_col,
+            # guard: sequence(1, 0) DESCENDS in Spark — short docs get an
+            # explicit empty gram list, not a bogus slice at index 0
+            F.explode(
+                F.when(F.size("_ws") < n, F.array().cast("array<string>"))
+                .otherwise(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("_ws") - (n - 1)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("_ws", i, n), " "
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    per_doc = grams.groupBy(id_col, "gram").count()
+    df_freq = (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+    joined = per_doc.join(df_freq, "gram")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= min_docs + 1, F.col("count"))
+                .otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_grams"), 6)
+                .alias("shared_frac"),
+        )
+    )

@@ -314,3 +314,37 @@ def test_repetition_stats(spark):
     assert abs(r[3]["top2_frac"] - 4 / 7) < 1e-6
     assert r[3]["n_words"] == 8 and r[3]["n_distinct"] == 2
     assert r[2]["mean_word_len"] == 4.2
+
+
+def test_pii_scrub_and_crossdoc_ngrams(spark):
+    """PII masking: counts + typed placeholders; cross-doc n-gram
+    fraction: shared boilerplate scores 1.0, unique text 0.0."""
+    from sedona_spark.pipeline.text import crossdoc_ngram_stats, pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.io or 555-123-4567 from 10.0.0.1"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in pii_scrub(docs).collect()}
+    assert (r[1]["n_email"], r[1]["n_phone"], r[1]["n_ipv4"]) == (1, 1, 1)
+    assert "<EMAIL>" in r[1]["scrubbed"]
+    assert "<PHONE>" in r[1]["scrubbed"]
+    assert "<IP>" not in r[1]["scrubbed"]  # placeholder is <IPV4>
+    assert "<IPV4>" in r[1]["scrubbed"]
+    assert "bob@corp.io" not in r[1]["scrubbed"]
+    assert r[2]["n_email"] == 0 and r[2]["scrubbed"] == docs.collect()[1][1]
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "completely unique words here "
+                                       "nothing shared at all today")],
+        "doc_id long, text string",
+    )
+    s = {x["doc_id"]: x
+         for x in crossdoc_ngram_stats(docs2, n=5, min_docs=1).collect()}
+    assert s[1]["shared_frac"] == 1.0 and s[2]["shared_frac"] == 1.0
+    assert s[3]["shared_frac"] == 0.0
+    assert s[1]["n_grams"] == 5  # 9 words -> 5 5-grams
