@@ -1481,6 +1481,15 @@ def _zonal_stat_scalar_udf(
             out.append(float(vals.max()))
         elif s in ("std", "stddev"):
             out.append(float(vals.std()))
+        elif s == "variance":
+            out.append(float(vals.var()))
+        elif s == "median":
+            out.append(float(np.median(vals)))
+        elif s == "mode":
+            # most frequent value; ties -> largest (deterministic where
+            # the reference's map iteration order is not)
+            uq, cn = np.unique(vals, return_counts=True)
+            out.append(float(uq[cn == cn.max()].max()))
         else:
             raise ValueError(f"unknown stat {st!r}")
     return pd.Series(out, dtype="float64")

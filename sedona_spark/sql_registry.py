@@ -1178,9 +1178,12 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          f"r {_RST}, g ARRAY<DOUBLE>, band INT, stat STRING", "DOUBLE",
          "RS_ZonalStatsCore(r.buf, g, band, stat, "
          "r.ulx, r.uly, r.sx, r.sy)"),
+        # the reference's 9-field order: count, sum, mean, median, mode,
+        # stddev, variance, min, max (RasterBandAccessors.getZonalStatsAll)
         ("RS_ZonalStatsAll", f"r {_RST}, g ARRAY<DOUBLE>, band INT",
          "STRUCT<cnt: DOUBLE, sum: DOUBLE, mean: DOUBLE, "
-         "stddev: DOUBLE, min: DOUBLE, max: DOUBLE>",
+         "median: DOUBLE, mode: DOUBLE, stddev: DOUBLE, "
+         "variance: DOUBLE, min: DOUBLE, max: DOUBLE>",
          "named_struct("
          "'cnt', RS_ZonalStatsCore(r.buf, g, band, 'count', "
          "r.ulx, r.uly, r.sx, r.sy), "
@@ -1188,7 +1191,13 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "r.ulx, r.uly, r.sx, r.sy), "
          "'mean', RS_ZonalStatsCore(r.buf, g, band, 'mean', "
          "r.ulx, r.uly, r.sx, r.sy), "
+         "'median', RS_ZonalStatsCore(r.buf, g, band, 'median', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'mode', RS_ZonalStatsCore(r.buf, g, band, 'mode', "
+         "r.ulx, r.uly, r.sx, r.sy), "
          "'stddev', RS_ZonalStatsCore(r.buf, g, band, 'stddev', "
+         "r.ulx, r.uly, r.sx, r.sy), "
+         "'variance', RS_ZonalStatsCore(r.buf, g, band, 'variance', "
          "r.ulx, r.uly, r.sx, r.sy), "
          "'min', RS_ZonalStatsCore(r.buf, g, band, 'min', "
          "r.ulx, r.uly, r.sx, r.sy), "

@@ -542,6 +542,8 @@ from e
     assert r["zs_left"] == sum(y * 4 + x for y in range(4)
                                for x in range(2))
     assert r["za"]["cnt"] == 16.0 and r["za"]["max"] == 15.0
+    assert r["za"]["median"] == 7.5 and r["za"]["mode"] == 15.0
+    assert abs(r["za"]["variance"] - r["za"]["stddev"] ** 2) < 1e-9
     # pixel (1-based 1,1) already holds 0 == nodata; IDW fills it
     # from neighbors 1, 4, 5 (weights 1, 1, 1/2) -> 7.5/2.5 = 3
     assert r["idw_sum"] == sum(range(16)) + 3
