@@ -4132,6 +4132,10 @@ x as (select b.*,
                      0e0, 0e0)) as rp
       from b)
 select n,
+  aggregate(RS_BandAsArray(
+      RS_MapAlgebra(mb, 'out = rast[0] * 0.5 + rast[1] / 2;').buf, 0),
+      0, (a, v) -> a + v) as ma_sum,
+  RS_MapAlgebra(mb, 'out = rast[0] * 0.5 + rast[1] / 2;').bands as ma_nb,
   aggregate(RS_BandAsArray(RS_NormalizeAll(rm).buf, 0), 0,
       (a, v) -> a + v) as nz_all_sum,
   RS_Union(rm, mb).bands as un_nb,
@@ -4249,6 +4253,9 @@ p as (select n_nationkey as n,
              cast(n_nationkey % 3 + 1 as double) as cs
       from z)
 select n,
+  cast(list_aggregate(list_transform(range(0, w * h), i ->
+      floor(({v} + {v2}) / 2.0)), 'sum') as int) as ma_sum,
+  1 as ma_nb,
   cast(list_aggregate(list_transform(range(0, w * h), i ->
       case when list_max(list_transform(range(0, w * h), j ->
                least((n * 7 + j * 11) % 260, 255)))

@@ -1564,3 +1564,142 @@ def rs_union_aggr(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# RS_MapAlgebra expression strings (r5c) — the reference evaluates Jiffle
+# scripts ("out = rast[0] * 0.5;", MapAlgebra.java:132-209). This is a
+# deterministic recursive-descent evaluator for the arithmetic subset that
+# covers the reference's documented examples: + - * / unary-minus,
+# parentheses, numeric literals, band references rast[i], and the
+# functions min/max/abs/sqrt/pow — compiled straight to vectorized numpy
+# over the band planes (no eval(), no Python per pixel).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_MA_TOKEN = _re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<name>[A-Za-z_]\w*)"
+    r"|(?P<op>\[|\]|\(|\)|,|\+|-|\*|/|=|;))"
+)
+
+
+def _ma_tokens(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _MA_TOKEN.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip() == "":
+                break
+            raise ValueError(f"RS_MapAlgebra: bad token at {src[pos:]!r}")
+        pos = m.end()
+        for kind in ("num", "name", "op"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    return out
+
+
+def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
+    """Evaluate a Jiffle-subset script against float64 band planes."""
+    toks = _ma_tokens(expr)
+    # accept both "out = <expr>;" and a bare "<expr>"
+    if len(toks) >= 2 and toks[0] == ("name", "out") and \
+            toks[1] == ("op", "="):
+        toks = toks[2:]
+    if toks and toks[-1] == ("op", ";"):
+        toks = toks[:-1]
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(kind, val=None):
+        nonlocal pos
+        k, v = peek()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(
+                f"RS_MapAlgebra: expected {val or kind}, got {v!r}")
+        pos += 1
+        return v
+
+    def expr_():
+        node = term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            op = take("op")
+            rhs = term()
+            node = node + rhs if op == "+" else node - rhs
+        return node
+
+    def term():
+        node = factor()
+        while peek() == ("op", "*") or peek() == ("op", "/"):
+            op = take("op")
+            rhs = factor()
+            node = node * rhs if op == "*" else node / rhs
+        return node
+
+    def factor():
+        k, v = peek()
+        if (k, v) == ("op", "-"):
+            take("op")
+            return -factor()
+        if (k, v) == ("op", "("):
+            take("op")
+            node = expr_()
+            take("op", ")")
+            return node
+        if k == "num":
+            take("num")
+            return float(v)
+        if k == "name":
+            take("name")
+            if v == "rast":
+                take("op", "[")
+                i = int(take("num"))
+                take("op", "]")
+                if i >= len(bands):
+                    raise ValueError(
+                        f"RS_MapAlgebra: band {i} out of range")
+                return bands[i]
+            take("op", "(")
+            args = [expr_()]
+            while peek() == ("op", ","):
+                take("op")
+                args.append(expr_())
+            take("op", ")")
+            fns = {
+                "min": lambda a, b: np.minimum(a, b),
+                "max": lambda a, b: np.maximum(a, b),
+                "abs": lambda a: np.abs(a),
+                "sqrt": lambda a: np.sqrt(a),
+                "pow": lambda a, b: np.power(a, b),
+            }
+            if v not in fns:
+                raise ValueError(f"RS_MapAlgebra: unknown function {v!r}")
+            return fns[v](*args)
+        raise ValueError(f"RS_MapAlgebra: unexpected {v!r}")
+
+    result = expr_()
+    if pos != len(toks):
+        raise ValueError("RS_MapAlgebra: trailing tokens")
+    if np.isscalar(result) or np.ndim(result) == 0:
+        result = np.full_like(bands[0], float(result))
+    return np.asarray(result, dtype=np.float64)
+
+
+@F.pandas_udf(BinaryType())
+def _map_algebra_expr_udf(buf: pd.Series, expr: pd.Series) -> pd.Series:
+    """RS_MapAlgebra: evaluate the Jiffle-subset script over the raster's
+    bands; result is a 1-band raster (uint8 truncation like the
+    reference's byte sample model)."""
+    out = []
+    for b, e in zip(buf, expr):
+        arr, _ = decode_image(bytes(b))
+        bands = [arr[:, :, i].astype(np.float64)
+                 for i in range(arr.shape[2])]
+        res = eval_map_algebra(str(e), bands)
+        out.append(encode_image(
+            np.clip(res, 0, 255).astype(np.uint8)[:, :, None], "fpng"))
+    return pd.Series(out)

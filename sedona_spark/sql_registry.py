@@ -1206,6 +1206,10 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
         ("RS_Interpolate", f"r {_RST}, nodata DOUBLE, radius INT", _RST,
          _rst_with(buf="RS_InterpolateBuf(r.buf, "
                        "cast(nodata as int), radius)")),
+        # Jiffle-subset scripts ("out = rast[0] * 0.5;") — the arithmetic
+        # class the reference's MapAlgebra examples use; 1-band result
+        ("RS_MapAlgebra", f"r {_RST}, e STRING", _RST,
+         _rst_with(buf="RS_MapAlgebraBuf(r.buf, e)", bands="1")),
         # nearest-neighbor resample of r1 onto r2's (north-up) grid;
         # result carries r2's georeference (RasterEditors.java)
         ("RS_ReprojectMatch", f"r1 {_RST}, r2 {_RST}", _RST,
@@ -1525,6 +1529,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_Tile"] = _rs._tile_array_udf
     pandas_catalog["RS_ZonalStatsCore"] = _rs._zonal_stat_scalar_udf
     pandas_catalog["RS_InterpolateBuf"] = _rs._idw_fill_udf
+    pandas_catalog["RS_MapAlgebraBuf"] = _rs._map_algebra_expr_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

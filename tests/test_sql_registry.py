@@ -547,3 +547,37 @@ from e
     # pixel (1-based 1,1) already holds 0 == nodata; IDW fills it
     # from neighbors 1, 4, 5 (weights 1, 1, 1/2) -> 7.5/2.5 = 3
     assert r["idw_sum"] == sum(range(16)) + 3
+
+
+def test_sql_map_algebra_expressions(reg):
+    """Jiffle-subset RS_MapAlgebra scripts: band refs, precedence,
+    parentheses, unary minus, min/max/abs/sqrt/pow, bad input raises."""
+    import numpy as np
+
+    from sedona_spark.functions.raster import eval_map_algebra
+
+    spark = reg
+    r = spark.sql("""
+with e as (select RS_MakeRasterForTesting(2, 4, 3, 0e0, 0e0,
+                      1e0, -1e0, 0e0, 0e0, 0) as t)
+select aggregate(RS_BandAsArray(
+           RS_MapAlgebra(t, 'out = rast[0] * 0.5 + rast[1] / 2;').buf,
+           0), 0, (a, v) -> a + v) as s,
+       RS_MapAlgebra(t, 'out = max(rast[0], 5);').buf as mx,
+       RS_MapAlgebra(t, 'rast[1] - 1').bands as nb
+from e
+""").collect()[0]
+    # band0 = p, band1 = p+1 -> floor(p + 0.5) = p
+    assert r["s"] == sum(range(12))
+    assert r["nb"] == 1
+
+    b = np.array([[4.0, 9.0]])
+    assert eval_map_algebra("sqrt(rast[0]) * -1", [b]).tolist() == \
+        [[-2.0, -3.0]]
+    assert eval_map_algebra("pow(rast[0], 0.5) + (1 + 1) * 2",
+                            [b])[0][0] == 6.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eval_map_algebra("out = rast[0] @ 2;", [b])
+    with _pytest.raises(ValueError):
+        eval_map_algebra("frobnicate(rast[0])", [b])
