@@ -79,11 +79,20 @@ def render_tiles(
     tile_col: str = "tile_id",
     pixel_col: str = "pixel_id",
     color_col: str = "color",
+    fmt: str = "fpng",
 ) -> DataFrame:
     """Render: one encoded image per tile group from the long
     (tile, pixel, color) format — ``applyInPandas`` paint, codec bytes
-    out. Overlapping writes resolve by max color (deterministic)."""
+    out. Overlapping writes resolve by max color (deterministic).
+    ``fmt="png"`` emits REAL PNG tiles (``sources/png.py``) — the
+    GeoSparkViz output format; the default engine codec stays the
+    byte-deterministic test format."""
     w_, h_ = int(w), int(h)
+    if fmt == "png":
+        from sedona_spark.sources.png import encode_png as _enc
+        enc = _enc
+    else:
+        enc = lambda img: encode_image(img, fmt)  # noqa: E731
 
     def paint(pdf: pd.DataFrame) -> pd.DataFrame:
         img = np.zeros((h_, w_, 3), dtype=np.uint8)
@@ -98,7 +107,7 @@ def render_tiles(
             {
                 tile_col: [pdf[tile_col].iloc[0]],
                 "n_painted": [len(ids)],
-                "png": [encode_image(img, "fpng")],
+                "png": [enc(img)],
             }
         )
 

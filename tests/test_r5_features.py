@@ -810,3 +810,25 @@ def test_chunk_tokens_properties(spark):
             assert toks == want, (i, n, max_tokens, overlap)
 
     run()
+
+
+def test_render_tiles_real_png(spark):
+    """render_tiles(fmt='png') emits genuine PNG tiles that decode to the
+    exact painted pixel set (GeoSparkViz output format)."""
+    import numpy as np
+
+    from sedona_spark.sources.png import decode_png
+    from sedona_spark.viz import render_tiles
+
+    long = spark.createDataFrame(
+        [(1, 0, 0xFF0000), (1, 5, 0x00FF00), (1, 15, 0x0000FF)],
+        "tile_id long, pixel_id long, color long",
+    )
+    out = render_tiles(long, w=4, h=4, fmt="png").collect()[0]
+    assert out["n_painted"] == 3
+    img = decode_png(bytes(out["png"]))
+    assert img.shape == (4, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [0, 255, 0]     # pixel 5 = (1, 1)
+    assert img[3, 3].tolist() == [0, 0, 255]     # pixel 15 = (3, 3)
+    assert int((img != 0).sum()) == 3            # nothing else painted
