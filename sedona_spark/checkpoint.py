@@ -231,3 +231,52 @@ def resume_stage(
     with open(os.path.join(base, _MARKER), "w") as f:
         f.write(str(time.time()))
     return manifest
+
+
+def list_stages(root: str) -> list[dict]:
+    """Inventory of snapshots under ``root``: name, committed flag,
+    manifest mtime, total rows/bytes — the `snapshots` metadata-table
+    analog of the Iceberg layout this module emulates."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        base, _, manifest = _stage_paths(root, name)
+        if not os.path.isdir(base):
+            continue
+        rec = {"stage": name, "committed": os.path.exists(manifest),
+               "rows": None, "bytes": None, "committed_at": None}
+        if rec["committed"]:
+            try:
+                with open(manifest) as f:
+                    m = json.load(f)
+                parts = m["partitions"]
+                rec["rows"] = sum(b["rows"] for b in parts.values())
+                rec["bytes"] = sum(b["bytes"] for b in parts.values())
+                rec["committed_at"] = os.path.getmtime(manifest)
+            except (OSError, ValueError, KeyError):
+                pass
+        out.append(rec)
+    return out
+
+
+def expire_stages(
+    root: str, keep: list[str], dry_run: bool = False
+) -> list[str]:
+    """Iceberg `expireSnapshots` analog: delete committed snapshot
+    directories NOT in ``keep`` (and any uncommitted partial stage —
+    those are replayable by construction). Refuses to touch paths
+    outside ``root``. Returns the stage names removed."""
+    import shutil
+
+    removed = []
+    keep_set = set(keep)
+    for rec in list_stages(root):
+        if rec["stage"] in keep_set:
+            continue
+        base = os.path.join(root, rec["stage"])
+        if os.path.realpath(base).startswith(os.path.realpath(root)):
+            if not dry_run:
+                shutil.rmtree(base)
+            removed.append(rec["stage"])
+    return removed

@@ -158,3 +158,36 @@ def stream_stream_distance_join(
             F.col("l_lon"), F.col("l_lat"), F.col("r_lon"), F.col("r_lat"), r
         )
     )
+
+
+def hot_cell_stream(
+    points,
+    level: int,
+    threshold: int,
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    window_len: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """Streaming hot-cell detection: watermarked tumbling-window counts
+    per cell, emitting only cells whose window count reaches
+    ``threshold`` — the streaming face of the Getis-Ord prefilter (find
+    the dense cells cheaply; score them in batch). State is one count
+    per (cell, window) inside the watermark horizon, so it is bounded by
+    active-area x windows regardless of input rate — the only shape that
+    survives an unbounded stream."""
+    from sedona_spark import cells
+
+    return (
+        points.withWatermark(ts, watermark)
+        .withColumn("_cell", cells.cell_id(F.col(x), F.col(y), level))
+        .groupBy(F.window(F.col(ts), window_len), F.col("_cell"))
+        .count()
+        .filter(F.col("count") >= threshold)
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("_cell").alias("cell"),
+            F.col("count").cast("long").alias("n"),
+        )
+    )

@@ -304,3 +304,91 @@ def test_stream_exact_dedup_bounded_state(spark, tmp_path):
     # plan check on the analyzed streaming frame (operator name)
     assert "DeduplicateWithinWatermark" in out._jdf.queryExecution().analyzed().toString() \
         or "deduplicate" in out._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_hot_cell_stream_threshold(spark, tmp_path):
+    """Watermarked hot-cell stream: only cells at/over the window-count
+    threshold surface; bounded state (one count per cell x window)."""
+    from sedona_spark.streaming.cellify import hot_cell_stream
+
+    # skewed source: 9 of 10 rows land in ONE cell, the rest spread out
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500").load()
+        .withColumn(
+            "x",
+            F.when(F.col("value") % 10 < 9, F.lit(10.25))
+            .otherwise((F.col("value") % 300 - 150).cast("double")),
+        )
+        .withColumn(
+            "y",
+            F.when(F.col("value") % 10 < 9, F.lit(20.25))
+            .otherwise((F.col("value") % 160 - 80).cast("double")),
+        )
+        .withColumnRenamed("timestamp", "ts")
+    )
+    hot = hot_cell_stream(src, level=5, threshold=50, ts="ts",
+                          window_len="2 seconds", watermark="2 seconds")
+    q = (
+        hot.writeStream.format("memory")
+        .queryName("hotcells")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        time.sleep(2.5)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select cell, max(n) as n from hotcells group by cell"
+        ).collect()
+        assert len(rows) >= 1
+        # every emitted cell respected the threshold
+        assert all(r["n"] >= 50 for r in rows)
+        # the skew cell dominates
+        top = max(rows, key=lambda r: r["n"])
+        from sedona_spark import cells as _c
+
+        lvl = top["cell"] >> 54
+        assert lvl == 5
+    finally:
+        q.stop()
+
+
+def test_snapshot_listing_and_expiry(spark, tmp_path):
+    """list_stages inventories committed snapshots (rows/bytes from the
+    manifest); expire_stages removes everything not kept, including
+    uncommitted partials, and never escapes the root."""
+    from sedona_spark.checkpoint import (
+        checkpoint_stage,
+        expire_stages,
+        is_committed,
+        list_stages,
+    )
+
+    root = str(tmp_path / "snaps")
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    checkpoint_stage(df, root, "s1", bucket_col="k", n_buckets=4)
+    checkpoint_stage(df.limit(10), root, "s2", bucket_col="k",
+                     n_buckets=4)
+    import os
+
+    os.makedirs(os.path.join(root, "partial", "data"), exist_ok=True)
+
+    inv = {r["stage"]: r for r in list_stages(root)}
+    assert inv["s1"]["committed"] and inv["s1"]["rows"] == 100
+    assert inv["s2"]["rows"] == 10
+    assert not inv["partial"]["committed"]
+
+    gone = expire_stages(root, keep=["s1"], dry_run=True)
+    assert sorted(gone) == ["partial", "s2"]
+    assert is_committed(root, "s2")          # dry run touched nothing
+
+    gone = expire_stages(root, keep=["s1"])
+    assert sorted(gone) == ["partial", "s2"]
+    assert is_committed(root, "s1")
+    assert not is_committed(root, "s2")
+    assert [r["stage"] for r in list_stages(root)] == ["s1"]
