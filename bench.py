@@ -176,6 +176,7 @@ SF1_QUERIES = [
     "knn_join_approx",
     "dedup_exact",
     "minhash_pairs",
+    "distance_band_weights",
 ]
 
 

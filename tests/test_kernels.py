@@ -405,3 +405,50 @@ def test_hex_cell_binning():
     expected = 20000 * (1.5 * np.sqrt(3) * 4) / 10000
     # interior-cell occupancy ~ area ratio (boundary cells drag the mean)
     assert abs(np.median(counts) - expected) / expected < 0.25
+
+
+def test_wkb_roundtrip_hypothesis():
+    """Hypothesis fuzz: random polygon-with-holes / multipolygon ring
+    lists survive wkb_from_rings -> parse_wkb_rings with canonical
+    orientation (shell CCW / holes CW) and exact coordinates."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    from sedona_spark.geometry.wkb import parse_wkb_rings, wkb_from_rings
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_shells=st_h.integers(min_value=1, max_value=3),
+        holes=st_h.booleans(),
+        seed=st_h.integers(min_value=0, max_value=10**6),
+    )
+    def roundtrip(n_shells, holes, seed):
+        rng = np.random.RandomState(seed)
+        rings = []
+        for s in range(n_shells):
+            cx, cy = rng.uniform(-100, 100, 2)
+            th = np.sort(rng.uniform(0, 2 * np.pi, rng.randint(3, 8)))
+            if np.min(np.diff(th, append=th[0] + 2 * np.pi)) < 0.05:
+                return
+            r = rng.uniform(5.0, 8.0)
+            shell = np.stack(
+                [cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
+            rings.append(shell)
+            if holes:
+                hole = (shell - [cx, cy]) * 0.3 + [cx, cy]
+                rings.append(hole[::-1])  # CW hole
+        buf = wkb_from_rings([rr.ravel() for rr in rings])
+        kind, back = parse_wkb_rings(buf)
+        assert len(back) == len(rings)
+        # the writer regroups holes under their containing shells and
+        # canonicalizes orientation — compare as a SET of vertex sets
+        a = {frozenset(map(tuple, rr)) for rr in rings}
+        b = {
+            frozenset(map(
+                tuple, np.asarray(g, dtype=np.float64).reshape(-1, 2)))
+            for g in back
+        }
+        assert a == b
+
+    roundtrip()
