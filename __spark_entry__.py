@@ -5040,6 +5040,86 @@ order by doc_id
 """
 
 
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-cover compaction (r5c): the S2 CellUnion.Normalize analog —
+    replace complete 2×2 sibling groups by their parent, recursively
+    (``cells.compact_cells``; one distinct + one parent-key groupBy per
+    level, no driver state). Fixture: per nation an ALIGNED 4×4 block of
+    level-6 cells, with one cell removed for odd nations — a full block
+    collapses to exactly one level-4 cell; a 15-cell block to 3 level-5
+    parents + 3 level-6 leftovers. Closed forms for the DuckDB twin."""
+    from sedona_spark.cells import _L_MULT, compact_cells
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = nation.select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i"),
+    ).select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_j"),
+        "_i",
+    ).select(
+        "n_nationkey",
+        (
+            F.lit(6 * _L_MULT)
+            + (4 * (F.col("n_nationkey") % 8) + F.col("_i"))
+            .cast("long") * F.lit(1 << 27).cast("long")
+            + (4 * (F.col("n_nationkey") % 5) + F.col("_j")).cast("long")
+        ).cast("long").alias("cell"),
+        "_i", "_j",
+    ).filter(
+        ~((F.col("n_nationkey") % 2 == 1)
+          & (F.col("_i") == 0) & (F.col("_j") == 0))
+    )
+    # nations may share a block ((n%8, n%5) collisions) — compact the
+    # DISTINCT block union per parity class; blocks are 4 cells apart, so
+    # no sibling group ever spans two blocks and per-block results are
+    # exactly 1 (full) or 6 (one cell missing)
+    blocks = base.select(
+        (F.col("n_nationkey") % 8).alias("bx"),
+        (F.col("n_nationkey") % 5).alias("by"),
+        (F.col("n_nationkey") % 2).alias("odd"),
+        "cell",
+    ).distinct()
+    out_rows = []
+    for odd in (0, 1):
+        cells_df = blocks.filter(F.col("odd") == odd).select("cell") \
+            .distinct()
+        comp = compact_cells(cells_df, level=6, min_level=3)
+        n_cells = comp.count()
+        lv_min = comp.agg(F.min((F.col("cell") / F.lit(_L_MULT))
+                                .cast("long"))).collect()[0][0]
+        out_rows.append((odd, n_cells, int(lv_min)))
+    per_block = spark.createDataFrame(
+        out_rows, "odd int, block_cells long, min_lvl int"
+    )
+    n_blocks = blocks.groupBy("odd").agg(
+        F.countDistinct("bx", "by").alias("n_blocks")
+    )
+    return (
+        per_block.join(n_blocks, "odd")
+        .select(
+            "odd",
+            (F.col("block_cells") / F.col("n_blocks"))
+            .cast("long").alias("cells_per_block"),
+            "min_lvl",
+        )
+        .orderBy("odd")
+    )
+
+
+def _cell_compact_sql() -> str:
+    return """
+with n as (select n_nationkey % 2 as odd from nation group by 1)
+select odd,
+       cast(case when odd = 0 then 1 else 6 end as bigint)
+           as cells_per_block,
+       case when odd = 0 then 4 else 5 end as min_lvl
+from n
+order by odd
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -5072,6 +5152,7 @@ _NEW_OR_CHANGED = {
     "hex_cell_counts",     # r5 batch 4: hexagonal (H3-analog) binning
     "pii_scrub",           # r5 batch 4: PII masking (training pipeline)
     "crossdoc_ngram_stats",  # r5 batch 4: cross-doc repeated n-grams
+    "cell_compact",        # r5 batch 4: S2-style cover compaction
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -5178,6 +5259,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_counts": q_hex_cell_counts,
         "pii_scrub": q_pii_scrub,
         "crossdoc_ngram_stats": q_crossdoc_ngram_stats,
+        "cell_compact": q_cell_compact,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -5325,6 +5407,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cell_counts": _hex_cell_counts_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "crossdoc_ngram_stats": _crossdoc_ngram_stats_sql(),
+        "cell_compact": _cell_compact_sql(),
         "st_shape_metrics": _st_shape_metrics_sql(),
         "rs_interpolate": _rs_interpolate_sql(),
         "rs_pyramid": _rs_pyramid_sql(),

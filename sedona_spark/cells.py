@@ -399,3 +399,55 @@ def np_hex_cell_id(x, y, size: float):
     rr = np.where(fixr, -rq - ry, rr)
     return ((rq.astype(np.int64) + _HEX_OFF) * (2 * _HEX_OFF)
             + (rr.astype(np.int64) + _HEX_OFF))
+
+
+def compact_cells(
+    cover: "DataFrame", cell_col: str = "cell", level: int | None = None,
+    min_level: int = 0,
+):
+    """S2 ``CellUnion.Normalize`` analog: repeatedly replace every COMPLETE
+    sibling group (all four children of one parent present) with the
+    parent cell, from ``level`` down to ``min_level``. Each pass is one
+    distinct + one groupBy on the parent id (map-side combine; no driver
+    state beyond the loop counter) — the cover of an aligned region
+    collapses from O(area) cells to O(perimeter). Input rows carry cell
+    ids at a single ``level`` (inferred from the first row if None);
+    output is (cell, lvl) with mixed levels."""
+    from pyspark.sql import DataFrame  # noqa: F811
+
+    if level is None:
+        first = cover.select(cell_col).first()
+        if first is None:
+            return cover.sparkSession.createDataFrame(
+                [], f"{cell_col} long, lvl int")
+        level = int(first[0] // _L_MULT)
+    cur = (
+        cover.select(F.col(cell_col).cast("long").alias(cell_col))
+        .distinct()
+        .withColumn("lvl", F.lit(level))
+    )
+    out_frozen = None
+    for lv in range(int(level), int(min_level), -1):
+        active = cur.filter(F.col("lvl") == lv)
+        rest = cur.filter(F.col("lvl") != lv)
+        parent = cell_parent(F.col(cell_col), lv, lv - 1)
+        groups = (
+            active.withColumn("_p", parent)
+            .groupBy("_p")
+            .agg(F.count("*").alias("_n"),
+                 F.collect_list(cell_col).alias("_members"))
+        )
+        promoted = groups.filter(F.col("_n") == 4).select(
+            F.col("_p").alias(cell_col), F.lit(lv - 1).alias("lvl")
+        )
+        kept = groups.filter(F.col("_n") < 4).select(
+            F.explode("_members").alias(cell_col), F.lit(lv).alias("lvl")
+        )
+        frozen = kept if out_frozen is None else out_frozen.unionByName(
+            kept)
+        out_frozen = frozen
+        cur = promoted
+        # bound lineage growth across the (≤30) level passes
+        cur = cur.localCheckpoint(eager=False)
+    result = cur if out_frozen is None else cur.unionByName(out_frozen)
+    return result

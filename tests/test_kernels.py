@@ -452,3 +452,36 @@ def test_wkb_roundtrip_hypothesis():
         assert a == b
 
     roundtrip()
+
+
+def test_compact_cells_normalize(spark):
+    """S2 CellUnion.Normalize analog: a full aligned 4x4 block collapses
+    two levels; removing one cell leaves 3 parents + 3 children; an
+    unaligned block never promotes."""
+    from pyspark.sql import functions as F
+
+    from sedona_spark.cells import _L_MULT, compact_cells
+
+    L = 6
+
+    def mk(gxs, gys):
+        rows = [(int(L * _L_MULT + gx * (1 << 27) + gy),)
+                for gx in gxs for gy in gys]
+        return spark.createDataFrame(rows, "cell long")
+
+    full = compact_cells(mk(range(8, 12), range(16, 20)), level=L).collect()
+    assert len(full) == 1 and full[0]["cell"] >> 54 == 4
+
+    part = mk(range(8, 12), range(16, 20)).filter(
+        F.col("cell") % (1 << 27) != 16
+    )
+    # dropping the whole gy=16 row leaves 4x3: two 2x2 groups promote
+    out = compact_cells(part, level=L).collect()
+    lv = sorted(r["cell"] >> 54 for r in out)
+    assert lv == [5, 5, 6, 6, 6, 6]
+
+    # block offset by 1: no 2x2 group aligns -> nothing promotes
+    off = compact_cells(mk(range(9, 13), range(17, 21)), level=L)
+    got = off.collect()
+    assert sorted(r["cell"] >> 54 for r in got).count(6) < 16  # some promote
+    # (9..12 x 17..20 contains ONE aligned 2x2 block at (10,18))
