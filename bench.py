@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "hex_cell_counts",
     "pii_scrub",
     "crossdoc_ngram_stats",
+    "cell_compact",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
