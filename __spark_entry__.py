@@ -5120,6 +5120,22 @@ order by odd
 """
 
 
+def q_pip_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted mixed-level cover PIP join (r5c): the S2CellUnion join
+    pattern — per-zone covers normalized so interiors are coarse cells
+    and only boundaries stay fine (O(perimeter) cover rows), point side
+    joined once per live level on the ancestor cell
+    (``spatial_join.pip_join_compact``). Output contract identical to
+    ``pip_rect_join``, so the oracle is the SAME theta-join SQL — the
+    strongest kind of evidence that the compacted path loses nothing."""
+    from sedona_spark.operators.spatial_join import pip_join_compact
+
+    pts = points_from_events(spark, sf_dir)
+    zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
+    out = pip_join_compact(pts, zones, "covers", level=9, min_level=4)
+    return out.select("event_id", "n_nationkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial PIP join of derived points × zones at sf0.001."""
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
@@ -5153,6 +5169,7 @@ _NEW_OR_CHANGED = {
     "pii_scrub",           # r5 batch 4: PII masking (training pipeline)
     "crossdoc_ngram_stats",  # r5 batch 4: cross-doc repeated n-grams
     "cell_compact",        # r5 batch 4: S2-style cover compaction
+    "pip_join_compact",    # r5 batch 4: mixed-level cover join
     "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
                            #     valid-reason / generate-points tier
     "rs_interpolate",      # r5: IDW nodata fill
@@ -5260,6 +5277,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "crossdoc_ngram_stats": q_crossdoc_ngram_stats,
         "cell_compact": q_cell_compact,
+        "pip_join_compact": q_pip_join_compact,
         "st_shape_metrics": q_st_shape_metrics,
         "rs_interpolate": q_rs_interpolate,
         "rs_pyramid": q_rs_pyramid,
@@ -5488,6 +5506,12 @@ def oracle_sql() -> dict[str, str]:
             f"where p.x >= {x0} and p.x <= {x1} and p.y >= {y0} and p.y <= {y1}"
         ),
         "pip_rect_join": (
+            f"select p.event_id, z.n_nationkey from {pts} p, {zon} z "
+            "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
+            "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"
+        ),
+        # identical semantics through the compacted mixed-level cover path
+        "pip_join_compact": (
             f"select p.event_id, z.n_nationkey from {pts} p, {zon} z "
             "where p.x >= z.zcx - z.hx and p.x <= z.zcx + z.hx "
             "and p.y >= z.zcy - z.hy and p.y <= z.zcy + z.hy"

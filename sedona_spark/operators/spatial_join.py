@@ -380,3 +380,78 @@ def polygon_overlap_join(
         .withColumnRenamed("_lring", left_ring)
         .withColumnRenamed("_rring", right_ring)
     )
+
+
+def pip_join_compact(
+    points: DataFrame,
+    rects: DataFrame,
+    predicate: str = "covers",
+    level: int = 9,
+    min_level: int = 3,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """PIP join via COMPACTED mixed-level covers — the S2CellUnion join
+    pattern: each rectangle's fine-level cover is normalized per zone
+    (complete 2×2 sibling groups promoted recursively), so interior area
+    is covered by a few coarse cells and only the boundary stays fine —
+    O(perimeter) cover rows instead of O(area). The point side joins once
+    per cover LEVEL (ancestor cell at that level == cover cell); the set
+    of live levels is metadata-sized (≤ level − min_level + 1 values, the
+    only driver-side state). Exact refine matches :func:`pip_join_rect`,
+    so the two paths are interchangeable — and oracle-checked equal."""
+    cover = _explode_cover(rects, level)
+    key_cols = [c for c in rects.columns]
+    cur = (
+        cover.select(*key_cols, "cell").distinct()
+        .withColumn("lvl", F.lit(level))
+    )
+    frozen = None
+    for lv in range(int(level), int(min_level), -1):
+        active = cur.filter(F.col("lvl") == lv)
+        parent = cells.cell_parent(F.col("cell"), lv, lv - 1)
+        groups = (
+            active.withColumn("_p", parent)
+            .groupBy(*key_cols, "_p")
+            .agg(F.count("*").alias("_n"),
+                 F.collect_list("cell").alias("_members"))
+        )
+        promoted = groups.filter(F.col("_n") == 4).select(
+            *key_cols, F.col("_p").alias("cell"),
+            F.lit(lv - 1).alias("lvl"),
+        )
+        kept = groups.filter(F.col("_n") < 4).select(
+            *key_cols, F.explode("_members").alias("cell"),
+            F.lit(lv).alias("lvl"),
+        )
+        frozen = kept if frozen is None else frozen.unionByName(kept)
+        cur = promoted.localCheckpoint(eager=False)
+    compacted = cur if frozen is None else cur.unionByName(frozen)
+    compacted = compacted.localCheckpoint(eager=True)
+    levels = [r["lvl"] for r in compacted.select("lvl").distinct().collect()]
+
+    home = cells.cell_id(F.col(x), F.col(y), level)
+    pc = points.withColumn("_home", home)
+    parts = []
+    for lv in sorted(levels):
+        pside = pc.withColumn(
+            "cell", cells.cell_parent(F.col("_home"), level, lv)
+        )
+        parts.append(
+            pside.join(
+                F.broadcast(compacted.filter(F.col("lvl") == lv)
+                            .drop("lvl")),
+                "cell",
+            ).drop("cell", "_home")
+        )
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
+    px, py = F.col(x), F.col(y)
+    x0, y0 = F.col("xmin"), F.col("ymin")
+    x1, y1 = F.col("xmax"), F.col("ymax")
+    if predicate == "contains":
+        keep = (px > x0) & (px < x1) & (py > y0) & (py < y1)
+    else:
+        keep = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+    return j.filter(keep)
