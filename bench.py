@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "crossdoc_ngram_stats",
     "cell_compact",
+    "pip_join_compact",
 ]
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
