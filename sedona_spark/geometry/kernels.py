@@ -2668,7 +2668,15 @@ def _wavefront_velocities(pts: np.ndarray) -> np.ndarray:
 
 def straight_skeleton(ring: np.ndarray, eps: float = 1e-9) -> np.ndarray:
     """Exact straight skeleton (== medial axis) of a convex polygon ring.
-    Returns an (m, 4) array of skeleton segments (x1, y1, x2, y2)."""
+    Returns an (m, 4) array of skeleton segments (x1, y1, x2, y2).
+
+    Cost: O(n) events x O(n) per event plus an O(m^2) collinear-merge
+    post-pass over the ~2n-3 emitted arcs — quadratic-ish in the VERTEX
+    count, which for convex rings is small by nature (hulls, envelopes,
+    map faces). Guarded at 4096 vertices so a pathological input fails
+    fast instead of stalling an executor."""
+    if np.asarray(ring).size > 2 * 4096:
+        raise ValueError("straight_skeleton: ring exceeds 4096 vertices")
     pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     if len(pts) >= 2 and (pts[0] == pts[-1]).all():
         pts = pts[:-1]
@@ -2800,7 +2808,11 @@ def simplify_polygon_hull(
     vertices are filled — removing one can only grow the polygon) or the
     INNER hull is contained by it (only convex vertices are cut).
     Each step removes the candidate with the smallest triangle area whose
-    replacement edge does not cross the remaining boundary."""
+    replacement edge does not cross the remaining boundary.
+
+    Cost: O(n) crossing checks per removal, O(n·k) total for k removals
+    (k = (1 - vertex_frac)·n) — same complexity class as the JTS
+    implementation; intended for per-feature rings, not point clouds."""
     a = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     if len(a) >= 2 and (a[0] == a[-1]).all():
         a = a[:-1]

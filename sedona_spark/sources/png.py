@@ -48,7 +48,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (h, w, bands). 8-bit non-interlaced only."""
+    """PNG bytes -> uint8 (h, w, bands). 8-bit non-interlaced only.
+
+    Filter 0 (what :func:`encode_png` writes) and filter 2 (Up) decode
+    vectorized; filters 1/3/4 fall back to a per-byte Python loop because
+    of their serial left-neighbor dependency — correct for any baseline
+    PNG, but large externally-produced Sub/Average/Paeth images decode
+    slowly (the engine's own tiles never hit that path)."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG")
     o = 8
