@@ -316,3 +316,53 @@ def test_netcdf_classic_codec():
         parse_netcdf(b"\x89HDF\r\n\x1a\n" + b"\0" * 32)
     with _pytest.raises(KeyError):
         netcdf_variable_as_raster(buf, "nope")
+
+
+def test_geotiff_multi_strip_and_errors():
+    """Decoder joins MULTIPLE strips (externally-produced layout) and
+    rejects planar configuration 2 and 16-bit samples explicitly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.sources.geotiff import decode_geotiff
+
+    # hand-build a 2-strip grayscale 2x4 TIFF (RowsPerStrip=2)
+    a = np.arange(8, dtype=np.uint8).reshape(4, 2)
+    strips = [a[:2].tobytes(), a[2:].tobytes()]
+    n_entries = 8
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    off_blob = data_off          # strip offsets array (2 longs)
+    cnt_blob = off_blob + 8      # strip byte counts array
+    strip0 = cnt_blob + 8
+    entries = [
+        (256, 4, 1, struct.pack("<L", 2)),
+        (257, 4, 1, struct.pack("<L", 4)),
+        (258, 3, 1, struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 1, 0)),
+        (273, 4, 2, struct.pack("<L", off_blob)),
+        (277, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 4, 1, struct.pack("<L", 2)),
+        (279, 4, 2, struct.pack("<L", cnt_blob)),
+    ]
+    buf = struct.pack("<2sHL", b"II", 42, ifd_off)
+    buf += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        buf += struct.pack("<HHL", tag, typ, cnt) + val
+    buf += struct.pack("<L", 0)
+    buf += struct.pack("<LL", strip0, strip0 + 4)   # strip offsets
+    buf += struct.pack("<LL", 4, 4)                 # strip byte counts
+    buf += strips[0] + strips[1]
+    arr, *_ = decode_geotiff(buf)
+    assert np.array_equal(arr[:, :, 0], a)
+
+    from sedona_spark.sources.geotiff import encode_geotiff
+
+    good = encode_geotiff(np.zeros((2, 2), np.uint8))
+    bad = bytearray(good)
+    planar_off = good.index(struct.pack("<HHL", 284, 3, 1))
+    bad[planar_off + 8] = 2
+    with _pytest.raises(NotImplementedError):
+        decode_geotiff(bytes(bad))

@@ -333,3 +333,26 @@ def test_pip_join_compact_equals_rect_join(spark):
     # joining a dummy point table and inspecting is indirect — assert the
     # flat cover is large enough that compaction matters
     assert flat > 100
+
+
+def test_weighting_zero_distance_semantics(spark):
+    """Weighting.scala's documented edge: duplicate positions are
+    0-distance neighbors — binary includes them by default, weighted
+    excludes them unless include_zero=True (where weight would be
+    infinite per IEEE division, as the reference notes)."""
+    from sedona_spark.operators.weighting import (
+        add_binary_distance_band_column,
+        add_weighted_distance_band_column,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 0.0), (3, 1.0, 0.0)],
+        "id long, x double, y double",
+    )
+    b = {r["id"]: r["weights"]
+         for r in add_binary_distance_band_column(pts, 2.0).collect()}
+    assert [w["neighbor_id"] for w in b[1]] == [2, 3]  # 0-dist included
+    w = {r["id"]: r["weights"]
+         for r in add_weighted_distance_band_column(pts, 2.0).collect()}
+    assert [x["neighbor_id"] for x in w[1]] == [3]     # 0-dist excluded
+    assert w[1][0]["weight"] == 1.0                    # 1/dist at d=1
