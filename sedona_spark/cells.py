@@ -413,8 +413,6 @@ def compact_cells(
     collapses from O(area) cells to O(perimeter). Input rows carry cell
     ids at a single ``level`` (inferred from the first row if None);
     output is (cell, lvl) with mixed levels."""
-    from pyspark.sql import DataFrame  # noqa: F811
-
     if level is None:
         first = cover.select(cell_col).first()
         if first is None:
