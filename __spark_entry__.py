@@ -4361,6 +4361,9 @@ select n_nationkey,
   round(ST_TransformEpsg(zcx, zcy, 5070).x, 2) as alb_x,
   round(ST_TransformEpsg(zcx, zcy, 3413).y, 2) as nsidc_y,
   round(ST_TransformEpsg(zcx, zcy, 99999).x, 6) as fall_x,
+  round(ST_TransformEpsg(zcx, zcy,
+      cast(32601 + floor((zcx + 180e0) / 6e0) as int)).x, 2) as utm_e,
+  round(ST_TransformEpsg(zcx, zcy, 3035).y / 1e3, 3) as laea_y,
   round(ST_Area(element_at(ST_GeomFromMySQL(concat(unhex('E6100000'),
       ST_AsBinary(ST_MakePolygon(rect)))), 1)), 6) as my_area,
   round(ST_Area(element_at(
@@ -4383,7 +4386,8 @@ from g
 
 def _sql_api_6_sql() -> str:
     from sedona_spark.functions.crs import (
-        CONIC_EPSG, sql_albers, sql_lcc, sql_stereo, sql_to_mercator,
+        CONIC_EPSG, sql_albers, sql_laea, sql_lcc, sql_stereo, sql_tmerc,
+        sql_to_mercator,
     )
     from sedona_spark.functions.geohash import _bits, _sql_grid
 
@@ -4392,6 +4396,13 @@ def _sql_api_6_sql() -> str:
     alb_x, _ = sql_albers("zcx", "zcy", *CONIC_EPSG[5070][1:])
     _, st_y = sql_stereo("zcx", "zcy", CONIC_EPSG[3413][1],
                          CONIC_EPSG[3413][2], south=False)
+    # runtime-lon0 UTM arm mirror: code = 32601 + floor((zcx+180)/6), so
+    # lon0 = (floor((zcx+180)/6) + 1) * 6 - 183 (same VALUES either way)
+    utm_x, _ = sql_tmerc(
+        "zcx", "zcy",
+        "((floor((zcx + 180e0) / 6e0) + 1) * 6 - 183)",
+    )
+    _, laea_y = sql_laea("zcx", "zcy", *CONIC_EPSG[3035][1:3])
     # mirror of the engine's per-segment projection ARITHMETIC (same IEEE
     # op order) for the one live segment of the 2-point diagonal
     tt = ("((zcx - (zcx - hx)) * ((zcx + hx) - (zcx - hx)) "
@@ -4422,6 +4433,8 @@ select n_nationkey,
   round({alb_x}, 2) as alb_x,
   round({st_y}, 2) as nsidc_y,
   round(zcx, 6) as fall_x,
+  round({utm_x}, 2) as utm_e,
+  round(({laea_y}) / 1e3, 3) as laea_y,
   round(4 * hx * hy, 6) as my_area,
   round(4 * hx * hy, 6) as gg_area,
   round({gh_x0}, 6) as gh_x0,

@@ -394,6 +394,11 @@ CONIC_EPSG: dict[int, tuple[str, float, float, float, float]] = {
     3413: ("stereo_n", -45.0, 70.0, 0.0, 0.0),     # NSIDC Sea Ice North
     3995: ("stereo_n", 0.0, 71.0, 0.0, 0.0),       # Arctic Polar Stereo
     3031: ("stereo_s", 0.0, -71.0, 0.0, 0.0),      # Antarctic Polar Stereo
+    # azimuthal equal-area family: (kind, lon0, lat0, unused, unused) —
+    # spherical LAEA centered at (lon0, lat0); the engine model carries
+    # no false offsets (its LAEA grids are origin-centered)
+    3035: ("laea", 10.0, 52.0, 0.0, 0.0),          # ETRS89-LAEA Europe
+    6933: ("laea", 0.0, 0.0, 0.0, 0.0),            # EASE-Grid 2.0 global
 }
 
 
@@ -404,9 +409,19 @@ def st_transform_epsg(
     ST_Transform('epsg:N') surface for every code in ``CONIC_EPSG``."""
     if epsg == 3857:
         return st_transform_to_mercator(lon, lat)
+    if epsg in TMERC_EPSG:
+        return st_transform_tmerc(lon, lat, *TMERC_EPSG[epsg])
+    if 32601 <= epsg <= 32660:        # WGS84 / UTM north
+        return st_transform_tmerc(lon, lat, (epsg - 32600) * 6 - 183,
+                                  0.0, _K0, _E0, 0.0)
+    if 32701 <= epsg <= 32760:        # WGS84 / UTM south
+        return st_transform_tmerc(lon, lat, (epsg - 32700) * 6 - 183,
+                                  0.0, _K0, _E0, 1e7)
     kind, lon0, lat0, sp1, sp2 = CONIC_EPSG[epsg]
     if kind.startswith("stereo"):
         return st_transform_stereo(lon, lat, lon0, lat0, kind == "stereo_s")
+    if kind == "laea":
+        return st_transform_laea(lon, lat, lon0, lat0)
     fn = st_transform_lcc if kind == "lcc" else st_transform_albers
     return fn(lon, lat, lon0, lat0, sp1, sp2)
 
@@ -523,3 +538,42 @@ def st_transform_from_utm(
         phi = phi + F.lit(d) * F.sin(2.0 * j * chi)
     lam = F.lit(lam0) + F.atan2(F.sinh(eta_p), F.cos(xi_p))
     return lam / F.lit(_RAD), phi / F.lit(_RAD)
+
+
+def sql_tmerc(
+    lon_expr: str, lat_expr: str, lon0_expr: str,
+    k0: float = _K0, lat0: float = 0.0,
+    fe: float = _E0, fn_expr: str = "0e0",
+) -> tuple[str, str]:
+    """Engine-portable SQL twin of :func:`st_transform_tmerc` — the
+    Karney–Krüger series with a RUNTIME central meridian (the series
+    constants are meridian-independent, so one text covers every UTM
+    zone). Hyperbolics are written exp-based because DuckDB has no
+    sinh/cosh/atanh; Spark evaluates the identical text. ``fn_expr`` is
+    SQL text so the UTM south false northing can also be runtime."""
+    phi = f"(({lat_expr}) * {_RAD!r})"
+    dlam = f"((({lon_expr}) - ({lon0_expr})) * {_RAD!r})"
+    s = f"(sin({phi}))"
+    ath1 = f"(0.5e0 * ln((1e0 + {s}) / (1e0 - {s})))"
+    ts2 = f"({_TWO_SQRTN!r} * {s})"
+    ath2 = f"(0.5e0 * ln((1e0 + {ts2}) / (1e0 - {ts2})))"
+    targ = f"({ath1} - {_TWO_SQRTN!r} * {ath2})"
+    t = f"((exp({targ}) - exp(-({targ}))) / 2e0)"
+    xi_p = f"(atan2({t}, cos({dlam})))"
+    eta_arg = f"(sin({dlam}) / sqrt(1e0 + {t} * {t}))"
+    eta_p = (f"(0.5e0 * ln((1e0 + {eta_arg}) / (1e0 - {eta_arg})))")
+    xi_terms = [xi_p]
+    eta_terms = [eta_p]
+    for j, a in enumerate(_ALPHA, start=1):
+        ch = (f"((exp({2*j}e0 * {eta_p}) + exp(-({2*j}e0 * {eta_p}))) "
+              f"/ 2e0)")
+        sh = (f"((exp({2*j}e0 * {eta_p}) - exp(-({2*j}e0 * {eta_p}))) "
+              f"/ 2e0)")
+        xi_terms.append(f"({a!r} * sin({2*j}e0 * {xi_p}) * {ch})")
+        eta_terms.append(f"({a!r} * cos({2*j}e0 * {xi_p}) * {sh})")
+    xi = "(" + " + ".join(xi_terms) + ")"
+    eta = "(" + " + ".join(eta_terms) + ")"
+    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
+    x = f"({fe!r} + {k0 * _A_CAP!r} * {eta})"
+    y = f"(({fn_expr}) - {m0!r} + {k0 * _A_CAP!r} * {xi})"
+    return x, y

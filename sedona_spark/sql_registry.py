@@ -1296,21 +1296,43 @@ def _st_straggler_sql_udfs() -> list[tuple[str, str, str, str]]:
         f"(acc, i) -> case when {dd} < acc.d "
         f"then named_struct('d', {dd}, 'm', {mm}) else acc end).m"
     )
-    # general transform: every EPSG the engine's projection table carries
-    # (FunctionsGeoTools.java seam; formulas are the closed public ones)
+    # general transform: every EPSG the engine's projection tables carry
+    # (FunctionsGeoTools.java seam; formulas are the closed public ones) —
+    # conics, azimuthals, polar stereo, national TM grids, and EVERY WGS84
+    # UTM zone (the Krüger series constants are meridian-independent, so
+    # two runtime-lon0 arms cover codes 32601-32660 / 32701-32760)
+    from sedona_spark.functions.crs import (
+        TMERC_EPSG, sql_laea, sql_tmerc,
+    )
+
     mx, my = sql_to_mercator("lon", "lat")
-    arms = [f"when 3857 then named_struct('x', {mx}, 'y', {my})"]
+    arms = [f"when code = 3857 then named_struct('x', {mx}, 'y', {my})"]
     for code, (kind, lon0, lat0, sp1, sp2) in sorted(CONIC_EPSG.items()):
         if kind == "lcc":
             x, y = sql_lcc("lon", "lat", lon0, lat0, sp1, sp2)
         elif kind == "albers":
             x, y = sql_albers("lon", "lat", lon0, lat0, sp1, sp2)
+        elif kind == "laea":
+            x, y = sql_laea("lon", "lat", lon0, lat0)
         else:
             x, y = sql_stereo("lon", "lat", lon0, lat0,
                               south=kind == "stereo_s")
-        arms.append(f"when {code} then named_struct('x', {x}, 'y', {y})")
+        arms.append(
+            f"when code = {code} then named_struct('x', {x}, 'y', {y})")
+    for code, (lon0, lat0, k0, fe, fn) in sorted(TMERC_EPSG.items()):
+        x, y = sql_tmerc("lon", "lat", repr(float(lon0)),
+                         k0=k0, lat0=lat0, fe=fe, fn_expr=repr(float(fn)))
+        arms.append(
+            f"when code = {code} then named_struct('x', {x}, 'y', {y})")
+    utm_n = sql_tmerc("lon", "lat", "((code - 32600) * 6 - 183)")
+    utm_s = sql_tmerc("lon", "lat", "((code - 32700) * 6 - 183)",
+                      fn_expr="1e7")
+    arms.append("when code between 32601 and 32660 then "
+                f"named_struct('x', {utm_n[0]}, 'y', {utm_n[1]})")
+    arms.append("when code between 32701 and 32760 then "
+                f"named_struct('x', {utm_s[0]}, 'y', {utm_s[1]})")
     transform_epsg = (
-        "case code " + " ".join(arms)
+        "case " + " ".join(arms)
         + " else named_struct('x', lon, 'y', lat) end"
     )
     return [

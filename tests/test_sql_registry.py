@@ -581,3 +581,36 @@ from e
         eval_map_algebra("out = rast[0] @ 2;", [b])
     with _pytest.raises(ValueError):
         eval_map_algebra("frobnicate(rast[0])", [b])
+
+
+def test_sql_transform_epsg_utm_and_laea(reg):
+    """The general EPSG dispatch covers every WGS84 UTM zone through two
+    runtime-meridian arms, the national TM grids, and the LAEA family;
+    SQL results equal the Column-API path."""
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.functions.crs import st_transform_epsg
+
+    spark = reg
+    r = spark.sql(
+        "select round(ST_TransformEpsg(2.2945e0, 48.8584e0, 32631).x, 1) e,"
+        " round(ST_TransformEpsg(-58.3816e0, -34.6037e0, 32721).y, 1) sn,"
+        " round(ST_TransformEpsg(10e0, 52e0, 3035).x, 6) c0,"
+        " round(ST_TransformEpsg(-0.1276e0, 51.5072e0, 27700).x, 1) os"
+    ).collect()[0]
+    assert abs(r["e"] - 448252.0) < 0.2          # UTM 31N easting, Paris
+    assert 6_000_000 < r["sn"] < 7_000_000       # south false northing
+    assert r["c0"] == 0.0                        # LAEA origin-centered
+    assert 500_000 < r["os"] < 560_000           # OSGB easting, London
+
+    for code, lon, lat in [(32631, 2.2945, 48.8584), (3035, 15.0, 52.0),
+                           (32721, -58.38, -34.6), (27700, -0.13, 51.5)]:
+        x, y = st_transform_epsg(F2.lit(lon), F2.lit(lat), code)
+        col = spark.range(1).select(
+            F2.round(x, 3).alias("x"), F2.round(y, 3).alias("y")
+        ).collect()[0]
+        sql = spark.sql(
+            f"select round(ST_TransformEpsg({lon}e0, {lat}e0, {code}).x, 3)"
+            f" x, round(ST_TransformEpsg({lon}e0, {lat}e0, {code}).y, 3) y"
+        ).collect()[0]
+        assert (col["x"], col["y"]) == (sql["x"], sql["y"])
