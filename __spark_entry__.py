@@ -4139,31 +4139,31 @@ select n,
   aggregate(RS_BandAsArray(RS_NormalizeAll(rm).buf, 0), 0,
       (a, v) -> a + v) as nz_all_sum,
   RS_Union(rm, mb).bands as un_nb,
-  round(coalesce(element_at(RS_Values(rm,
+  floor((coalesce(element_at(RS_Values(rm,
       array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
             n * 1.5e0 + 1e6),
       array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
-            n * 2.5e0), 0), 1), -1e0), 6) as rv1,
-  round(coalesce(element_at(RS_Values(rm,
+            n * 2.5e0), 0), 1), -1e0)) * 1e6 + 5e-1) / 1e6 as rv1,
+  floor((coalesce(element_at(RS_Values(rm,
       array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
             n * 1.5e0 + 1e6),
       array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
-            n * 2.5e0), 0), 2), -1e0), 6) as rv2,
-  round(coalesce(element_at(RS_Values(rm,
+            n * 2.5e0), 0), 2), -1e0)) * 1e6 + 5e-1) / 1e6 as rv2,
+  floor((coalesce(element_at(RS_Values(rm,
       array(n * 1.5e0 + 5e-1 * cs, n * 1.5e0 + (w - 5e-1) * cs,
             n * 1.5e0 + 1e6),
       array(n * 2.5e0 - 5e-1 * cs, n * 2.5e0 - (h - 5e-1) * cs,
-            n * 2.5e0), 0), 3), -1e0), 6) as rv3,
+            n * 2.5e0), 0), 3), -1e0)) * 1e6 + 5e-1) / 1e6 as rv3,
   RS_Clip(rm, array(
       n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
       n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
       n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 1e-1 * cs,
       n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).w as cl_w,
-  round(RS_Clip(rm, array(
+  floor((RS_Clip(rm, array(
       n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
       n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
       n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 1e-1 * cs,
-      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).ulx, 6) as cl_ulx,
+      n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 1e-1 * cs)).ulx) * 1e6 + 5e-1) / 1e6 as cl_ulx,
   aggregate(RS_BandAsArray(RS_Clip(rm, array(
       n * 1.5e0 + 1e-1 * cs, n * 2.5e0 - 19e-1 * cs,
       n * 1.5e0 + 19e-1 * cs, n * 2.5e0 - 19e-1 * cs,
@@ -4178,11 +4178,11 @@ select n,
   aggregate(RS_BandAsArray(tst.buf, 1), 0, (a, v) -> a + v) as tst_sum1,
   tst.bands as tst_nb,
   rp.w as rp_w,
-  round(rp.sx, 6) as rp_sx,
+  floor((rp.sx) * 1e6 + 5e-1) / 1e6 as rp_sx,
   aggregate(RS_BandAsArray(rp.buf, 0), 0, (a, v) -> a + v) as rp_sum,
   aggregate(RS_BandAsArray(e.buf, 0), 0, (a, v) -> a + v) as empty_sum,
   e.bands as e_nb,
-  round(e.sy, 6) as e_sy,
+  floor((e.sy) * 1e6 + 5e-1) / 1e6 as e_sy,
   aggregate(RS_BandAsArray(rm.buf, 0), 0, (a, v) -> a + v) as rm_sum,
   aggregate(RS_BandAsArray(
       RS_SetValues(rm, 0, 1, 1, 2, 2, 9e0).buf, 0), 0,
@@ -4200,18 +4200,18 @@ select n,
   RS_Metadata(RS_Band(mb.buf, array(2, 1))).bands as selb_nb,
   RS_AsMatrix(rm, 0) as mat,
   RS_AsArcGrid(rm, 0) as arc,
-  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).ulx, 6) as rt_ulx,
-  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).uly, 6) as rt_uly,
-  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).sy, 6) as rt_sy,
+  floor((RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).ulx) * 1e6 + 5e-1) / 1e6 as rt_ulx,
+  floor((RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).uly) * 1e6 + 5e-1) / 1e6 as rt_uly,
+  floor((RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).sy) * 1e6 + 5e-1) / 1e6 as rt_sy,
   RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).w as rt_w,
-  round(RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).nodata, 6) as rt_nd,
+  floor((RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).nodata) * 1e6 + 5e-1) / 1e6 as rt_nd,
   aggregate(RS_BandAsArray(
       RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).buf, 0), 0,
       (a, v) -> a + v) as rt_sum,
   RS_BandPixelType(e, 0) as bpt,
-  round(element_at(RS_PixelAsCentroids(e, 0), 2).px, 6) as pac_px,
-  round(element_at(RS_PixelAsCentroids(e, 0), 2).py, 6) as pac_py,
-  round(element_at(element_at(RS_PixelAsPolygons(e, 0), 1).ring, 3), 6)
+  floor((element_at(RS_PixelAsCentroids(e, 0), 2).px) * 1e6 + 5e-1) / 1e6 as pac_px,
+  floor((element_at(RS_PixelAsCentroids(e, 0), 2).py) * 1e6 + 5e-1) / 1e6 as pac_py,
+  floor((element_at(element_at(RS_PixelAsPolygons(e, 0), 1).ring, 3)) * 1e6 + 5e-1) / 1e6
       as pap_x2
 from x
 """)
@@ -4269,11 +4269,11 @@ select n,
                least((n * 7 + j * 11) % 260, 255))))) end),
       'sum') as int) as nz_all_sum,
   3 as un_nb,
-  round(cast({vk.format(k='0')} as double), 6) as rv1,
-  round(cast({vk.format(k='(w * h - 1)')} as double), 6) as rv2,
-  round(-1.0, 6) as rv3,
+  floor((cast({vk.format(k='0')} as double)) * 1e6 + 5e-1) / 1e6 as rv1,
+  floor((cast({vk.format(k='(w * h - 1)')} as double)) * 1e6 + 5e-1) / 1e6 as rv2,
+  floor((-1.0) * 1e6 + 5e-1) / 1e6 as rv3,
   2 as cl_w,
-  round(n * 1.5, 6) as cl_ulx,
+  floor((n * 1.5) * 1e6 + 5e-1) / 1e6 as cl_ulx,
   cast({vk.format(k='0')} + {vk.format(k='1')} + {vk.format(k='w')}
       + {vk.format(k='(w + 1)')} as int) as cl_sum,
   '89504E470D0A1A0A' as png_magic,
@@ -4284,14 +4284,14 @@ select n,
       p -> least(1 + p, 255)), 'sum') as int) as tst_sum1,
   2 as tst_nb,
   cast(w // 2 as int) as rp_w,
-  round(2.0 * cs, 6) as rp_sx,
+  floor((2.0 * cs) * 1e6 + 5e-1) / 1e6 as rp_sx,
   cast(list_aggregate(list_transform(range(0, (w // 2) * (h // 2)),
       k -> least((n * 7 + ((2 * (k // (w // 2)) + 1) * w
                   + 2 * (k % (w // 2)) + 1) * 11) % 260, 255)),
       'sum') as int) as rp_sum,
   0 as empty_sum,
   1 as e_nb,
-  round(-cs, 6) as e_sy,
+  floor((-cs) * 1e6 + 5e-1) / 1e6 as e_sy,
   {vsum} as rm_sum,
   {vsum} + 4 * 9 - ({vk.format(k='0')} + {vk.format(k='1')}
       + {vk.format(k='w')} + {vk.format(k='(w + 1)')}) as sv2_sum,
@@ -4304,16 +4304,16 @@ select n,
   2 as selb_nb,
   {mat} as mat,
   {arc} as arc,
-  round(n * 1.5, 6) as rt_ulx,
-  round(n * 2.5, 6) as rt_uly,
-  round(-cs, 6) as rt_sy,
+  floor((n * 1.5) * 1e6 + 5e-1) / 1e6 as rt_ulx,
+  floor((n * 2.5) * 1e6 + 5e-1) / 1e6 as rt_uly,
+  floor((-cs) * 1e6 + 5e-1) / 1e6 as rt_sy,
   cast(w as int) as rt_w,
-  round(-9999.0, 6) as rt_nd,
+  floor((-9999.0) * 1e6 + 5e-1) / 1e6 as rt_nd,
   {vsum} as rt_sum,
   'UNSIGNED_8BITS' as bpt,
-  round(n * 1.5 + 1.5 * cs, 6) as pac_px,
-  round(n * 2.5 - 0.5 * cs, 6) as pac_py,
-  round(n * 1.5 + cs, 6) as pap_x2
+  floor((n * 1.5 + 1.5 * cs) * 1e6 + 5e-1) / 1e6 as pac_px,
+  floor((n * 2.5 - 0.5 * cs) * 1e6 + 5e-1) / 1e6 as pac_py,
+  floor((n * 1.5 + cs) * 1e6 + 5e-1) / 1e6 as pap_x2
 from p
 """
 
@@ -4507,6 +4507,138 @@ select p.event_id,
        round(coalesce(agg.wsum, 0.0), 6) as wsum,
        agg.first_nb
 from p left join agg on p.event_id = agg.id
+"""
+
+
+def q_sql_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL spellings of the reference's *physical* functions (r6, VERDICT
+    r5 next-round #3): ST_DBSCAN / ST_GLocal / ST_LocalOutlierFactor /
+    ST_BinaryDistanceBandColumn / ST_WeightedDistanceBandColumn
+    (``Catalog.scala:30-329``, planned via ``ExtractPhysicalFunctions`` +
+    ``EvalPhysicalFunctionStrategy``). The engine's analog of that
+    logical-plan rewrite is ``sedona_spark.sql`` (``physical_sql.py``):
+    each call dispatches to the distributed DataFrame operator, results
+    bind back by id, and the surrounding projection stays Catalyst SQL.
+    Five spellings in one statement over the same 1-in-20 events subset;
+    the DuckDB twin recomputes all five families independently (recursive
+    closure for DBSCAN, O(n²) bands, sorted-fold LOF)."""
+    import sedona_spark
+    from sedona_spark.sources.testdata import points_from_events
+
+    pts = (
+        points_from_events(spark, sf_dir)
+        .filter(F.col("event_id") % 20 == 0)
+        .withColumn("v", F.expr(_VAL))
+    )
+    pts.createOrReplaceTempView("stats_pts")
+    return sedona_spark.sql(spark, """
+select event_id,
+  ST_DBSCAN(event_id, x, y, 2.0, 3).isCore as is_core,
+  ST_DBSCAN(event_id, x, y, 2.0, 3).cluster as cluster,
+  ST_GLocal(event_id, x, y, v, 3.0).n_band as n_band,
+  ST_GLocal(event_id, x, y, v, 3.0).band_sum as band_sum,
+  ST_GLocal(event_id, x, y, v, 3.0).g_star as g_star,
+  ST_LocalOutlierFactor(event_id, x, y, 5) as lof,
+  cast(size(ST_BinaryDistanceBandColumn(event_id, x, y, 3.0)) as bigint)
+      as nb_n,
+  round(aggregate(ST_WeightedDistanceBandColumn(event_id, x, y, 3.0, -1.0),
+      0e0, (a, s) -> a + s.weight), 6) as wsum
+from stats_pts
+""")
+
+
+def _sql_api_stats_sql() -> str:
+    # the five physical-function families recomputed independently over
+    # the same 1-in-20 subset: DBSCAN closure (recursive CTE), G* integer
+    # moments, sorted-fold LOF (no candidate prefilter — the subset is
+    # small enough for the exact O(n²) graph), binary/weighted bands
+    return f"""
+with recursive
+pts as (select event_id, x, y, {_VAL} as v from ({SQL_POINTS})
+        where event_id % 20 = 0),
+pairs as (
+  select a.event_id as ia, b.event_id as ib from pts a, pts b
+  where (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4e0),
+core as (select ia as id from pairs group by ia having count(*) >= 3),
+ce as (select p.ia as a, p.ib as b from pairs p
+       join core c1 on p.ia = c1.id join core c2 on p.ib = c2.id),
+reach(a, b) as (
+  select id, id from core
+  union
+  select r.a, e.b from reach r join ce e on r.b = e.a),
+lbl as (select a as id, min(b) as cluster from reach group by a),
+border as (
+  select p.ia as id, min(l.cluster) as cluster
+  from pairs p
+  join core c on p.ib = c.id
+  join lbl l on l.id = p.ib
+  where p.ia not in (select id from core)
+  group by p.ia),
+assigned as (select * from lbl union all select * from border),
+g as (select count(*) as n, sum(v) as sv, sum(v * v) as sx2 from pts),
+gg as (select n, cast(sv as double) / n as mean,
+       sqrt(cast(sx2 as double) / n
+            - (cast(sv as double) / n) * (cast(sv as double) / n)) as sd
+       from g),
+band as (select a.event_id, count(*) as n_band,
+                cast(sum(b.v) as bigint) as band_sum
+         from pts a join pts b
+           on (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9e0
+         group by a.event_id),
+cand as (
+  select a.event_id as ida, b.event_id as idb,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) as d,
+         row_number() over (partition by a.event_id
+             order by (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) asc,
+                      b.event_id asc) as rk
+  from pts a join pts b on a.event_id <> b.event_id),
+knn as (select ida, idb, d from cand where rk <= 5),
+kd as (select ida as id, max(d) as kdist from knn group by ida),
+rch as (select k.ida, k.idb, greatest(k.d, kd.kdist) as rv
+        from knn k join kd on kd.id = k.idb),
+lrd as (select ida as id,
+        1e0 / (list_reduce(list(rv order by rv), (x, y) -> x + y) / count(*)
+               + 1e-10) as lrd
+        from rch group by ida),
+lofs as (select k.ida as id,
+        list_reduce(list(lo.lrd order by lo.lrd), (x, y) -> x + y) / count(*)
+          / any_value(li.lrd) as lof
+        from knn k
+        join lrd lo on lo.id = k.idb
+        join lrd li on li.id = k.ida
+        group by k.ida),
+wpairs as (
+  select a.event_id as id, b.event_id as nid,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) as d
+  from pts a join pts b
+    on a.event_id <> b.event_id
+   and (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9e0),
+wagg as (
+  select id,
+         count(*) as nb_n,
+         list_aggregate(list(pow(d, -1.0) order by nid)
+             filter (where d > 0), 'sum') as wsum
+  from wpairs group by id)
+select p.event_id,
+  (p.event_id in (select id from core)) as is_core,
+  coalesce(a.cluster, -1) as cluster,
+  band.n_band,
+  band.band_sum,
+  (band.band_sum - gg.mean * band.n_band)
+    / (gg.sd * sqrt((gg.n * cast(band.n_band as double)
+                     - cast(band.n_band as double)
+                       * cast(band.n_band as double))
+                    / (gg.n - 1))) as g_star,
+  lofs.lof,
+  cast(coalesce(wagg.nb_n, 0) as bigint) as nb_n,
+  round(coalesce(wagg.wsum, 0.0), 6) as wsum
+from pts p
+left join assigned a on p.event_id = a.id
+join band on band.event_id = p.event_id
+join lofs on lofs.id = p.event_id
+left join wagg on wagg.id = p.event_id
+cross join gg
 """
 
 
@@ -5154,53 +5286,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pip_rect_join(spark, "/root/testdata/sf0.001")
 
 
-_ROUND = 5
+_ROUND = 6
 
 # Queries ADDED or materially CHANGED this round — they lead the driver's
 # 50-slot verification window unconditionally. Update this set (and _ROUND)
 # each round; everything else about the window order is mechanical.
 _NEW_OR_CHANGED = {
-    "ann_lsh_topk",        # r5: planted-cluster fixture → full value oracle
-    "ann_ivf_topk",        # r5: same planted fixture → full value oracle
-    "sql_api_2",           # r5: widened SQL catalog
-    "sql_api_3",           # r5 batch 2: constructor/accessor/editor SQL tier
-    "sql_api_4",           # r5 batch 2: predicate/relate/overlay SQL tier
-    "sql_api_5",           # r5 batch 3: linework / M-coordinate SQL tier
-    "sql_api_rs_math",     # r5 batch 4: band-array map-algebra SQL tier
-    "sql_api_rs_geo",      # r5 batch 4: georeferenced-raster SQL tier
-    "sql_api_rs_io",       # r5 batch 4: raster constructor/editor/IO tier
-    "sql_api_6",           # r5 batch 4: catalog-tail ST_ stragglers
-    "distance_band_weights",  # r5 batch 4: spatial weighting (stats tier)
-    "st_skeleton",         # r5 batch 4: straight skeleton / medial axis
-    "st_simplify_hull",    # r5 batch 4: polygon hull simplifier
-    "geotiff_io",          # r5 batch 4: real baseline GeoTIFF codec
-    "netcdf_io",           # r5 batch 4: NetCDF classic codec
-    "repetition_stats",    # r5 batch 4: Gopher-style repetition signals
-    "intersection_aggr",   # r5 batch 4: ST_Intersection_Aggr
-    "rs_union_aggr",       # r5 batch 4: RS_Union_Aggr
-    "hex_cell_counts",     # r5 batch 4: hexagonal (H3-analog) binning
-    "pii_scrub",           # r5 batch 4: PII masking (training pipeline)
-    "crossdoc_ngram_stats",  # r5 batch 4: cross-doc repeated n-grams
-    "cell_compact",        # r5 batch 4: S2-style cover compaction
-    "pip_join_compact",    # r5 batch 4: mixed-level cover join
-    "st_shape_metrics",    # r5: oriented envelope / clearance / VW / MIC /
-                           #     valid-reason / generate-points tier
-    "rs_interpolate",      # r5: IDW nodata fill
-    "rs_pyramid",          # r5: overview pyramid levels
-    "hilbert_cells",       # r5: Hilbert-curve cell-id option
-    "markup_io",           # r5: GML/KML emit + parse round trip
-    "st_transform_lcc",    # r5: Lambert conformal conic
-    "st_transform_albers", # r5: Albers equal-area conic
-    "st_transform_stereo", # r5: polar stereographic (NSIDC/Antarctic grids)
-    "st_area_spheroid",    # r5: geodesic area/length tier
-    "knn_join_approx",     # r5: approximate kNN join mode
-    "shapefile_read",      # r5: shapefile read-path driver query
-    "dedup_components",    # r5: near-dup clustering (components + representatives)
-    "chunk_documents",     # r5: token-window chunking
-    "geopackage_read",     # r5: GeoPackage source (stdlib sqlite3 + own WKB)
-    "osm_pbf_read",        # r5: OSM PBF DenseNodes source (stdlib protobuf codec)
-    "stac_read",           # r5: STAC catalog source (local-mirror JSON walk)
-    "viz_pixelize",        # r5: viz tier (pixelize → colorize → render)
+    "sql_api_rs_io",       # r6: floor-mirror rounding (hash-flake pin, VERDICT #1)
+    "sql_api_6",           # r6: ST_TransformEpsg -> Arrow numpy dispatch (VERDICT #2)
+    "sql_api_stats",       # r6: physical-function SQL spellings (VERDICT #3)
+    "dbscan",              # r6: operator grew the isCore output column
 }
 
 
@@ -5279,6 +5374,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_rs_io": q_sql_api_rs_io,
         "sql_api_6": q_sql_api_6,
         "distance_band_weights": q_distance_band_weights,
+        "sql_api_stats": q_sql_api_stats,
         "st_skeleton": q_st_skeleton,
         "st_simplify_hull": q_st_simplify_hull,
         "geotiff_io": q_geotiff_io,
@@ -5428,6 +5524,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_api_rs_io": _sql_api_rs_io_sql(),
         "sql_api_6": _sql_api_6_sql(),
         "distance_band_weights": _distance_band_weights_sql(),
+        "sql_api_stats": _sql_api_stats_sql(),
         "st_skeleton": _st_skeleton_sql(),
         "st_simplify_hull": _st_simplify_hull_sql(),
         "geotiff_io": _geotiff_io_sql(),

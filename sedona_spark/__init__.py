@@ -34,6 +34,7 @@ from sedona_spark.cells import (
     CELL_L_SHIFT,
     CELL_X_SHIFT,
 )
+from sedona_spark.physical_sql import sql
 from sedona_spark.session import get_spark
 from sedona_spark.sql_registry import register
 
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_spark",
+    "sql",
     "cell_id",
     "cell_of",
     "cell_x",

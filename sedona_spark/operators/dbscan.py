@@ -104,8 +104,20 @@ def dbscan(
         .withColumnRenamed("_ida", "_id")
     )
     assign = labels.unionByName(border)
-    out = points.join(
-        assign.withColumnsRenamed({"_id": id_col, "_lbl": "cluster"}), id_col, "left"
-    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+    out = (
+        points.join(
+            assign.withColumnsRenamed({"_id": id_col, "_lbl": "cluster"}),
+            id_col, "left",
+        )
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.lit(-1)))
+        # isCore half of the reference's ST_DBSCAN struct (DBSCAN.scala
+        # output schema is (isCore, cluster)); core = eps-degree >= minPts
+        .join(
+            core.select(F.col("_id").alias(id_col),
+                        F.lit(True).alias("is_core")),
+            id_col, "left",
+        )
+        .withColumn("is_core", F.coalesce(F.col("is_core"), F.lit(False)))
+    )
     core.unpersist()
     return out

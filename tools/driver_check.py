@@ -109,14 +109,26 @@ def main() -> None:
 
 
 def _diff(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    """Dump the first differing rows using the SAME %.10g canonicalization
+    the hash uses, so boundary-sitting float flips are visible verbatim."""
     cols = sorted(sdf.columns)
-    a = set(map(tuple, sdf[cols].astype(str).itertuples(index=False)))
-    b = set(map(tuple, odf[cols].astype(str).itertuples(index=False)))
+
+    def canon_rows(df):
+        def canon(v):
+            if isinstance(v, float):
+                return f"{v:.10g}"
+            return str(v)
+        return set(
+            tuple(canon(v) for v in rec)
+            for rec in df[cols].itertuples(index=False)
+        )
+
+    a, b = canon_rows(sdf), canon_rows(odf)
     lines = []
-    for t in list(a - b)[:5]:
-        lines.append(f"  spark-only: {t}")
-    for t in list(b - a)[:5]:
-        lines.append(f"  oracle-only: {t}")
+    for t in sorted(a - b)[:5]:
+        lines.append(f"  spark-only: {dict(zip(cols, t))}")
+    for t in sorted(b - a)[:5]:
+        lines.append(f"  oracle-only: {dict(zip(cols, t))}")
     return "\n".join(lines)
 
 
