@@ -1973,12 +1973,12 @@ def q_st_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_transform_lcc_inv,
     )
 
-    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[2154]
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[2154]
     z = zones_from_nation(spark, sf_dir)
     x, y = st_transform_epsg(F.col("zcx"), F.col("zcy"), 2154)
     z2 = z.select("n_nationkey", "zcx", "zcy", x.alias("x"), y.alias("y"))
     lon2, lat2 = st_transform_lcc_inv(
-        F.col("x"), F.col("y"), lon0, lat0, sp1, sp2
+        F.col("x"), F.col("y"), lon0, lat0, sp1, sp2, fe, fn
     )
     return z2.select(
         "n_nationkey",
@@ -1992,8 +1992,8 @@ def q_st_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _st_transform_lcc_sql() -> str:
     from sedona_spark.functions.crs import CONIC_EPSG, sql_lcc
 
-    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[2154]
-    x, y = sql_lcc("zcx", "zcy", lon0, lat0, sp1, sp2)
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[2154]
+    x, y = sql_lcc("zcx", "zcy", lon0, lat0, sp1, sp2, fe, fn)
     return f"""
 with z as ({SQL_ZONES})
 select n_nationkey,
@@ -2015,12 +2015,12 @@ def q_st_transform_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_transform_epsg,
     )
 
-    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[5070]
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[5070]
     z = zones_from_nation(spark, sf_dir)
     x, y = st_transform_epsg(F.col("zcx"), F.col("zcy"), 5070)
     z2 = z.select("n_nationkey", "zcx", "zcy", x.alias("x"), y.alias("y"))
     lon2, lat2 = st_transform_albers_inv(
-        F.col("x"), F.col("y"), lon0, lat0, sp1, sp2
+        F.col("x"), F.col("y"), lon0, lat0, sp1, sp2, fe, fn
     )
     return z2.select(
         "n_nationkey",
@@ -2034,8 +2034,8 @@ def q_st_transform_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _st_transform_albers_sql() -> str:
     from sedona_spark.functions.crs import CONIC_EPSG, sql_albers
 
-    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[5070]
-    x, y = sql_albers("zcx", "zcy", lon0, lat0, sp1, sp2)
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[5070]
+    x, y = sql_albers("zcx", "zcy", lon0, lat0, sp1, sp2, fe, fn)
     return f"""
 with z as ({SQL_ZONES})
 select n_nationkey,
@@ -2059,7 +2059,7 @@ def q_st_transform_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_transform_stereo_inv,
     )
 
-    _, lon0, lat_ts, _, _ = CONIC_EPSG[3413]
+    _, lon0, lat_ts = CONIC_EPSG[3413][:3]
     z = zones_from_nation(spark, sf_dir)
     x, y = st_transform_epsg(F.col("zcx"), F.col("zcy"), 3413)
     z2 = z.select("n_nationkey", "zcx", "zcy", x.alias("x"), y.alias("y"))
@@ -2079,7 +2079,7 @@ def q_st_transform_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _st_transform_stereo_sql() -> str:
     from sedona_spark.functions.crs import CONIC_EPSG, sql_stereo
 
-    _, lon0, lat_ts, _, _ = CONIC_EPSG[3413]
+    _, lon0, lat_ts = CONIC_EPSG[3413][:3]
     x, y = sql_stereo("zcx", "zcy", lon0, lat_ts, False)
     return f"""
 with z as ({SQL_ZONES})
@@ -2466,6 +2466,90 @@ with z as ({SQL_POINTS})
 select event_id as node_id,
        cast(round(x * 1e7) as bigint) as lon_i7,
        cast(round(y * 1e7) as bigint) as lat_i7
+from z
+"""
+
+
+def q_osm_pbf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM PBF Ways-with-tags + Relations (r6, VERDICT r5 what's-missing
+    #4 — the full primitive set of ``OsmPbfFormat.scala``): per nation
+    row, one tagged way (keys/vals through the per-block stringtable) and
+    one relation (delta-coded memids, roles_sid, member-type enum) are
+    written driver-side and re-read through the DISTRIBUTED blob-framed
+    readers; the oracle recomputes every scalar from the id formulas."""
+    import os as _os
+
+    from sedona_spark.sources.osmpbf import (
+        read_osm_pbf_relations, read_osm_pbf_ways,
+        write_osm_pbf_relations, write_osm_pbf_ways,
+    )
+
+    base = f"/tmp/sedona_spark_pbf_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _os.makedirs(base, exist_ok=True)
+    z = zones_from_nation(spark, sf_dir)
+    n = F.col("n_nationkey").cast("long")
+    ways = z.select(
+        n.alias("way_id"),
+        F.array(n * 100, n * 100 + 7, n * 2 + 5).alias("refs"),
+        F.map_from_arrays(
+            F.array(F.lit("highway"), F.lit("name")),
+            F.array(
+                F.concat(F.lit("type"), (n % 4).cast("string")),
+                F.concat(F.lit("way"), n.cast("string")),
+            ),
+        ).alias("tags"),
+    )
+    wpath = f"{base}/ways_tagged.osm.pbf"
+    write_osm_pbf_ways(ways, wpath, tags_col="tags", ways_per_block=7,
+                       order_col="way_id")
+    member = F.struct(
+        (n * 100).alias("ref"), F.lit("node").alias("mtype"),
+        F.lit("via").alias("role"),
+    )
+    member2 = F.struct(
+        n.alias("ref"), F.lit("way").alias("mtype"),
+        F.concat(F.lit("outer"), (n % 3).cast("string")).alias("role"),
+    )
+    rels = z.select(
+        (n + 1000).alias("rel_id"),
+        F.array(member, member2).alias("members"),
+        F.map_from_arrays(
+            F.array(F.lit("type")), F.array(F.lit("route"))).alias("tags"),
+    )
+    rpath = f"{base}/rels.osm.pbf"
+    write_osm_pbf_relations(rels, rpath, tags_col="tags",
+                            rels_per_block=6, order_col="rel_id")
+    w = read_osm_pbf_ways(spark, wpath).select(
+        "way_id",
+        F.size("refs").cast("long").alias("n_refs"),
+        F.get(F.col("refs"), 2).alias("last_ref"),
+        F.col("tags")["highway"].alias("hw"),
+        F.col("tags")["name"].alias("nm"),
+    )
+    r = read_osm_pbf_relations(spark, rpath).select(
+        (F.col("rel_id") - 1000).alias("way_id"),
+        F.size("members").cast("long").alias("n_members"),
+        F.get(F.col("members"), 1)["role"].alias("m2_role"),
+        F.get(F.col("members"), 1)["mtype"].alias("m2_type"),
+        F.get(F.col("members"), 0)["ref"].alias("m1_ref"),
+        F.col("tags")["type"].alias("rel_type"),
+    )
+    return w.join(r, "way_id")
+
+
+def _osm_pbf_tags_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES})
+select cast(n_nationkey as bigint) as way_id,
+       cast(3 as bigint) as n_refs,
+       cast(n_nationkey * 2 + 5 as bigint) as last_ref,
+       'type' || cast(n_nationkey % 4 as varchar) as hw,
+       'way' || cast(n_nationkey as varchar) as nm,
+       cast(2 as bigint) as n_members,
+       'outer' || cast(n_nationkey % 3 as varchar) as m2_role,
+       'way' as m2_type,
+       cast(n_nationkey * 100 as bigint) as m1_ref,
+       'route' as rel_type
 from z
 """
 
@@ -4136,6 +4220,12 @@ select n,
       RS_MapAlgebra(mb, 'out = rast[0] * 0.5 + rast[1] / 2;').buf, 0),
       0, (a, v) -> a + v) as ma_sum,
   RS_MapAlgebra(mb, 'out = rast[0] * 0.5 + rast[1] / 2;').bands as ma_nb,
+  aggregate(RS_BandAsArray(
+      RS_MapAlgebra(mb, 'out = con(rast[0] > 127, rast[1], rast[0]);').buf,
+      0), 0, (a, v) -> a + v) as ma_con_sum,
+  aggregate(RS_BandAsArray(
+      RS_MapAlgebra(mb, 'out = rast[0][1, 0];').buf, 0), 0,
+      (a, v) -> a + v) as ma_nbr_sum,
   aggregate(RS_BandAsArray(RS_NormalizeAll(rm).buf, 0), 0,
       (a, v) -> a + v) as nz_all_sum,
   RS_Union(rm, mb).bands as un_nb,
@@ -4192,12 +4282,12 @@ select n,
       (a, v) -> a + v) as sv1_sum,
   mb.bands as mb_nb,
   aggregate(RS_BandAsArray(mb.buf, 1), 0, (a, v) -> a + v) as ab_sum,
-  RS_AddBand(rm, mb, 2).bands as adb_nb,
-  aggregate(RS_BandAsArray(RS_AddBand(rm, mb, 2).buf, 1), 0,
+  RS_AddBand(rm, mb, 1).bands as adb_nb,
+  aggregate(RS_BandAsArray(RS_AddBand(rm, mb, 1).buf, 1), 0,
       (a, v) -> a + v) as adb_sum,
-  aggregate(RS_BandAsArray(RS_Band(mb.buf, array(2)), 0), 0,
+  aggregate(RS_BandAsArray(RS_Band(mb.buf, array(1)), 0), 0,
       (a, v) -> a + v) as selb_sum,
-  RS_Metadata(RS_Band(mb.buf, array(2, 1))).bands as selb_nb,
+  RS_Metadata(RS_Band(mb.buf, array(1, 0))).bands as selb_nb,
   RS_AsMatrix(rm, 0) as mat,
   RS_AsArcGrid(rm, 0) as arc,
   floor((RS_FromArcInfoAsciiGrid(RS_AsArcGrid(rm, 0)).ulx) * 1e6 + 5e-1) / 1e6 as rt_ulx,
@@ -4256,6 +4346,12 @@ select n,
   cast(list_aggregate(list_transform(range(0, w * h), i ->
       floor(({v} + {v2}) / 2.0)), 'sum') as int) as ma_sum,
   1 as ma_nb,
+  cast(list_aggregate(list_transform(range(0, w * h), i ->
+      case when {v} > 127 then {v2} else {v} end), 'sum') as int)
+      as ma_con_sum,
+  cast(coalesce(list_aggregate(list_transform(range(0, w * h), i ->
+      case when i % w > 0 then {v} else 0 end), 'sum'), 0) as int)
+      as ma_nbr_sum,
   cast(list_aggregate(list_transform(range(0, w * h), i ->
       case when list_max(list_transform(range(0, w * h), j ->
                least((n * 7 + j * 11) % 260, 255)))
@@ -4754,8 +4850,9 @@ def q_geotiff_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF interop (r5c): RS_AsGeoTiff / RS_FromGeoTiff over a REAL
     pure-stdlib baseline GeoTIFF codec (``sources/geotiff.py`` — TIFF 6.0
     IFD, single uncompressed chunky strip, ModelPixelScale/ModelTiepoint
-    + GeoKeyDirectory EPSG; compressed/BigTIFF variants remain the
-    documented external seam and raise). The emitted layout is
+    + GeoKeyDirectory EPSG; r6 adds DEFLATE Compression=8 with
+    Predictor=2 on both emit and decode — BigTIFF/JPEG variants remain
+    the documented external seam and raise). The emitted layout is
     deterministic, so the DuckDB twin derives the byte LENGTH in closed
     form (8 + 174-byte IFD + 116 blob bytes + w*h*3 pixels), checks the
     'II*\\0' magic by hex prefix, and re-derives the round-tripped
@@ -4778,8 +4875,10 @@ p as (select i, w, h,
                  cast(i % 3 as double) + 1e0,
                  -(cast(i % 4 as double) + 1e0), 0e0, 0e0) as r
       from m),
-t as (select i, w, h, RS_AsGeoTiff(r) as tif from p),
-rt as (select i, w, h, tif, RS_FromGeoTiff(tif) as r2 from t)
+t as (select i, w, h, RS_AsGeoTiff(r) as tif,
+             RS_AsGeoTiffDeflate(r) as dtif from p),
+rt as (select i, w, h, tif, RS_FromGeoTiff(tif) as r2,
+              RS_FromGeoTiff(dtif) as r3 from t)
 select i,
   cast(length(tif) as bigint) as tif_len,
   hex(substring(tif, 1, 4)) as tif_magic,
@@ -4791,7 +4890,10 @@ select i,
   r2.w as rt_w,
   r2.h as rt_h,
   r2.bands as rt_nb,
-  aggregate(RS_BandAsArray(r2.buf, 0), 0, (a, v) -> a + v) as rt_sum0
+  aggregate(RS_BandAsArray(r2.buf, 0), 0, (a, v) -> a + v) as rt_sum0,
+  aggregate(RS_BandAsArray(r3.buf, 0), 0, (a, v) -> a + v) as dz_sum0,
+  r3.bands as dz_nb,
+  round(r3.uly, 6) as dz_uly
 from rt
 """)
 
@@ -4819,7 +4921,10 @@ select i,
   cast(w as int) as rt_w,
   cast(h as int) as rt_h,
   3 as rt_nb,
-  cast(s.sum0 as int) as rt_sum0
+  cast(s.sum0 as int) as rt_sum0,
+  cast(s.sum0 as int) as dz_sum0,
+  3 as dz_nb,
+  round(cast(i % 5 as double) * 10 + 100, 6) as dz_uly
 from img join s using (i)
 where i % 50 = 0
 """
@@ -4923,15 +5028,18 @@ bg as (select doc_id, max(c) as top2, sum(c) as n_bigrams
        group by doc_id),
 j as (select uni.*, bg.top2, bg.n_bigrams
       from uni left join bg using (doc_id))
-select doc_id,
-       cast(n_words as bigint) as n_words,
-       cast(n_distinct as bigint) as n_distinct,
-       round(cast(top1 as double) / n_words, 6) as top1_frac,
+select d.doc_id,
+       cast(coalesce(n_words, 0) as bigint) as n_words,
+       cast(coalesce(n_distinct, 0) as bigint) as n_distinct,
+       round(coalesce(cast(top1 as double) / n_words, 0.0), 6)
+           as top1_frac,
        round(coalesce(cast(top2 as double) / n_bigrams, 0.0), 6)
            as top2_frac,
-       round(cast(n_distinct as double) / n_words, 6) as distinct_ratio,
-       round(cast(chars as double) / n_words, 6) as mean_word_len
-from j
+       round(coalesce(cast(n_distinct as double) / n_words, 0.0), 6)
+           as distinct_ratio,
+       round(coalesce(cast(chars as double) / n_words, 0.0), 6)
+           as mean_word_len
+from d left join j using (doc_id)
 order by doc_id
 """
 
@@ -5277,7 +5385,8 @@ def q_pip_join_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = points_from_events(spark, sf_dir)
     zones = rect_zones_from_nation(spark, sf_dir).drop("ring")
-    out = pip_join_compact(pts, zones, "covers", level=9, min_level=4)
+    out = pip_join_compact(pts, zones, "covers", level=9, min_level=4,
+                           broadcast_cover=True)
     return out.select("event_id", "n_nationkey")
 
 
@@ -5296,6 +5405,13 @@ _NEW_OR_CHANGED = {
     "sql_api_6",           # r6: ST_TransformEpsg -> Arrow numpy dispatch (VERDICT #2)
     "sql_api_stats",       # r6: physical-function SQL spellings (VERDICT #3)
     "dbscan",              # r6: operator grew the isCore output column
+    "st_transform_lcc",    # r6: ellipsoidal Snyder forms + false offsets
+    "st_transform_albers",  # r6: ellipsoidal + EPSG false offsets
+    "st_transform_stereo",  # r6: ellipsoidal variant-B polar stereo
+    "geotiff_io",          # r6: DEFLATE Compression=8 + Predictor=2 round trip
+    "repetition_stats",    # r6: empty docs surface with zero counts
+    "pip_join_compact",    # r6: broadcast_cover knob (explicit True here)
+    "osm_pbf_tags",        # r6: tagged ways + relations round trip
 }
 
 
@@ -5408,6 +5524,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_read": q_shapefile_read,
         "geopackage_read": q_geopackage_read,
         "osm_pbf_read": q_osm_pbf_read,
+        "osm_pbf_tags": q_osm_pbf_tags,
         "stac_read": q_stac_read,
         "viz_pixelize": q_viz_pixelize,
         "rs_resample": q_rs_resample,
@@ -5546,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "geopackage_read": _geopackage_read_sql(),
         "osm_pbf_read": _osm_pbf_read_sql(),
+        "osm_pbf_tags": _osm_pbf_tags_sql(),
         "stac_read": _stac_read_sql(),
         "viz_pixelize": _viz_pixelize_sql(),
         "st_make_valid": _st_make_valid_sql(),

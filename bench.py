@@ -162,7 +162,20 @@ BENCH_QUERIES = [
     "crossdoc_ngram_stats",
     "cell_compact",
     "pip_join_compact",
+    # r6 additions
+    "sql_api_stats",
+    "osm_pbf_tags",
 ]
+
+# Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL
+# catalog zoo queries, whose wall is dominated by Catalyst ANALYSIS of
+# very wide expression trees rather than data. Timed identically but
+# reported in a separate "catalog_queries" section so plan-compile noise
+# never moves the data-scale headline total.
+CATALOG_QUERIES = {
+    "sql_api", "sql_api_2", "sql_api_3", "sql_api_4", "sql_api_5",
+    "sql_api_6", "sql_api_rs_math", "sql_api_rs_geo", "sql_api_rs_io",
+}
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived
 # 10× dataset — catches what sf0.1 hides (quadratic candidate growth,
@@ -396,6 +409,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     hist = _query_history()
     tele_start = _contention_telemetry()
     timings: dict[str, float] = {}
+    cat_timings: dict[str, float] = {}
     qmeta: dict[str, dict] = {}
     # warm the JVM + python workers once
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -453,7 +467,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
                 fn(spark, sf_dir).count()
                 walls.append(time.time() - t0)
             wall = min(walls[1:])
-        timings[name] = round(wall, 3)
+        (cat_timings if name in CATALOG_QUERIES else timings)[name] = \
+            round(wall, 3)
         qmeta[name] = {
             "load1": round(load1, 1),
             "n_samples": len(walls),
@@ -483,13 +498,15 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
     n_imgs = N_IMAGES
     tput_wall = min(tput_walls)
     spark.stop()
-    _append_history(timings, sf_val)
+    _append_history({**timings, **cat_timings}, sf_val)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_query_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "catalog_queries": cat_timings,
+        "catalog_total_sec": round(sum(cat_timings.values()), 3),
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "throughput_images_per_sec": round(n_imgs / tput_wall, 1),
         "throughput_job_sec": round(tput_wall, 3),
@@ -622,6 +639,8 @@ def main() -> None:
         "sf": res["sf"],
         "cpus": res["cpus"],
         "n_queries": len(res["queries"]),
+        "catalog_total_sec": res["catalog_total_sec"],
+        "n_catalog_queries": len(res["catalog_queries"]),
         "throughput_images_per_sec": res["throughput_images_per_sec"],
         "throughput_job_sec": res["throughput_job_sec"],
         "load_avg_end": res["telemetry_end"]["load_avg"],

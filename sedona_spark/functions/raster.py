@@ -1017,12 +1017,23 @@ def _make_raster_from_array_udf(
 
 @F.pandas_udf(BinaryType())
 def _select_bands_udf(buf: pd.Series, bands: pd.Series) -> pd.Series:
-    """RS_Band: new raster keeping the given bands (1-based, re-orderable,
-    repeatable — RasterBandEditors.java RS_Band)."""
+    """RS_Band: new raster keeping the given bands (re-orderable,
+    repeatable — RasterBandEditors.java RS_Band). Band indexes are
+    0-based like every other RS_ function here (the reference is
+    uniformly 1-based; this engine is uniformly 0-based — one
+    convention, validated, so an off-by-one raises instead of silently
+    slicing)."""
     out = []
     for b, sel in zip(buf, bands):
         arr, _ = decode_image(bytes(b))
-        idx = [int(s) - 1 for s in sel]
+        nb = arr.shape[2]
+        idx = [int(s) for s in sel]
+        bad = [i for i in idx if i < 0 or i >= nb]
+        if bad:
+            raise ValueError(
+                f"RS_Band: band index {bad[0]} out of range for a "
+                f"{nb}-band raster (0-based)"
+            )
         out.append(encode_image(np.ascontiguousarray(arr[:, :, idx]),
                                 "fpng"))
     return pd.Series(out)
@@ -1048,13 +1059,22 @@ def _add_band_from_array_udf(buf: pd.Series, vals: pd.Series) -> pd.Series:
 def _append_band_udf(
     buf1: pd.Series, buf2: pd.Series, band: pd.Series
 ) -> pd.Series:
-    """RS_AddBand(r1, r2, band): copy band (1-based) of r2 onto r1
-    (same w×h — RasterBandEditors.java RS_AddBand)."""
+    """RS_AddBand(r1, r2, band): copy the given band of r2 onto r1
+    (same w×h — RasterBandEditors.java RS_AddBand). 0-based band index,
+    validated, matching the engine-wide convention (RS_Values /
+    RS_SetValues / RS_BandAsArray / RS_ZonalStats are all 0-based; the
+    reference is uniformly 1-based)."""
     out = []
     for b1, b2, bi in zip(buf1, buf2, band):
         a1, _ = decode_image(bytes(b1))
         a2, _ = decode_image(bytes(b2))
-        band_px = a2[:, :, int(bi) - 1:int(bi)]
+        bi = int(bi)
+        if bi < 0 or bi >= a2.shape[2]:
+            raise ValueError(
+                f"RS_AddBand: band index {bi} out of range for a "
+                f"{a2.shape[2]}-band raster (0-based)"
+            )
+        band_px = a2[:, :, bi:bi + 1]
         out.append(encode_image(
             np.ascontiguousarray(np.concatenate([a1, band_px], axis=2)),
             "fpng"))
@@ -1167,6 +1187,24 @@ def _as_geotiff_udf(
         arr, _ = decode_image(bytes(b))
         out.append(encode_geotiff(
             arr, float(x), float(y), float(gsx), float(gsy), int(sr)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _as_geotiff_deflate_udf(
+    buf: pd.Series, ulx: pd.Series, uly: pd.Series,
+    sx: pd.Series, sy: pd.Series, srid: pd.Series
+) -> pd.Series:
+    """RS_AsGeoTiff deflate variant: Compression=8 + Predictor=2, the
+    layout most real GeoTIFFs use (r6; decode side accepts 1/8/32946)."""
+    from sedona_spark.sources.geotiff import encode_geotiff
+
+    out = []
+    for b, x, y, gsx, gsy, sr in zip(buf, ulx, uly, sx, sy, srid):
+        arr, _ = decode_image(bytes(b))
+        out.append(encode_geotiff(
+            arr, float(x), float(y), float(gsx), float(gsy), int(sr),
+            compress="deflate"))
     return pd.Series(out)
 
 
@@ -1581,7 +1619,7 @@ import re as _re
 _MA_TOKEN = _re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[A-Za-z_]\w*)"
-    r"|(?P<op>\[|\]|\(|\)|,|\+|-|\*|/|=|;))"
+    r"|(?P<op>\[|\]|\(|\)|,|\+|-|\*|/|>=|<=|==|!=|>|<|=|;))"
 )
 
 
@@ -1602,7 +1640,14 @@ def _ma_tokens(src: str) -> list[tuple[str, str]]:
 
 
 def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
-    """Evaluate a Jiffle-subset script against float64 band planes."""
+    """Evaluate a Jiffle-subset script against float64 band planes.
+
+    r6 grammar: arithmetic, min/max/abs/sqrt/pow, comparisons
+    (> < >= <= == !=, producing 0/1 planes), ``con(cond, a[, b])``
+    conditionals, and neighborhood offsets ``rast[b][dx, dy]``
+    (image-space, outside-image neighbors read 0) — the constructs real
+    map-algebra scripts use most (reference binds the full Jiffle
+    language via ``RS_MapAlgebra``/JAI)."""
     toks = _ma_tokens(expr)
     # accept both "out = <expr>;" and a bare "<expr>"
     if len(toks) >= 2 and toks[0] == ("name", "out") and \
@@ -1625,6 +1670,18 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
         return v
 
     def expr_():
+        # comparison level (r6 — Jiffle conditionals): lowest precedence,
+        # yields 0/1 float planes consumable by con()/arithmetic
+        node = add_()
+        cmps = {">": np.greater, "<": np.less, ">=": np.greater_equal,
+                "<=": np.less_equal, "==": np.equal, "!=": np.not_equal}
+        while peek()[0] == "op" and peek()[1] in cmps:
+            op = take("op")
+            rhs = add_()
+            node = cmps[op](node, rhs).astype(np.float64)
+        return node
+
+    def add_():
         node = term()
         while peek() == ("op", "+") or peek() == ("op", "-"):
             op = take("op")
@@ -1662,7 +1719,30 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
                 if i >= len(bands):
                     raise ValueError(
                         f"RS_MapAlgebra: band {i} out of range")
-                return bands[i]
+                plane = bands[i]
+                if peek() == ("op", "["):  # neighborhood rast[b][dx,dy]
+                    take("op")
+                    sx = -1.0 if peek() == ("op", "-") else 1.0
+                    if sx < 0:
+                        take("op")
+                    dx = int(sx * int(take("num")))
+                    take("op", ",")
+                    sy = -1.0 if peek() == ("op", "-") else 1.0
+                    if sy < 0:
+                        take("op")
+                    dy = int(sy * int(take("num")))
+                    take("op", "]")
+                    # Jiffle image-space offset: value at (x+dx, y+dy);
+                    # outside-image neighbors read 0 (documented choice)
+                    out = np.zeros_like(plane)
+                    h, w = plane.shape[:2]
+                    ys = slice(max(0, dy), min(h, h + dy))
+                    xs = slice(max(0, dx), min(w, w + dx))
+                    yd = slice(max(0, -dy), min(h, h - dy))
+                    xd = slice(max(0, -dx), min(w, w - dx))
+                    out[yd, xd] = plane[ys, xs]
+                    return out
+                return plane
             take("op", "(")
             args = [expr_()]
             while peek() == ("op", ","):
@@ -1675,10 +1755,18 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
                 "abs": lambda a: np.abs(a),
                 "sqrt": lambda a: np.sqrt(a),
                 "pow": lambda a, b: np.power(a, b),
+                # Jiffle con(): 2-arg -> (cond ? a : 0),
+                # 3-arg -> (cond ? a : b)
+                "con": lambda c, a, b=0.0: np.where(
+                    np.asarray(c, dtype=np.float64) != 0.0, a, b),
             }
             if v not in fns:
                 raise ValueError(f"RS_MapAlgebra: unknown function {v!r}")
-            return fns[v](*args)
+            try:
+                return fns[v](*args)
+            except TypeError:
+                raise ValueError(
+                    f"RS_MapAlgebra: wrong argument count for {v!r}")
         raise ValueError(f"RS_MapAlgebra: unexpected {v!r}")
 
     result = expr_()

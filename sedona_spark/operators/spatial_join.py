@@ -390,6 +390,7 @@ def pip_join_compact(
     min_level: int = 3,
     x: str = "x",
     y: str = "y",
+    broadcast_cover: bool | None = None,
 ) -> DataFrame:
     """PIP join via COMPACTED mixed-level covers — the S2CellUnion join
     pattern: each rectangle's fine-level cover is normalized per zone
@@ -399,7 +400,13 @@ def pip_join_compact(
     per cover LEVEL (ancestor cell at that level == cover cell); the set
     of live levels is metadata-sized (≤ level − min_level + 1 values, the
     only driver-side state). Exact refine matches :func:`pip_join_rect`,
-    so the two paths are interchangeable — and oracle-checked equal."""
+    so the two paths are interchangeable — and oracle-checked equal.
+
+    ``broadcast_cover`` mirrors ``pip_join``'s knob: True forces a
+    broadcast of each per-level cover slice (right for the
+    zone-side-small contract), False forces the shuffle equi-join (a
+    large zone table must NOT be collected to the driver), None lets AQE
+    decide from the compacted cover's actual size."""
     cover = _explode_cover(rects, level)
     key_cols = [c for c in rects.columns]
     cur = (
@@ -437,13 +444,12 @@ def pip_join_compact(
         pside = pc.withColumn(
             "cell", cells.cell_parent(F.col("_home"), level, lv)
         )
-        parts.append(
-            pside.join(
-                F.broadcast(compacted.filter(F.col("lvl") == lv)
-                            .drop("lvl")),
-                "cell",
-            ).drop("cell", "_home")
-        )
+        slice_ = compacted.filter(F.col("lvl") == lv).drop("lvl")
+        if broadcast_cover is True:
+            slice_ = F.broadcast(slice_)
+        elif broadcast_cover is False:
+            slice_ = slice_.hint("shuffle_hash")
+        parts.append(pside.join(slice_, "cell").drop("cell", "_home"))
     j = parts[0]
     for p in parts[1:]:
         j = j.unionByName(p)

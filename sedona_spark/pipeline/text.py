@@ -173,22 +173,30 @@ def repetition_stats(
         .agg(F.max("count").alias("_top2"),
              F.sum("count").alias("n_bigrams"))
     )
+    # left-join back onto the input so empty/whitespace-only documents
+    # surface with zero counts instead of vanishing (explode of an empty
+    # array eliminates the row)
+    agg = uni.join(big, id_col, "left")
+    has_words = F.col("n_words").isNotNull() & (F.col("n_words") > 0)
     return (
-        uni.join(big, id_col, "left")
+        docs.select(id_col).join(agg, id_col, "left")
         .select(
             id_col,
-            F.col("n_words"),
-            F.col("n_distinct"),
-            F.round(F.col("_top1") / F.col("n_words"), 6)
-                .alias("top1_frac"),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long")
+                .alias("n_distinct"),
+            F.when(has_words, F.round(F.col("_top1") / F.col("n_words"), 6))
+                .otherwise(F.lit(0.0)).alias("top1_frac"),
             F.round(
                 F.coalesce(F.col("_top2") / F.col("n_bigrams"),
                            F.lit(0.0)), 6,
             ).alias("top2_frac"),
-            F.round(F.col("n_distinct") / F.col("n_words"), 6)
-                .alias("distinct_ratio"),
-            F.round(F.col("_chars") / F.col("n_words"), 6)
-                .alias("mean_word_len"),
+            F.when(has_words,
+                   F.round(F.col("n_distinct") / F.col("n_words"), 6))
+                .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+            F.when(has_words,
+                   F.round(F.col("_chars") / F.col("n_words"), 6))
+                .otherwise(F.lit(0.0)).alias("mean_word_len"),
         )
     )
 

@@ -20,6 +20,7 @@ uint8 samples, band-interleaved-by-pixel.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -34,6 +35,7 @@ _T_SAMPLES_PER_PIXEL = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 _T_SAMPLE_FORMAT = 339
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
@@ -58,14 +60,29 @@ def encode_geotiff(
     sx: float = 1.0,
     sy: float = -1.0,
     srid: int = 4326,
+    compress: str | None = None,
 ) -> bytes:
     """uint8 (h, w, bands) + north-up georeference -> GeoTIFF bytes
-    (little-endian, single strip, uncompressed, chunky)."""
+    (little-endian, single strip, chunky). ``compress="deflate"`` writes
+    Compression=8 with horizontal Predictor=2 (the layout most real
+    GeoTIFFs in the wild use); the default stays uncompressed
+    Compression=1."""
     a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nb = a.shape
-    pix = a.tobytes()
+    if compress is None:
+        pix = a.tobytes()
+        comp_id, predictor = 1, None
+    elif compress == "deflate":
+        # predictor 2: per row, per band, horizontal byte differencing
+        # (uint8 wraparound), THEN zlib over the strip
+        d = a.astype(np.int16)
+        d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+        pix = zlib.compress((d & 0xFF).astype(np.uint8).tobytes(), 6)
+        comp_id, predictor = 8, 2
+    else:
+        raise ValueError(f"unknown compress mode {compress!r}")
 
     geographic = srid == 4326 or 4000 <= srid < 5000
     geo_keys = [
@@ -88,13 +105,15 @@ def encode_geotiff(
          struct.pack(f"<{nb}H", *([8] * nb)) if nb > 2 else
          int.from_bytes(struct.pack(f"<{nb}H", *([8] * nb)).ljust(4, b"\0"),
                         "little")),
-        (_T_COMPRESSION, _TYPE_SHORT, 1, 1),
+        (_T_COMPRESSION, _TYPE_SHORT, 1, comp_id),
         (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2 if nb >= 3 else 1),
         (_T_STRIP_OFFSETS, _TYPE_LONG, 1, None),      # patched below
         (_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, nb),
         (_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
         (_T_STRIP_BYTE_COUNTS, _TYPE_LONG, 1, len(pix)),
         (_T_PLANAR, _TYPE_SHORT, 1, 1),
+        *([(_T_PREDICTOR, _TYPE_SHORT, 1, predictor)]
+          if predictor else []),
         (_T_SAMPLE_FORMAT, _TYPE_SHORT, nb,
          struct.pack(f"<{nb}H", *([1] * nb)) if nb > 2 else
          int.from_bytes(struct.pack(f"<{nb}H", *([1] * nb)).ljust(4, b"\0"),
@@ -140,6 +159,53 @@ def encode_geotiff(
     return bytes(out)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, ClearCode=256, EOI=257,
+    early code-width change — TIFF 6.0 §13). Decode-only: the engine
+    never EMITS LZW (deflate is the compressed emit path), but real-world
+    GeoTIFFs frequently arrive LZW-compressed."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:  # ClearCode
+                reset()
+                prev = None
+                continue
+            if code == 257:  # EndOfInformation
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF's "early change": the decoder lags the encoder's table
+            # by one add, so it must widen one code EARLY (libtiff's
+            # maxcode = (1 << bits) - 1 convention)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def decode_geotiff(buf: bytes):
     """GeoTIFF bytes -> (uint8 (h, w, bands), ulx, uly, sx, sy, srid).
     Baseline uncompressed uint8 only; anything else raises (the
@@ -177,19 +243,47 @@ def decode_geotiff(buf: bytes):
     w = int(tags[_T_WIDTH][0])
     h = int(tags[_T_HEIGHT][0])
     nb = int(tags.get(_T_SAMPLES_PER_PIXEL, (1,))[0])
-    if int(tags.get(_T_COMPRESSION, (1,))[0]) != 1:
+    comp = int(tags.get(_T_COMPRESSION, (1,))[0])
+    # 5 = LZW, 8 = deflate, 32946 = legacy deflate
+    if comp not in (1, 5, 8, 32946):
         raise NotImplementedError(
-            "compressed GeoTIFF requires an image library")
+            "only uncompressed, LZW and DEFLATE GeoTIFF supported "
+            f"(Compression={comp} requires an image library)")
     if any(b != 8 for b in tags.get(_T_BITS, (8,))):
         raise NotImplementedError("only 8-bit samples supported")
+    # SampleFormat (tag 339): anything but unsigned int would decode to
+    # wrong values if read as uint8 — raise like the other variants
+    if any(f != 1 for f in tags.get(_T_SAMPLE_FORMAT, (1,))):
+        raise NotImplementedError(
+            "only unsigned-int samples supported (SampleFormat="
+            f"{tags[_T_SAMPLE_FORMAT]})")
     if int(tags.get(_T_PLANAR, (1,))[0]) != 1:
         raise NotImplementedError("planar configuration 2 not supported")
+    predictor = int(tags.get(_T_PREDICTOR, (1,))[0])
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"Predictor={predictor} not supported")
     offsets = tags[_T_STRIP_OFFSETS]
     counts = tags.get(_T_STRIP_BYTE_COUNTS, (w * h * nb,))
-    pix = b"".join(
-        buf[o:o + c] for o, c in zip(offsets, counts)
-    )
-    arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * nb].reshape(h, w, nb)
+    rps = int(tags.get(_T_ROWS_PER_STRIP, (h,))[0])
+    if comp == 1:
+        pix = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+        arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * nb].reshape(
+            h, w, nb)
+    else:
+        inflate = _lzw_decode if comp == 5 else zlib.decompress
+        strips = [inflate(buf[o:o + c]) for o, c in zip(offsets, counts)]
+        rows = []
+        for si, raw in enumerate(strips):
+            nrows = min(rps, h - si * rps)
+            sa = np.frombuffer(raw, dtype=np.uint8)[
+                : nrows * w * nb].reshape(nrows, w, nb)
+            if predictor == 2:
+                # undo horizontal differencing: cumulative sum across the
+                # row per band, uint8 wraparound
+                sa = np.cumsum(sa.astype(np.uint32), axis=1).astype(
+                    np.uint8)
+            rows.append(sa)
+        arr = np.concatenate(rows, axis=0)
     sx, sy = 1.0, -1.0
     if _T_MODEL_PIXEL_SCALE in tags:
         s = tags[_T_MODEL_PIXEL_SCALE]

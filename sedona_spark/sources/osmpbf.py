@@ -122,6 +122,45 @@ def _parse_packed_sint64(payload: bytes) -> list[int]:
     return out
 
 
+def _packed_uint(tag: int, vals) -> bytes:
+    body = b"".join(_varint(int(v)) for v in vals)
+    return _len_field(tag, body)
+
+
+def _parse_packed_uint(payload: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(payload):
+        v, pos = _read_varint(payload, pos)
+        out.append(v)
+    return out
+
+
+class _StringTable:
+    """Per-block OSM stringtable builder: s[0] is the required empty
+    string; repeated keys/roles dedupe to one index."""
+
+    def __init__(self):
+        self._idx: dict[str, int] = {"": 0}
+        self._items: list[bytes] = [b""]
+
+    def add(self, s: str) -> int:
+        i = self._idx.get(s)
+        if i is None:
+            i = len(self._items)
+            self._idx[s] = i
+            self._items.append(s.encode())
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(_len_field(1, b) for b in self._items)
+
+
+def _parse_stringtable(payload: bytes) -> list[str]:
+    return [bytes(v).decode("utf-8", "replace")
+            for tag, _w, v in _iter_fields(payload) if tag == 1]
+
+
 # --- blob framing ----------------------------------------------------------
 
 
@@ -315,26 +354,36 @@ def write_osm_pbf_ways(
     path: str,
     id_col: str = "way_id",
     refs_col: str = "refs",
+    tags_col: str | None = None,
     ways_per_block: int = 4000,
     order_col: str | None = None,
 ) -> int:
-    """Append-style single-file emit of Way blocks (driver-side)."""
+    """Append-style single-file emit of Way blocks (driver-side). With
+    ``tags_col`` (map<string,string>) each way carries keys(2)/vals(3)
+    stringtable indexes — the full Way message of the published schema
+    (r6 closes the r5 tags seam)."""
     if order_col is not None:
         df = df.orderBy(order_col)
-    rows = df.select(id_col, refs_col).collect()
+    cols = [id_col, refs_col] + ([tags_col] if tags_col else [])
+    rows = df.select(*cols).collect()
     header = (_len_field(4, b"OsmSchema-V0.6"))
     out = bytearray(_blob("OSMHeader", header))
     for i in range(0, len(rows), ways_per_block):
         chunk = rows[i:i + ways_per_block]
+        st = _StringTable()
         ways = b""
         for r in chunk:
             refs = [int(v) for v in r[refs_col]]
             deltas = [refs[0]] + [b - a for a, b in zip(refs, refs[1:])] \
                 if refs else []
-            way = (_field(1, 0) + _varint(int(r[id_col]))
-                   + _packed_sint64(8, deltas))
+            way = _field(1, 0) + _varint(int(r[id_col]))
+            if tags_col and r[tags_col]:
+                items = sorted(r[tags_col].items())
+                way += _packed_uint(2, [st.add(k) for k, _ in items])
+                way += _packed_uint(3, [st.add(v) for _, v in items])
+            way += _packed_sint64(8, deltas)
             ways += _len_field(3, way)  # PrimitiveGroup.ways = 3
-        block = (_len_field(1, _len_field(1, b"")) + _len_field(2, ways))
+        block = (_len_field(1, st.encode()) + _len_field(2, ways))
         out += _blob("OSMData", block)
     fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
     name = path.rsplit("/", 1)[-1]
@@ -346,8 +395,10 @@ def write_osm_pbf_ways(
 def read_osm_pbf_ways(
     spark: SparkSession, path: str, partitions: int = 0
 ) -> DataFrame:
-    """Distributed Way read → (way_id, refs array<long>)."""
-    from pyspark.sql.types import ArrayType
+    """Distributed Way read → (way_id, refs array<long>,
+    tags map<string,string>) — keys/vals resolved through the per-block
+    stringtable (r6)."""
+    from pyspark.sql.types import ArrayType, MapType, StringType
 
     frames = [
         (off, ln) for t, off, ln in _scan_frames(path) if t == "OSMData"
@@ -359,6 +410,7 @@ def read_osm_pbf_ways(
     out_type = StructType([
         StructField("way_id", LongType()),
         StructField("refs", ArrayType(LongType())),
+        StructField("tags", MapType(StringType(), StringType())),
     ])
 
     def gen(batches):
@@ -372,24 +424,173 @@ def read_osm_pbf_ways(
                         continue
                     fh.seek(int(off))
                     block = _parse_blob(fh.read(int(ln)))
+                    strings: list[str] = [""]
+                    groups = []
                     for tag, _w, v in _iter_fields(block):
-                        if tag != 2:
-                            continue
-                        for gtag, _gw, gv in _iter_fields(bytes(v)):
+                        if tag == 1:
+                            strings = _parse_stringtable(bytes(v))
+                        elif tag == 2:
+                            groups.append(bytes(v))
+                    for g in groups:
+                        for gtag, _gw, gv in _iter_fields(g):
                             if gtag != 3:  # ways
                                 continue
-                            wid, deltas = None, []
+                            wid, deltas, keys, vals = None, [], [], []
                             for wt, _ww, wv in _iter_fields(bytes(gv)):
                                 if wt == 1:
                                     wid = wv
+                                elif wt == 2:
+                                    keys = _parse_packed_uint(bytes(wv))
+                                elif wt == 3:
+                                    vals = _parse_packed_uint(bytes(wv))
                                 elif wt == 8:
                                     deltas = _parse_packed_sint64(bytes(wv))
                             refs, acc = [], 0
                             for d in deltas:
                                 acc += d
                                 refs.append(acc)
+                            tags = {strings[k]: strings[v2]
+                                    for k, v2 in zip(keys, vals)}
                             if wid is not None:
-                                recs.append((wid, refs))
+                                recs.append((wid, refs, tags))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in out_type.fields]
+            )
+
+    return rdf.mapInPandas(gen, schema=out_type)
+
+
+# --- relations (r6: same framing; Relation = id(1) + keys(2)/vals(3) +
+# roles_sid(9) + packed delta sint64 memids(10) + packed enum types(11),
+# types: 0=NODE 1=WAY 2=RELATION) -----------------------------------------
+
+_MEMBER_TYPES = ("node", "way", "relation")
+
+
+def write_osm_pbf_relations(
+    df: DataFrame,
+    path: str,
+    id_col: str = "rel_id",
+    members_col: str = "members",
+    tags_col: str | None = None,
+    rels_per_block: int = 4000,
+    order_col: str | None = None,
+) -> int:
+    """Single-file emit of Relation blocks (driver-side, same posture as
+    the other sequential-frame sinks). ``members_col`` is
+    array<struct<ref: long, mtype: string, role: string>> with mtype in
+    {'node','way','relation'}."""
+    if order_col is not None:
+        df = df.orderBy(order_col)
+    cols = [id_col, members_col] + ([tags_col] if tags_col else [])
+    rows = df.select(*cols).collect()
+    out = bytearray(_blob("OSMHeader", _len_field(4, b"OsmSchema-V0.6")))
+    for i in range(0, len(rows), rels_per_block):
+        chunk = rows[i:i + rels_per_block]
+        st = _StringTable()
+        rels = b""
+        for r in chunk:
+            members = list(r[members_col] or [])
+            refs = [int(m["ref"]) for m in members]
+            deltas = [refs[0]] + [b - a for a, b in zip(refs, refs[1:])] \
+                if refs else []
+            rel = _field(1, 0) + _varint(int(r[id_col]))
+            if tags_col and r[tags_col]:
+                items = sorted(r[tags_col].items())
+                rel += _packed_uint(2, [st.add(k) for k, _ in items])
+                rel += _packed_uint(3, [st.add(v) for _, v in items])
+            rel += _packed_uint(9, [st.add(m["role"] or "")
+                                    for m in members])
+            rel += _packed_sint64(10, deltas)
+            rel += _packed_uint(
+                11, [_MEMBER_TYPES.index(m["mtype"]) for m in members])
+            rels += _len_field(4, rel)  # PrimitiveGroup.relations = 4
+        block = (_len_field(1, st.encode()) + _len_field(2, rels))
+        out += _blob("OSMData", block)
+    fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+    name = path.rsplit("/", 1)[-1]
+    with fs.open_output_stream(f"{base}/{name}") as fh:
+        fh.write(bytes(out))
+    return len(rows)
+
+
+def read_osm_pbf_relations(
+    spark: SparkSession, path: str, partitions: int = 0
+) -> DataFrame:
+    """Distributed Relation read → (rel_id, members array<struct<ref,
+    mtype, role>>, tags map<string,string>)."""
+    from pyspark.sql.types import ArrayType, MapType, StringType
+
+    frames = [
+        (off, ln) for t, off, ln in _scan_frames(path) if t == "OSMData"
+    ]
+    nparts = partitions or min(max(1, len(frames)), 64)
+    rdf = spark.createDataFrame(
+        frames or [(0, 0)], "off long, ln long"
+    ).repartition(nparts)
+    member_t = StructType([
+        StructField("ref", LongType()),
+        StructField("mtype", StringType()),
+        StructField("role", StringType()),
+    ])
+    out_type = StructType([
+        StructField("rel_id", LongType()),
+        StructField("members", ArrayType(member_t)),
+        StructField("tags", MapType(StringType(), StringType())),
+    ])
+
+    def gen(batches):
+        fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
+        name = path.rsplit("/", 1)[-1]
+        for pdf in batches:
+            recs = []
+            with fs.open_input_file(f"{base}/{name}") as fh:
+                for off, ln in zip(pdf["off"], pdf["ln"]):
+                    if ln == 0:
+                        continue
+                    fh.seek(int(off))
+                    block = _parse_blob(fh.read(int(ln)))
+                    strings: list[str] = [""]
+                    groups = []
+                    for tag, _w, v in _iter_fields(block):
+                        if tag == 1:
+                            strings = _parse_stringtable(bytes(v))
+                        elif tag == 2:
+                            groups.append(bytes(v))
+                    for g in groups:
+                        for gtag, _gw, gv in _iter_fields(g):
+                            if gtag != 4:  # relations
+                                continue
+                            rid = None
+                            keys = vals = roles = types = []
+                            deltas = []
+                            for rt, _rw, rv in _iter_fields(bytes(gv)):
+                                if rt == 1:
+                                    rid = rv
+                                elif rt == 2:
+                                    keys = _parse_packed_uint(bytes(rv))
+                                elif rt == 3:
+                                    vals = _parse_packed_uint(bytes(rv))
+                                elif rt == 9:
+                                    roles = _parse_packed_uint(bytes(rv))
+                                elif rt == 10:
+                                    deltas = _parse_packed_sint64(bytes(rv))
+                                elif rt == 11:
+                                    types = _parse_packed_uint(bytes(rv))
+                            refs, acc = [], 0
+                            for d in deltas:
+                                acc += d
+                                refs.append(acc)
+                            members = [
+                                {"ref": rf,
+                                 "mtype": _MEMBER_TYPES[t],
+                                 "role": strings[ro]}
+                                for rf, t, ro in zip(refs, types, roles)
+                            ]
+                            tags = {strings[k]: strings[v2]
+                                    for k, v2 in zip(keys, vals)}
+                            if rid is not None:
+                                recs.append((rid, members, tags))
             yield pd.DataFrame(
                 recs, columns=[f.name for f in out_type.fields]
             )

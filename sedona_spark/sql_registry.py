@@ -188,36 +188,73 @@ def _spheroid_line_len() -> str:
     )
 
 
+def _ell_m(phi: str) -> str:
+    """SQL m(φ) = cosφ/√(1−e²sin²φ) on WGS84 (Snyder 14-15), φ in rad."""
+    from sedona_spark.functions.crs import _E2W
+
+    return (f"(cos({phi}) / sqrt(1e0 - {_E2W!r} "
+            f"* sin({phi}) * sin({phi})))")
+
+
+def _ell_t(phi: str) -> str:
+    """SQL t(φ) (Snyder 15-9) on WGS84, φ in rad."""
+    import math as _m
+
+    from sedona_spark.functions.crs import _E2W
+
+    e = _m.sqrt(_E2W)
+    return (f"(tan(pi() / 4 - {phi} / 2) "
+            f"/ pow((1e0 - {e!r} * sin({phi})) "
+            f"/ (1e0 + {e!r} * sin({phi})), {e / 2.0!r}))")
+
+
+def _ell_q(phi: str) -> str:
+    """SQL q(φ) (Snyder 3-12) on WGS84, φ in rad."""
+    import math as _m
+
+    from sedona_spark.functions.crs import _E2W
+
+    e = _m.sqrt(_E2W)
+    return (f"({1.0 - _E2W!r} * (sin({phi}) "
+            f"/ (1e0 - {_E2W!r} * sin({phi}) * sin({phi})) "
+            f"- {1.0 / (2.0 * e)!r} * ln((1e0 - {e!r} * sin({phi})) "
+            f"/ (1e0 + {e!r} * sin({phi})))))")
+
+
 def _lcc_body() -> str:
-    """Spherical Lambert conformal conic with RUNTIME standard parallels
-    (Snyder §15; the same closed form as ``crs.st_transform_lcc``, with
-    the Python-precomputed constants n/F/ρ₀ re-expressed over the args —
-    Catalyst CSEs the repeats after inlining)."""
+    """ELLIPSOIDAL Lambert conformal conic with RUNTIME standard
+    parallels (Snyder §15 on WGS84; the same closed form as
+    ``crs.st_transform_lcc``, with the Python-precomputed constants
+    n/F/ρ₀ re-expressed over the args — Catalyst CSEs the repeats after
+    inlining)."""
     rad = "(pi() / 180e0)"
     p1, p2, p0 = f"(sp1 * {rad})", f"(sp2 * {rad})", f"(lat0 * {rad})"
+    m1, m2 = _ell_m(p1), _ell_m(p2)
+    t1, t2, t0 = _ell_t(p1), _ell_t(p2), _ell_t(p0)
     n = (f"(case when abs(sp1 - sp2) < 1e-12 then sin({p1}) else "
-         f"ln(cos({p1}) / cos({p2})) / "
-         f"ln(tan(pi() / 4 + {p2} / 2) / tan(pi() / 4 + {p1} / 2)) end)")
-    big_f = f"(cos({p1}) * pow(tan(pi() / 4 + {p1} / 2), {n}) / {n})"
-    rho0 = f"({big_f} / pow(tan(pi() / 4 + {p0} / 2), {n}))"
-    rho = (f"(6371008.8e0 * {big_f} / "
-           f"pow(tan(pi() / 4 + lat * {rad} / 2), {n}))")
+         f"(ln({m1}) - ln({m2})) / (ln({t1}) - ln({t2})) end)")
+    big_f = f"({m1} / ({n} * pow({t1}, {n})))"
+    rho0 = f"(6378137e0 * {big_f} * pow({t0}, {n}))"
+    rho = f"(6378137e0 * {big_f} * pow({_ell_t(f'(lat * {rad})')}, {n}))"
     th = f"({n} * (lon - lon0) * {rad})"
     return (f"named_struct('x', {rho} * sin({th}), "
-            f"'y', 6371008.8e0 * {rho0} - {rho} * cos({th}))")
+            f"'y', {rho0} - {rho} * cos({th}))")
 
 
 def _albers_body() -> str:
-    """Spherical Albers equal-area conic with RUNTIME standard parallels
-    (Snyder §14; twin of ``crs.st_transform_albers``)."""
+    """ELLIPSOIDAL Albers equal-area conic with RUNTIME standard
+    parallels (Snyder §14 on WGS84; twin of
+    ``crs.st_transform_albers``)."""
     rad = "(pi() / 180e0)"
     p1, p2, p0 = f"(sp1 * {rad})", f"(sp2 * {rad})", f"(lat0 * {rad})"
-    n = f"((sin({p1}) + sin({p2})) / 2e0)"
-    c = f"(cos({p1}) * cos({p1}) + 2e0 * {n} * sin({p1}))"
-    rho = (f"(6371008.8e0 / {n} * sqrt(greatest({c} "
-           f"- 2e0 * {n} * sin(lat * {rad}), 0e0)))")
-    rho0 = (f"(6371008.8e0 / {n} * sqrt(greatest({c} "
-            f"- 2e0 * {n} * sin({p0}), 0e0)))")
+    m1, m2 = _ell_m(p1), _ell_m(p2)
+    q1, q2, q0 = _ell_q(p1), _ell_q(p2), _ell_q(p0)
+    n = (f"(case when abs(sp1 - sp2) < 1e-12 then sin({p1}) else "
+         f"({m1} * {m1} - {m2} * {m2}) / ({q2} - {q1}) end)")
+    c = f"({m1} * {m1} + {n} * {q1})"
+    rho = (f"(6378137e0 / {n} * sqrt(greatest({c} "
+           f"- {n} * {_ell_q(f'(lat * {rad})')}, 0e0)))")
+    rho0 = f"(6378137e0 / {n} * sqrt(greatest({c} - {n} * {q0}, 0e0)))"
     th = f"({n} * (lon - lon0) * {rad})"
     return (f"named_struct('x', {rho} * sin({th}), "
             f"'y', {rho0} - {rho} * cos({th}))")
@@ -239,13 +276,14 @@ _AFFINE = (
 
 
 def _stereo_body() -> str:
-    """Polar stereographic with RUNTIME parameters (Snyder §21; twin of
-    ``crs.st_transform_stereo`` with sgn/k₀ re-expressed over the args)."""
+    """ELLIPSOIDAL polar stereographic with RUNTIME parameters (Snyder
+    §21 variant B on WGS84; twin of ``crs.st_transform_stereo`` with
+    sgn/scale re-expressed over the args)."""
     rad = "(pi() / 180e0)"
     sgn = "(case when south then -1e0 else 1e0 end)"
-    k0 = f"((1e0 + {sgn} * sin(lat_ts * {rad})) / 2e0)"
-    rho = (f"(2e0 * 6371008.8e0 * {k0} "
-           f"* tan(pi() / 4 - {sgn} * lat * {rad} / 2))")
+    pts = f"({sgn} * lat_ts * {rad})"
+    scale = f"(6378137e0 * {_ell_m(pts)} / {_ell_t(pts)})"
+    rho = f"({scale} * {_ell_t(f'({sgn} * lat * {rad})')})"
     dl = f"((lon - lon0) * {rad})"
     return (f"named_struct('x', {rho} * sin({dl}), "
             f"'y', -{sgn} * {rho} * cos({dl}))")
@@ -1038,10 +1076,16 @@ def _rs_geo_sql_udfs() -> list[tuple[str, str, str, str]]:
         # the reference's envelope-of-region semantics only when kx=ky=0
         ("RS_MinConvexHull", f"r {_RST}, band INT", "ARRAY<DOUBLE>",
          mch[0]),
+        # world points outside the extent return NULL (the reference's
+        # PixelFunctions.values contract, and what the sibling RS_Values
+        # already does) — without the guard the flattened index wraps to a
+        # pixel on another row or counts from the array end
         ("RS_ValueAt", f"r {_RST}, x DOUBLE, y DOUBLE, band INT", "DOUBLE",
-         "cast(element_at(RS_BandAsArray(r.buf, band), "
+         f"case when floor({_GI}) >= 0 and floor({_GI}) < r.w "
+         f"and floor({_GJ}) >= 0 and floor({_GJ}) < r.h "
+         "then cast(element_at(RS_BandAsArray(r.buf, band), "
          f"cast(floor({_GJ}) as int) * r.w + cast(floor({_GI}) as int) + 1) "
-         "as double)"),
+         "as double) else null end"),
         # raster-envelope × polygon-ring predicates (the reference converts
         # the raster to its envelope geometry first: RasterPredicates.java)
         ("RS_Intersects", f"r {_RST}, g ARRAY<DOUBLE>", "BOOLEAN",
@@ -1123,6 +1167,9 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "r.nodata)"),
         ("RS_AsGeoTiff", f"r {_RST}", "BINARY",
          "RS_AsGeoTiffRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, r.srid)"),
+        ("RS_AsGeoTiffDeflate", f"r {_RST}", "BINARY",
+         "RS_AsGeoTiffDeflateRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, "
+         "r.srid)"),
         ("RS_AsPNG", f"r {_RST}", "BINARY", "RS_AsPNGRaw(r.buf)"),
         # value = k + y*w + x per band k
         # (RasterConstructorsForTesting.java:57-91; uint8-clipped here)
@@ -1496,6 +1543,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_AsArcGridRaw"] = _rs._as_arc_grid_udf
     pandas_catalog["RS_FromArcInfoAsciiGrid"] = _rs._from_arc_grid_udf
     pandas_catalog["RS_AsGeoTiffRaw"] = _rs._as_geotiff_udf
+    pandas_catalog["RS_AsGeoTiffDeflateRaw"] = _rs._as_geotiff_deflate_udf
     pandas_catalog["RS_FromGeoTiff"] = _rs._from_geotiff_udf
     pandas_catalog["RS_NetCDFInfo"] = _rs._netcdf_info_udf
     pandas_catalog["RS_FromNetCDF"] = _rs._from_netcdf_udf
@@ -1541,6 +1589,33 @@ def register(spark: SparkSession, force: bool = False) -> None:
          "'min', array_min(RS_BandAsArray(r, band)), "
          "'max', array_max(RS_BandAsArray(r, band)))"),
     ]
+    # physical-function catalog stubs: the reference registers these names
+    # as analyzer stubs that THROW unless ExtractPhysicalFunctions rewrites
+    # the plan (Catalog.scala:30-329); the engine's rewrite lives in
+    # ``sedona_spark.sql`` (physical_sql.py), so a direct spark.sql call
+    # mirrors the reference's unrewritten behavior with a pointer to the
+    # working surface.
+    physical_stubs = [
+        ("ST_DBSCAN", "id BIGINT, x DOUBLE, y DOUBLE, eps DOUBLE, "
+         "min_pts INT"),
+        ("ST_KNN", "qid BIGINT, qx DOUBLE, qy DOUBLE, ox DOUBLE, "
+         "oy DOUBLE, k INT"),
+        ("ST_GLocal", "id BIGINT, x DOUBLE, y DOUBLE, v DOUBLE, "
+         "radius DOUBLE"),
+        ("ST_LocalOutlierFactor", "id BIGINT, x DOUBLE, y DOUBLE, k INT"),
+        ("ST_BinaryDistanceBandColumn",
+         "id BIGINT, x DOUBLE, y DOUBLE, threshold DOUBLE"),
+        ("ST_WeightedDistanceBandColumn",
+         "id BIGINT, x DOUBLE, y DOUBLE, threshold DOUBLE, alpha DOUBLE"),
+    ]
+    for name, params in physical_stubs:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            "RETURNS STRING RETURN raise_error("
+            f"'{name} is a physical function: run the statement through "
+            "sedona_spark.sql(spark, ...) so the plan rewrite can "
+            "dispatch it to the distributed operator')"
+        )
     for name, params, ret, body in (_sql_udfs() + rs_sugar
                                     + _rs_array_sql_udfs()
                                     + _rs_geo_sql_udfs()

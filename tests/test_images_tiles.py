@@ -278,9 +278,10 @@ def test_geotiff_codec_roundtrip():
     assert abe.ravel().tolist() == [42]
 
     bad = bytearray(buf)
-    # flip Compression (tag 259) value to 5 (LZW)
+    # flip Compression (tag 259) value to 7 (JPEG — a codec the engine
+    # does NOT decode; LZW/deflate are supported since r6)
     comp_off = buf.index(struct.pack("<HHL", 259, 3, 1))
-    bad[comp_off + 8] = 5
+    bad[comp_off + 8] = 7
     with _pytest.raises(NotImplementedError):
         decode_geotiff(bytes(bad))
 

@@ -327,6 +327,13 @@ def test_pip_join_compact_equals_rect_join(spark):
          for r in pip_join_rect(pts, zones, level=9)
          .select("pid", "zid").collect()}
     assert a == b and len(a) > 0
+    # the shuffle-join opt-out (large zone tables must not be collected
+    # to the driver) produces the identical pair set
+    c = {(r["pid"], r["zid"])
+         for r in pip_join_compact(pts, zones, level=9, min_level=4,
+                                   broadcast_cover=False)
+         .select("pid", "zid").collect()}
+    assert c == a
 
     flat = _explode_cover(zones, 9).count()
     # compacted cover row count: re-derive via the operator internals by

@@ -36,7 +36,8 @@ def test_conic_roundtrip_and_properties(spark):
     from sedona_spark.functions.st_measures import st_area_sphere
 
     pts = points_from_events(spark, SF).limit(200)
-    for kind, lon0, lat0, sp1, sp2 in (CONIC_EPSG[2154], CONIC_EPSG[5070]):
+    for kind, lon0, lat0, sp1, sp2 in (CONIC_EPSG[2154][:5],
+                                       CONIC_EPSG[5070][:5]):
         fwd = st_transform_lcc if kind == "lcc" else st_transform_albers
         inv = st_transform_lcc_inv if kind == "lcc" else st_transform_albers_inv
         x, y = fwd(F.col("x"), F.col("y"), lon0, lat0, sp1, sp2)
@@ -46,8 +47,10 @@ def test_conic_roundtrip_and_properties(spark):
             .select("x", "y", lon2.alias("lon2"), lat2.alias("lat2"))
         )
         for r in back.collect():
-            assert r["lon2"] == pytest.approx(r["x"], abs=1e-9)
-            assert r["lat2"] == pytest.approx(r["y"], abs=1e-9)
+            # r6 ellipsoidal inverse uses the Snyder χ/β series — exact to
+            # ~1e-8 deg (≈1 mm); the spherical r5 inverse was closed-form
+            assert r["lon2"] == pytest.approx(r["x"], abs=1e-7)
+            assert r["lat2"] == pytest.approx(r["y"], abs=1e-7)
         origin = spark.range(1).select(
             *fwd(F.lit(float(lon0)), F.lit(float(lat0)), lon0, lat0, sp1, sp2)
         ).collect()[0]
@@ -56,7 +59,7 @@ def test_conic_roundtrip_and_properties(spark):
         # Albers grids put lat0 below them — x=0 on the central meridian
         # is the invariant shared by both
     # equal-area property: 1°×1° rect at the Albers grid center
-    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[5070]
+    _, lon0, lat0, sp1, sp2 = CONIC_EPSG[5070][:5]
     cx, cy = lon0, (sp1 + sp2) / 2.0
     corners = [(cx - 0.5, cy - 0.5), (cx + 0.5, cy - 0.5),
                (cx + 0.5, cy + 0.5), (cx - 0.5, cy + 0.5)]
@@ -398,18 +401,22 @@ def test_stereo_projection_properties(spark):
                 lon0, lat_ts, south)
         ).collect()[0]
         assert abs(pole[0]) < 1e-6 and abs(pole[1]) < 1e-6
-        # true scale at lat_ts: 0.1° east-west arc
+        # true scale at lat_ts: 0.1° east-west arc equals the ELLIPSOIDAL
+        # parallel arc a·m(φ_ts)·Δλ (the definition of the standard
+        # parallel on the ellipsoid — r6 upgraded the tier from spherical)
+        from sedona_spark.functions.crs import _E2W, _mf
+
         lt = lat_ts
         row = spark.range(1).select(
             *[c.alias(n) for c, n in zip(
                 st_transform_stereo(F.lit(10.0), F.lit(lt), lon0, lat_ts, south)
                 + st_transform_stereo(F.lit(10.1), F.lit(lt), lon0, lat_ts, south),
                 ("ax", "ay", "bx", "by"))],
-            st_distance_sphere(
-                F.lit(10.0), F.lit(lt), F.lit(10.1), F.lit(lt)).alias("gc"),
         ).collect()[0]
         planar = math.hypot(row["bx"] - row["ax"], row["by"] - row["ay"])
-        assert planar == pytest.approx(row["gc"], rel=1e-3)
+        arc = 6378137.0 * _mf(lt * math.pi / 180.0, _E2W) \
+            * 0.1 * math.pi / 180.0
+        assert planar == pytest.approx(arc, rel=1e-4)
 
 
 def test_sql_registry_accessor_batch(reg):

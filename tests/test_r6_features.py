@@ -1,0 +1,434 @@
+"""Round-6 features: ellipsoidal conic/stereo CRS tier (Snyder worked
+examples + EPSG definitional points), the physical-function SQL
+dispatcher, band-index validation, and the RS_ValueAt bounds guard."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snyder_worked_examples():
+    """The ellipsoidal forward math reproduces the numeric examples
+    published in Snyder, *Map Projections — A Working Manual* (USGS PP
+    1395): LCC p.296-297, Albers p.291-292 (both Clarke 1866), south
+    polar stereographic p.314-315 (International ellipsoid). Pure scalar
+    math — no Spark session needed."""
+    from sedona_spark.functions.crs import (
+        _RAD, _albers_constants, _lcc_constants, _mf, _qf, _tf,
+    )
+
+    # LCC: Clarke 1866, sp 33/45, lat0 23, lon0 -96; (35N, 75W)
+    a, e2 = 6378206.4, 0.00676866
+    n, big_f, rho0 = _lcc_constants(23.0, 33.0, 45.0, e2)
+    rho = a * big_f * _tf(35.0 * _RAD, e2) ** n
+    th = n * (-75.0 + 96.0) * _RAD
+    assert rho * math.sin(th) == pytest.approx(1894410.9, abs=0.1)
+    assert a * rho0 - rho * math.cos(th) == pytest.approx(1564649.5, abs=0.1)
+
+    # Albers: same ellipsoid, sp 29.5/45.5, lat0 23, lon0 -96; (35N, 75W)
+    n, c, rho0 = _albers_constants(23.0, 29.5, 45.5, e2)
+    rho = (a / n) * math.sqrt(c - n * _qf(35.0 * _RAD, e2))
+    th = n * (-75.0 + 96.0) * _RAD
+    assert rho * math.sin(th) == pytest.approx(1885472.7, abs=0.1)
+    assert a * rho0 - rho * math.cos(th) == pytest.approx(1535925.0, abs=0.1)
+
+    # South polar stereographic: International ellipsoid, phi_c=-71,
+    # lon0=-100; (75S, 150E)
+    a, e2 = 6378388.0, 0.00672267
+    pts = 71.0 * _RAD  # sgn=-1 -> sgn*lat_ts = +71 deg
+    scale = a * _mf(pts, e2) / _tf(pts, e2)
+    rho = scale * _tf(-1.0 * -75.0 * _RAD, e2)
+    dl = (150.0 + 100.0) * _RAD
+    assert rho * math.sin(dl) == pytest.approx(-1540033.6, abs=0.1)
+    assert 1.0 * rho * math.cos(dl) == pytest.approx(-560526.4, abs=0.1)
+
+
+def test_epsg_definitional_points(spark):
+    """EPSG registry definitional points: the projection origin of every
+    false-offset grid maps exactly to (FE, FN) — Lambert-93 (3E, 46.5N)
+    -> (700000, 6600000), Conus Albers (96W, 23N) -> (0, 0), California
+    Albers (120W, 0N) -> (0, -4000000), NSIDC north pole -> (0, 0)."""
+    from sedona_spark.functions.crs import st_transform_epsg
+
+    cases = [
+        (2154, 3.0, 46.5, 700000.0, 6600000.0),
+        (5070, -96.0, 23.0, 0.0, 0.0),
+        (3310, -120.0, 0.0, 0.0, -4000000.0),
+        (3413, -45.0, 90.0, 0.0, 0.0),
+        (3031, 0.0, -90.0, 0.0, 0.0),
+    ]
+    for code, lon, lat, ex, ey in cases:
+        x, y = st_transform_epsg(F.lit(lon), F.lit(lat), code)
+        r = spark.range(1).select(x.alias("x"), y.alias("y")).collect()[0]
+        assert r["x"] == pytest.approx(ex, abs=1e-3), code
+        assert r["y"] == pytest.approx(ey, abs=1e-3), code
+
+
+def test_transform_epsg_udf_matches_column(spark):
+    """The Arrow-batched numpy ST_TransformEpsg dispatch agrees with the
+    Column-API path for every table family (lcc/albers/stereo/laea/
+    tmerc/utm/mercator) to sub-millimeter."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    from sedona_spark.functions.crs import st_transform_epsg
+
+    pts = [(2.29, 48.85), (-96.0, 39.0), (-120.0, 37.0), (12.0, 78.0),
+           (140.0, -70.0), (10.0, 52.0), (-0.13, 51.5), (3.0, 46.5)]
+    codes = [3857, 2154, 5070, 3310, 3413, 3031, 3035, 27700,
+             32631, 32721]
+    for code in codes:
+        for lon, lat in pts:
+            if code == 3031 and lat > 0:
+                continue
+            if code == 3413 and lat < 0:
+                continue
+            x, y = st_transform_epsg(F.lit(lon), F.lit(lat), code)
+            col = spark.range(1).select(
+                x.alias("x"), y.alias("y")).collect()[0]
+            udf = spark.sql(
+                f"select ST_TransformEpsg({lon}e0, {lat}e0, {code}).x x, "
+                f"ST_TransformEpsg({lon}e0, {lat}e0, {code}).y y"
+            ).collect()[0]
+            assert udf["x"] == pytest.approx(col["x"], abs=1e-3), (code, lon)
+            assert udf["y"] == pytest.approx(col["y"], abs=1e-3), (code, lon)
+
+
+def test_conic_inverse_roundtrip_ellipsoidal(spark):
+    """Forward → inverse is the identity (<1e-8 deg) for the ellipsoidal
+    LCC/Albers/stereo including false offsets."""
+    from sedona_spark.functions.crs import (
+        CONIC_EPSG,
+        st_transform_albers,
+        st_transform_albers_inv,
+        st_transform_lcc,
+        st_transform_lcc_inv,
+        st_transform_stereo,
+        st_transform_stereo_inv,
+    )
+
+    df = spark.range(1).select(F.lit(5.5).alias("lon"),
+                               F.lit(44.2).alias("lat"))
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[2154]
+    x, y = st_transform_lcc(F.col("lon"), F.col("lat"),
+                            lon0, lat0, sp1, sp2, fe, fn)
+    lo, la = st_transform_lcc_inv(x, y, lon0, lat0, sp1, sp2, fe, fn)
+    r = df.select(lo.alias("lo"), la.alias("la")).collect()[0]
+    assert r["lo"] == pytest.approx(5.5, abs=1e-8)
+    assert r["la"] == pytest.approx(44.2, abs=1e-8)
+
+    _, lon0, lat0, sp1, sp2, fe, fn = CONIC_EPSG[3310]
+    x, y = st_transform_albers(F.col("lon"), F.col("lat"),
+                               lon0, lat0, sp1, sp2, fe, fn)
+    lo, la = st_transform_albers_inv(x, y, lon0, lat0, sp1, sp2, fe, fn)
+    df2 = spark.range(1).select(F.lit(-118.2).alias("lon"),
+                                F.lit(34.05).alias("lat"))
+    r = df2.select(lo.alias("lo"), la.alias("la")).collect()[0]
+    assert r["lo"] == pytest.approx(-118.2, abs=1e-8)
+    assert r["la"] == pytest.approx(34.05, abs=1e-8)
+
+    x, y = st_transform_stereo(F.col("lon"), F.col("lat"),
+                               -45.0, 70.0, False)
+    lo, la = st_transform_stereo_inv(x, y, -45.0, 70.0, False)
+    df3 = spark.range(1).select(F.lit(12.0).alias("lon"),
+                                F.lit(78.0).alias("lat"))
+    r = df3.select(lo.alias("lo"), la.alias("la")).collect()[0]
+    assert r["lo"] == pytest.approx(12.0, abs=1e-8)
+    assert r["la"] == pytest.approx(78.0, abs=1e-8)
+
+
+def test_physical_sql_dispatcher(spark):
+    """sedona_spark.sql rewrites physical-function calls into operator
+    runs: ST_DBSCAN matches the DataFrame operator, repeated identical
+    calls run once, and the kNN join form yields k rows per query."""
+    import sedona_spark
+    from sedona_spark.operators.dbscan import dbscan
+
+    pts = spark.range(40).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 8 * 10.0 + (F.col("id") > 19).cast("int") * 2.0)
+            .alias("x"),
+        (F.col("id") % 5 * 10.0).alias("y"),
+    )
+    pts.createOrReplaceTempView("phys_pts")
+    out = sedona_spark.sql(spark, """
+select pid,
+       ST_DBSCAN(pid, x, y, 2.5, 2).cluster as cluster,
+       ST_DBSCAN(pid, x, y, 2.5, 2).isCore as is_core
+from phys_pts
+""").collect()
+    ref = {r["pid"]: (r["cluster"], r["is_core"])
+           for r in dbscan(pts, eps=2.5, min_pts=2, id_col="pid").collect()}
+    assert len(out) == 40
+    for r in out:
+        assert (r["cluster"], r["is_core"]) == ref[r["pid"]]
+
+    # kNN join form
+    q = spark.range(3).select(
+        F.col("id").alias("qid"), (F.col("id") * 10.0).alias("qx"),
+        F.lit(0.0).alias("qy"))
+    o = spark.range(50).select(
+        F.col("id").alias("oid"), (F.col("id") * 1.0).alias("ox"),
+        F.lit(0.5).alias("oy"))
+    q.createOrReplaceTempView("phys_q")
+    o.createOrReplaceTempView("phys_o")
+    rows = sedona_spark.sql(spark, """
+select qid, oid from phys_q join phys_o on ST_KNN(qid, qx, qy, ox, oy, 4)
+""").collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["oid"])
+    assert by_q[0] == {0, 1, 2, 3}
+
+
+def test_band_index_validation(spark):
+    """RS_Band / RS_AddBand are 0-based and raise on out-of-range instead
+    of silently slicing (band-convention unification)."""
+    import numpy as np
+    import pandas as pd
+
+    from sedona_spark.functions.raster import (
+        _append_band_udf, _select_bands_udf,
+    )
+    from sedona_spark.sources.images import encode_image
+
+    buf = encode_image(
+        np.arange(24, dtype=np.uint8).reshape(2, 4, 3), "fpng")
+    sdf = spark.createDataFrame(pd.DataFrame({"b": [buf]}))
+    ok = sdf.select(
+        _select_bands_udf(F.col("b"), F.array(F.lit(2), F.lit(0)))
+        .alias("r")).collect()
+    assert ok[0]["r"] is not None
+    with pytest.raises(Exception, match="out of range"):
+        sdf.select(
+            _select_bands_udf(F.col("b"), F.array(F.lit(3))).alias("r")
+        ).collect()
+    with pytest.raises(Exception, match="out of range"):
+        sdf.select(
+            _append_band_udf(F.col("b"), F.col("b"), F.lit(3)).alias("r")
+        ).collect()
+
+
+def test_rs_valueat_bounds_null(spark):
+    """RS_ValueAt returns NULL for world points outside the raster extent
+    (PixelFunctions 'points outside the extent return null'), matching
+    RS_Values."""
+    import sedona_spark
+
+    sedona_spark.register(spark)
+    r = spark.sql("""
+with r as (select RS_MakeRaster(RS_MakeEmptyRaster(1, 4, 3, 10e0, 20e0,
+                                                   2e0),
+           transform(sequence(0, 11), i -> cast(i as double))) as rst)
+select RS_ValueAt(rst, 11e0, 19e0, 0) as inside,
+       RS_ValueAt(rst, 9e0, 19e0, 0) as west,
+       RS_ValueAt(rst, 11e0, 21e0, 0) as north,
+       RS_ValueAt(rst, 1e6, 19e0, 0) as far_east,
+       RS_ValueAt(rst, 11e0, 13e0, 0) as south
+from r
+""").collect()[0]
+    assert r["inside"] == 0.0
+    assert r["west"] is None and r["north"] is None
+    assert r["far_east"] is None and r["south"] is None
+
+
+def test_repetition_stats_keeps_empty_docs(spark):
+    """Documents with no words surface with zero counts instead of
+    vanishing from the output."""
+    import pandas as pd
+
+    from sedona_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "", "   "],
+    }))
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_words"] == 3 and out[1]["top1_frac"] > 0
+    for d in (2, 3):
+        assert out[d]["n_words"] == 0
+        assert out[d]["n_distinct"] == 0
+        assert out[d]["top1_frac"] == 0.0
+        assert out[d]["mean_word_len"] == 0.0
+
+
+def test_geotiff_deflate_roundtrip():
+    """DEFLATE (Compression=8) + Predictor=2 GeoTIFF round-trips pixel-
+    and georeference-exact; SampleFormat != unsigned raises."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (9, 14, 3), dtype=np.uint8)
+    buf = encode_geotiff(arr, 3.0, 47.5, 0.25, -0.25, 2154,
+                         compress="deflate")
+    a2, ulx, uly, sx, sy, srid = decode_geotiff(buf)
+    assert np.array_equal(arr, a2)
+    assert (ulx, uly, sx, sy, srid) == (3.0, 47.5, 0.25, -0.25, 2154)
+
+    # signed-int SampleFormat (tag 339 value 2) must raise, not decode
+    # as wrong uint8 values
+    plain = encode_geotiff(arr[:, :, :1])
+    bad = bytearray(plain)
+    off = plain.index(struct.pack("<HHL", 339, 3, 1))
+    bad[off + 8] = 2
+    with _pytest.raises(NotImplementedError, match="SampleFormat"):
+        decode_geotiff(bytes(bad))
+
+
+def test_osm_pbf_tags_and_relations(spark, tmp_path):
+    """Tagged ways and relations round-trip through the stringtable:
+    keys/vals, roles_sid, delta memids, member-type enum."""
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.sources.osmpbf import (
+        read_osm_pbf_relations, read_osm_pbf_ways,
+        write_osm_pbf_relations, write_osm_pbf_ways,
+    )
+
+    n = F2.col("id")
+    ways = spark.range(9).select(
+        n.alias("way_id"),
+        F2.array(n * 5, n * 5 + 1, n).alias("refs"),
+        F2.map_from_arrays(
+            F2.array(F2.lit("highway"), F2.lit("oneway")),
+            F2.array(F2.concat(F2.lit("t"), (n % 3).cast("string")),
+                     F2.lit("yes"))).alias("tags"),
+    )
+    wpath = str(tmp_path / "w.osm.pbf")
+    assert write_osm_pbf_ways(ways, wpath, tags_col="tags",
+                              ways_per_block=4, order_col="way_id") == 9
+    back = {r["way_id"]: r for r in read_osm_pbf_ways(spark, wpath).collect()}
+    assert len(back) == 9
+    for i in range(9):
+        assert list(back[i]["refs"]) == [i * 5, i * 5 + 1, i]
+        assert back[i]["tags"] == {"highway": f"t{i % 3}", "oneway": "yes"}
+
+    rels = spark.range(4).select(
+        (n + 7).alias("rel_id"),
+        F2.array(
+            F2.struct((n * 2).alias("ref"), F2.lit("node").alias("mtype"),
+                      F2.lit("via").alias("role")),
+            F2.struct(n.alias("ref"), F2.lit("way").alias("mtype"),
+                      F2.lit("outer").alias("role")),
+            F2.struct((n + 100).alias("ref"),
+                      F2.lit("relation").alias("mtype"),
+                      F2.lit("").alias("role")),
+        ).alias("members"),
+        F2.map_from_arrays(F2.array(F2.lit("type")),
+                           F2.array(F2.lit("multipolygon"))).alias("tags"),
+    )
+    rpath = str(tmp_path / "r.osm.pbf")
+    assert write_osm_pbf_relations(rels, rpath, tags_col="tags",
+                                   rels_per_block=3,
+                                   order_col="rel_id") == 4
+    rb = {r["rel_id"]: r
+          for r in read_osm_pbf_relations(spark, rpath).collect()}
+    assert len(rb) == 4
+    for i in range(4):
+        m = rb[i + 7]["members"]
+        assert [x["ref"] for x in m] == [i * 2, i, i + 100]
+        assert [x["mtype"] for x in m] == ["node", "way", "relation"]
+        assert [x["role"] for x in m] == ["via", "outer", ""]
+        assert rb[i + 7]["tags"] == {"type": "multipolygon"}
+
+
+def test_map_algebra_con_and_neighborhood():
+    """Jiffle widening: comparisons produce 0/1 planes, con() selects,
+    rast[b][dx,dy] reads image-space neighbors with 0 outside."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.functions.raster import eval_map_algebra
+
+    b0 = np.arange(20, dtype=np.float64).reshape(4, 5)
+    b1 = np.full((4, 5), 7.0)
+    r = eval_map_algebra(
+        "out = con(rast[0] >= 10, rast[1] * 2, rast[0]);", [b0, b1])
+    assert np.array_equal(r, np.where(b0 >= 10, 14.0, b0))
+    r = eval_map_algebra("out = rast[0][-1, 0] + rast[0][1, 0];", [b0])
+    exp = np.zeros_like(b0)
+    exp[:, 1:] += b0[:, :-1]
+    exp[:, :-1] += b0[:, 1:]
+    assert np.array_equal(r, exp)
+    r = eval_map_algebra("out = (rast[0] != 3) + (rast[0] < 2);", [b0])
+    assert r[0, 3] == 0.0 and r[0, 0] == 2.0 and r[0, 2] == 1.0
+    with _pytest.raises(ValueError):
+        eval_map_algebra("out = con(rast[0]);", [b0])
+
+
+def test_geotiff_lzw_decode():
+    """LZW (Compression=5) GeoTIFF decode: the strip of an uncompressed
+    emit is re-packed with a test-local TIFF-LZW encoder (MSB-first,
+    early change) and the patched file decodes pixel-exact. The engine is
+    decode-only for LZW (deflate is the compressed emit path)."""
+    import struct
+
+    import numpy as np
+
+    from sedona_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width, out, bits = 258, 9, 0, 0
+        res = bytearray()
+
+        def emit(code, w):
+            nonlocal out, bits
+            out = (out << w) | code
+            bits += w
+            while bits >= 8:
+                res.append((out >> (bits - 8)) & 0xFF)
+                bits -= 8
+
+        emit(256, width)
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w += c
+            else:
+                emit(table[w], width)
+                table[w + c] = next_code
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+                if next_code == 4094:
+                    emit(256, width)
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code, width = 258, 9
+                w = c
+        if w:
+            emit(table[w], width)
+        emit(257, width)
+        if bits:
+            res.append((out << (8 - bits)) & 0xFF)
+        return bytes(res)
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 16, (23, 31, 3), dtype=np.uint8)  # compressible
+    plain = encode_geotiff(arr, 1.0, 2.0, 0.5, -0.5, 4326)
+    strip_len = 23 * 31 * 3
+    strip = plain[-strip_len:]
+    packed = lzw_encode(strip)
+    buf = bytearray(plain[:-strip_len])
+    # patch Compression (259) to 5 and StripByteCounts (279)
+    off = plain.index(struct.pack("<HHL", 259, 3, 1))
+    buf[off + 8] = 5
+    off = plain.index(struct.pack("<HHL", 279, 4, 1))
+    buf[off + 8:off + 12] = struct.pack("<L", len(packed))
+    buf += packed
+    a2, ulx, uly, sx, sy, srid = decode_geotiff(bytes(buf))
+    assert np.array_equal(a2, arr)
+    assert (ulx, uly, sx, sy, srid) == (1.0, 2.0, 0.5, -0.5, 4326)

@@ -355,9 +355,9 @@ select aggregate(RS_BandAsArray(r.buf, 0), 0, (a, v) -> a + v) empty_sum,
            RS_AddBandFromArray(r, RS_Array(12, 7e0)).buf, 2), 0,
            (a, v) -> a + v) ab_sum,
        aggregate(RS_BandAsArray(RS_Band(
-           RS_AddBandFromArray(r, RS_Array(12, 7e0)).buf, array(3)), 0),
+           RS_AddBandFromArray(r, RS_Array(12, 7e0)).buf, array(2)), 0),
            0, (a, v) -> a + v) selb_sum,
-       RS_AddBand(r, rm, 1).bands adb_nb,
+       RS_AddBand(r, rm, 0).bands adb_nb,
        RS_BandPixelType(r, 0) bpt
 from x
 """).collect()[0]
