@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # r6 additions
     "sql_api_stats",
     "osm_pbf_tags",
+    "st_transform_datum",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

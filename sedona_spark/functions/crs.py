@@ -363,28 +363,82 @@ def sql_albers(lon_expr: str, lat_expr: str,
 
 
 # ---------------------------------------------------------------------------
-# General transverse Mercator (r5): the UTM series with RUNTIME central
-# meridian / origin latitude / scale / false offsets — the national TM
-# grids (OSGB, Poland CS92, Gauss–Krüger belts). Same Karney–Krüger n³
-# series and WGS84 ellipse constants as the UTM tier; grids defined on
-# historic ellipsoids (Airy 1830 for OSGB) differ by the datum-shift
-# delta, the same documented seam as every closed-form CRS here.
+# General transverse Mercator (r5, per-ellipsoid since r6): the UTM
+# series with RUNTIME central meridian / origin latitude / scale / false
+# offsets — the national TM grids (OSGB, Poland CS92, Gauss–Krüger
+# belts). The Karney–Krüger n³ series constants are computed from any
+# (a, 1/f) via :func:`kruger_constants`; grids defined on historic
+# ellipsoids (Airy 1830 for OSGB, Bessel 1841 for Gauss–Krüger) pass
+# ``ell=ELLIPSOIDS[...]`` and get the true-ellipsoid series, with the
+# Helmert datum shift handled by the r6 datum tier below.
 # ---------------------------------------------------------------------------
 
+# (a meters, 1/f) of the public reference ellipsoids (EPSG registry)
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": (6378137.0, 298.257222101),
+    "airy1830": (6377563.396, 299.3249646),
+    "bessel1841": (6377397.155, 299.1528128),
+    "intl1924": (6378388.0, 297.0),
+    "clarke1866": (6378206.4, 294.9786982),
+}
 
-def _meridian_arc_xi(lat0: float) -> float:
+
+def kruger_constants(
+    a: float, inv_f: float
+) -> tuple[float, tuple, tuple, tuple, float]:
+    """Karney–Krüger series constants (rectifying radius A, forward α,
+    inverse β, footpoint δ, 2√n/(1+n)) for an arbitrary ellipsoid — the
+    same n³ truncation as the module-level WGS84 set (sub-mm planimetric
+    error for every Earth ellipsoid, whose third flattenings all sit near
+    n ≈ 1.7e-3)."""
+    f = 1.0 / inv_f
+    n = f / (2.0 - f)
+    a_cap = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+        13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+        61.0 * n ** 3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+        n ** 2 / 48.0 + n ** 3 / 15.0,
+        17.0 * n ** 3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3,
+        7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0,
+        56.0 * n ** 3 / 15.0,
+    )
+    return a_cap, alpha, beta, delta, 2.0 * math.sqrt(n) / (1.0 + n)
+
+
+def _tm_consts(ell: tuple[float, float] | None):
+    """(A, α, β, δ, 2√n/(1+n)) for ``ell`` = (a, 1/f), or the
+    module-level WGS84 constants when None (bit-identical to the r5
+    paths, so every pre-r6 oracle hash is untouched)."""
+    if ell is None:
+        return _A_CAP, _ALPHA, _BETA, _DELTA, _TWO_SQRTN
+    return kruger_constants(*ell)
+
+
+def _meridian_arc_xi(
+    lat0: float, two_sqrtn: float | None = None, alpha: tuple | None = None
+) -> float:
     """ξ of the central meridian at lat0 (scalar Python twin of the
     forward series with Δλ = 0) — the M₀ term for grids with a
     latitude-of-origin."""
     if lat0 == 0.0:
         return 0.0
+    if two_sqrtn is None:
+        two_sqrtn, alpha = _TWO_SQRTN, _ALPHA
     s = math.sin(lat0 * _RAD)
     t = math.sinh(
-        math.atanh(s) - _TWO_SQRTN * math.atanh(_TWO_SQRTN * s)
+        math.atanh(s) - two_sqrtn * math.atanh(two_sqrtn * s)
     )
     xi_p = math.atan2(t, 1.0)
     xi = xi_p
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha, start=1):
         xi += a * math.sin(2.0 * j * xi_p)  # cosh(0) = 1
     return xi
 
@@ -393,28 +447,30 @@ def st_transform_tmerc(
     lon: Column, lat: Column,
     lon0: float, lat0: float = 0.0, k0: float = 1.0,
     fe: float = 0.0, fn: float = 0.0,
+    ell: tuple[float, float] | None = None,
 ) -> tuple[Column, Column]:
     """General transverse Mercator: UTM's series with arbitrary
     parameters. ``st_transform_to_utm(zone z)`` ≡
     ``st_transform_tmerc(lon0=zone central meridian, k0=0.9996,
     fe=500000)`` (pytest-pinned identity)."""
+    a_cap, alpha_c, _, _, two_sqrtn = _tm_consts(ell)
     lam0 = lon0 * _RAD
     phi = lat * F.lit(_RAD)
     dlam = lon * F.lit(_RAD) - F.lit(lam0)
     sphi = F.sin(phi)
     t = F.sinh(
-        F.atanh(sphi) - F.lit(_TWO_SQRTN) * F.atanh(F.lit(_TWO_SQRTN) * sphi)
+        F.atanh(sphi) - F.lit(two_sqrtn) * F.atanh(F.lit(two_sqrtn) * sphi)
     )
     xi_p = F.atan2(t, F.cos(dlam))
     eta_p = F.atanh(F.sin(dlam) / F.sqrt(1.0 + t * t))
     xi = xi_p
     eta = eta_p
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha_c, start=1):
         xi = xi + F.lit(a) * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
         eta = eta + F.lit(a) * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
-    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
-    e = F.lit(float(fe)) + F.lit(k0 * _A_CAP) * eta
-    nn = F.lit(float(fn) - m0) + F.lit(k0 * _A_CAP) * xi
+    m0 = k0 * a_cap * _meridian_arc_xi(lat0, two_sqrtn, alpha_c)
+    e = F.lit(float(fe)) + F.lit(k0 * a_cap) * eta
+    nn = F.lit(float(fn) - m0) + F.lit(k0 * a_cap) * xi
     return e, nn
 
 
@@ -422,19 +478,21 @@ def st_transform_tmerc_inv(
     easting: Column, northing: Column,
     lon0: float, lat0: float = 0.0, k0: float = 1.0,
     fe: float = 0.0, fn: float = 0.0,
+    ell: tuple[float, float] | None = None,
 ) -> tuple[Column, Column]:
     """Inverse general transverse Mercator (Krüger β/δ series)."""
-    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
-    xi = (northing - F.lit(float(fn) - m0)) / F.lit(k0 * _A_CAP)
-    eta = (easting - F.lit(float(fe))) / F.lit(k0 * _A_CAP)
+    a_cap, alpha_c, beta_c, delta_c, two_sqrtn = _tm_consts(ell)
+    m0 = k0 * a_cap * _meridian_arc_xi(lat0, two_sqrtn, alpha_c)
+    xi = (northing - F.lit(float(fn) - m0)) / F.lit(k0 * a_cap)
+    eta = (easting - F.lit(float(fe))) / F.lit(k0 * a_cap)
     xi_p = xi
     eta_p = eta
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta_c, start=1):
         xi_p = xi_p - F.lit(b) * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
         eta_p = eta_p - F.lit(b) * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
     chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
     phi = chi
-    for j, d in enumerate(_DELTA, start=1):
+    for j, d in enumerate(delta_c, start=1):
         phi = phi + F.lit(d) * F.sin(2.0 * j * chi)
     lam = F.lit(lon0 * _RAD) + F.atan2(F.sinh(eta_p), F.cos(xi_p))
     return lam / F.lit(_RAD), phi / F.lit(_RAD)
@@ -446,6 +504,173 @@ TMERC_EPSG: dict[int, tuple[float, float, float, float, float]] = {
     2180: (19.0, 0.0, 0.9993, 500000.0, -5300000.0),         # Poland CS92
     31468: (12.0, 0.0, 1.0, 4500000.0, 0.0),                 # DHDN GK zone 4
 }
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts (r6 — closes the "no datum shifts" half of VERDICT r5
+# what's-missing #2; reference capability: GeoTools-backed any-datum
+# ST_Transform, ``FunctionsGeoTools.java``). 7-parameter Helmert in the
+# POSITION-VECTOR convention (EPSG method 9606): geodetic(WGS84, h=0) →
+# ECEF → translate/rotate/scale → geodetic(target) via Bowring's
+# closed-form inverse (single-step; sub-mm for |h| ≲ km, and the shifted
+# point sits within tens of meters of the target ellipsoid). The inverse
+# shift negates the parameters (first-order exact: round-trip error
+# ≈ 6e-8°, pytest-pinned). Accuracy is the published accuracy of the
+# Helmert sets themselves (~2-5 m vs grid transforms like OSTN15 — the
+# remaining seam); the PROJECTION math after the shift is exact.
+# ---------------------------------------------------------------------------
+
+# datum → (tx m, ty m, tz m, rx ″, ry ″, rz ″, scale ppm), WGS84 → datum,
+# position-vector sign convention. OSGB36: negation of the OS-published
+# OSGB36→WGS84 set (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+# -20.4894). DHDN: negation of EPSG:1777 (598.1, 73.7, 418.2, 0.202,
+# 0.045, -2.455, 6.7).
+HELMERT_WGS84_TO: dict[str, tuple[float, ...]] = {
+    "osgb36": (-446.448, 125.157, -542.060,
+               -0.1502, -0.2470, -0.8421, 20.4894),
+    "dhdn": (-598.1, -73.7, -418.2, -0.202, -0.045, 2.455, -6.7),
+}
+
+# datum-bound national TM grids: epsg → (datum, ellipsoid); the grid
+# parameters stay in TMERC_EPSG (same key)
+DATUM_TM_EPSG: dict[int, tuple[str, str]] = {
+    27700: ("osgb36", "airy1830"),
+    31468: ("dhdn", "bessel1841"),
+}
+
+_SEC = math.pi / (180.0 * 3600.0)  # arc-seconds → radians
+
+
+def st_datum_shift(
+    lon: Column, lat: Column, datum: str, inverse: bool = False,
+) -> tuple[Column, Column]:
+    """Geodetic WGS84 → ``datum`` (or back with ``inverse=True``) as pure
+    Columns: ECEF at h=0, 7-param Helmert, Bowring inverse on the target
+    ellipsoid."""
+    p = HELMERT_WGS84_TO[datum]
+    if inverse:
+        a_s, inv_f_s = ELLIPSOIDS[_DATUM_ELL[datum]]
+        a_t, inv_f_t = ELLIPSOIDS["wgs84"]
+        p = tuple(-v for v in p)
+    else:
+        a_s, inv_f_s = ELLIPSOIDS["wgs84"]
+        a_t, inv_f_t = ELLIPSOIDS[_DATUM_ELL[datum]]
+    f = 1.0 / inv_f_s
+    e2 = f * (2.0 - f)
+    sphi, cphi = F.sin(lat * F.lit(_RAD)), F.cos(lat * F.lit(_RAD))
+    nu = F.lit(a_s) / F.sqrt(F.lit(1.0) - F.lit(e2) * sphi * sphi)
+    xx = nu * cphi * F.cos(lon * F.lit(_RAD))
+    yy = nu * cphi * F.sin(lon * F.lit(_RAD))
+    zz = nu * F.lit(1.0 - e2) * sphi
+    tx, ty, tz, rxs, rys, rzs, sppm = p
+    rx, ry, rz = rxs * _SEC, rys * _SEC, rzs * _SEC
+    m = 1.0 + sppm * 1e-6
+    x2 = F.lit(tx) + F.lit(m) * (xx - F.lit(rz) * yy + F.lit(ry) * zz)
+    y2 = F.lit(ty) + F.lit(m) * (F.lit(rz) * xx + yy - F.lit(rx) * zz)
+    z2 = F.lit(tz) + F.lit(m) * (-F.lit(ry) * xx + F.lit(rx) * yy + zz)
+    ft = 1.0 / inv_f_t
+    e2t = ft * (2.0 - ft)
+    bt = a_t * (1.0 - ft)
+    ep2 = e2t / (1.0 - e2t)
+    pr = F.sqrt(x2 * x2 + y2 * y2)
+    th = F.atan2(z2 * F.lit(a_t), pr * F.lit(bt))
+    st3 = F.sin(th) * F.sin(th) * F.sin(th)
+    ct3 = F.cos(th) * F.cos(th) * F.cos(th)
+    lat2 = F.atan2(z2 + F.lit(ep2 * bt) * st3, pr - F.lit(e2t * a_t) * ct3)
+    lon2 = F.atan2(y2, x2)
+    return lon2 / F.lit(_RAD), lat2 / F.lit(_RAD)
+
+
+_DATUM_ELL = {d: e for d, e in DATUM_TM_EPSG.values()}
+
+
+def datum_shift_np(lon, lat, datum: str, inverse: bool = False):
+    """numpy twin of :func:`st_datum_shift` (same op sequence as the
+    :func:`sql_datum_shift` text)."""
+    import numpy as np
+
+    p = HELMERT_WGS84_TO[datum]
+    if inverse:
+        a_s, inv_f_s = ELLIPSOIDS[_DATUM_ELL[datum]]
+        a_t, inv_f_t = ELLIPSOIDS["wgs84"]
+        p = tuple(-v for v in p)
+    else:
+        a_s, inv_f_s = ELLIPSOIDS["wgs84"]
+        a_t, inv_f_t = ELLIPSOIDS[_DATUM_ELL[datum]]
+    f = 1.0 / inv_f_s
+    e2 = f * (2.0 - f)
+    sphi, cphi = np.sin(lat * _RAD), np.cos(lat * _RAD)
+    nu = a_s / np.sqrt(1.0 - e2 * sphi * sphi)
+    xx = nu * cphi * np.cos(lon * _RAD)
+    yy = nu * cphi * np.sin(lon * _RAD)
+    zz = nu * (1.0 - e2) * sphi
+    tx, ty, tz, rxs, rys, rzs, sppm = p
+    rx, ry, rz = rxs * _SEC, rys * _SEC, rzs * _SEC
+    m = 1.0 + sppm * 1e-6
+    x2 = tx + m * (xx - rz * yy + ry * zz)
+    y2 = ty + m * (rz * xx + yy - rx * zz)
+    z2 = tz + m * (-ry * xx + rx * yy + zz)
+    ft = 1.0 / inv_f_t
+    e2t = ft * (2.0 - ft)
+    bt = a_t * (1.0 - ft)
+    ep2 = e2t / (1.0 - e2t)
+    pr = np.sqrt(x2 * x2 + y2 * y2)
+    th = np.arctan2(z2 * a_t, pr * bt)
+    st3 = np.sin(th) * np.sin(th) * np.sin(th)
+    ct3 = np.cos(th) * np.cos(th) * np.cos(th)
+    lat2 = np.arctan2(z2 + (ep2 * bt) * st3, pr - (e2t * a_t) * ct3)
+    lon2 = np.arctan2(y2, x2)
+    return lon2 / _RAD, lat2 / _RAD
+
+
+def sql_helmert_ecef(
+    lon_expr: str, lat_expr: str, datum: str,
+) -> tuple[str, str, str]:
+    """Stage-1 SQL twin of the WGS84 → ``datum`` shift: geodetic → ECEF
+    at h=0, then the 7-param Helmert. Returns (X, Y, Z) expression texts.
+    Textual one-shot composition of the FULL chain multiplies the input
+    expressions combinatorially (tens of MB of SQL) — oracle queries must
+    stage the pieces through CTEs instead: bind these three as columns,
+    then :func:`sql_bowring` over the column NAMES, then
+    :func:`sql_tmerc` over its outputs (same staging the numpy twin's
+    intermediates give for free)."""
+    a_s, inv_f_s = ELLIPSOIDS["wgs84"]
+    tx, ty, tz, rxs, rys, rzs, sppm = HELMERT_WGS84_TO[datum]
+    rx, ry, rz = rxs * _SEC, rys * _SEC, rzs * _SEC
+    m = 1.0 + sppm * 1e-6
+    f = 1.0 / inv_f_s
+    e2 = f * (2.0 - f)
+    sphi = f"(sin(({lat_expr}) * {_RAD!r}))"
+    cphi = f"(cos(({lat_expr}) * {_RAD!r}))"
+    nu = f"({a_s!r} / sqrt(1e0 - {e2!r} * {sphi} * {sphi}))"
+    xx = f"({nu} * {cphi} * cos(({lon_expr}) * {_RAD!r}))"
+    yy = f"({nu} * {cphi} * sin(({lon_expr}) * {_RAD!r}))"
+    zz = f"({nu} * {1.0 - e2!r} * {sphi})"
+    x2 = f"({tx!r} + {m!r} * ({xx} - {rz!r} * {yy} + {ry!r} * {zz}))"
+    y2 = f"({ty!r} + {m!r} * ({rz!r} * {xx} + {yy} - {rx!r} * {zz}))"
+    z2 = f"({tz!r} + {m!r} * (-({ry!r}) * {xx} + {rx!r} * {yy} + {zz}))"
+    return x2, y2, z2
+
+
+def sql_bowring(
+    x_col: str, y_col: str, z_col: str, ell_name: str,
+) -> tuple[str, str]:
+    """Stage-2 SQL twin: ECEF → geodetic on ``ell_name`` via Bowring's
+    closed form. Pass COLUMN NAMES bound by a prior CTE (see
+    :func:`sql_helmert_ecef`), never raw expression text."""
+    a_t, inv_f_t = ELLIPSOIDS[ell_name]
+    ft = 1.0 / inv_f_t
+    e2t = ft * (2.0 - ft)
+    bt = a_t * (1.0 - ft)
+    ep2 = e2t / (1.0 - e2t)
+    pr = f"(sqrt({x_col} * {x_col} + {y_col} * {y_col}))"
+    th = f"(atan2({z_col} * {a_t!r}, {pr} * {bt!r}))"
+    st3 = f"(sin({th}) * sin({th}) * sin({th}))"
+    ct3 = f"(cos({th}) * cos({th}) * cos({th}))"
+    lat2 = (f"(atan2({z_col} + {ep2 * bt!r} * {st3}, "
+            f"{pr} - {e2t * a_t!r} * {ct3}))")
+    lon2 = f"(atan2({y_col}, {x_col}))"
+    return f"({lon2} / {_RAD!r})", f"({lat2} / {_RAD!r})"
 
 
 # ---------------------------------------------------------------------------
@@ -552,6 +777,11 @@ def st_transform_epsg(
     ST_Transform('epsg:N') surface for every code in ``CONIC_EPSG``."""
     if epsg == 3857:
         return st_transform_to_mercator(lon, lat)
+    if epsg in DATUM_TM_EPSG:
+        datum, ell_name = DATUM_TM_EPSG[epsg]
+        lon_d, lat_d = st_datum_shift(lon, lat, datum)
+        return st_transform_tmerc(lon_d, lat_d, *TMERC_EPSG[epsg],
+                                  ell=ELLIPSOIDS[ell_name])
     if epsg in TMERC_EPSG:
         return st_transform_tmerc(lon, lat, *TMERC_EPSG[epsg])
     if 32601 <= epsg <= 32660:        # WGS84 / UTM north
@@ -581,31 +811,33 @@ def st_transform_epsg(
 # ---------------------------------------------------------------------------
 
 
-def _np_tmerc(lon, lat, lon0, lat0=0.0, k0=1.0, fe=0.0, fn=0.0):
+def _np_tmerc(lon, lat, lon0, lat0=0.0, k0=1.0, fe=0.0, fn=0.0, ell=None):
     """numpy twin of :func:`sql_tmerc` (same IEEE op sequence). ``lon0``
-    may be an array (runtime UTM central meridians)."""
+    may be an array (runtime UTM central meridians); ``ell`` = (a, 1/f)
+    swaps in a non-WGS84 ellipsoid's series."""
     import numpy as np
 
+    a_cap, alpha_c, _, _, two_sqrtn = _tm_consts(ell)
     phi = lat * _RAD
     dlam = (lon - lon0) * _RAD
     s = np.sin(phi)
     ath1 = 0.5 * np.log((1.0 + s) / (1.0 - s))
-    ts2 = _TWO_SQRTN * s
+    ts2 = two_sqrtn * s
     ath2 = 0.5 * np.log((1.0 + ts2) / (1.0 - ts2))
-    targ = ath1 - _TWO_SQRTN * ath2
+    targ = ath1 - two_sqrtn * ath2
     t = (np.exp(targ) - np.exp(-targ)) / 2.0
     xi_p = np.arctan2(t, np.cos(dlam))
     eta_arg = np.sin(dlam) / np.sqrt(1.0 + t * t)
     eta_p = 0.5 * np.log((1.0 + eta_arg) / (1.0 - eta_arg))
     xi = xi_p.copy()
     eta = eta_p.copy()
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha_c, start=1):
         ch = (np.exp(2 * j * eta_p) + np.exp(-(2 * j * eta_p))) / 2.0
         sh = (np.exp(2 * j * eta_p) - np.exp(-(2 * j * eta_p))) / 2.0
         xi = xi + a * np.sin(2 * j * xi_p) * ch
         eta = eta + a * np.cos(2 * j * xi_p) * sh
-    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
-    return fe + k0 * _A_CAP * eta, fn - m0 + k0 * _A_CAP * xi
+    m0 = k0 * a_cap * _meridian_arc_xi(lat0, two_sqrtn, alpha_c)
+    return fe + k0 * a_cap * eta, fn - m0 + k0 * a_cap * xi
 
 
 def transform_epsg_batch(lon, lat, code):
@@ -698,7 +930,18 @@ def transform_epsg_batch(lon, lat, code):
                         fn + -sgn * rho * np.cos(dl))
 
             put(m, stereo)
+    for c, (datum, ell_name) in DATUM_TM_EPSG.items():
+        m = code == c
+        if m.any():
+            def datum_tm(lo, la, datum=datum, ell_name=ell_name,
+                         p=TMERC_EPSG[c]):
+                lo2, la2 = datum_shift_np(lo, la, datum)
+                return _np_tmerc(lo2, la2, *p, ell=ELLIPSOIDS[ell_name])
+
+            put(m, datum_tm)
     for c, (lon0, lat0, k0, fe, fn) in TMERC_EPSG.items():
+        if c in DATUM_TM_EPSG:
+            continue
         m = code == c
         if m.any():
             put(m, lambda lo, la, p=(lon0, lat0, k0, fe, fn):
@@ -853,27 +1096,30 @@ def sql_tmerc(
     lon_expr: str, lat_expr: str, lon0_expr: str,
     k0: float = _K0, lat0: float = 0.0,
     fe: float = _E0, fn_expr: str = "0e0",
+    ell: tuple[float, float] | None = None,
 ) -> tuple[str, str]:
     """Engine-portable SQL twin of :func:`st_transform_tmerc` — the
     Karney–Krüger series with a RUNTIME central meridian (the series
     constants are meridian-independent, so one text covers every UTM
     zone). Hyperbolics are written exp-based because DuckDB has no
     sinh/cosh/atanh; Spark evaluates the identical text. ``fn_expr`` is
-    SQL text so the UTM south false northing can also be runtime."""
+    SQL text so the UTM south false northing can also be runtime;
+    ``ell`` = (a, 1/f) swaps in a non-WGS84 ellipsoid's series."""
+    a_cap, alpha_c, _, _, two_sqrtn = _tm_consts(ell)
     phi = f"(({lat_expr}) * {_RAD!r})"
     dlam = f"((({lon_expr}) - ({lon0_expr})) * {_RAD!r})"
     s = f"(sin({phi}))"
     ath1 = f"(0.5e0 * ln((1e0 + {s}) / (1e0 - {s})))"
-    ts2 = f"({_TWO_SQRTN!r} * {s})"
+    ts2 = f"({two_sqrtn!r} * {s})"
     ath2 = f"(0.5e0 * ln((1e0 + {ts2}) / (1e0 - {ts2})))"
-    targ = f"({ath1} - {_TWO_SQRTN!r} * {ath2})"
+    targ = f"({ath1} - {two_sqrtn!r} * {ath2})"
     t = f"((exp({targ}) - exp(-({targ}))) / 2e0)"
     xi_p = f"(atan2({t}, cos({dlam})))"
     eta_arg = f"(sin({dlam}) / sqrt(1e0 + {t} * {t}))"
     eta_p = (f"(0.5e0 * ln((1e0 + {eta_arg}) / (1e0 - {eta_arg})))")
     xi_terms = [xi_p]
     eta_terms = [eta_p]
-    for j, a in enumerate(_ALPHA, start=1):
+    for j, a in enumerate(alpha_c, start=1):
         ch = (f"((exp({2*j}e0 * {eta_p}) + exp(-({2*j}e0 * {eta_p}))) "
               f"/ 2e0)")
         sh = (f"((exp({2*j}e0 * {eta_p}) - exp(-({2*j}e0 * {eta_p}))) "
@@ -882,7 +1128,7 @@ def sql_tmerc(
         eta_terms.append(f"({a!r} * cos({2*j}e0 * {xi_p}) * {sh})")
     xi = "(" + " + ".join(xi_terms) + ")"
     eta = "(" + " + ".join(eta_terms) + ")"
-    m0 = k0 * _A_CAP * _meridian_arc_xi(lat0)
-    x = f"({fe!r} + {k0 * _A_CAP!r} * {eta})"
-    y = f"(({fn_expr}) - {m0!r} + {k0 * _A_CAP!r} * {xi})"
+    m0 = k0 * a_cap * _meridian_arc_xi(lat0, two_sqrtn, alpha_c)
+    x = f"({fe!r} + {k0 * a_cap!r} * {eta})"
+    y = f"(({fn_expr}) - {m0!r} + {k0 * a_cap!r} * {xi})"
     return x, y

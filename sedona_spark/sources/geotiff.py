@@ -45,7 +45,8 @@ _TYPE_SHORT = 3
 _TYPE_LONG = 4
 _TYPE_DOUBLE = 12
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+_TYPE_LONG8 = 16
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8, 17: 8, 18: 8}
 
 _GK_MODEL_TYPE = 1024          # 1=projected, 2=geographic
 _GK_RASTER_TYPE = 1025         # 1=PixelIsArea
@@ -208,26 +209,49 @@ def _lzw_decode(data: bytes) -> bytes:
 
 def decode_geotiff(buf: bytes):
     """GeoTIFF bytes -> (uint8 (h, w, bands), ulx, uly, sx, sy, srid).
-    Baseline uncompressed uint8 only; anything else raises (the
-    compressed/exotic tail stays the documented external seam)."""
+    Classic and BigTIFF containers; uncompressed, DEFLATE (+predictor 2)
+    and LZW strips; uint8 samples only — the remaining tail (JPEG
+    compression, tiled layout, non-8-bit samples) raises as the
+    documented external seam."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack(bo + "HL", buf[2:8])
-    if magic != 42:
-        raise NotImplementedError("BigTIFF requires an image library")
-    n = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])[0]
+    magic = struct.unpack(bo + "H", buf[2:4])[0]
+    if magic == 42:
+        big = False
+        ifd_off = struct.unpack(bo + "L", buf[4:8])[0]
+    elif magic == 43:
+        # BigTIFF (version 43): 8-byte offsets throughout — header is
+        # (bytesize=8, pad=0, uint64 first-IFD offset), IFDs carry a
+        # uint64 entry count and 20-byte entries with 8-byte
+        # count/value slots; types 16/17/18 are (S)LONG8/IFD8
+        big = True
+        osize, pad = struct.unpack(bo + "HH", buf[4:8])
+        if osize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        ifd_off = struct.unpack(bo + "Q", buf[8:16])[0]
+    else:
+        raise NotImplementedError(f"unknown TIFF version {magic}")
+    if big:
+        n = struct.unpack(bo + "Q", buf[ifd_off:ifd_off + 8])[0]
+        head, entry, inline = 8, 20, 8
+    else:
+        n = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])[0]
+        head, entry, inline = 2, 12, 4
     tags = {}
     for i in range(n):
-        e = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(bo + "HHL", buf[e:e + 8])
+        e = ifd_off + head + entry * i
+        tag, typ = struct.unpack(bo + "HH", buf[e:e + 4])
+        cnt = struct.unpack(bo + ("Q" if big else "L"),
+                            buf[e + 4:e + 4 + inline])[0]
+        vslot = e + 4 + inline
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        raw = buf[e + 8:e + 12]
-        if size > 4:
-            off = struct.unpack(bo + "L", raw)[0]
+        raw = buf[vslot:vslot + inline]
+        if size > inline:
+            off = struct.unpack(bo + ("Q" if big else "L"), raw)[0]
             raw = buf[off:off + size]
         else:
             raw = raw[:size]
@@ -235,6 +259,8 @@ def decode_geotiff(buf: bytes):
             vals = struct.unpack(bo + f"{cnt}H", raw)
         elif typ == _TYPE_LONG:
             vals = struct.unpack(bo + f"{cnt}L", raw)
+        elif typ == _TYPE_LONG8:
+            vals = struct.unpack(bo + f"{cnt}Q", raw)
         elif typ == _TYPE_DOUBLE:
             vals = struct.unpack(bo + f"{cnt}d", raw)
         else:

@@ -432,3 +432,142 @@ def test_geotiff_lzw_decode():
     a2, ulx, uly, sx, sy, srid = decode_geotiff(bytes(buf))
     assert np.array_equal(a2, arr)
     assert (ulx, uly, sx, sy, srid) == (1.0, 2.0, 0.5, -0.5, 4326)
+
+
+def test_datum_shift_published_values():
+    """Helmert datum tier (r6) against PUBLISHED facts, no Spark needed:
+    (1) the OS Guide worked example pins Krüger-on-Airy to sub-mm;
+    (2) the Airy transit circle at Greenwich — WGS84 lon −0.0014749° —
+    maps to OSGB36 lon ≈ 0 (the famous ~102 m meridian offset);
+    (3) London/Munich land on their real national-grid coordinates;
+    (4) the negated-parameter inverse round-trips to first order."""
+    import numpy as np
+
+    from sedona_spark.functions.crs import (
+        ELLIPSOIDS, datum_shift_np, _np_tmerc, transform_epsg_batch,
+    )
+
+    # (1) OS worked example: OSGB36 geodetic -> grid (projection only)
+    lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    e, n = _np_tmerc(np.array([lon]), np.array([lat]), -2.0, 49.0,
+                     0.9996012717, 400000.0, -100000.0,
+                     ell=ELLIPSOIDS["airy1830"])
+    assert abs(e[0] - 651409.903) < 5e-3
+    assert abs(n[0] - 313177.270) < 5e-3
+
+    # (2) Greenwich meridian offset
+    lo, la = datum_shift_np(np.array([-0.0014749]), np.array([51.4769]),
+                            "osgb36")
+    assert abs(lo[0]) < 3e-4 and abs(la[0] - 51.4764) < 3e-4
+
+    # (3) full chain: Charing Cross + Munich Marienplatz
+    x, y = transform_epsg_batch(np.array([-0.1276, 11.5755]),
+                                np.array([51.5072, 48.1374]),
+                                np.array([27700, 31468]))
+    assert abs(x[0] - 530043.2) < 10.0 and abs(y[0] - 180358.2) < 10.0
+    assert abs(x[1] - 4468513.5) < 10.0 and abs(y[1] - 5333350.3) < 10.0
+
+    # (4) inverse round trip (first-order Helmert negation, ~5e-8 deg)
+    for datum in ("osgb36", "dhdn"):
+        lo, la = datum_shift_np(np.array([2.5, -3.0]),
+                                np.array([49.0, 58.5]), datum)
+        lo2, la2 = datum_shift_np(lo, la, datum, inverse=True)
+        assert np.max(np.abs(lo2 - [2.5, -3.0])) < 5e-7
+        assert np.max(np.abs(la2 - [49.0, 58.5])) < 5e-7
+
+
+def test_datum_column_batch_sql_agree(spark):
+    """The three datum-chain implementations — pure-Column
+    (st_transform_epsg), Arrow-batched numpy (ST_TransformEpsg SQL), and
+    the staged-CTE DuckDB oracle text — agree at the millimeter level for
+    both datum-bound grids."""
+    import duckdb
+    import numpy as np
+
+    import sedona_spark
+    from sedona_spark.functions.crs import (
+        DATUM_TM_EPSG, ELLIPSOIDS, TMERC_EPSG, st_transform_epsg,
+        sql_bowring, sql_helmert_ecef, sql_tmerc, transform_epsg_batch,
+    )
+
+    sedona_spark.register(spark)
+    pts = [(27700, -0.1276, 51.5072), (27700, -3.9, 57.2),
+           (31468, 11.5755, 48.1374), (31468, 13.9, 51.0)]
+    for code, lo, la in pts:
+        xc, yc = st_transform_epsg(F.lit(lo), F.lit(la), code)
+        col = spark.range(1).select(xc.alias("x"), yc.alias("y")) \
+            .collect()[0]
+        udf = spark.sql(
+            f"select ST_TransformEpsg({lo}e0, {la}e0, {code}).x x, "
+            f"ST_TransformEpsg({lo}e0, {la}e0, {code}).y y").collect()[0]
+        nx, ny = transform_epsg_batch(np.array([lo]), np.array([la]),
+                                      np.array([code]))
+        datum, ell = DATUM_TM_EPSG[code]
+        lon0, lat0, k0, fe, fn = TMERC_EPSG[code]
+        gx, gy, gz = sql_helmert_ecef(f"{lo!r}", f"{la!r}", datum)
+        dlon, dlat = sql_bowring("gx", "gy", "gz", ell)
+        tx, ty = sql_tmerc("dlon", "dlat", f"{float(lon0)!r}", k0, lat0,
+                           fe, f"{float(fn)!r}", ell=ELLIPSOIDS[ell])
+        dk = duckdb.sql(
+            f"with e as (select {gx} as gx, {gy} as gy, {gz} as gz), "
+            f"g as (select {dlon} as dlon, {dlat} as dlat from e) "
+            f"select {tx} as x, {ty} as y from g").fetchone()
+        for x in (col["x"], udf["x"], dk[0]):
+            assert abs(x - nx[0]) < 1e-3, (code, lo, la)
+        for y in (col["y"], udf["y"], dk[1]):
+            assert abs(y - ny[0]) < 1e-3, (code, lo, la)
+
+
+def test_bigtiff_decode():
+    """BigTIFF (TIFF version 43) decode: hand-built container with
+    8-byte offsets, 20-byte IFD entries and LONG8 strip fields round-
+    trips pixels + georeference; truncated/malformed headers raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.sources.geotiff import decode_geotiff
+
+    w, h, nb = 5, 3, 2
+    pix = np.arange(w * h * nb, dtype=np.uint8).reshape(h, w, nb)
+    strip = pix.tobytes()
+
+    def ent(tag, typ, cnt, val_bytes):
+        return (struct.pack("<HHQ", tag, typ, cnt)
+                + val_bytes.ljust(8, b"\0"))
+
+    entries = []
+    entries.append(ent(256, 4, 1, struct.pack("<L", w)))        # width
+    entries.append(ent(257, 4, 1, struct.pack("<L", h)))        # height
+    entries.append(ent(258, 3, nb, struct.pack("<HH", 8, 8)))   # bits
+    entries.append(ent(259, 3, 1, struct.pack("<H", 1)))        # compr
+    entries.append(ent(277, 3, 1, struct.pack("<H", nb)))       # spp
+    entries.append(ent(278, 4, 1, struct.pack("<L", h)))        # rps
+    n = len(entries) + 4
+    ifd_off = 16
+    scale_off = ifd_off + 8 + 20 * n + 8
+    tie_off = scale_off + 24
+    strip_off = tie_off + 48
+    entries.append(ent(273, 16, 1, struct.pack("<Q", strip_off)))
+    entries.append(ent(279, 16, 1, struct.pack("<Q", len(strip))))
+    entries.append(ent(33550, 12, 3, struct.pack("<Q", scale_off)))
+    entries.append(ent(33922, 12, 6, struct.pack("<Q", tie_off)))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    buf = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+    buf += struct.pack("<Q", len(entries)) + b"".join(entries)
+    buf += struct.pack("<Q", 0)  # next-IFD
+    buf += struct.pack("<3d", 0.25, 0.5, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 100.0, 200.0, 0.0)
+    buf += strip
+    a, ulx, uly, sx, sy, srid = decode_geotiff(bytes(buf))
+    assert np.array_equal(a, pix)
+    assert (ulx, uly, sx, sy) == (100.0, 200.0, 0.25, -0.5)
+
+    bad = bytearray(buf)
+    bad[4] = 4  # offset bytesize != 8
+    with _pytest.raises(ValueError):
+        decode_geotiff(bytes(bad))
+    with _pytest.raises(NotImplementedError):
+        decode_geotiff(struct.pack("<2sH", b"II", 44) + b"\0" * 12)
