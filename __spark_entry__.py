@@ -4564,7 +4564,8 @@ from g
 
 def _sql_api_6_sql() -> str:
     from sedona_spark.functions.crs import (
-        CONIC_EPSG, sql_albers, sql_laea, sql_lcc, sql_stereo, sql_tmerc,
+        CONIC_EPSG, sql_albers, sql_laea_ell, sql_lcc, sql_stereo,
+        sql_tmerc,
         sql_to_mercator,
     )
     from sedona_spark.functions.geohash import _bits, _sql_grid
@@ -4580,7 +4581,8 @@ def _sql_api_6_sql() -> str:
         "zcx", "zcy",
         "((floor((zcx + 180e0) / 6e0) + 1) * 6 - 183)",
     )
-    _, laea_y = sql_laea("zcx", "zcy", *CONIC_EPSG[3035][1:3])
+    _, laea_y = sql_laea_ell("zcx", "zcy", *CONIC_EPSG[3035][1:3],
+                             *CONIC_EPSG[3035][5:7])
     # mirror of the engine's per-segment projection ARITHMETIC (same IEEE
     # op order) for the one live segment of the 2-point diagonal
     tt = ("((zcx - (zcx - hx)) * ((zcx + hx) - (zcx - hx)) "

@@ -736,13 +736,161 @@ def sql_stereo(lon_expr: str, lat_expr: str,
             f"({float(fn)!r} + {-sgn!r} * {rho} * cos({dl}))")
 
 
+# ---------------------------------------------------------------------------
+# Equal-area ellipsoidal family (r6b): oblique Lambert azimuthal
+# equal-area (Snyder 1987 §24 — EPSG method 9820, the ETRS89-LAEA
+# Europe grid) and Lambert cylindrical equal-area (Snyder §10 — EPSG
+# 9835, the NSIDC EASE-Grid 2.0 global grid, which the r5 table
+# mis-modeled as an azimuthal projection). All latitude-independent
+# constants (q_p, β₁, R_q, D, k₀) precompute in Python; the per-row work
+# is the authalic q(φ) plus plain trig, identical op-for-op across the
+# Column / numpy / SQL-text forms. Published pins (pytest): the EASE-2.0
+# x-extent a·k₀·π = 17 367 530.445 m and grid-edge y(85.0445664°) =
+# 7 314 540.831 m to sub-mm; the 3035 origin → (4 321 000, 3 210 000).
+# ---------------------------------------------------------------------------
+
+
+def _laea_ell_constants(lat0: float, e2: float = _E2W):
+    """(q_p, sinβ₁, cosβ₁, R_q, D) for the oblique ellipsoidal LAEA
+    centered at lat0 (Snyder eqs. 3-12, 3-11, 24-20, 24-21)."""
+    qp = _qf(math.pi / 2.0, e2)
+    b1 = math.asin(_qf(lat0 * _RAD, e2) / qp)
+    rq = _R * math.sqrt(qp / 2.0)
+    d = _R * _mf(lat0 * _RAD, e2) / (rq * math.cos(b1))
+    return qp, math.sin(b1), math.cos(b1), rq, d
+
+
+def _q_col(lat: Column, e2: float = _E2W) -> Column:
+    """Runtime authalic q(φ) as a pure Column (Snyder eq. 3-12)."""
+    e = math.sqrt(e2)
+    s = F.sin(lat * F.lit(_RAD))
+    return F.lit(1.0 - e2) * (
+        s / (F.lit(1.0) - F.lit(e2) * s * s)
+        - F.lit(1.0 / (2.0 * e))
+        * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s))
+    )
+
+
+def _q_sql(lat_expr: str, e2: float = _E2W) -> str:
+    e = math.sqrt(e2)
+    s = f"sin({lat_expr} * {_RAD!r})"
+    return (f"({1.0 - e2!r} * ({s} / (1e0 - {e2!r} * {s} * {s}) "
+            f"- {1.0 / (2.0 * e)!r} * ln((1e0 - {e!r} * {s}) "
+            f"/ (1e0 + {e!r} * {s}))))")
+
+
+def st_transform_laea_ell(
+    lon: Column, lat: Column, lon0: float, lat0: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """Oblique Lambert azimuthal equal-area on the ellipsoid (Snyder
+    §24): β = asin(q/q_p), B = R_q·√(2/(1+sinβ₁sinβ+cosβ₁cosβ·cosΔλ)),
+    x = FE + B·D·cosβ·sinΔλ, y = FN + (B/D)(cosβ₁sinβ − sinβ₁cosβcosΔλ)."""
+    qp, sb1, cb1, rq, d = _laea_ell_constants(lat0)
+    beta = F.asin(_q_col(lat) / F.lit(qp))
+    sb, cb = F.sin(beta), F.cos(beta)
+    dl = (lon - F.lit(float(lon0))) * F.lit(_RAD)
+    bb = F.lit(rq) * F.sqrt(
+        F.lit(2.0) / F.greatest(
+            F.lit(1.0) + F.lit(sb1) * sb + F.lit(cb1) * cb * F.cos(dl),
+            F.lit(1e-12)))
+    x = F.lit(float(fe)) + bb * F.lit(d) * cb * F.sin(dl)
+    y = F.lit(float(fn)) + (bb / F.lit(d)) * (
+        F.lit(cb1) * sb - F.lit(sb1) * cb * F.cos(dl))
+    return x, y
+
+
+def st_transform_laea_ell_inv(
+    x: Column, y: Column, lon0: float, lat0: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """Inverse oblique ellipsoidal LAEA (Snyder §24 inverse + the
+    authalic-latitude series eq. 3-18)."""
+    qp, sb1, cb1, rq, d = _laea_ell_constants(lat0)
+    xs = (x - F.lit(float(fe))) / F.lit(d)
+    ys = (y - F.lit(float(fn))) * F.lit(d)
+    rho = F.sqrt(xs * xs + ys * ys)
+    ce = 2.0 * F.asin(
+        F.least(F.lit(1.0), rho / F.lit(2.0 * rq)))
+    sc, cc = F.sin(ce), F.cos(ce)
+    safe = F.greatest(rho, F.lit(1e-12))
+    beta = F.asin(cc * F.lit(sb1) + ys * sc * F.lit(cb1) / safe)
+    lam = F.lit(lon0 * _RAD) + F.atan2(
+        xs * sc,
+        safe * F.lit(cb1) * cc - ys * F.lit(sb1) * sc)
+    a2, a4, a6 = _beta_series(_E2W)
+    phi = beta + F.lit(a2) * F.sin(2.0 * beta) \
+        + F.lit(a4) * F.sin(4.0 * beta) + F.lit(a6) * F.sin(6.0 * beta)
+    return lam / F.lit(_RAD), phi / F.lit(_RAD)
+
+
+def sql_laea_ell(
+    lon_expr: str, lat_expr: str, lon0: float, lat0: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[str, str]:
+    """Engine-portable SQL twin of :func:`st_transform_laea_ell`."""
+    qp, sb1, cb1, rq, d = _laea_ell_constants(lat0)
+    beta = f"(asin({_q_sql(lat_expr)} / {qp!r}))"
+    sb, cb = f"sin({beta})", f"cos({beta})"
+    dl = f"(({lon_expr} - {float(lon0)!r}) * {_RAD!r})"
+    bb = (f"({rq!r} * sqrt(2e0 / greatest(1e0 + {sb1!r} * {sb} "
+          f"+ {cb1!r} * {cb} * cos({dl}), 1e-12)))")
+    x = f"({float(fe)!r} + {bb} * {d!r} * {cb} * sin({dl}))"
+    y = (f"({float(fn)!r} + ({bb} / {d!r}) * ({cb1!r} * {sb} "
+         f"- {sb1!r} * {cb} * cos({dl})))")
+    return x, y
+
+
+def st_transform_cea(
+    lon: Column, lat: Column, lon0: float, lat_ts: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """Lambert cylindrical equal-area on the ellipsoid (Snyder §10,
+    EPSG method 9835): k₀ = m(φ_ts), x = FE + a·k₀·Δλ,
+    y = FN + a·q(φ)/(2k₀)."""
+    k0 = _mf(lat_ts * _RAD, _E2W)
+    x = F.lit(float(fe)) + F.lit(_R * k0) * \
+        (lon - F.lit(float(lon0))) * F.lit(_RAD)
+    y = F.lit(float(fn)) + F.lit(_R / (2.0 * k0)) * _q_col(lat)
+    return x, y
+
+
+def st_transform_cea_inv(
+    x: Column, y: Column, lon0: float, lat_ts: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[Column, Column]:
+    """Inverse ellipsoidal cylindrical equal-area (authalic series)."""
+    k0 = _mf(lat_ts * _RAD, _E2W)
+    qp = _qf(math.pi / 2.0, _E2W)
+    beta = F.asin(F.least(F.lit(1.0), F.greatest(
+        F.lit(-1.0),
+        (y - F.lit(float(fn))) * F.lit(2.0 * k0 / (_R * qp)))))
+    a2, a4, a6 = _beta_series(_E2W)
+    phi = beta + F.lit(a2) * F.sin(2.0 * beta) \
+        + F.lit(a4) * F.sin(4.0 * beta) + F.lit(a6) * F.sin(6.0 * beta)
+    lam = (x - F.lit(float(fe))) / F.lit(_R * k0)
+    return F.lit(lon0) + lam / F.lit(_RAD), phi / F.lit(_RAD)
+
+
+def sql_cea(
+    lon_expr: str, lat_expr: str, lon0: float, lat_ts: float,
+    fe: float = 0.0, fn: float = 0.0,
+) -> tuple[str, str]:
+    """Engine-portable SQL twin of :func:`st_transform_cea`."""
+    k0 = _mf(lat_ts * _RAD, _E2W)
+    x = (f"({float(fe)!r} + {_R * k0!r} * ({lon_expr} - {float(lon0)!r}) "
+         f"* {_RAD!r})")
+    y = f"({float(fn)!r} + {_R / (2.0 * k0)!r} * {_q_sql(lat_expr)})"
+    return x, y
+
 
 # Published conic / polar / azimuthal parameter sets, keyed by EPSG code:
 # (kind, lon0, lat0-or-lat_ts, sp1, sp2, false_easting, false_northing).
 # Parameters are the public EPSG registry values; the math is the Snyder
-# ELLIPSOIDAL closed form for lcc/albers/stereo (r6) and the spherical
-# form for laea (offsets carried; datum shifts remain the documented
-# external seam).
+# ELLIPSOIDAL closed form for lcc/albers/stereo/laea_e/cea (r6; laea_e =
+# oblique azimuthal equal-area, cea = cylindrical equal-area) and the
+# spherical form for the generic runtime-parameter laea/aeqd surface
+# (datum shifts live in DATUM_TM_EPSG).
 CONIC_EPSG: dict[int, tuple[str, float, float, float, float,
                             float, float]] = {
     2154: ("lcc", 3.0, 46.5, 49.0, 44.0,
@@ -762,11 +910,12 @@ CONIC_EPSG: dict[int, tuple[str, float, float, float, float,
     3995: ("stereo_n", 0.0, 71.0, 0.0, 0.0, 0.0, 0.0),  # Arctic Polar Stereo
     3031: ("stereo_s", 0.0, -71.0, 0.0, 0.0,
            0.0, 0.0),                                  # Antarctic Polar Stereo
-    # azimuthal equal-area family: (kind, lon0, lat0, -, -, -, -) —
-    # spherical LAEA centered at (lon0, lat0), origin-centered (no false
-    # offsets in the engine model)
-    3035: ("laea", 10.0, 52.0, 0.0, 0.0, 0.0, 0.0),    # ETRS89-LAEA Europe
-    6933: ("laea", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),      # EASE-Grid 2.0 global
+    # equal-area family (r6: ellipsoidal + real EPSG offsets):
+    # laea_e = oblique azimuthal (lat0 slot = center), cea = cylindrical
+    # (lat0 slot = standard parallel)
+    3035: ("laea_e", 10.0, 52.0, 0.0, 0.0,
+           4321000.0, 3210000.0),                      # ETRS89-LAEA Europe
+    6933: ("cea", 0.0, 30.0, 0.0, 0.0, 0.0, 0.0),      # EASE-Grid 2.0 global
 }
 
 
@@ -794,8 +943,10 @@ def st_transform_epsg(
     if kind.startswith("stereo"):
         return st_transform_stereo(lon, lat, lon0, lat0,
                                    kind == "stereo_s", fe, fn0)
-    if kind == "laea":
-        return st_transform_laea(lon, lat, lon0, lat0)
+    if kind == "laea_e":
+        return st_transform_laea_ell(lon, lat, lon0, lat0, fe, fn0)
+    if kind == "cea":
+        return st_transform_cea(lon, lat, lon0, lat0, fe, fn0)
     fwd = st_transform_lcc if kind == "lcc" else st_transform_albers
     return fwd(lon, lat, lon0, lat0, sp1, sp2, fe, fn0)
 
@@ -905,18 +1056,28 @@ def transform_epsg_batch(lon, lat, code):
                         (fn + _R * rho0) - rho * np.cos(th))
 
             put(m, albers)
-        elif k == "laea":
-            s0, c0 = math.sin(lat0 * _RAD), math.cos(lat0 * _RAD)
+        elif k == "laea_e":
+            qp, sb1, cb1, rq, dd = _laea_ell_constants(lat0)
 
-            def laea(lo, la, lon0=lon0, s0=s0, c0=c0):
-                sinp, cosp = np.sin(la * _RAD), np.cos(la * _RAD)
+            def laea_e(lo, la, lon0=lon0, qp=qp, sb1=sb1, cb1=cb1,
+                       rq=rq, dd=dd, fe=fe, fn=fn):
+                beta = np.arcsin(q_np(la) / qp)
+                sb, cb = np.sin(beta), np.cos(beta)
                 dl = (lo - lon0) * _RAD
-                cosc = s0 * sinp + c0 * cosp * np.cos(dl)
-                kk = np.sqrt(2.0 / np.maximum(1.0 + cosc, 1e-12))
-                return (_RM * kk * cosp * np.sin(dl),
-                        _RM * kk * (c0 * sinp - s0 * cosp * np.cos(dl)))
+                bb = rq * np.sqrt(2.0 / np.maximum(
+                    1.0 + sb1 * sb + cb1 * cb * np.cos(dl), 1e-12))
+                return (fe + bb * dd * cb * np.sin(dl),
+                        fn + (bb / dd) * (cb1 * sb - sb1 * cb * np.cos(dl)))
 
-            put(m, laea)
+            put(m, laea_e)
+        elif k == "cea":
+            k0 = _mf(lat0 * _RAD, _E2W)
+
+            def cea(lo, la, lon0=lon0, k0=k0, fe=fe, fn=fn):
+                return (fe + (_R * k0) * (lo - lon0) * _RAD,
+                        fn + (_R / (2.0 * k0)) * q_np(la))
+
+            put(m, cea)
         else:  # stereo_n / stereo_s (lat0 slot carries lat_ts)
             sgn = -1.0 if k == "stereo_s" else 1.0
             pts = sgn * lat0 * _RAD

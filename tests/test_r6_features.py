@@ -571,3 +571,66 @@ def test_bigtiff_decode():
         decode_geotiff(bytes(bad))
     with _pytest.raises(NotImplementedError):
         decode_geotiff(struct.pack("<2sH", b"II", 44) + b"\0" * 12)
+
+
+def test_equal_area_ellipsoidal(spark):
+    """Ellipsoidal equal-area tier (r6b): EPSG:3035 is the oblique
+    azimuthal form with its real false offsets (origin → (4321000,
+    3210000)); EPSG:6933 is the EASE-Grid 2.0 CYLINDRICAL equal-area —
+    published pins: x(180°) = a·k0·π = 17367530.445 m and the grid-edge
+    y(85.0445664°) = 7314540.831 m, both sub-mm. Inverse round-trips and
+    Column-vs-batch agreement close the loop."""
+    import numpy as np
+
+    from sedona_spark.functions.crs import (
+        st_transform_cea, st_transform_cea_inv, st_transform_epsg,
+        st_transform_laea_ell, st_transform_laea_ell_inv,
+        transform_epsg_batch,
+    )
+
+    # published pins (numpy batch — same math as Column/SQL)
+    x, y = transform_epsg_batch(
+        np.array([10.0, 180.0, 0.0]), np.array([52.0, 0.0, 85.0445664]),
+        np.array([3035, 6933, 6933]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    assert abs(x[1] - 17367530.445161) < 1e-3
+    assert abs(y[2] - 7314540.830553) < 1e-3
+
+    # Column == batch
+    for code, lo, la in [(3035, 5.0, 50.0), (3035, 25.0, 60.0),
+                         (6933, -120.0, 45.0), (6933, 60.0, -33.0)]:
+        xc, yc = st_transform_epsg(F.lit(lo), F.lit(la), code)
+        r = spark.range(1).select(xc.alias("x"), yc.alias("y")).collect()[0]
+        nx, ny = transform_epsg_batch(np.array([lo]), np.array([la]),
+                                      np.array([code]))
+        assert abs(r["x"] - nx[0]) < 1e-6 and abs(r["y"] - ny[0]) < 1e-6
+
+    # inverse round trips (<1e-7 deg — the e^6 truncation of the
+    # authalic inverse series, sub-mm on the ground)
+    df = spark.range(1)
+    x, y = st_transform_laea_ell(F.lit(4.9), F.lit(52.4), 10.0, 52.0,
+                                 4321000.0, 3210000.0)
+    lo, la = st_transform_laea_ell_inv(x, y, 10.0, 52.0,
+                                       4321000.0, 3210000.0)
+    r = df.select(lo.alias("lo"), la.alias("la")).collect()[0]
+    assert r["lo"] == pytest.approx(4.9, abs=1e-7)
+    assert r["la"] == pytest.approx(52.4, abs=1e-7)
+    x, y = st_transform_cea(F.lit(-77.0), F.lit(38.9), 0.0, 30.0)
+    lo, la = st_transform_cea_inv(x, y, 0.0, 30.0)
+    r = df.select(lo.alias("lo"), la.alias("la")).collect()[0]
+    assert r["lo"] == pytest.approx(-77.0, abs=1e-7)
+    assert r["la"] == pytest.approx(38.9, abs=1e-7)
+
+    # equal-area invariance: the Jacobian scale of 3035 over a small
+    # quad ~1 (area preserved), checked by finite differences
+    eps = 1e-4
+    pts = [(10.0 + dx, 52.0 + dy) for dx in (0, eps) for dy in (0, eps)]
+    xs, ys = transform_epsg_batch(np.array([p[0] for p in pts]),
+                                  np.array([p[1] for p in pts]),
+                                  np.array([3035] * 4))
+    jac = abs((xs[2] - xs[0]) * (ys[1] - ys[0])
+              - (xs[1] - xs[0]) * (ys[2] - ys[0]))
+    import math as _m
+    truth = (eps * _m.pi / 180 * 6378137.0 * _m.cos(52.0 * _m.pi / 180)
+             * 0.9933) * (eps * _m.pi / 180 * 6378137.0 * 0.9933)
+    assert jac == pytest.approx(truth, rel=2e-2)

@@ -600,7 +600,7 @@ def test_sql_transform_epsg_utm_and_laea(reg):
     ).collect()[0]
     assert abs(r["e"] - 448252.0) < 0.2          # UTM 31N easting, Paris
     assert 6_000_000 < r["sn"] < 7_000_000       # south false northing
-    assert r["c0"] == 0.0                        # LAEA origin-centered
+    assert r["c0"] == 4321000.0                  # ETRS89-LAEA false easting
     assert 500_000 < r["os"] < 560_000           # OSGB easting, London
 
     for code, lon, lat in [(32631, 2.2945, 48.8584), (3035, 15.0, 52.0),
