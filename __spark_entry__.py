@@ -4308,6 +4308,10 @@ select n,
   aggregate(RS_BandAsArray(
       RS_MapAlgebra(mb, 'out = rast[0][1, 0];').buf, 0), 0,
       (a, v) -> a + v) as ma_nbr_sum,
+  aggregate(RS_BandAsArray(
+      RS_MapAlgebra(mb,
+        's = 0; foreach (dx in -1:1) {{ s += rast[0][dx, 0]; }} out = s / 3;'
+      ).buf, 0), 0, (a, v) -> a + v) as ma_loop_sum,
   aggregate(RS_BandAsArray(RS_NormalizeAll(rm).buf, 0), 0,
       (a, v) -> a + v) as nz_all_sum,
   RS_Union(rm, mb).bands as un_nb,
@@ -4434,6 +4438,10 @@ select n,
   cast(coalesce(list_aggregate(list_transform(range(0, w * h), i ->
       case when i % w > 0 then {v} else 0 end), 'sum'), 0) as int)
       as ma_nbr_sum,
+  cast(coalesce(list_aggregate(list_transform(range(0, w * h), i ->
+      floor((case when i % w > 0 then least((n * 7 + (i - 1) * 11) % 260, 255) else 0 end + {v}
+             + case when i % w < w - 1 then least((n * 7 + (i + 1) * 11) % 260, 255) else 0 end) / 3.0)),
+      'sum'), 0) as int) as ma_loop_sum,
   cast(list_aggregate(list_transform(range(0, w * h), i ->
       case when list_max(list_transform(range(0, w * h), j ->
                least((n * 7 + j * 11) % 260, 255)))

@@ -1619,7 +1619,7 @@ import re as _re
 _MA_TOKEN = _re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[A-Za-z_]\w*)"
-    r"|(?P<op>\[|\]|\(|\)|,|\+|-|\*|/|>=|<=|==|!=|>|<|=|;))"
+    r"|(?P<op>\[|\]|\(|\)|\{|\}|,|\+=|\+|-|\*|/|>=|<=|==|!=|>|<|=|;|:))"
 )
 
 
@@ -1639,26 +1639,27 @@ def _ma_tokens(src: str) -> list[tuple[str, str]]:
     return out
 
 
+_MA_MAX_ITER = 4096  # loop-trip backstop (focal windows are ≤ ~31²)
+
+
 def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
     """Evaluate a Jiffle-subset script against float64 band planes.
 
     r6 grammar: arithmetic, min/max/abs/sqrt/pow, comparisons
     (> < >= <= == !=, producing 0/1 planes), ``con(cond, a[, b])``
-    conditionals, and neighborhood offsets ``rast[b][dx, dy]``
-    (image-space, outside-image neighbors read 0) — the constructs real
-    map-algebra scripts use most (reference binds the full Jiffle
-    language via ``RS_MapAlgebra``/JAI)."""
+    conditionals, neighborhood offsets ``rast[b][dx, dy]``
+    (image-space, outside-image neighbors read 0), and — the statement
+    tier — local variables (``v = expr; v += expr;``) with bounded
+    ``foreach (i in lo:hi) { ... }`` loops whose index variable can
+    drive band and neighborhood offsets. Scripts compile once to
+    closure trees and run vectorized numpy; a bare ``expr`` or a single
+    ``out = expr;`` stays valid (reference binds the full Jiffle
+    language via ``RS_MapAlgebra``/JAI, ``MapAlgebra.java:132-209``)."""
     toks = _ma_tokens(expr)
-    # accept both "out = <expr>;" and a bare "<expr>"
-    if len(toks) >= 2 and toks[0] == ("name", "out") and \
-            toks[1] == ("op", "="):
-        toks = toks[2:]
-    if toks and toks[-1] == ("op", ";"):
-        toks = toks[:-1]
     pos = 0
 
-    def peek():
-        return toks[pos] if pos < len(toks) else (None, None)
+    def peek(ahead: int = 0):
+        return toks[pos + ahead] if pos + ahead < len(toks) else (None, None)
 
     def take(kind, val=None):
         nonlocal pos
@@ -1669,16 +1670,26 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
         pos += 1
         return v
 
+    def scalar_int(val, what: str) -> int:
+        if not (np.isscalar(val) or np.ndim(val) == 0):
+            raise ValueError(f"RS_MapAlgebra: {what} must be scalar")
+        f = float(val)
+        if f != int(f):
+            raise ValueError(f"RS_MapAlgebra: {what} must be an integer")
+        return int(f)
+
+    # ---- expression parser: builds env -> value closures ----
+
     def expr_():
-        # comparison level (r6 — Jiffle conditionals): lowest precedence,
-        # yields 0/1 float planes consumable by con()/arithmetic
         node = add_()
         cmps = {">": np.greater, "<": np.less, ">=": np.greater_equal,
                 "<=": np.less_equal, "==": np.equal, "!=": np.not_equal}
         while peek()[0] == "op" and peek()[1] in cmps:
             op = take("op")
             rhs = add_()
-            node = cmps[op](node, rhs).astype(np.float64)
+            node = (lambda l, r, fn=cmps[op]:
+                    lambda env: fn(l(env), r(env)).astype(np.float64)
+                    )(node, rhs)
         return node
 
     def add_():
@@ -1686,7 +1697,10 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
         while peek() == ("op", "+") or peek() == ("op", "-"):
             op = take("op")
             rhs = term()
-            node = node + rhs if op == "+" else node - rhs
+            if op == "+":
+                node = (lambda l, r: lambda env: l(env) + r(env))(node, rhs)
+            else:
+                node = (lambda l, r: lambda env: l(env) - r(env))(node, rhs)
         return node
 
     def term():
@@ -1694,14 +1708,36 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
         while peek() == ("op", "*") or peek() == ("op", "/"):
             op = take("op")
             rhs = factor()
-            node = node * rhs if op == "*" else node / rhs
+            if op == "*":
+                node = (lambda l, r: lambda env: l(env) * r(env))(node, rhs)
+            else:
+                node = (lambda l, r: lambda env: l(env) / r(env))(node, rhs)
         return node
+
+    def band_ref(env, bi):
+        i = scalar_int(bi, "band index")
+        if i >= len(bands) or i < 0:
+            raise ValueError(f"RS_MapAlgebra: band {i} out of range")
+        return bands[i]
+
+    def shift(plane, dx, dy):
+        # Jiffle image-space offset: value at (x+dx, y+dy);
+        # outside-image neighbors read 0 (documented choice)
+        out = np.zeros_like(plane)
+        h, w = plane.shape[:2]
+        ys = slice(max(0, dy), min(h, h + dy))
+        xs = slice(max(0, dx), min(w, w + dx))
+        yd = slice(max(0, -dy), min(h, h - dy))
+        xd = slice(max(0, -dx), min(w, w - dx))
+        out[yd, xd] = plane[ys, xs]
+        return out
 
     def factor():
         k, v = peek()
         if (k, v) == ("op", "-"):
             take("op")
-            return -factor()
+            f = factor()
+            return lambda env: -f(env)
         if (k, v) == ("op", "("):
             take("op")
             node = expr_()
@@ -1709,40 +1745,35 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
             return node
         if k == "num":
             take("num")
-            return float(v)
+            c = float(v)
+            return lambda env: c
         if k == "name":
             take("name")
             if v == "rast":
                 take("op", "[")
-                i = int(take("num"))
+                bi = expr_()
                 take("op", "]")
-                if i >= len(bands):
-                    raise ValueError(
-                        f"RS_MapAlgebra: band {i} out of range")
-                plane = bands[i]
                 if peek() == ("op", "["):  # neighborhood rast[b][dx,dy]
                     take("op")
-                    sx = -1.0 if peek() == ("op", "-") else 1.0
-                    if sx < 0:
-                        take("op")
-                    dx = int(sx * int(take("num")))
+                    dxe = expr_()
                     take("op", ",")
-                    sy = -1.0 if peek() == ("op", "-") else 1.0
-                    if sy < 0:
-                        take("op")
-                    dy = int(sy * int(take("num")))
+                    dye = expr_()
                     take("op", "]")
-                    # Jiffle image-space offset: value at (x+dx, y+dy);
-                    # outside-image neighbors read 0 (documented choice)
-                    out = np.zeros_like(plane)
-                    h, w = plane.shape[:2]
-                    ys = slice(max(0, dy), min(h, h + dy))
-                    xs = slice(max(0, dx), min(w, w + dx))
-                    yd = slice(max(0, -dy), min(h, h - dy))
-                    xd = slice(max(0, -dx), min(w, w - dx))
-                    out[yd, xd] = plane[ys, xs]
-                    return out
-                return plane
+                    return (lambda bi=bi, dxe=dxe, dye=dye:
+                            lambda env: shift(
+                                band_ref(env, bi(env)),
+                                scalar_int(dxe(env), "offset dx"),
+                                scalar_int(dye(env), "offset dy")))()
+                return lambda env, bi=bi: band_ref(env, bi(env))
+            if peek() != ("op", "("):  # variable reference
+                name = v
+
+                def var_ref(env, name=name):
+                    if name not in env:
+                        raise ValueError(
+                            f"RS_MapAlgebra: unknown variable {name!r}")
+                    return env[name]
+                return var_ref
             take("op", "(")
             args = [expr_()]
             while peek() == ("op", ","):
@@ -1762,16 +1793,86 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
             }
             if v not in fns:
                 raise ValueError(f"RS_MapAlgebra: unknown function {v!r}")
-            try:
-                return fns[v](*args)
-            except TypeError:
-                raise ValueError(
-                    f"RS_MapAlgebra: wrong argument count for {v!r}")
+
+            def call(env, fn=fns[v], args=args):
+                try:
+                    return fn(*[a(env) for a in args])
+                except TypeError:
+                    raise ValueError(
+                        f"RS_MapAlgebra: wrong argument count for {v!r}")
+            return call
         raise ValueError(f"RS_MapAlgebra: unexpected {v!r}")
 
-    result = expr_()
-    if pos != len(toks):
-        raise ValueError("RS_MapAlgebra: trailing tokens")
+    # ---- statement parser: builds env -> None closures ----
+
+    def stmt():
+        k, v = peek()
+        if (k, v) == ("name", "foreach"):
+            take("name")
+            take("op", "(")
+            var = take("name")
+            if take("name") != "in":
+                raise ValueError("RS_MapAlgebra: expected 'in'")
+            lo_e = expr_()
+            take("op", ":")
+            hi_e = expr_()
+            take("op", ")")
+            take("op", "{")
+            body = []
+            while peek() != ("op", "}"):
+                body.append(stmt())
+            take("op", "}")
+
+            def run_loop(env, var=var, lo_e=lo_e, hi_e=hi_e, body=body):
+                lo = scalar_int(lo_e(env), "loop bound")
+                hi = scalar_int(hi_e(env), "loop bound")
+                if hi - lo + 1 > _MA_MAX_ITER:
+                    raise ValueError(
+                        f"RS_MapAlgebra: loop exceeds {_MA_MAX_ITER} trips")
+                for i in range(lo, hi + 1):  # Jiffle ranges are inclusive
+                    env[var] = float(i)
+                    for s in body:
+                        s(env)
+                env.pop(var, None)
+            return run_loop
+        if k != "name":
+            raise ValueError(f"RS_MapAlgebra: expected statement, got {v!r}")
+        name = take("name")
+        op = take("op")
+        if op not in ("=", "+="):
+            raise ValueError(f"RS_MapAlgebra: expected = or +=, got {op!r}")
+        rhs = expr_()
+        take("op", ";")
+
+        def run_assign(env, name=name, op=op, rhs=rhs):
+            val = rhs(env)
+            if op == "+=":
+                if name not in env:
+                    raise ValueError(
+                        f"RS_MapAlgebra: += on unset variable {name!r}")
+                val = env[name] + val
+            env[name] = val
+        return run_assign
+
+    # script form: one or more statements ending in an 'out' binding;
+    # bare-expression form kept for the pre-statement grammar
+    is_script = (peek()[0] == "name" and peek(1)[1] in ("=", "+=")) or \
+        peek() == ("name", "foreach")
+    env: dict = {}
+    if is_script:
+        stmts = []
+        while pos < len(toks):
+            stmts.append(stmt())
+        for s in stmts:
+            s(env)
+        if "out" not in env:
+            raise ValueError("RS_MapAlgebra: script never assigns 'out'")
+        result = env["out"]
+    else:
+        result = expr_()(env)
+        if pos != len(toks) and not (
+                toks[pos] == ("op", ";") and pos == len(toks) - 1):
+            raise ValueError("RS_MapAlgebra: trailing tokens")
     if np.isscalar(result) or np.ndim(result) == 0:
         result = np.full_like(bands[0], float(result))
     return np.asarray(result, dtype=np.float64)

@@ -634,3 +634,54 @@ def test_equal_area_ellipsoidal(spark):
     truth = (eps * _m.pi / 180 * 6378137.0 * _m.cos(52.0 * _m.pi / 180)
              * 0.9933) * (eps * _m.pi / 180 * 6378137.0 * 0.9933)
     assert jac == pytest.approx(truth, rel=2e-2)
+
+
+def test_map_algebra_statement_tier():
+    """Jiffle statement tier (r6b — VERDICT r5 what's-missing #5 tail):
+    local variables, +=, and bounded inclusive-range foreach loops whose
+    index drives band and neighborhood offsets. Nested 3x3 loop mean
+    equals the numpy box filter; runaway loops and malformed scripts
+    raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sedona_spark.functions.raster import eval_map_algebra
+
+    b0 = np.arange(20, dtype=np.float64).reshape(4, 5)
+    b1 = np.full((4, 5), 7.0)
+
+    # loop over bands via the index variable
+    r = eval_map_algebra(
+        "s = 0; foreach (b in 0:1) { s += rast[b]; } out = s;", [b0, b1])
+    assert np.array_equal(r, b0 + b1)
+
+    # nested 3x3 box mean == scipy-style zero-padded filter
+    script = ("s = 0; foreach (i in -1:1) { foreach (j in -1:1) "
+              "{ s += rast[0][i, j]; } } out = s / 9;")
+    r = eval_map_algebra(script, [b0])
+    exp = np.zeros_like(b0)
+    h, w = b0.shape
+    for y in range(h):
+        for x in range(w):
+            acc = 0.0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if 0 <= y + dy < h and 0 <= x + dx < w:
+                        acc += b0[y + dy, x + dx]
+            exp[y, x] = acc / 9.0
+    assert np.allclose(r, exp)
+
+    # single-statement and bare forms unchanged
+    assert np.array_equal(
+        eval_map_algebra("out = rast[0] * 2;", [b0]), b0 * 2)
+    assert np.array_equal(eval_map_algebra("rast[0] * 2", [b0]), b0 * 2)
+
+    for bad in [
+        "s += 1; out = s;",                      # += before assignment
+        "foreach (i in 0:99999) { s = 1; } out = 0;",  # trip cap
+        "foreach (i in 0:2) { s = 1; }",         # never assigns out
+        "out = rast[0][rast[0], 0];",            # non-scalar offset
+        "out = nope;",                           # unknown variable
+    ]:
+        with _pytest.raises(ValueError):
+            eval_map_algebra(bad, [b0])
