@@ -2480,8 +2480,8 @@ def q_osm_pbf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from sedona_spark.sources.osmpbf import (
-        read_osm_pbf_relations, read_osm_pbf_ways,
-        write_osm_pbf_relations, write_osm_pbf_ways,
+        read_osm_pbf, read_osm_pbf_relations, read_osm_pbf_ways,
+        write_osm_pbf, write_osm_pbf_relations, write_osm_pbf_ways,
     )
 
     base = f"/tmp/sedona_spark_pbf_{_os.path.basename(sf_dir.rstrip('/'))}"
@@ -2534,7 +2534,22 @@ def q_osm_pbf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(F.col("members"), 0)["ref"].alias("m1_ref"),
         F.col("tags")["type"].alias("rel_type"),
     )
-    return w.join(r, "way_id")
+    nodes = z.select(
+        n.alias("id"),
+        (F.col("zcx") / 4.0).alias("lon"), (F.col("zcy") / 4.0).alias("lat"),
+        F.map_from_arrays(
+            F.array(F.lit("amenity")),
+            F.array(F.concat(F.lit("a"), (n % 5).cast("string"))),
+        ).alias("tags"),
+    )
+    npath = f"{base}/nodes_tagged.osm.pbf"
+    write_osm_pbf(nodes, npath, tags_col="tags", nodes_per_block=9,
+                  order_col="id")
+    nd = read_osm_pbf(spark, npath).select(
+        F.col("node_id").alias("way_id"),
+        F.col("tags")["amenity"].alias("nd_am"),
+    )
+    return w.join(r, "way_id").join(nd, "way_id")
 
 
 def _osm_pbf_tags_sql() -> str:
@@ -2549,7 +2564,8 @@ select cast(n_nationkey as bigint) as way_id,
        'outer' || cast(n_nationkey % 3 as varchar) as m2_role,
        'way' as m2_type,
        cast(n_nationkey * 100 as bigint) as m1_ref,
-       'route' as rel_type
+       'route' as rel_type,
+       'a' || cast(n_nationkey % 5 as varchar) as nd_am
 from z
 """
 

@@ -36,6 +36,10 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTE_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
 _T_SAMPLE_FORMAT = 339
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
@@ -288,28 +292,53 @@ def decode_geotiff(buf: bytes):
     predictor = int(tags.get(_T_PREDICTOR, (1,))[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"Predictor={predictor} not supported")
-    offsets = tags[_T_STRIP_OFFSETS]
-    counts = tags.get(_T_STRIP_BYTE_COUNTS, (w * h * nb,))
-    rps = int(tags.get(_T_ROWS_PER_STRIP, (h,))[0])
-    if comp == 1:
-        pix = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-        arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * nb].reshape(
-            h, w, nb)
+    inflate = (lambda b: b) if comp == 1 else \
+        (_lzw_decode if comp == 5 else zlib.decompress)
+
+    def unpredict(sa):
+        if predictor == 2:
+            # undo horizontal differencing: cumulative sum across the
+            # row per band, uint8 wraparound
+            return np.cumsum(sa.astype(np.uint32), axis=1).astype(np.uint8)
+        return sa
+
+    if _T_TILE_OFFSETS in tags:
+        # tiled layout (TIFF 6.0 §15): fixed tw×tl tiles in row-major
+        # order, right/bottom edge tiles padded to full tile size
+        tw = int(tags[_T_TILE_WIDTH][0])
+        tl = int(tags[_T_TILE_LENGTH][0])
+        offsets = tags[_T_TILE_OFFSETS]
+        counts = tags.get(_T_TILE_BYTE_COUNTS,
+                          (tw * tl * nb,) * len(offsets))
+        ntx = (w + tw - 1) // tw
+        arr = np.zeros((h, w, nb), dtype=np.uint8)
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            raw = inflate(buf[o:o + c])
+            ta = unpredict(np.frombuffer(raw, dtype=np.uint8)[
+                : tw * tl * nb].reshape(tl, tw, nb))
+            ty, tx = divmod(ti, ntx)
+            y0, x0 = ty * tl, tx * tw
+            ch, cw = min(tl, h - y0), min(tw, w - x0)
+            arr[y0:y0 + ch, x0:x0 + cw] = ta[:ch, :cw]
     else:
-        inflate = _lzw_decode if comp == 5 else zlib.decompress
-        strips = [inflate(buf[o:o + c]) for o, c in zip(offsets, counts)]
-        rows = []
-        for si, raw in enumerate(strips):
-            nrows = min(rps, h - si * rps)
-            sa = np.frombuffer(raw, dtype=np.uint8)[
-                : nrows * w * nb].reshape(nrows, w, nb)
+        offsets = tags[_T_STRIP_OFFSETS]
+        counts = tags.get(_T_STRIP_BYTE_COUNTS, (w * h * nb,))
+        rps = int(tags.get(_T_ROWS_PER_STRIP, (h,))[0])
+        if comp == 1:
+            pix = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+            arr = np.frombuffer(pix, dtype=np.uint8)[: w * h * nb].reshape(
+                h, w, nb)
             if predictor == 2:
-                # undo horizontal differencing: cumulative sum across the
-                # row per band, uint8 wraparound
-                sa = np.cumsum(sa.astype(np.uint32), axis=1).astype(
+                arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
                     np.uint8)
-            rows.append(sa)
-        arr = np.concatenate(rows, axis=0)
+        else:
+            strips = [inflate(buf[o:o + c]) for o, c in zip(offsets, counts)]
+            rows = []
+            for si, raw in enumerate(strips):
+                nrows = min(rps, h - si * rps)
+                rows.append(unpredict(np.frombuffer(raw, dtype=np.uint8)[
+                    : nrows * w * nb].reshape(nrows, w, nb)))
+            arr = np.concatenate(rows, axis=0)
     sx, sy = 1.0, -1.0
     if _T_MODEL_PIXEL_SCALE in tags:
         s = tags[_T_MODEL_PIXEL_SCALE]

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    MapType,
+    StringType,
     StructField,
     StructType,
 )
@@ -195,15 +197,20 @@ def write_osm_pbf(
     id_col: str = "id",
     lon: str = "lon",
     lat: str = "lat",
+    tags_col: str | None = None,
     nodes_per_block: int = 8000,
     order_col: str | None = None,
 ) -> int:
     """Write (id, lon, lat) rows as an OSM PBF of DenseNodes blocks.
-    Driver-side by frame-stream necessity (same posture as the Shapefile
-    sink). Returns the node count."""
+    With ``tags_col`` (a map<string,string> column) the per-node tags
+    are emitted through the DenseNodes ``keys_vals`` interleaving
+    (k,v index pairs into the per-block stringtable, 0-delimited per
+    node). Driver-side by frame-stream necessity (same posture as the
+    Shapefile sink). Returns the node count."""
     if order_col is not None:
         df = df.orderBy(order_col)
-    rows = df.select(id_col, lon, lat).collect()
+    cols = [id_col, lon, lat] + ([tags_col] if tags_col else [])
+    rows = df.select(*cols).collect()
     # HeaderBlock: required_features(4) strings
     header = (_len_field(4, b"OsmSchema-V0.6")
               + _len_field(4, b"DenseNodes"))
@@ -223,12 +230,21 @@ def write_osm_pbf(
                 prev = v
             return out_
 
+        st = _StringTable()
         dense = (_packed_sint64(1, delta(ids))
                  + _packed_sint64(8, delta(lats))
                  + _packed_sint64(9, delta(lons)))
+        if tags_col:
+            kv: list[int] = []
+            for r in chunk:
+                for k, v in sorted((r[tags_col] or {}).items()):
+                    kv.append(st.add(str(k)))
+                    kv.append(st.add(str(v)))
+                kv.append(0)
+            dense += _packed_uint(10, kv)  # DenseNodes.keys_vals
         group = _len_field(2, dense)  # PrimitiveGroup.dense = 2
         block = (
-            _len_field(1, _len_field(1, b""))  # stringtable with s[0]=""
+            _len_field(1, st.encode())    # stringtable (s[0] = "")
             + _len_field(2, group)
             + _field(17, 0) + _varint(100)     # granularity
             + _field(19, 0) + _varint(0)       # lat_offset
@@ -289,6 +305,7 @@ def read_osm_pbf(
         StructField("lat", DoubleType()),
         StructField("lon_i7", LongType()),
         StructField("lat_i7", LongType()),
+        StructField("tags", MapType(StringType(), StringType())),
     ])
 
     def gen(batches):
@@ -303,9 +320,12 @@ def read_osm_pbf(
                     fh.seek(int(off))
                     block = _parse_blob(fh.read(int(ln)))
                     gran, lat_off, lon_off = 100, 0, 0
+                    strings: list[str] = [""]
                     groups = []
                     for tag, _w, v in _iter_fields(block):
-                        if tag == 2:
+                        if tag == 1:
+                            strings = _parse_stringtable(bytes(v))
+                        elif tag == 2:
                             groups.append(bytes(v))
                         elif tag == 17:
                             gran = v
@@ -318,6 +338,7 @@ def read_osm_pbf(
                             if gtag != 2:  # DenseNodes only
                                 continue
                             ids = lats = lons = None
+                            kv: list[int] = []
                             for dt, _dw, dv in _iter_fields(bytes(gv)):
                                 if dt == 1:
                                     ids = _parse_packed_sint64(bytes(dv))
@@ -325,18 +346,27 @@ def read_osm_pbf(
                                     lats = _parse_packed_sint64(bytes(dv))
                                 elif dt == 9:
                                     lons = _parse_packed_sint64(bytes(dv))
+                                elif dt == 10:  # keys_vals interleaving
+                                    kv = _parse_packed_uint(bytes(dv))
                             if not ids:
                                 continue
                             iid = ilat = ilon = 0
+                            kvp = 0
                             for di, dla, dlo in zip(ids, lats, lons):
                                 iid += di
                                 ilat += dla
                                 ilon += dlo
                                 nlat = lat_off + gran * ilat
                                 nlon = lon_off + gran * ilon
+                                tags_d: dict[str, str] = {}
+                                while kvp < len(kv) and kv[kvp] != 0:
+                                    tags_d[strings[kv[kvp]]] = \
+                                        strings[kv[kvp + 1]]
+                                    kvp += 2
+                                kvp += 1  # the per-node 0 delimiter
                                 recs.append(
                                     (iid, nlon * 1e-9, nlat * 1e-9,
-                                     nlon // 100, nlat // 100)
+                                     nlon // 100, nlat // 100, tags_d)
                                 )
             yield pd.DataFrame(
                 recs, columns=[f.name for f in out_type.fields]

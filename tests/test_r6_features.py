@@ -685,3 +685,102 @@ def test_map_algebra_statement_tier():
     ]:
         with _pytest.raises(ValueError):
             eval_map_algebra(bad, [b0])
+
+
+def test_geotiff_tiled_decode():
+    """Tiled-layout GeoTIFF decode (TIFF 6.0 §15 — the layout cloud-
+    optimized GeoTIFFs use): a hand-built 2x2-tile deflate-compressed
+    image with padded edge tiles reassembles exactly, with georeference
+    intact."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sedona_spark.sources.geotiff import decode_geotiff
+
+    w, h, nb = 7, 5, 1
+    tw = tl = 4
+    img = (np.arange(w * h, dtype=np.uint8) * 3).reshape(h, w, 1)
+
+    tiles = []
+    for ty in range((h + tl - 1) // tl):
+        for tx in range((w + tw - 1) // tw):
+            t = np.zeros((tl, tw, nb), dtype=np.uint8)
+            ch = min(tl, h - ty * tl)
+            cw = min(tw, w - tx * tw)
+            t[:ch, :cw] = img[ty * tl:ty * tl + ch, tx * tw:tx * tw + cw]
+            tiles.append(zlib.compress(t.tobytes(), 6))
+
+    def ent(tag, typ, cnt, val_bytes):
+        return struct.pack("<HHL", tag, typ, cnt) + val_bytes.ljust(4, b"\0")
+
+    n = 10
+    ifd_off = 8
+    arr_off = ifd_off + 2 + 12 * n + 4
+    toff_off = arr_off
+    tcnt_off = arr_off + 4 * len(tiles)
+    scale_off = tcnt_off + 4 * len(tiles)
+    tie_off = scale_off + 24
+    data_off = tie_off + 48
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries = [
+        ent(256, 4, 1, struct.pack("<L", w)),
+        ent(257, 4, 1, struct.pack("<L", h)),
+        ent(258, 3, 1, struct.pack("<H", 8)),
+        ent(259, 3, 1, struct.pack("<H", 8)),      # deflate
+        ent(277, 3, 1, struct.pack("<H", nb)),
+        ent(322, 4, 1, struct.pack("<L", tw)),
+        ent(323, 4, 1, struct.pack("<L", tl)),
+        ent(324, 4, len(tiles), struct.pack("<L", toff_off)),
+        ent(325, 4, len(tiles), struct.pack("<L", tcnt_off)),
+        ent(33550, 12, 3, struct.pack("<L", scale_off)),
+    ]
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    buf = struct.pack("<2sHL", b"II", 42, ifd_off)
+    buf += struct.pack("<H", n) + b"".join(entries) + struct.pack("<L", 0)
+    buf += b"".join(struct.pack("<L", o) for o in offs)
+    buf += b"".join(struct.pack("<L", len(t)) for t in tiles)
+    buf += struct.pack("<3d", 2.0, 2.0, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+    buf += b"".join(tiles)
+    a, ulx, uly, sx, sy, srid = decode_geotiff(bytes(buf))
+    assert np.array_equal(a, img)
+    assert (sx, sy) == (2.0, -2.0)
+
+
+def test_osm_dense_node_tags(spark, tmp_path):
+    """DenseNodes keys_vals (r6b — completes the OSM primitive set):
+    per-node tag maps round-trip through the 0-delimited stringtable
+    interleaving; untagged writes still read back with empty maps."""
+    from pyspark.sql import functions as F2
+
+    from sedona_spark.sources.osmpbf import read_osm_pbf, write_osm_pbf
+
+    n = F2.col("id").cast("long")
+    df = spark.range(23).select(
+        n.alias("id"), (n * 0.5 - 3.0).alias("lon"),
+        (n * 0.25 + 1.0).alias("lat"),
+        F2.map_from_arrays(
+            F2.array(F2.lit("name"), F2.lit("kind")),
+            F2.array(F2.concat(F2.lit("n"), n.cast("string")),
+                     F2.concat(F2.lit("k"), (n % 3).cast("string"))),
+        ).alias("tags"),
+    )
+    p = str(tmp_path / "tagged_nodes.osm.pbf")
+    write_osm_pbf(df, p, tags_col="tags", nodes_per_block=7, order_col="id")
+    back = {r["node_id"]: r["tags"]
+            for r in read_osm_pbf(spark, p).collect()}
+    assert len(back) == 23
+    for i in range(23):
+        assert back[i] == {"name": f"n{i}", "kind": f"k{i % 3}"}
+
+    # untagged write -> empty maps, schema stable
+    df2 = df.drop("tags")
+    p2 = str(tmp_path / "plain_nodes.osm.pbf")
+    write_osm_pbf(df2, p2, nodes_per_block=7, order_col="id")
+    rows = read_osm_pbf(spark, p2).collect()
+    assert all(r["tags"] == {} for r in rows) and len(rows) == 23
