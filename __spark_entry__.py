@@ -813,6 +813,74 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (r6 — domain/quota mixing for
+    training-data curation; the engine-side analog of the reference's
+    partitioner-internal samplers, ``RDDSampleUtils.java``): per-lang
+    keep-fractions applied as a pure hash filter on doc_id — zero
+    shuffle, pushdown-composable, rerun-stable. Returns per-lang kept
+    counts + id checksums so the oracle verifies the exact SELECTION,
+    not just its size."""
+    from sedona_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0, "zh": 0.25},
+        id_col="doc_id", default_fraction=0.1, salt=17,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.min("doc_id").cast("long").alias("id_min"),
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from sedona_spark.pipeline.sampling import _MOD, sql_hash_bucket
+
+    b = sql_hash_bucket("doc_id", 17)
+    thr = (f"(case when lang = 'de' then {int(1.0 * _MOD)} "
+           f"when lang = 'en' then {int(0.5 * _MOD)} "
+           f"when lang = 'zh' then {int(0.25 * _MOD)} "
+           f"else {int(0.1 * _MOD)} end)")
+    return f"""
+select lang,
+       cast(count(*) as bigint) as n_kept,
+       cast(sum(doc_id) as bigint) as id_sum,
+       cast(min(doc_id) as bigint) as id_min
+from documents
+where {b} < {thr}
+group by lang
+"""
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-key sampling (r6): exactly min(k, n) events per
+    event_type, drawn without replacement by ranking on the id hash
+    (total order via the id tiebreak). One shuffle on the key; the
+    SELECTED ids come back verbatim so the oracle pins the exact rows."""
+    from sedona_spark.pipeline.sampling import sample_per_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sample_per_key(
+        ev, "event_type", 7, id_col="event_id", salt=3,
+    ).select("event_type", F.col("event_id").cast("long").alias("event_id"))
+
+
+def _sample_per_key_sql() -> str:
+    from sedona_spark.pipeline.sampling import sql_hash_bucket
+
+    b = sql_hash_bucket("event_id", 3)
+    return f"""
+select event_type, cast(event_id as bigint) as event_id
+from (select event_type, event_id,
+             row_number() over (partition by event_type
+                                order by {b}, event_id) as rk
+      from events)
+where rk <= 7
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (r5): sliding 32-token windows with 8-token
     overlap over every document — the pack-into-context step of a
@@ -5521,6 +5589,8 @@ _NEW_OR_CHANGED = {
     "pip_join_compact",    # r6: broadcast_cover knob (explicit True here)
     "osm_pbf_tags",        # r6: tagged ways + relations round trip
     "st_transform_datum",  # r6: Helmert datum shifts + per-ellipsoid TM
+    "stratified_sample",   # r6: deterministic quota sampling
+    "sample_per_key",      # r6: uniform k-per-key sampling
 }
 
 
@@ -5624,6 +5694,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_albers": q_st_transform_albers,
         "st_transform_stereo": q_st_transform_stereo,
         "st_transform_datum": q_st_transform_datum,
+        "stratified_sample": q_stratified_sample,
+        "sample_per_key": q_sample_per_key,
         "st_area_spheroid": q_st_area_spheroid,
         "knn_join_approx": q_knn_join_approx,
         "st_editor": q_st_editor,
@@ -5783,6 +5855,8 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_albers": _st_transform_albers_sql(),
         "st_transform_stereo": _st_transform_stereo_sql(),
         "st_transform_datum": _st_transform_datum_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "sample_per_key": _sample_per_key_sql(),
         "st_area_spheroid": _st_area_spheroid_sql(),
         "knn_join_approx": _knn_join_approx_sql(),
         "st_editor": _st_editor_sql(),

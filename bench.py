@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "sql_api_stats",
     "osm_pbf_tags",
     "st_transform_datum",
+    "stratified_sample",
+    "sample_per_key",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

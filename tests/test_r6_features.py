@@ -784,3 +784,51 @@ def test_osm_dense_node_tags(spark, tmp_path):
     write_osm_pbf(df2, p2, nodes_per_block=7, order_col="id")
     rows = read_osm_pbf(spark, p2).collect()
     assert all(r["tags"] == {} for r in rows) and len(rows) == 23
+
+
+def test_sampling_determinism_and_uniformity(spark):
+    """Deterministic sampling tier (r6): same salt → identical subset
+    across reruns; different salt → different subset; per-key sampler
+    returns exactly min(k, n) rows per key; stratified keep-rates land
+    near their fractions; plan stays shuffle-free for the stratified
+    filter."""
+    from sedona_spark.pipeline.sampling import (
+        sample_per_key, stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id",
+                          default_fraction=0.2, salt=7)
+    b = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id",
+                          default_fraction=0.2, salt=7)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    c = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id",
+                          default_fraction=0.2, salt=8)
+    ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
+    assert ids_c != ids_a
+
+    # keep-rate sanity at the full-table level (multiplicative hash is
+    # equidistributed over sequential ids)
+    n_en = docs.where(F.col("lang") == "en").count()
+    kept_en = a.where(F.col("lang") == "en").count()
+    assert abs(kept_en / n_en - 0.5) < 0.25
+
+    # zero-shuffle plan: no Exchange in the stratified filter
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    s = sample_per_key(ev, "event_type", 5, "event_id", salt=1)
+    per = {r["event_type"]: r["n"] for r in
+           s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n"))
+              .collect()}
+    for k, n in totals.items():
+        assert per[k] == min(5, n), (k, per[k], n)
+    # deterministic
+    s2 = sample_per_key(ev, "event_type", 5, "event_id", salt=1)
+    assert sorted(map(tuple, s.collect())) == \
+        sorted(map(tuple, s2.collect()))
