@@ -813,6 +813,49 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (r6): top-3 terms per document by smoothed TF-IDF
+    with total-order tie-breaks — two map-side-combined shuffles (doc
+    counts, vocabulary doc-frequency) + a per-doc window; the oracle
+    recomputes the identical pipeline in DuckDB SQL."""
+    from sedona_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _tfidf_top_terms_sql() -> str:
+    return """
+with terms as (
+  select doc_id, t as term
+  from (select doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) as t
+        from documents)
+  where t <> ''
+),
+tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+dlen as (select doc_id, sum(tf) as dlen from tf group by 1),
+dfreq as (select term, count(*) as df from tf group by 1),
+n as (select count(*) as n_docs from documents),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf / dlen.dlen)
+           * (ln((n.n_docs + 1e0) / (dfreq.df + 1e0)) + 1e0) as score
+  from tf join dlen using (doc_id) join dfreq using (term) cross join n
+),
+ranked as (
+  select doc_id, term, tf, df, score,
+         row_number() over (partition by doc_id
+                            order by score desc, term asc) as rank
+  from scored
+)
+select doc_id, cast(rank as int) as rank, term,
+       cast(tf as bigint) as tf, cast(df as bigint) as df,
+       floor(score * 1e6 + 5e-1) / 1e6 as score6
+from ranked where rank <= 3
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (r6 — domain/quota mixing for
     training-data curation; the engine-side analog of the reference's
@@ -5591,6 +5634,7 @@ _NEW_OR_CHANGED = {
     "st_transform_datum",  # r6: Helmert datum shifts + per-ellipsoid TM
     "stratified_sample",   # r6: deterministic quota sampling
     "sample_per_key",      # r6: uniform k-per-key sampling
+    "tfidf_top_terms",     # r6: corpus TF-IDF top terms
 }
 
 
@@ -5696,6 +5740,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_datum": q_st_transform_datum,
         "stratified_sample": q_stratified_sample,
         "sample_per_key": q_sample_per_key,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "st_area_spheroid": q_st_area_spheroid,
         "knn_join_approx": q_knn_join_approx,
         "st_editor": q_st_editor,
@@ -5857,6 +5902,7 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_datum": _st_transform_datum_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "sample_per_key": _sample_per_key_sql(),
+        "tfidf_top_terms": _tfidf_top_terms_sql(),
         "st_area_spheroid": _st_area_spheroid_sql(),
         "knn_join_approx": _knn_join_approx_sql(),
         "st_editor": _st_editor_sql(),

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "st_transform_datum",
     "stratified_sample",
     "sample_per_key",
+    "tfidf_top_terms",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

@@ -293,3 +293,62 @@ def crossdoc_ngram_stats(
                 .alias("shared_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k terms per document by smoothed TF-IDF (r6 — corpus-level
+    relevance signals for curation/retrieval labeling).
+
+    score(d, t) = (tf(d,t) / len(d)) · (ln((N+1)/(df(t)+1)) + 1)
+
+    100 TB shape: tokenize + explode stay in codegen; ONE shuffle builds
+    the (doc, term) counts with map-side combine; the document-frequency
+    aggregate is a second map-side-combined shuffle on term (vocabulary-
+    sized, not corpus-sized); the final per-doc top-k is a window over
+    the doc partitioning the counts already have. No driver state — N is
+    a scalar subquery folded as a literal-free cross join of a 1-row
+    aggregate (broadcast). Deterministic: ties break on the term string,
+    so the k-cut is total-order stable across engines and reruns.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dlen, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") / F.col("dlen"))
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score6"),
+        )
+    )

@@ -832,3 +832,35 @@ def test_sampling_determinism_and_uniformity(spark):
     s2 = sample_per_key(ev, "event_type", 5, "event_id", salt=1)
     assert sorted(map(tuple, s.collect())) == \
         sorted(map(tuple, s2.collect()))
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF top-terms (r6): hand-checked on a 3-doc corpus — a term
+    unique to one document outranks corpus-wide terms; ranks are dense
+    1..k; ties break lexicographically."""
+    import math as _m
+
+    from sedona_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"),
+         (2, "banana banana durian")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2/3 df=1 -> idf = ln(4/2)+1; banana tf=1/3 df=3
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert top0[0]["term"] == "apple"
+    exp = (2 / 3) * (_m.log(4 / 2) + 1)
+    assert abs(top0[0]["score6"] - round(exp, 6)) < 2e-6
+    assert [r["rank"] for r in top0] == [1, 2]
+    # doc 1: cherry (unique) outranks banana (everywhere)
+    assert sorted(by_doc[1], key=lambda r: r["rank"])[0]["term"] == "cherry"
+    # doc 2: banana's tf=2/3 with idf=ln(4/4)+1=1 (score 0.667) beats
+    # durian's 1/3 · (ln(2)+1) ≈ 0.564 — high term frequency can outrank
+    # uniqueness, the classic TF-IDF trade
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert d2[0]["term"] == "banana" and d2[0]["tf"] == 2
+    assert d2[1]["term"] == "durian" and d2[1]["df"] == 1
