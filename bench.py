@@ -179,6 +179,11 @@ BENCH_QUERIES = [
 CATALOG_QUERIES = {
     "sql_api", "sql_api_2", "sql_api_3", "sql_api_4", "sql_api_5",
     "sql_api_6", "sql_api_rs_math", "sql_api_rs_geo", "sql_api_rs_io",
+    # the physical-function SPELLING demo: its five operator families
+    # each have their own data-scale bench rows (dbscan, hotspot_gstar,
+    # lof, morans_i, distance_band_weights), so this belongs with the
+    # fixed-cost zoo
+    "sql_api_stats",
 }
 
 # scale-trend subset (VERDICT r4 #8): the join family re-run on a derived

@@ -1139,6 +1139,97 @@ def _transform_epsg_udf(lon, lat, code):
     return pd.DataFrame({"x": x, "y": y})
 
 
+def _np_tmerc_inv(x, y, lon0, lat0=0.0, k0=1.0, fe=0.0, fn=0.0, ell=None):
+    """numpy twin of :func:`st_transform_tmerc_inv` (Krüger β/δ)."""
+    import numpy as np
+
+    a_cap, alpha_c, beta_c, delta_c, two_sqrtn = _tm_consts(ell)
+    m0 = k0 * a_cap * _meridian_arc_xi(lat0, two_sqrtn, alpha_c)
+    xi = (y - (fn - m0)) / (k0 * a_cap)
+    eta = (x - fe) / (k0 * a_cap)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(beta_c, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(delta_c, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    lam = lon0 * _RAD + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return lam / _RAD, phi / _RAD
+
+
+def transform_epsg_inv_batch(x, y, code):
+    """Vectorized INVERSE of :func:`transform_epsg_batch` for the
+    closed-inverse families: 3857, UTM, the national TM grids incl.
+    their datum chains (tmerc⁻¹ on the grid ellipsoid, then the negated
+    Helmert back to WGS84). Other codes raise — an identity fallback
+    would silently return projected meters as degrees."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    code = np.asarray(code)
+    lon = np.full_like(x, np.nan)
+    lat = np.full_like(y, np.nan)
+    done = np.zeros(x.shape, dtype=bool)
+
+    m = code == 3857
+    if m.any():
+        lon[m] = x[m] / _R / _RAD
+        lat[m] = (2.0 * np.arctan(np.exp(y[m] / _R)) - math.pi / 2) / _RAD
+        done |= m
+    for c, (datum, ell_name) in DATUM_TM_EPSG.items():
+        m = code == c
+        if m.any():
+            lo, la = _np_tmerc_inv(x[m], y[m], *TMERC_EPSG[c],
+                                   ell=ELLIPSOIDS[ell_name])
+            lon[m], lat[m] = datum_shift_np(lo, la, datum, inverse=True)
+            done |= m
+    for c, p in TMERC_EPSG.items():
+        if c in DATUM_TM_EPSG:
+            continue
+        m = code == c
+        if m.any():
+            lon[m], lat[m] = _np_tmerc_inv(x[m], y[m], *p)
+            done |= m
+    mn = (code >= 32601) & (code <= 32660)
+    if mn.any():
+        lon0 = ((code[mn] - 32600) * 6 - 183).astype(np.float64)
+        lon[mn], lat[mn] = _np_tmerc_inv(x[mn], y[mn], lon0,
+                                         k0=_K0, fe=_E0, fn=0.0)
+        done |= mn
+    ms = (code >= 32701) & (code <= 32760)
+    if ms.any():
+        lon0 = ((code[ms] - 32700) * 6 - 183).astype(np.float64)
+        lon[ms], lat[ms] = _np_tmerc_inv(x[ms], y[ms], lon0,
+                                         k0=_K0, fe=_E0, fn=1e7)
+        done |= ms
+    if not done.all():
+        bad = sorted(set(np.asarray(code)[~done].tolist()))
+        raise ValueError(
+            f"ST_TransformEpsgInv: no closed inverse registered for {bad}")
+    return lon, lat
+
+
+@F.pandas_udf(StructType([StructField("lon", DoubleType()),
+                          StructField("lat", DoubleType())]))
+def _transform_epsg_inv_udf(x, y, code):
+    """SQL spelling ``ST_TransformEpsgInv(x, y, code)``: the Arrow-
+    batched inverse dispatch. Opaque to Catalyst, so round-trip columns
+    (inv(fwd(p)) ≈ p) stay two plan nodes instead of the collapsed
+    mega-tree CollapseProject would build from the Column-API chains."""
+    import pandas as pd
+
+    lon, lat = transform_epsg_inv_batch(
+        x.to_numpy(dtype="float64"),
+        y.to_numpy(dtype="float64"),
+        code.to_numpy(),
+    )
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
 # ---------------------------------------------------------------------------
 # CRS tags (join-time verification, JoinQuery.java:51-66 analog)
 # ---------------------------------------------------------------------------

@@ -1567,6 +1567,7 @@ def register(spark: SparkSession, force: bool = False) -> None:
     from sedona_spark.functions import crs as _crs_mod
 
     pandas_catalog["ST_TransformEpsg"] = _crs_mod._transform_epsg_udf
+    pandas_catalog["ST_TransformEpsgInv"] = _crs_mod._transform_epsg_inv_udf
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -864,3 +864,39 @@ def test_tfidf_top_terms(spark):
     d2 = sorted(by_doc[2], key=lambda r: r["rank"])
     assert d2[0]["term"] == "banana" and d2[0]["tf"] == 2
     assert d2[1]["term"] == "durian" and d2[1]["df"] == 1
+
+
+def test_transform_epsg_inv_udf(spark):
+    """ST_TransformEpsgInv (r6b): the Arrow-batched inverse dispatch
+    round-trips the closed-inverse families (3857 / UTM / national TM
+    incl. the datum chains) and raises for codes with no registered
+    inverse rather than returning meters as degrees."""
+    import numpy as np
+    import pytest as _pytest
+
+    import sedona_spark
+    from sedona_spark.functions.crs import (
+        transform_epsg_batch, transform_epsg_inv_batch,
+    )
+
+    sedona_spark.register(spark)
+    pts = [(3857, 2.29, 48.85), (32631, 2.29, 48.85),
+           (32721, -58.4, -34.6), (27700, -0.13, 51.5),
+           (31468, 11.58, 48.14), (2180, 19.5, 52.2)]
+    lons = np.array([p[1] for p in pts])
+    lats = np.array([p[2] for p in pts])
+    codes = np.array([p[0] for p in pts])
+    x, y = transform_epsg_batch(lons, lats, codes)
+    lo, la = transform_epsg_inv_batch(x, y, codes)
+    assert np.max(np.abs(lo - lons)) < 1e-6
+    assert np.max(np.abs(la - lats)) < 1e-6
+
+    r = spark.sql(
+        "select ST_TransformEpsgInv(ST_TransformEpsg(-0.13e0, 51.5e0, "
+        "27700).x, ST_TransformEpsg(-0.13e0, 51.5e0, 27700).y, 27700) t"
+    ).collect()[0]["t"]
+    assert abs(r["lon"] - -0.13) < 1e-6 and abs(r["lat"] - 51.5) < 1e-6
+
+    with _pytest.raises(ValueError, match="no closed inverse"):
+        transform_epsg_inv_batch(np.array([0.0]), np.array([0.0]),
+                                 np.array([2154]))
