@@ -285,6 +285,146 @@ def _scan_frames(path: str):
     return frames
 
 
+_MEMBER_TYPES_PARSE = ("node", "way", "relation")
+
+
+def parse_block_nodes(block: bytes) -> list:
+    """DECOMPRESSED PrimitiveBlock -> [(node_id, lon, lat, lon_i7,
+    lat_i7, tags)] — the canonical DenseNodes decode shared by the
+    mapInPandas reader and the Python DataSource."""
+    gran, lat_off, lon_off = 100, 0, 0
+    strings: list[str] = [""]
+    groups = []
+    for tag, _w, v in _iter_fields(block):
+        if tag == 1:
+            strings = _parse_stringtable(bytes(v))
+        elif tag == 2:
+            groups.append(bytes(v))
+        elif tag == 17:
+            gran = v
+        elif tag == 19:
+            lat_off = v
+        elif tag == 20:
+            lon_off = v
+    recs = []
+    for g in groups:
+        for gtag, _gw, gv in _iter_fields(g):
+            if gtag != 2:  # DenseNodes only
+                continue
+            ids = lats = lons = None
+            kv: list[int] = []
+            for dt, _dw, dv in _iter_fields(bytes(gv)):
+                if dt == 1:
+                    ids = _parse_packed_sint64(bytes(dv))
+                elif dt == 8:
+                    lats = _parse_packed_sint64(bytes(dv))
+                elif dt == 9:
+                    lons = _parse_packed_sint64(bytes(dv))
+                elif dt == 10:  # keys_vals interleaving
+                    kv = _parse_packed_uint(bytes(dv))
+            if not ids:
+                continue
+            iid = ilat = ilon = 0
+            kvp = 0
+            for di, dla, dlo in zip(ids, lats, lons):
+                iid += di
+                ilat += dla
+                ilon += dlo
+                nlat = lat_off + gran * ilat
+                nlon = lon_off + gran * ilon
+                tags_d: dict[str, str] = {}
+                while kvp < len(kv) and kv[kvp] != 0:
+                    tags_d[strings[kv[kvp]]] = strings[kv[kvp + 1]]
+                    kvp += 2
+                kvp += 1  # the per-node 0 delimiter
+                recs.append((iid, nlon * 1e-9, nlat * 1e-9,
+                             nlon // 100, nlat // 100, tags_d))
+    return recs
+
+
+def parse_block_ways(block: bytes) -> list:
+    """DECOMPRESSED PrimitiveBlock -> [(way_id, refs, tags)]."""
+    strings: list[str] = [""]
+    groups = []
+    for tag, _w, v in _iter_fields(block):
+        if tag == 1:
+            strings = _parse_stringtable(bytes(v))
+        elif tag == 2:
+            groups.append(bytes(v))
+    recs = []
+    for g in groups:
+        for gtag, _gw, gv in _iter_fields(g):
+            if gtag != 3:  # ways
+                continue
+            wid, deltas, keys, vals = None, [], [], []
+            for wt, _ww, wv in _iter_fields(bytes(gv)):
+                if wt == 1:
+                    wid = wv
+                elif wt == 2:
+                    keys = _parse_packed_uint(bytes(wv))
+                elif wt == 3:
+                    vals = _parse_packed_uint(bytes(wv))
+                elif wt == 8:
+                    deltas = _parse_packed_sint64(bytes(wv))
+            refs, acc = [], 0
+            for d in deltas:
+                acc += d
+                refs.append(acc)
+            tags = {strings[k]: strings[v2]
+                    for k, v2 in zip(keys, vals)}
+            if wid is not None:
+                recs.append((wid, refs, tags))
+    return recs
+
+
+def parse_block_relations(block: bytes) -> list:
+    """DECOMPRESSED PrimitiveBlock -> [(rel_id, members, tags)] with
+    members = [{ref, mtype, role}]."""
+    strings: list[str] = [""]
+    groups = []
+    for tag, _w, v in _iter_fields(block):
+        if tag == 1:
+            strings = _parse_stringtable(bytes(v))
+        elif tag == 2:
+            groups.append(bytes(v))
+    recs = []
+    for g in groups:
+        for gtag, _gw, gv in _iter_fields(g):
+            if gtag != 4:  # relations
+                continue
+            rid = None
+            keys = vals = roles = types = []
+            deltas = []
+            for rt, _rw, rv in _iter_fields(bytes(gv)):
+                if rt == 1:
+                    rid = rv
+                elif rt == 2:
+                    keys = _parse_packed_uint(bytes(rv))
+                elif rt == 3:
+                    vals = _parse_packed_uint(bytes(rv))
+                elif rt == 9:
+                    roles = _parse_packed_uint(bytes(rv))
+                elif rt == 10:
+                    deltas = _parse_packed_sint64(bytes(rv))
+                elif rt == 11:
+                    types = _parse_packed_uint(bytes(rv))
+            refs, acc = [], 0
+            for d in deltas:
+                acc += d
+                refs.append(acc)
+            members = [
+                {"ref": rf,
+                 "mtype": _MEMBER_TYPES_PARSE[t],
+                 "role": strings[ro]}
+                for rf, t, ro in zip(refs, types, roles)
+            ]
+            tags = {strings[k]: strings[v2]
+                    for k, v2 in zip(keys, vals)}
+            if rid is not None:
+                recs.append((rid, members, tags))
+    return recs
+
+
 def read_osm_pbf(
     spark: SparkSession, path: str, partitions: int = 0
 ) -> DataFrame:
@@ -318,56 +458,8 @@ def read_osm_pbf(
                     if ln == 0:
                         continue
                     fh.seek(int(off))
-                    block = _parse_blob(fh.read(int(ln)))
-                    gran, lat_off, lon_off = 100, 0, 0
-                    strings: list[str] = [""]
-                    groups = []
-                    for tag, _w, v in _iter_fields(block):
-                        if tag == 1:
-                            strings = _parse_stringtable(bytes(v))
-                        elif tag == 2:
-                            groups.append(bytes(v))
-                        elif tag == 17:
-                            gran = v
-                        elif tag == 19:
-                            lat_off = v
-                        elif tag == 20:
-                            lon_off = v
-                    for g in groups:
-                        for gtag, _gw, gv in _iter_fields(g):
-                            if gtag != 2:  # DenseNodes only
-                                continue
-                            ids = lats = lons = None
-                            kv: list[int] = []
-                            for dt, _dw, dv in _iter_fields(bytes(gv)):
-                                if dt == 1:
-                                    ids = _parse_packed_sint64(bytes(dv))
-                                elif dt == 8:
-                                    lats = _parse_packed_sint64(bytes(dv))
-                                elif dt == 9:
-                                    lons = _parse_packed_sint64(bytes(dv))
-                                elif dt == 10:  # keys_vals interleaving
-                                    kv = _parse_packed_uint(bytes(dv))
-                            if not ids:
-                                continue
-                            iid = ilat = ilon = 0
-                            kvp = 0
-                            for di, dla, dlo in zip(ids, lats, lons):
-                                iid += di
-                                ilat += dla
-                                ilon += dlo
-                                nlat = lat_off + gran * ilat
-                                nlon = lon_off + gran * ilon
-                                tags_d: dict[str, str] = {}
-                                while kvp < len(kv) and kv[kvp] != 0:
-                                    tags_d[strings[kv[kvp]]] = \
-                                        strings[kv[kvp + 1]]
-                                    kvp += 2
-                                kvp += 1  # the per-node 0 delimiter
-                                recs.append(
-                                    (iid, nlon * 1e-9, nlat * 1e-9,
-                                     nlon // 100, nlat // 100, tags_d)
-                                )
+                    recs.extend(parse_block_nodes(
+                        _parse_blob(fh.read(int(ln)))))
             yield pd.DataFrame(
                 recs, columns=[f.name for f in out_type.fields]
             )
@@ -453,36 +545,8 @@ def read_osm_pbf_ways(
                     if ln == 0:
                         continue
                     fh.seek(int(off))
-                    block = _parse_blob(fh.read(int(ln)))
-                    strings: list[str] = [""]
-                    groups = []
-                    for tag, _w, v in _iter_fields(block):
-                        if tag == 1:
-                            strings = _parse_stringtable(bytes(v))
-                        elif tag == 2:
-                            groups.append(bytes(v))
-                    for g in groups:
-                        for gtag, _gw, gv in _iter_fields(g):
-                            if gtag != 3:  # ways
-                                continue
-                            wid, deltas, keys, vals = None, [], [], []
-                            for wt, _ww, wv in _iter_fields(bytes(gv)):
-                                if wt == 1:
-                                    wid = wv
-                                elif wt == 2:
-                                    keys = _parse_packed_uint(bytes(wv))
-                                elif wt == 3:
-                                    vals = _parse_packed_uint(bytes(wv))
-                                elif wt == 8:
-                                    deltas = _parse_packed_sint64(bytes(wv))
-                            refs, acc = [], 0
-                            for d in deltas:
-                                acc += d
-                                refs.append(acc)
-                            tags = {strings[k]: strings[v2]
-                                    for k, v2 in zip(keys, vals)}
-                            if wid is not None:
-                                recs.append((wid, refs, tags))
+                    recs.extend(parse_block_ways(
+                        _parse_blob(fh.read(int(ln)))))
             yield pd.DataFrame(
                 recs, columns=[f.name for f in out_type.fields]
             )
@@ -579,48 +643,8 @@ def read_osm_pbf_relations(
                     if ln == 0:
                         continue
                     fh.seek(int(off))
-                    block = _parse_blob(fh.read(int(ln)))
-                    strings: list[str] = [""]
-                    groups = []
-                    for tag, _w, v in _iter_fields(block):
-                        if tag == 1:
-                            strings = _parse_stringtable(bytes(v))
-                        elif tag == 2:
-                            groups.append(bytes(v))
-                    for g in groups:
-                        for gtag, _gw, gv in _iter_fields(g):
-                            if gtag != 4:  # relations
-                                continue
-                            rid = None
-                            keys = vals = roles = types = []
-                            deltas = []
-                            for rt, _rw, rv in _iter_fields(bytes(gv)):
-                                if rt == 1:
-                                    rid = rv
-                                elif rt == 2:
-                                    keys = _parse_packed_uint(bytes(rv))
-                                elif rt == 3:
-                                    vals = _parse_packed_uint(bytes(rv))
-                                elif rt == 9:
-                                    roles = _parse_packed_uint(bytes(rv))
-                                elif rt == 10:
-                                    deltas = _parse_packed_sint64(bytes(rv))
-                                elif rt == 11:
-                                    types = _parse_packed_uint(bytes(rv))
-                            refs, acc = [], 0
-                            for d in deltas:
-                                acc += d
-                                refs.append(acc)
-                            members = [
-                                {"ref": rf,
-                                 "mtype": _MEMBER_TYPES[t],
-                                 "role": strings[ro]}
-                                for rf, t, ro in zip(refs, types, roles)
-                            ]
-                            tags = {strings[k]: strings[v2]
-                                    for k, v2 in zip(keys, vals)}
-                            if rid is not None:
-                                recs.append((rid, members, tags))
+                    recs.extend(parse_block_relations(
+                        _parse_blob(fh.read(int(ln)))))
             yield pd.DataFrame(
                 recs, columns=[f.name for f in out_type.fields]
             )

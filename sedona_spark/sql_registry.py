@@ -1427,6 +1427,9 @@ def register(spark: SparkSession, force: bool = False) -> None:
     flag) unless ``force`` — registration is ~20 catalog round trips."""
     if not force and spark.conf.get("spark.sedona_spark.registered", "") == "1":
         return
+    from sedona_spark.sources.pyds import register_datasources
+
+    register_datasources(spark)  # spark.read.format("osmpbf"/"geotiffdir")
     from sedona_spark.functions import st as _st
 
     # Arrow-batched kernel tier (same UDF objects the DataFrame API uses)

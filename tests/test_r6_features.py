@@ -900,3 +900,57 @@ def test_transform_epsg_inv_udf(spark):
     with _pytest.raises(ValueError, match="no closed inverse"):
         transform_epsg_inv_batch(np.array([0.0]), np.array([0.0]),
                                  np.array([2154]))
+
+
+def test_python_datasource_formats(spark, tmp_path):
+    """Spark-4 Python Data Source API (r6b): spark.read.format("osmpbf")
+    returns row-for-row what the mapInPandas reader returns (shared
+    per-block parsers), with one input partition per blob group; the
+    "geotiffdir" source decodes a directory of .tif files into
+    georeferenced raster rows."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    import sedona_spark
+    from sedona_spark.sources.geotiff import encode_geotiff
+    from sedona_spark.sources.osmpbf import read_osm_pbf, write_osm_pbf
+
+    sedona_spark.register(spark)
+
+    n = F2.col("id").cast("long")
+    df = spark.range(40).select(
+        n.alias("id"), (n * 0.3 - 5.0).alias("lon"),
+        (n * 0.2 + 1.0).alias("lat"),
+        F2.map_from_arrays(F2.array(F2.lit("k")),
+                           F2.array(n.cast("string"))).alias("tags"),
+    )
+    p = str(tmp_path / "ds_nodes.osm.pbf")
+    write_osm_pbf(df, p, tags_col="tags", nodes_per_block=8,
+                  order_col="id")
+
+    via_ds = spark.read.format("osmpbf").option("primitive", "nodes") \
+        .option("blobs_per_task", "2").load(p)
+    via_fn = read_osm_pbf(spark, p)
+    a = sorted((r["node_id"], r["lon_i7"], r["lat_i7"], r["tags"]["k"])
+               for r in via_ds.collect())
+    b = sorted((r["node_id"], r["lon_i7"], r["lat_i7"], r["tags"]["k"])
+               for r in via_fn.collect())
+    assert a == b and len(a) == 40
+    # 5 blocks of 8 nodes, 2 blobs/task -> 3 partitions
+    assert via_ds.rdd.getNumPartitions() == 3
+
+    d = tmp_path / "tifs"
+    d.mkdir()
+    for i in range(3):
+        arr = (np.arange(4 * 5 * 3, dtype=np.uint8) + i).reshape(4, 5, 3)
+        (d / f"t{i}.tif").write_bytes(
+            encode_geotiff(arr, ulx=i * 10.0, uly=50.0, sx=0.5, sy=-0.5,
+                           srid=4326))
+    rast = spark.read.format("geotiffdir").load(str(d))
+    rows = {r["ulx"]: r for r in rast.collect()}
+    assert len(rows) == 3 and rast.rdd.getNumPartitions() == 3
+    r0 = rows[10.0]
+    assert (r0["width"], r0["height"], r0["bands"], r0["srid"]) == \
+        (5, 4, 3, 4326)
+    back = np.frombuffer(r0["buf"], dtype=np.uint8).reshape(4, 5, 3)
+    assert back[0, 0, 0] == 1  # i = 1 offset
