@@ -75,3 +75,84 @@ def hot_cell_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+_SESS_OUT = ("user_id long, session_id long, n_events long, "
+             "x_min double, x_max double, y_min double, y_max double, "
+             "t_start long, t_end long, closed boolean")
+_SESS_STATE = ("session_id long, n_events long, x_min double, "
+               "x_max double, y_min double, y_max double, "
+               "t_start long, t_end long")
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    user: str = "user_id",
+    ts: str = "ts_ms",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Gap-based trajectory sessionization (custom stateful streaming
+    operator; beyond the reference's scalar-only streaming posture):
+    per user, consecutive pings closer than ``gap_ms`` belong to one
+    session; a longer silence closes the session and emits its summary
+    (event count, bounding box, time span). Emits an OPEN row (`closed
+    = false`) whenever a micro-batch extends a live session, and a
+    CLOSED row either when a new ping arrives after the gap or when the
+    state times out with no traffic at all.
+
+    100 TB shape: state is ONE fixed-width tuple per ACTIVE user (no
+    event buffering — the bbox/count fold is incremental), partitioned
+    by user key; ProcessingTimeTimeout evicts silent users, so state
+    size tracks concurrently-active users, not history."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (sid, n, x0, x1, y0, y1, t0, t1) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], sid, n, x0, x1, y0, y1, t0, t1, True)],
+                columns=[c.split()[0] for c in _SESS_OUT.split(", ")],
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts)
+        out = []
+        if state.exists:
+            sid, n, x0, x1, y0, y1, t0, t1 = state.get
+        else:
+            sid, n = 0, 0
+            x0 = y0 = float("inf")
+            x1 = y1 = float("-inf")
+            t0 = t1 = None
+        for r in rows.itertuples(index=False):
+            rts = int(getattr(r, ts))
+            if n and rts - t1 > gap_ms:
+                out.append((key[0], sid, n, x0, x1, y0, y1, t0, t1, True))
+                sid, n = sid + 1, 0
+                x0 = y0 = float("inf")
+                x1 = y1 = float("-inf")
+                t0 = None
+            rx, ry = float(getattr(r, x)), float(getattr(r, y))
+            n += 1
+            x0, x1 = min(x0, rx), max(x1, rx)
+            y0, y1 = min(y0, ry), max(y1, ry)
+            t0 = rts if t0 is None else t0
+            t1 = rts
+        state.update((sid, n, x0, x1, y0, y1, t0, t1))
+        state.setTimeoutDuration(gap_ms)
+        out.append((key[0], sid, n, x0, x1, y0, y1, t0, t1, False))
+        yield pd.DataFrame(
+            out, columns=[c.split()[0] for c in _SESS_OUT.split(", ")]
+        )
+
+    return (
+        stream.groupBy(user)
+        .applyInPandasWithState(
+            update, _SESS_OUT, _SESS_STATE, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -392,3 +392,53 @@ def test_snapshot_listing_and_expiry(spark, tmp_path):
     assert is_committed(root, "s1")
     assert not is_committed(root, "s2")
     assert [r["stage"] for r in list_stages(root)] == ["s1"]
+
+
+def test_sessionize_stream_gap_semantics(spark, tmp_path):
+    """Gap-based stateful sessionization: bursts of 5 pings (400 ms
+    span) separated by 9.6 s silences must close as 5-event sessions
+    with the right bbox/time fold, regardless of micro-batch
+    boundaries; session ids increment per user."""
+    import time
+
+    from sedona_spark.streaming.stateful import sessionize_stream
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "400")
+        .load()
+        .withColumn("user_id", F.lit(0).cast("long"))
+        .withColumn(
+            "ts_ms",
+            (F.col("value") / 5).cast("long") * 10000
+            + (F.col("value") % 5) * 100,
+        )
+        .withColumn("x", (F.col("value") % 5).cast("double"))
+        .withColumn("y", ((F.col("value") % 5) * 2).cast("double"))
+    )
+    out = sessionize_stream(src, gap_ms=2000)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        closed = []
+        while time.time() < deadline:
+            time.sleep(3.0)
+            closed = spark.sql(
+                "select * from sessions where closed order by session_id"
+            ).collect()
+            if len(closed) >= 2:
+                break
+        assert len(closed) >= 2, "no sessions closed"
+        for r in closed:
+            assert r["n_events"] == 5, r
+            assert (r["x_min"], r["x_max"]) == (0.0, 4.0)
+            assert (r["y_min"], r["y_max"]) == (0.0, 8.0)
+            assert r["t_end"] - r["t_start"] == 400
+        sids = [r["session_id"] for r in closed]
+        assert sids == sorted(set(sids))  # strictly increasing per user
+    finally:
+        q.stop()
