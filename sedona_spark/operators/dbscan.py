@@ -46,6 +46,9 @@ def dbscan(
         a, b, eps, level=level, probe_x="_xa", probe_y="_ya",
         build_x="_xb", build_y="_yb",
     ).select("_ida", "_idb")  # includes the self-pair
+    # the eps-graph feeds degree counting, every CC round, and border
+    # attachment — without a persist the cell join re-executes for each
+    pairs = pairs.persist()
 
     deg = pairs.groupBy("_ida").agg(F.count(F.lit(1)).alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts).select(F.col("_ida").alias("_id"))
@@ -77,7 +80,7 @@ def dbscan(
             .agg(F.min("_la").alias("_cand"))
             .withColumnRenamed("_idb", "_id")
         )
-        new_labels = (
+        stepped = (
             labels.join(prop, "_id", "left")
             .select(
                 "_id",
@@ -87,10 +90,29 @@ def dbscan(
                 "_lbl",
             )
         )
-        changed = new_labels.filter(F.col("_new") < F.col("_lbl")).count()
-        labels = new_labels.select("_id", F.col("_new").alias("_lbl")).localCheckpoint(
-            eager=True
+        # path halving (pointer jumping): labels double as representative
+        # ids, so chasing one hop of label-of-label each round turns the
+        # O(diameter) chain walk into O(log diameter) rounds — the same
+        # trick the large-star/small-star CC formulations rely on.
+        halved = (
+            stepped.join(
+                labels.withColumnsRenamed({"_id": "_plbl_id", "_lbl": "_plbl"}),
+                stepped["_new"] == F.col("_plbl_id"),
+                "left",
+            )
+            .select(
+                "_id",
+                F.least(F.col("_new"), F.coalesce(F.col("_plbl"), F.col("_new"))).alias(
+                    "_new"
+                ),
+                "_lbl",
+            )
         )
+        # checkpoint once, THEN count convergence on the materialized frame
+        # (counting first would execute the whole round's join pipeline twice)
+        cp = halved.localCheckpoint(eager=True)
+        changed = cp.filter(F.col("_new") < F.col("_lbl")).count()
+        labels = cp.select("_id", F.col("_new").alias("_lbl"))
         if changed == 0:
             break
 
@@ -119,5 +141,7 @@ def dbscan(
         )
         .withColumn("is_core", F.coalesce(F.col("is_core"), F.lit(False)))
     )
+    out = out.localCheckpoint(eager=True)  # cut lineage before releasing caches
     core.unpersist()
+    pairs.unpersist()
     return out

@@ -204,6 +204,13 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     no physical call pass straight through to ``spark.sql``."""
     text = _rewrite_knn_join(spark, text, "__phys_knn")
     n = 0
+    # Each rewrite replaces the FROM table with a composite view
+    # (base LEFT JOIN operator result). Later operators must still run
+    # over the ORIGINAL base — feeding them the composite would re-embed
+    # every earlier operator's job (DBSCAN's iterative components, the
+    # band self-joins) into each successive input plan, compounding the
+    # statement's cost quadratically in the number of physical calls.
+    originals: dict[str, DataFrame] = {}
     while True:
         m = _CALL_RE.search(text)
         if m is None:
@@ -214,14 +221,16 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if fm is None:
             raise ValueError("physical function call needs a FROM table")
         src = fm.group(1)
-        base = spark.table(src)
+        composite = spark.table(src)
+        base = originals.get(src, composite)
         open_idx = m.end() - 1
         close = _match_paren(text, open_idx)
         args = _split_args(text[open_idx + 1:close - 1])
         out_col = f"__phys{n}"
         res, idc = _dispatch(m.group(1), args, base, out_col)
         view = f"__phys_view{n}"
-        base.join(res, idc, "left").createOrReplaceTempView(view)
+        composite.join(res, idc, "left").createOrReplaceTempView(view)
+        originals[view] = base
         # swap the call for its result column (ALL textually identical
         # occurrences — repeated field accesses like .isCore/.cluster run
         # the operator once) and the source for the view
