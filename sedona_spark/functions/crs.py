@@ -206,23 +206,8 @@ def _t_sql(lat_expr: str, e2: float) -> str:
             f"{e / 2.0!r}))")
 
 
-def _q_col(lat: Column, e2: float) -> Column:
-    """Runtime q(φ) as a pure Column (Snyder 3-12)."""
-    e = math.sqrt(e2)
-    s = F.sin(lat * F.lit(_RAD))
-    return F.lit(1.0 - e2) * (
-        s / (F.lit(1.0) - F.lit(e2) * s * s)
-        - F.lit(1.0 / (2.0 * e))
-        * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s))
-    )
-
-
-def _q_sql(lat_expr: str, e2: float) -> str:
-    e = math.sqrt(e2)
-    s = f"sin({lat_expr} * {_RAD!r})"
-    return (f"({1.0 - e2!r} * ({s} / (1e0 - {e2!r} * {s} * {s}) "
-            f"- {1.0 / (2.0 * e)!r} "
-            f"* ln((1e0 - {e!r} * {s}) / (1e0 + {e!r} * {s}))))")
+# NOTE: the authalic _q_col/_q_sql helpers live in the LAEA section
+# below (single definition — an identical copy here would shadow).
 
 
 def _lcc_constants(lat0: float, sp1: float, sp2: float,

@@ -1829,11 +1829,18 @@ def eval_map_algebra(expr: str, bands: list[np.ndarray]) -> np.ndarray:
                 if hi - lo + 1 > _MA_MAX_ITER:
                     raise ValueError(
                         f"RS_MapAlgebra: loop exceeds {_MA_MAX_ITER} trips")
+                had_prev = var in env
+                prev = env.get(var)
                 for i in range(lo, hi + 1):  # Jiffle ranges are inclusive
                     env[var] = float(i)
                     for s in body:
                         s(env)
-                env.pop(var, None)
+                # loop var is scoped to the loop: restore an outer
+                # same-named binding rather than destroying it
+                if had_prev:
+                    env[var] = prev
+                else:
+                    env.pop(var, None)
             return run_loop
         if k != "name":
             raise ValueError(f"RS_MapAlgebra: expected statement, got {v!r}")

@@ -168,9 +168,12 @@ def _dispatch(
 
         idc, x, y = args[0], args[1], args[2]
         binary = lname == "st_binarydistancebandcolumn"
+        # binary bands include zero-distance neighbors, matching the
+        # add_binary_distance_band_column wrapper (Weighting.scala:194-211)
         res = add_distance_band_column(
             base.select(idc, x, y), threshold=_num(args[3]), binary=binary,
             alpha=-1.0 if binary else _num(args[4]),
+            include_zero=binary,
             id_col=idc, x=x, y=y, result_name=out_col,
         )
         return res.select(idc, out_col), idc
@@ -231,13 +234,13 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         view = f"__phys_view{n}"
         composite.join(res, idc, "left").createOrReplaceTempView(view)
         originals[view] = base
-        # swap the call for its result column (ALL textually identical
-        # occurrences — repeated field accesses like .isCore/.cluster run
-        # the operator once) and the source for the view
-        text = text.replace(text[m.start():close], out_col)
-        text = re.sub(
-            rf"\bfrom\s+{re.escape(src)}\b", f"from {view}", text,
-            count=1, flags=re.IGNORECASE,
-        )
+        # swap the source for the view FIRST, splicing at the exact FROM
+        # located above (a textual re.sub could hit an earlier "from src"
+        # inside a scalar subquery), then the call for its result column
+        # (ALL textually identical occurrences — repeated field accesses
+        # like .isCore/.cluster run the operator once)
+        call_text = text[m.start():close]
+        text = text[:fm.start()] + f"from {view}" + text[fm.end():]
+        text = text.replace(call_text, out_col)
         n += 1
     return spark.sql(text)

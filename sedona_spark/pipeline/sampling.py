@@ -37,9 +37,14 @@ _MOD = 1 << 20
 
 def hash_bucket(id_col: Column, salt: int = 0) -> Column:
     """Deterministic bucket in [0, 2^20) from a stable integer id —
-    exact int64 arithmetic, identical text on Spark and DuckDB."""
+    exact int64 arithmetic, identical text on Spark and DuckDB. The
+    pre-multiply ``pmod 2^31`` keeps the product under int64 (2^31 ·
+    2654435761 < 2^63), so snowflake-scale ids neither wrap in Spark
+    nor overflow DuckDB's checked multiply; ids below 2^31 hash
+    identically to the unreduced form."""
     return F.pmod(
-        (id_col.cast("long") + F.lit(int(salt))) * F.lit(_KNUTH),
+        F.pmod(id_col.cast("long") + F.lit(int(salt)), F.lit(1 << 31))
+        * F.lit(_KNUTH),
         F.lit(_MOD),
     )
 
@@ -47,8 +52,8 @@ def hash_bucket(id_col: Column, salt: int = 0) -> Column:
 def sql_hash_bucket(id_expr: str, salt: int = 0) -> str:
     """Oracle twin of :func:`hash_bucket` (``pmod`` spelled portably —
     the operand is non-negative for non-negative ids + salt)."""
-    return (f"(((cast({id_expr} as bigint) + {int(salt)}) * {_KNUTH}) "
-            f"% {_MOD})")
+    return (f"((((cast({id_expr} as bigint) + {int(salt)}) "
+            f"% {1 << 31}) * {_KNUTH}) % {_MOD})")
 
 
 def stratified_sample(

@@ -285,7 +285,9 @@ def _scan_frames(path: str):
     return frames
 
 
-_MEMBER_TYPES_PARSE = ("node", "way", "relation")
+# PBF MemberType enum (0=NODE 1=WAY 2=RELATION) — one constant serves
+# both the parse and write paths so they can never diverge
+_MEMBER_TYPES = ("node", "way", "relation")
 
 
 def parse_block_nodes(block: bytes) -> list:
@@ -414,7 +416,7 @@ def parse_block_relations(block: bytes) -> list:
                 refs.append(acc)
             members = [
                 {"ref": rf,
-                 "mtype": _MEMBER_TYPES_PARSE[t],
+                 "mtype": _MEMBER_TYPES[t],
                  "role": strings[ro]}
                 for rf, t, ro in zip(refs, types, roles)
             ]
@@ -557,8 +559,6 @@ def read_osm_pbf_ways(
 # --- relations (r6: same framing; Relation = id(1) + keys(2)/vals(3) +
 # roles_sid(9) + packed delta sint64 memids(10) + packed enum types(11),
 # types: 0=NODE 1=WAY 2=RELATION) -----------------------------------------
-
-_MEMBER_TYPES = ("node", "way", "relation")
 
 
 def write_osm_pbf_relations(

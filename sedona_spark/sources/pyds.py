@@ -141,11 +141,13 @@ class GeoTiffDirReader(DataSourceReader):
     def read(self, partition: _OneFile):
         if not partition.path:
             return
-        from pyarrow import fs as pafs
-
+        from sedona_spark.sources.geoparquet import _fs_for
         from sedona_spark.sources.geotiff import decode_geotiff
 
-        f = pafs.LocalFileSystem()
+        # resolve the SAME filesystem partitions() listed through —
+        # partition paths are fs-internal (no scheme), so a hardcoded
+        # LocalFileSystem would break non-local URIs (s3://, hdfs://)
+        f, _ = _fs_for(self.path)
         with f.open_input_file(partition.path) as fh:
             buf = fh.read()
         arr, ulx, uly, sx, sy, srid = decode_geotiff(buf)

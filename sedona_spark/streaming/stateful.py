@@ -97,7 +97,10 @@ def sessionize_stream(
     operator; beyond the reference's scalar-only streaming posture):
     per user, consecutive pings closer than ``gap_ms`` belong to one
     session; a longer silence closes the session and emits its summary
-    (event count, bounding box, time span). Emits an OPEN row (`closed
+    (event count, bounding box, time span). ``session_id`` is the
+    session's start timestamp — strictly increasing per user and stable
+    across state eviction (a per-user counter would reset after a
+    timeout removes the state). Emits an OPEN row (`closed
     = false`) whenever a micro-batch extends a live session, and a
     CLOSED row either when a new ping arrives after the gap or when the
     state times out with no traffic at all.
@@ -132,7 +135,7 @@ def sessionize_stream(
             rts = int(getattr(r, ts))
             if n and rts - t1 > gap_ms:
                 out.append((key[0], sid, n, x0, x1, y0, y1, t0, t1, True))
-                sid, n = sid + 1, 0
+                n = 0
                 x0 = y0 = float("inf")
                 x1 = y1 = float("-inf")
                 t0 = None
@@ -140,7 +143,11 @@ def sessionize_stream(
             n += 1
             x0, x1 = min(x0, rx), max(x1, rx)
             y0, y1 = min(y0, ry), max(y1, ry)
-            t0 = rts if t0 is None else t0
+            if t0 is None:
+                # session id = session start time: strictly increasing
+                # per user AND robust to state eviction (a counter reset
+                # to 0 after a ProcessingTimeTimeout would reuse ids)
+                t0, sid = rts, rts
             t1 = rts
         state.update((sid, n, x0, x1, y0, y1, t0, t1))
         state.setTimeoutDuration(gap_ms)

@@ -398,7 +398,7 @@ def test_sessionize_stream_gap_semantics(spark, tmp_path):
     """Gap-based stateful sessionization: bursts of 5 pings (400 ms
     span) separated by 9.6 s silences must close as 5-event sessions
     with the right bbox/time fold, regardless of micro-batch
-    boundaries; session ids increment per user."""
+    boundaries; session ids strictly increase per user."""
     import time
 
     from sedona_spark.streaming.stateful import sessionize_stream
