@@ -1213,6 +1213,140 @@ from pix group by i
 """
 
 
+# --- image training-tensor tier (r6: pipeline/images.py) -----------------
+
+
+def q_image_tensorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → 32×32 nearest-neighbor resize → ImageNet normalize →
+    CHW float32 tensor (torchvision Resize+ToTensor+Normalize as one
+    Arrow pass). Oracle regenerates the SAMPLED pixels via the exact
+    integer index map ``(d·src)//32`` and mirrors the two IEEE ops that
+    derive the normalized channel means."""
+    from sedona_spark.pipeline.images import tensorize
+
+    imgs = images_from_part(spark, sf_dir, id_mod=10)
+    return tensorize(imgs, size=32, keep_tensor=False)
+
+
+def _image_tensorize_sql() -> str:
+    from sedona_spark.pipeline.images import IMAGENET_MEAN, IMAGENET_STD
+
+    pix = _PIX.format(x="sx", y="sy")
+    dec = _DECODED.format(v=f"({pix})")
+    norm = ",\n       ".join(
+        f"(cast(c{c}_sum as double) / 261120e0 - {IMAGENET_MEAN[c]!r})"
+        f" / {IMAGENET_STD[c]!r} as norm_mean_{c}"
+        for c in range(3)
+    )
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 10 = 0),
+coords as (
+  select i, fmt, (dx.v * w) // 32 as sx, (dy.v * h) // 32 as sy
+  from sel,
+       lateral (select unnest(range(0, 32)) as v) dx,
+       lateral (select unnest(range(0, 32)) as v) dy),
+dec as (
+  select i, c.v as ch, {dec} as dv
+  from coords, (select unnest(range(0, 3)) as v) c),
+wide as (
+  select i,
+         cast(sum(case when ch = 0 then dv end) as bigint) as c0_sum,
+         cast(sum(case when ch = 1 then dv end) as bigint) as c1_sum,
+         cast(sum(case when ch = 2 then dv end) as bigint) as c2_sum
+  from dec group by i)
+select printf('img_%012d', i) as image_id, c0_sum, c1_sum, c2_sum,
+       {norm}
+from wide
+"""
+
+
+def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic batch assembly (the
+    bucketed-batch manifest SDXL-style trainers shard by)."""
+    from sedona_spark.pipeline.images import aspect_buckets
+
+    imgs = images_from_part(spark, sf_dir)
+    return aspect_buckets(imgs, batch_size=8)
+
+
+def _aspect_bucket_batches_sql() -> str:
+    return f"""
+with img as ({_img_meta_sql()}),
+b as (select printf('img_%012d', i) as image_id,
+             (w * 1000) // h as bucket_id from img),
+r as (select *, row_number() over (
+        partition by bucket_id order by image_id) as rn from b)
+select bucket_id, (rn - 1) // 8 as batch_id,
+       count(*) as n_images,
+       min(image_id) as first_id, max(image_id) as last_id
+from r group by bucket_id, (rn - 1) // 8
+"""
+
+
+def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 16×16 patch grid with exact per-patch pixel sums
+    (fixture sizes 32/64/48/96 are all multiples of 16)."""
+    from sedona_spark.pipeline.images import patchify_sums
+
+    imgs = images_from_part(spark, sf_dir, id_mod=20)
+    return patchify_sums(imgs, patch=16)
+
+
+def _image_patchify_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dec = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 20 = 0),
+dec as (
+  select i, x.v // 16 as px, y.v // 16 as py, {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       (select unnest(range(0, 3)) as v) c)
+select printf('img_%012d', i) as image_id, px, py,
+       cast(sum(dv) as bigint) as patch_sum
+from dec group by i, px, py
+"""
+
+
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset per-channel mean/variance — the normalization constants a
+    training run pins first. Exact int64 sum/sumsq; the two derived
+    doubles mirror the oracle's IEEE op order."""
+    from sedona_spark.pipeline.images import channel_stats
+
+    imgs = images_from_part(spark, sf_dir, id_mod=4)
+    return channel_stats(imgs)
+
+
+def _image_channel_stats_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dec = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 4 = 0),
+dec as (
+  select c.v as channel, {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       (select unnest(range(0, 3)) as v) c),
+agg as (
+  select channel, cast(count(*) as bigint) as n_px,
+         cast(sum(dv) as bigint) as px_sum,
+         cast(sum(dv * dv) as bigint) as px_sumsq
+  from dec group by channel)
+select channel, n_px, px_sum, px_sumsq,
+       cast(px_sum as double) / cast(n_px as double) as mean_val,
+       cast(px_sumsq as double) / cast(n_px as double)
+         - (cast(px_sum as double) / cast(n_px as double))
+         * (cast(px_sum as double) / cast(n_px as double)) as var_val
+from agg
+"""
+
+
 def q_rs_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RS_Value at world coordinates, BILINEAR (r4): sample point per
     image at pixel-space (i%17 + 0.75, i%11 + 0.75) — dyadic fractions
@@ -5637,6 +5771,10 @@ _NEW_OR_CHANGED = {
     "stratified_sample",   # r6: deterministic quota sampling
     "sample_per_key",      # r6: uniform k-per-key sampling
     "tfidf_top_terms",     # r6: corpus TF-IDF top terms
+    "image_tensorize",     # r6: training-tensor prep (resize+normalize)
+    "aspect_bucket_batches",  # r6: aspect-ratio bucketed batch manifest
+    "image_patchify",      # r6: ViT patch grid exact sums
+    "image_channel_stats",  # r6: dataset channel mean/var
 }
 
 
@@ -5830,6 +5968,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_subdivide_explode": q_st_subdivide,
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "image_decode": q_image_decode,
+        "image_tensorize": q_image_tensorize,
+        "aspect_bucket_batches": q_aspect_bucket_batches,
+        "image_patchify": q_image_patchify,
+        "image_channel_stats": q_image_channel_stats,
         "rs_value": q_rs_value,
         "rs_clip_stats": q_rs_clip_stats,
         "rs_map_algebra": q_rs_map_algebra,
@@ -6107,6 +6249,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_portable": _minhash_portable_sql(),
         "simhash_pairs_portable": _simhash_portable_sql(),
         "image_decode": _image_decode_sql(),
+        "image_tensorize": _image_tensorize_sql(),
+        "aspect_bucket_batches": _aspect_bucket_batches_sql(),
+        "image_patchify": _image_patchify_sql(),
+        "image_channel_stats": _image_channel_stats_sql(),
         "rs_value": _rs_value_sql(),
         "rs_clip_stats": _rs_clip_sql(),
         "rs_map_algebra": _rs_map_algebra_sql(),

@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "sample_per_key",
     "tfidf_top_terms",
+    "image_tensorize",
+    "aspect_bucket_batches",
+    "image_patchify",
+    "image_channel_stats",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL
@@ -433,6 +437,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "rs_value", "rs_map_algebra", "rs_clip_stats", "image_decode",
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
         "rs_zonal_stats", "rs_resample", "rs_interpolate", "rs_pyramid",
+        "image_tensorize", "image_patchify", "image_channel_stats",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

@@ -954,3 +954,105 @@ def test_python_datasource_formats(spark, tmp_path):
         (5, 4, 3, 4326)
     back = np.frombuffer(r0["buf"], dtype=np.uint8).reshape(4, 5, 3)
     assert back[0, 0, 0] == 1  # i = 1 offset
+
+
+# --- image training-tensor tier (pipeline/images.py) ----------------------
+
+
+def test_tensorize_matches_numpy(spark):
+    """CHW float32 tensor == direct numpy Resize+ToTensor+Normalize on
+    the decoded pixels; exact channel sums; identity resize for 32x32."""
+    import numpy as np
+
+    from sedona_spark.pipeline.images import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        tensorize,
+    )
+    from sedona_spark.sources.images import (
+        decode_image,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, 12)
+    out = {r["image_id"]: r for r in tensorize(imgs, size=32).collect()}
+    src = {r["image_id"]: r for r in imgs.collect()}
+    assert len(out) == 12
+    mean = np.asarray(IMAGENET_MEAN, dtype=np.float32)
+    std = np.asarray(IMAGENET_STD, dtype=np.float32)
+    for iid, r in out.items():
+        arr, _ = decode_image(bytes(src[iid]["bytes"]))
+        h, w, _ = arr.shape
+        iy = (np.arange(32, dtype=np.int64) * h) // 32
+        ix = (np.arange(32, dtype=np.int64) * w) // 32
+        samp = arr[np.ix_(iy, ix)]
+        want = ((samp.astype(np.float32) / np.float32(255.0) - mean)
+                / std).transpose(2, 0, 1)
+        got = np.frombuffer(r["tensor"], dtype=np.float32).reshape(3, 32, 32)
+        assert got.shape == (3, 32, 32) and len(r["tensor"]) == 3 * 32 * 32 * 4
+        np.testing.assert_array_equal(got, want)
+        sums = samp.astype(np.int64).sum(axis=(0, 1))
+        assert (r["c0_sum"], r["c1_sum"], r["c2_sum"]) == tuple(sums)
+        # 32x32 inputs (i % 3 == 0): identity resize
+        if src[iid]["w"] == 32 and src[iid]["h"] == 32:
+            np.testing.assert_array_equal(
+                samp, arr)
+
+
+def test_aspect_buckets_assembly(spark):
+    """Every image lands in exactly one batch; batches are <= size and
+    only the last batch of a bucket is partial."""
+    from sedona_spark.pipeline.images import aspect_buckets
+    from sedona_spark.sources.images import synthesize_images
+
+    imgs = synthesize_images(spark, 50)
+    out = aspect_buckets(imgs, batch_size=8).collect()
+    assert sum(r["n_images"] for r in out) == 50
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket_id"], []).append(r)
+    # fixture sizes: 32/32 -> 1000, 64/48 -> 1333, 48/96 -> 500
+    assert set(by_bucket) == {1000, 1333, 500}
+    for recs in by_bucket.values():
+        recs.sort(key=lambda r: r["batch_id"])
+        for j, r in enumerate(recs):
+            assert r["n_images"] <= 8
+            if j < len(recs) - 1:
+                assert r["n_images"] == 8  # only the tail is partial
+            assert r["first_id"] <= r["last_id"]
+
+
+def test_patchify_and_channel_stats(spark):
+    """Patch sums equal a brute-force blocked sum; channel stats equal
+    numpy over the concatenated dataset."""
+    import numpy as np
+
+    from sedona_spark.pipeline.images import channel_stats, patchify_sums
+    from sedona_spark.sources.images import decode_image, synthesize_images
+
+    imgs = synthesize_images(spark, 9)
+    src = {r["image_id"]: decode_image(bytes(r["bytes"]))[0]
+           for r in imgs.collect()}
+
+    got = {(r["image_id"], r["px"], r["py"]): r["patch_sum"]
+           for r in patchify_sums(imgs, patch=16).collect()}
+    n_expected = sum((a.shape[0] // 16) * (a.shape[1] // 16)
+                     for a in src.values())
+    assert len(got) == n_expected
+    for iid, arr in src.items():
+        for py in range(arr.shape[0] // 16):
+            for px in range(arr.shape[1] // 16):
+                blk = arr[py * 16:(py + 1) * 16, px * 16:(px + 1) * 16]
+                assert got[(iid, px, py)] == int(blk.astype(np.int64).sum())
+
+    stats = {r["channel"]: r for r in channel_stats(imgs).collect()}
+    allpix = np.concatenate(
+        [a.reshape(-1, 3).astype(np.int64) for a in src.values()])
+    for ch in range(3):
+        r = stats[ch]
+        assert r["n_px"] == allpix.shape[0]
+        assert r["px_sum"] == int(allpix[:, ch].sum())
+        assert r["px_sumsq"] == int((allpix[:, ch] ** 2).sum())
+        assert abs(r["mean_val"] - allpix[:, ch].mean()) < 1e-9
+        assert abs(r["var_val"]
+                   - allpix[:, ch].astype(np.float64).var()) < 1e-6
