@@ -5287,16 +5287,19 @@ where i % 50 = 0
 
 def q_netcdf_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NetCDF classic interop (r5c): RS_NetCDFInfo / RS_FromNetCDF over a
-    pure-stdlib CDF-1 codec (``sources/netcdf.py`` — published classic
-    header layout; NetCDF-4/HDF5 raises, the documented seam). The
-    fixture synthesizes one classic file per nation row (6×4 NC_INT grid
-    from an id formula) inside mapInPandas, reads the variable back as a
-    raster struct, and the DuckDB twin re-derives the info string and the
-    uint8-clipped band sum from the same formula."""
+    pure-stdlib codec pair (``sources/netcdf.py`` classic CDF-1 +
+    ``sources/hdf5.py`` NetCDF-4/HDF5 with deflate-chunked layout — r6
+    closes the HDF5 seam). The fixture synthesizes one file per nation
+    row (6×4 int grid from an id formula) inside mapInPandas — even keys
+    as classic CDF, odd keys as HDF5 — reads the variable back as a
+    raster struct, and the DuckDB twin re-derives the info string and
+    the uint8-clipped band sum from the same formula (identical for both
+    carriers: that is the point)."""
     import numpy as np
     import pandas as pd
 
     import sedona_spark
+    from sedona_spark.sources.hdf5 import encode_hdf5
     from sedona_spark.sources.netcdf import encode_netcdf
 
     sedona_spark.register(spark)
@@ -5312,7 +5315,10 @@ def q_netcdf_io(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = ((n * 7 + np.arange(24) * 11) % 300).astype(
                     np.int32
                 ).reshape(4, 6)
-                recs.append((n, encode_netcdf({"grid": vals})))
+                enc = (encode_netcdf({"grid": vals}) if n % 2 == 0
+                       else encode_hdf5({"grid": vals}, chunk_rows=2,
+                                        deflate=6))
+                recs.append((n, enc))
             yield pd.DataFrame(recs, columns=["n_nationkey", "nc"])
 
     nation.mapInPandas(
@@ -5775,6 +5781,7 @@ _NEW_OR_CHANGED = {
     "aspect_bucket_batches",  # r6: aspect-ratio bucketed batch manifest
     "image_patchify",      # r6: ViT patch grid exact sums
     "image_channel_stats",  # r6: dataset channel mean/var
+    "netcdf_io",           # r6: NetCDF-4/HDF5 carrier (odd keys)
 }
 
 

@@ -68,10 +68,28 @@ def parse_netcdf(buf: bytes) -> dict:
     """Parse the classic header + fixed variables. Returns
     {dims: [(name, len)], gatts: {...}, vars: {name: {dims, shape, type,
     atts, data}}} (record variables are listed but not materialized)."""
+    if buf[:8] == b"\x89HDF\r\n\x1a\n":
+        # NetCDF-4 files ARE HDF5 files — dispatch to the stdlib HDF5
+        # reader (sources/hdf5.py) and present the classic dict shape
+        from sedona_spark.sources.hdf5 import parse_hdf5
+
+        dims: list[tuple[str, int]] = []
+        variables: dict[str, dict] = {}
+        for nm, a in parse_hdf5(buf).items():
+            dnames = []
+            for axis, ln in enumerate(a.shape):
+                dn = f"{nm}_d{axis}"
+                dims.append((dn, ln))
+                dnames.append(dn)
+            t = (6 if a.dtype.kind == "f" and a.dtype.itemsize == 8
+                 else 5 if a.dtype.kind == "f"
+                 else 4)
+            variables[nm] = {"dims": dnames, "shape": a.shape,
+                             "type": t, "atts": {}, "data": a}
+        return {"dims": dims, "gatts": {}, "vars": variables}
     if buf[:3] != b"CDF":
         raise NotImplementedError(
-            "not a classic NetCDF file (NetCDF-4/HDF5 requires the "
-            "external library seam)")
+            "not a NetCDF file (classic CDF or HDF5-backed NetCDF-4)")
     version = buf[3]
     if version not in (1, 2):
         raise NotImplementedError("only CDF-1/CDF-2 classic supported")

@@ -1056,3 +1056,64 @@ def test_patchify_and_channel_stats(spark):
         assert abs(r["mean_val"] - allpix[:, ch].mean()) < 1e-9
         assert abs(r["var_val"]
                    - allpix[:, ch].astype(np.float64).var()) < 1e-6
+
+
+# --- HDF5 / NetCDF-4 codec (sources/hdf5.py) -------------------------------
+
+
+def test_hdf5_round_trip_layouts():
+    """Contiguous, chunked, and deflate-chunked layouts round-trip all
+    supported dtypes/ranks, including a dim whose value (259 = 0x103)
+    would false-match a byte-pattern scan."""
+    import numpy as np
+
+    from sedona_spark.sources.hdf5 import encode_hdf5, parse_hdf5
+
+    data = {
+        "temp": np.arange(48, dtype=np.float32).reshape(6, 8) * 0.5 - 3,
+        "mask": (np.arange(48, dtype=np.uint8).reshape(6, 8) % 7),
+        "elev": np.arange(259 * 2, dtype=np.int32).reshape(2, 259),
+        "zed": np.arange(24, dtype=np.float64).reshape(2, 3, 4),
+        "one": np.arange(5, dtype=np.int16),
+    }
+    for kw in ({}, {"chunk_rows": 4}, {"chunk_rows": 4, "deflate": 6},
+               {"deflate": 1}):
+        buf = encode_hdf5(data, **kw)
+        assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+        out = parse_hdf5(buf)
+        assert sorted(out) == sorted(data)
+        for k, v in data.items():
+            np.testing.assert_array_equal(out[k], v)
+    # deflate actually compresses the regular grids
+    assert len(encode_hdf5(data, chunk_rows=4, deflate=6)) < \
+        len(encode_hdf5(data))
+
+
+def test_netcdf4_dispatch_and_raster():
+    """parse_netcdf/netcdf_info/netcdf_variable_as_raster accept an
+    HDF5-backed NetCDF-4 buffer and agree with the classic-CDF twin."""
+    import numpy as np
+
+    from sedona_spark.sources.hdf5 import encode_hdf5
+    from sedona_spark.sources.netcdf import (
+        encode_netcdf,
+        netcdf_info,
+        netcdf_variable_as_raster,
+        parse_netcdf,
+    )
+
+    vals = ((np.arange(24) * 11) % 300).astype(np.int32).reshape(4, 6)
+    classic = encode_netcdf({"grid": vals})
+    nc4 = encode_hdf5({"grid": vals}, chunk_rows=2, deflate=6)
+
+    p = parse_netcdf(nc4)
+    np.testing.assert_array_equal(p["vars"]["grid"]["data"], vals)
+    assert netcdf_info(nc4) == netcdf_info(classic)
+    a4, w4, h4, lo4, hi4 = netcdf_variable_as_raster(nc4, "grid")
+    ac, wc, hc, loc, hic = netcdf_variable_as_raster(classic, "grid")
+    np.testing.assert_array_equal(a4, ac)
+    assert (w4, h4, lo4, hi4) == (wc, hc, loc, hic)
+
+    import pytest as _pytest
+    with _pytest.raises((NotImplementedError, ValueError)):
+        parse_netcdf(b"\x89HDF\r\n\x1a\nXXXX")  # truncated/garbage
