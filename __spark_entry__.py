@@ -1347,6 +1347,85 @@ from agg
 """
 
 
+def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest (training-shard export tier):
+    deterministic hash shard assignment + per-shard row count, payload
+    bytes and id span. The oracle mirrors the portable Knuth hash and
+    rebuilds each caption string closed-form; payload uses decoded image
+    size (w·h·3) so the oracle need not re-derive zlib lengths (the
+    compressed-tar path is pytest-gated byte-for-byte)."""
+    from sedona_spark.pipeline.sampling import hash_bucket
+    from sedona_spark.pipeline.shards import shard_manifest
+
+    imgs = images_from_part(spark, sf_dir)
+    i = F.substring("image_id", 5, 12).cast("long")
+    payload = (F.col("w").cast("long") * F.col("h") * 3
+               + F.length("caption").cast("long"))
+    return shard_manifest(imgs, 8, hash_col=hash_bucket(i),
+                          payload_col=payload)
+
+
+def _webdataset_manifest_sql() -> str:
+    from sedona_spark.pipeline.sampling import sql_hash_bucket
+    from sedona_spark.sources.images import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    cap = ("'caption of image ' || i || ': ' || "
+           + " || ' ' || ".join(
+               f"list_extract({words}, (i * 7 + {j} * 13) % 20 + 1)"
+               for j in range(4)))
+    return f"""
+with img as ({_img_meta_sql()}),
+rows_ as (
+  select printf('img_%012d', i) as image_id,
+         ({sql_hash_bucket('i')}) % 8 as shard_id,
+         cast(w as bigint) * h * 3 + length({cap}) as payload
+  from img)
+select shard_id, count(*) as n_rows,
+       cast(sum(payload) as bigint) as payload_bytes,
+       min(image_id) as first_id, max(image_id) as last_id
+from rows_ group by shard_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (contiguous fill over a
+    deterministic hash order) — the packing pass every LLM pretraining
+    pipeline runs before tokenizer sharding."""
+    from sedona_spark.pipeline.sampling import hash_bucket
+    from sedona_spark.pipeline.shards import pack_sequences
+    from sedona_spark.pipeline.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_toks"))
+    return pack_sequences(docs, budget=512, id_col="doc_id",
+                          tokens_col="n_toks",
+                          hash_col=hash_bucket(F.col("doc_id")))
+
+
+def _pack_sequences_sql() -> str:
+    from sedona_spark.pipeline.sampling import sql_hash_bucket
+
+    h = sql_hash_bucket("doc_id")
+    return f"""
+with t as (
+  select doc_id,
+         least(cast(length(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> '')) as bigint), 512) as n_tokens
+  from documents),
+c as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (
+             order by {h}, doc_id
+             rows between unbounded preceding and 1 preceding),
+           0) as cum_before
+  from t)
+select doc_id, n_tokens, cum_before // 512 as seq_id,
+       cum_before % 512 as offset_in_seq
+from c
+"""
+
+
 def q_rs_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RS_Value at world coordinates, BILINEAR (r4): sample point per
     image at pixel-space (i%17 + 0.75, i%11 + 0.75) — dyadic fractions
@@ -5782,6 +5861,8 @@ _NEW_OR_CHANGED = {
     "image_patchify",      # r6: ViT patch grid exact sums
     "image_channel_stats",  # r6: dataset channel mean/var
     "netcdf_io",           # r6: NetCDF-4/HDF5 carrier (odd keys)
+    "webdataset_manifest",  # r6: training-shard export manifest
+    "pack_sequences",      # r6: token-budget sequence packing
 }
 
 
@@ -5979,6 +6060,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "image_patchify": q_image_patchify,
         "image_channel_stats": q_image_channel_stats,
+        "webdataset_manifest": q_webdataset_manifest,
+        "pack_sequences": q_pack_sequences,
         "rs_value": q_rs_value,
         "rs_clip_stats": q_rs_clip_stats,
         "rs_map_algebra": q_rs_map_algebra,
@@ -6260,6 +6343,8 @@ def oracle_sql() -> dict[str, str]:
         "aspect_bucket_batches": _aspect_bucket_batches_sql(),
         "image_patchify": _image_patchify_sql(),
         "image_channel_stats": _image_channel_stats_sql(),
+        "webdataset_manifest": _webdataset_manifest_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "rs_value": _rs_value_sql(),
         "rs_clip_stats": _rs_clip_sql(),
         "rs_map_algebra": _rs_map_algebra_sql(),

