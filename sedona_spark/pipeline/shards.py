@@ -108,6 +108,9 @@ def write_webdataset(
     a = a.repartition(n_shards, "shard_id")
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-side too: on a real cluster the task runs on a machine
+        # that never saw the driver's makedirs (shared-FS mount point)
+        os.makedirs(path, exist_ok=True)
         # a partition may own several shard_ids (hash collisions of the
         # repartition) — group rows per shard, write one tar per shard
         rows: dict[int, list] = {}

@@ -119,6 +119,8 @@ def encode_hdf5(
     layout + B-tree); ``deflate`` adds the DEFLATE filter at that level.
     Default is the contiguous layout.
     """
+    if not variables:
+        raise ValueError("hdf5: at least one variable is required")
     if deflate is not None and chunk_rows is None:
         chunk_rows = max(1, next(iter(variables.values())).shape[0])
     names = sorted(variables)
