@@ -440,6 +440,10 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
         "rs_zonal_stats", "rs_resample", "rs_interpolate", "rs_pyramid",
         "image_tensorize", "image_patchify", "image_channel_stats",
+        # these two only AGGREGATE metadata, but their input stage is
+        # images_from_part's synthesizing mapInPandas, which emits the
+        # full bytes column through Arrow (pruning can't reach inside)
+        "webdataset_manifest", "aspect_bucket_batches",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

@@ -1238,10 +1238,10 @@ def _netcdf_info_udf(buf: pd.Series) -> pd.Series:
 
 @F.pandas_udf(_ARC_SCHEMA)
 def _from_netcdf_udf(buf: pd.Series, var: pd.Series) -> pd.DataFrame:
-    """RS_FromNetCDF: a 2-D numeric variable of a classic NetCDF file as
-    an engine raster struct (RasterConstructors.java:76-88; values
-    clipped to the uint8 codec range; NetCDF-4/HDF5 raises — the
-    documented external seam)."""
+    """RS_FromNetCDF: a 2-D numeric variable of a NetCDF file — classic
+    CDF or HDF5-backed NetCDF-4 (sources/hdf5.py) — as an engine raster
+    struct (RasterConstructors.java:76-88; values clipped to the uint8
+    codec range)."""
     from sedona_spark.sources.netcdf import netcdf_variable_as_raster
 
     recs = []

@@ -92,9 +92,10 @@ def tensorize(
                 h, w, _c = arr.shape
                 samp = arr[np.ix_(_nn_index(size, h), _nn_index(size, w))]
                 sums = samp.astype(np.int64).sum(axis=(0, 1))
-                t = (samp.astype(np.float32) / np.float32(255.0)
-                     - mean_a) / std_a
-                t = np.ascontiguousarray(t.transpose(2, 0, 1))  # CHW
+                if keep_tensor:
+                    t = (samp.astype(np.float32) / np.float32(255.0)
+                         - mean_a) / std_a
+                    t = np.ascontiguousarray(t.transpose(2, 0, 1))  # CHW
                 nm = [
                     (float(sums[c]) / (n2 * 255.0) - float(mean[c]))
                     / float(std[c])
@@ -139,8 +140,7 @@ def aspect_buckets(
         df.select("image_id", bucket)
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
-            "batch_id", ((F.col("rn") - F.lit(1))
-                         / F.lit(batch_size)).cast("long"))
+            "batch_id", F.expr(f"(rn - 1) div {int(batch_size)}"))
     )
     return rows.groupBy("bucket_id", "batch_id").agg(
         F.count("*").alias("n_images"),

@@ -105,35 +105,42 @@ def write_webdataset(
         F.col(bytes_col).alias("img"),
         F.col(caption_col).alias("cap"),
         F.col(fmt_col).alias("ext"))
-    a = a.repartition(n_shards, "shard_id")
+    # repartition + in-partition sort: rows arrive grouped by shard_id
+    # and id-ordered, so the writer STREAMS — it holds one open tar
+    # handle plus the current Arrow batch, never a whole shard
+    a = a.repartition(n_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "key")
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # task-side too: on a real cluster the task runs on a machine
         # that never saw the driver's makedirs (shared-FS mount point)
         os.makedirs(path, exist_ok=True)
-        # a partition may own several shard_ids (hash collisions of the
-        # repartition) — group rows per shard, write one tar per shard
-        rows: dict[int, list] = {}
+        out = []
+        cur = None  # [sid, tarfile, n_rows, n_bytes, tar_path]
+
+        def close_cur():
+            if cur is not None:
+                cur[1].close()
+                out.append((cur[0], cur[2], cur[3], cur[4]))
+
         for b in batches:
             for sid, key, img, cap, ext in zip(
                     b["shard_id"], b["key"], b["img"], b["cap"], b["ext"]):
-                rows.setdefault(int(sid), []).append(
-                    (str(key), bytes(img), str(cap), str(ext)))
-        out = []
-        for sid, members in rows.items():
-            members.sort(key=lambda m: m[0])
-            tar_path = os.path.join(path, f"shard-{sid:05d}.tar")
-            n_bytes = 0
-            with tarfile.open(tar_path, "w") as tf:
-                for key, img, cap, ext in members:
-                    for name, payload in ((f"{key}.{ext}", img),
-                                          (f"{key}.txt", cap.encode())):
-                        ti = tarfile.TarInfo(name)
-                        ti.size = len(payload)
-                        ti.mtime = 0
-                        tf.addfile(ti, io.BytesIO(payload))
-                        n_bytes += len(payload)
-            out.append((sid, len(members), n_bytes, tar_path))
+                sid = int(sid)
+                if cur is None or cur[0] != sid:
+                    close_cur()
+                    tar_path = os.path.join(path, f"shard-{sid:05d}.tar")
+                    cur = [sid, tarfile.open(tar_path, "w"), 0, 0,
+                           tar_path]
+                for name, payload in ((f"{key}.{ext}", bytes(img)),
+                                      (f"{key}.txt", str(cap).encode())):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    cur[1].addfile(ti, io.BytesIO(payload))
+                    cur[3] += len(payload)
+                cur[2] += 1
+        close_cur()
         yield pd.DataFrame(
             out, columns=["shard_id", "n_rows", "payload_bytes",
                           "tar_path"])
@@ -175,9 +182,13 @@ def pack_sequences(
     cum_before = F.coalesce(
         F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
+    # integer `div`, not double division: past 2^53 cumulative tokens a
+    # long→double detour rounds and can disagree with the oracle's `//`
     return df.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        (cum_before / F.lit(budget)).cast("long").alias("seq_id"),
-        F.pmod(cum_before, F.lit(budget)).alias("offset_in_seq"),
+        F.col(id_col), toks.alias("n_tokens"),
+        cum_before.alias("__cum"),
+    ).select(
+        id_col, "n_tokens",
+        F.expr(f"__cum div {int(budget)}").alias("seq_id"),
+        F.pmod(F.col("__cum"), F.lit(budget)).alias("offset_in_seq"),
     )

@@ -5,9 +5,9 @@ gatt_list + var_list, then fixed-size variable data).
 
 Reference capability: ``RS_FromNetCDF`` / ``RS_NetCDFInfo``
 (``RasterConstructors.java:76-110``, ucar netcdf-java there). This engine
-reads 2-D numeric variables as rasters; NetCDF-4/HDF5 files raise (the
-documented external seam). A matching writer keeps the pair round-trip
-testable without any external fixture.
+reads 2-D numeric variables as rasters; HDF5-backed NetCDF-4 buffers
+dispatch to the stdlib HDF5 reader (``sources/hdf5.py`` — r6). A matching
+writer keeps the pair round-trip testable without any external fixture.
 """
 
 from __future__ import annotations

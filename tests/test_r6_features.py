@@ -1175,8 +1175,11 @@ def test_pack_sequences_invariants(spark):
     for r in out:
         seqs.setdefault(r["seq_id"], []).append(r)
     assert set(seqs) == set(range(max(seqs) + 1))  # dense ids
-    total = sum(r["n_tokens"] for r in out)
-    assert max(seqs) == (total - out[-1]["n_tokens"]) // 512 or True
+    # last sequence id == cumsum of all-but-the-last-doc // budget,
+    # computed over the SAME deterministic order the operator used
+    by_pos = sorted(out, key=lambda r: (r["seq_id"], r["offset_in_seq"]))
+    total_before_last = sum(r["n_tokens"] for r in by_pos[:-1])
+    assert max(seqs) == total_before_last // 512
     for sid, rows in seqs.items():
         rows.sort(key=lambda r: r["offset_in_seq"])
         # each row's offset = 512*sid + offset equals global cumsum order
