@@ -1426,6 +1426,42 @@ from c
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile 13-gram rule, here 5-gram
+    to suit the fixture's short docs): docs with doc_id % 17 == 0 play
+    the eval set; every other doc sharing an exact 5-token gram with
+    them is flagged with its hit count. Corpus scan → explode →
+    broadcast semi-join on the gram STRING (exact, no false positives)
+    → one groupBy."""
+    from sedona_spark.pipeline.text import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(corpus, bench, n=5)
+
+
+def _decontaminate_sql() -> str:
+    return r"""
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') as t
+  from documents),
+eg as (
+  select doc_id, unnest(list_transform(
+           range(0, greatest(length(t) - 4, 0)),
+           i -> array_to_string(t[i+1:i+5], ' '))) as gram
+  from toks),
+bench as (select distinct gram from eg where doc_id % 17 = 0),
+hits as (
+  select e.doc_id, e.gram from eg e join bench using (gram)
+  where e.doc_id % 17 <> 0)
+select doc_id, cast(count(distinct gram) as bigint) as n_hits,
+       min(gram) as first_gram
+from hits group by doc_id
+"""
+
+
 def q_rs_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RS_Value at world coordinates, BILINEAR (r4): sample point per
     image at pixel-space (i%17 + 0.75, i%11 + 0.75) — dyadic fractions
@@ -5863,6 +5899,7 @@ _NEW_OR_CHANGED = {
     "netcdf_io",           # r6: NetCDF-4/HDF5 carrier (odd keys)
     "webdataset_manifest",  # r6: training-shard export manifest
     "pack_sequences",      # r6: token-budget sequence packing
+    "decontaminate",       # r6: benchmark n-gram decontamination
 }
 
 
@@ -6062,6 +6099,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_channel_stats": q_image_channel_stats,
         "webdataset_manifest": q_webdataset_manifest,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "rs_value": q_rs_value,
         "rs_clip_stats": q_rs_clip_stats,
         "rs_map_algebra": q_rs_map_algebra,
@@ -6345,6 +6383,7 @@ def oracle_sql() -> dict[str, str]:
         "image_channel_stats": _image_channel_stats_sql(),
         "webdataset_manifest": _webdataset_manifest_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "decontaminate": _decontaminate_sql(),
         "rs_value": _rs_value_sql(),
         "rs_clip_stats": _rs_clip_sql(),
         "rs_map_algebra": _rs_map_algebra_sql(),

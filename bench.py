@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "image_channel_stats",
     "webdataset_manifest",
     "pack_sequences",
+    "decontaminate",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

@@ -352,3 +352,53 @@ def tfidf_top_terms(
             (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score6"),
         )
     )
+
+
+def ngram_decontaminate(
+    docs: "DataFrame",
+    benchmark: "DataFrame",
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> "DataFrame":
+    """Benchmark decontamination: flag corpus documents sharing any
+    exact n-token gram with a benchmark/eval set (the GPT-3/Pile
+    13-gram rule — a training doc that can leak an eval answer must be
+    dropped before training).
+
+    Returns one row per CONTAMINATED document: (id, n_hits = distinct
+    benchmark grams it contains, first_gram = lexicographically first
+    matching gram, for audit).
+
+    100 TB shape: the benchmark side is tiny (eval sets are kilobytes
+    to megabytes) — its distinct gram set broadcasts, so the corpus
+    side is scan → explode → broadcast-hash semi-join → one groupBy on
+    the doc id; the corpus never shuffles its text, only (id, gram)
+    hits. Grams are joined as exact strings (no hashing) so a match is
+    never a false positive.
+    """
+    def grams(text: Column) -> Column:
+        toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(grams(F.col(bench_text_col))).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col), F.explode(grams(F.col(text_col)))
+                    .alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+    )
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_hits"),
+        F.min("gram").alias("first_gram"),
+    )

@@ -1188,3 +1188,30 @@ def test_pack_sequences_invariants(spark):
                     == sid * 512 + b["offset_in_seq"]
                     or a["offset_in_seq"] + a["n_tokens"] > 512)
         assert rows[0]["offset_in_seq"] < 512
+
+
+def test_ngram_decontaminate(spark):
+    """Hand-built corpus: doc sharing a 3-gram with the benchmark is
+    flagged with the right hit count; clean docs and sub-n docs are not;
+    the benchmark side broadcasts."""
+    from sedona_spark.pipeline.text import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # 2 shared 3-grams
+            (2, "a quick brown dog sleeps"),              # no shared 3-gram
+            (3, "quick brown"),                           # shorter than n
+            (4, "fox jumps the quick brown fox jumps"),   # 3 distinct hits
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in ngram_decontaminate(docs, bench, n=3).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_hits"] == 2  # 'the quick brown', 'quick brown fox'
+    assert out[1]["first_gram"] == "quick brown fox"
+    assert out[4]["n_hits"] == 3  # + 'brown fox jumps'
+    plan = ngram_decontaminate(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
