@@ -1426,6 +1426,34 @@ from c
 """
 
 
+def q_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 256-bin per-channel pixel histogram (uint8 makes it exact;
+    exact histograms give exact dataset percentiles for normalization /
+    clipping choices). Executor-folded bincount partials → one
+    fixed-width shuffle."""
+    from sedona_spark.pipeline.images import channel_histogram
+
+    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    return channel_histogram(imgs)
+
+
+def _channel_histogram_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dec = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 8 = 0),
+dec as (
+  select c.v as channel, {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       (select unnest(range(0, 3)) as v) c)
+select channel, dv as value, cast(count(*) as bigint) as n
+from dec group by channel, dv
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/Pile 13-gram rule, here 5-gram
     to suit the fixture's short docs): docs with doc_id % 17 == 0 play
@@ -5900,6 +5928,7 @@ _NEW_OR_CHANGED = {
     "webdataset_manifest",  # r6: training-shard export manifest
     "pack_sequences",      # r6: token-budget sequence packing
     "decontaminate",       # r6: benchmark n-gram decontamination
+    "channel_histogram",   # r6: exact 256-bin dataset histogram
 }
 
 
@@ -6100,6 +6129,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_manifest": q_webdataset_manifest,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "channel_histogram": q_channel_histogram,
         "rs_value": q_rs_value,
         "rs_clip_stats": q_rs_clip_stats,
         "rs_map_algebra": q_rs_map_algebra,
@@ -6384,6 +6414,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_manifest": _webdataset_manifest_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "decontaminate": _decontaminate_sql(),
+        "channel_histogram": _channel_histogram_sql(),
         "rs_value": _rs_value_sql(),
         "rs_clip_stats": _rs_clip_sql(),
         "rs_map_algebra": _rs_map_algebra_sql(),

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "webdataset_manifest",
     "pack_sequences",
     "decontaminate",
+    "channel_histogram",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL
@@ -441,6 +442,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         "tile_bytes", "tile_assign", "rs_pixel_points", "rs_as_raster",
         "rs_zonal_stats", "rs_resample", "rs_interpolate", "rs_pyramid",
         "image_tensorize", "image_patchify", "image_channel_stats",
+        "channel_histogram",
         # these two only AGGREGATE metadata, but their input stage is
         # images_from_part's synthesizing mapInPandas, which emits the
         # full bytes column through Arrow (pruning can't reach inside)

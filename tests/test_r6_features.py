@@ -1215,3 +1215,29 @@ def test_ngram_decontaminate(spark):
     plan = ngram_decontaminate(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_channel_histogram_exact(spark):
+    """The 256-bin histogram equals numpy bincount over the decoded
+    dataset; bin counts sum to the pixel count; percentile derivation
+    from the exact histogram matches numpy's percentile."""
+    import numpy as np
+
+    from sedona_spark.pipeline.images import channel_histogram
+    from sedona_spark.sources.images import decode_image, synthesize_images
+
+    imgs = synthesize_images(spark, 10)
+    src = [decode_image(bytes(r["bytes"]))[0] for r in imgs.collect()]
+    allpix = np.concatenate([a.reshape(-1, 3) for a in src])
+    out = channel_histogram(imgs).collect()
+    got = np.zeros((3, 256), dtype=np.int64)
+    for r in out:
+        got[r["channel"], r["value"]] = r["n"]
+    for c in range(3):
+        np.testing.assert_array_equal(
+            got[c], np.bincount(allpix[:, c], minlength=256))
+        # exact median from the histogram == numpy's lower-median
+        cdf = got[c].cumsum()
+        med = int(np.searchsorted(cdf, (cdf[-1] + 1) // 2))
+        assert med == int(np.percentile(allpix[:, c], 50,
+                                        method="inverted_cdf"))
