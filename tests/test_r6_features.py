@@ -1241,3 +1241,82 @@ def test_channel_histogram_exact(spark):
         med = int(np.searchsorted(cdf, (cdf[-1] + 1) // 2))
         assert med == int(np.percentile(allpix[:, c], 50,
                                         method="inverted_cdf"))
+
+
+def test_hdf5_property_fuzz():
+    """Hypothesis sweep: random dtypes/shapes/chunk sizes/deflate levels
+    round-trip bit-exactly through the HDF5 codec (no Spark needed)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sedona_spark.sources.hdf5 import encode_hdf5, parse_hdf5
+
+    dtypes = st.sampled_from(
+        ["uint8", "int8", "int16", "uint16", "int32", "uint32",
+         "int64", "float32", "float64"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 23), w=st.integers(1, 23),
+        dt=dtypes, chunk=st.integers(0, 9),
+        level=st.integers(0, 9), seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, dt, chunk, level, seed):
+        rng = np.random.default_rng(seed)
+        if dt.startswith("f"):
+            a = rng.standard_normal((h, w)).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            a = rng.integers(info.min, info.max, size=(h, w),
+                             endpoint=True).astype(dt)
+        kw = {}
+        if chunk > 0:
+            kw["chunk_rows"] = chunk
+            if level > 0:
+                kw["deflate"] = level
+        buf = encode_hdf5({"v": a, "w2": a[::-1].copy()}, **kw)
+        out = parse_hdf5(buf)
+        np.testing.assert_array_equal(out["v"], a)
+        np.testing.assert_array_equal(out["w2"], a[::-1])
+
+    run()
+
+
+def test_pack_sequences_property_fuzz(spark):
+    """Hypothesis sweep over random token-count corpora: packing is a
+    partition of the corpus, seq ids are dense, offset+tokens never
+    exceeds budget except by the one straddling doc, and the operator
+    equals a direct pandas re-computation over the same order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sedona_spark.pipeline.sampling import hash_bucket
+    from sedona_spark.pipeline.shards import pack_sequences
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(1, 900), min_size=1, max_size=60),
+           st.integers(64, 700))
+    def run(tok_list, budget):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tok_list)],
+            "doc_id long, n_tokens long")
+        out = pack_sequences(
+            docs, budget=budget,
+            hash_col=hash_bucket(F.col("doc_id"))).collect()
+        assert len(out) == len(tok_list)
+        # recompute directly over the same (hash, id) order
+        order = sorted(
+            range(len(tok_list)),
+            key=lambda i: (((i % (1 << 31)) * 2654435761) % (1 << 20), i))
+        cum = 0
+        expect = {}
+        for i in order:
+            t = min(tok_list[i], budget)
+            expect[i] = (t, cum // budget, cum % budget)
+            cum += t
+        for r in out:
+            assert (r["n_tokens"], r["seq_id"],
+                    r["offset_in_seq"]) == expect[r["doc_id"]]
+
+    run()
