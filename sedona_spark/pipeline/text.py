@@ -19,11 +19,18 @@ _LANG_MARKERS = {
 }
 
 
+def tokens(text: Column) -> Column:
+    """THE canonical whitespace tokenizer (empty-safe). Every op that
+    must mirror a DuckDB oracle's ``string_split_regex(text, '\\s+')``
+    twin routes through this one definition so the tokenization contract
+    cannot silently fork between call sites."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace tokens, empty-safe. (BPE-ish subword counting lives in
     ``doc_fingerprint``'s shingling; this is the canonical token count.)"""
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
-    return F.size(toks).alias("n_tokens")
+    return F.size(tokens(text)).alias("n_tokens")
 
 
 def _count_occurrences(text: Column, needle: str) -> Column:
@@ -101,9 +108,7 @@ def chunk_tokens(
     step = max_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than max_tokens")
-    toks = F.filter(
-        F.split(F.col(text), r"\s+"), lambda t: t != F.lit("")
-    )
+    toks = tokens(F.col(text))
     n = F.size(toks)
     # window starts: 0, step, 2·step, … while start < n (≥1 even if empty)
     starts = F.sequence(
@@ -378,8 +383,11 @@ def ngram_decontaminate(
     hits. Grams are joined as exact strings (no hashing) so a match is
     never a false positive.
     """
-    def grams(text: Column) -> Column:
-        toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    def grams(toks: Column) -> Column:
+        # operates on a MATERIALIZED token array column — embedding the
+        # split inside the transform lambda would re-tokenize the whole
+        # doc once per gram (Catalyst does not hoist loop invariants
+        # out of higher-order-function lambdas)
         return F.when(
             F.size(toks) >= n,
             F.transform(
@@ -389,13 +397,13 @@ def ngram_decontaminate(
         ).otherwise(F.array().cast("array<string>"))
 
     bench_grams = (
-        benchmark.select(
-            F.explode(grams(F.col(bench_text_col))).alias("gram"))
+        benchmark.select(tokens(F.col(bench_text_col)).alias("_toks"))
+        .select(F.explode(grams(F.col("_toks"))).alias("gram"))
         .distinct()
     )
     hits = (
-        docs.select(F.col(id_col), F.explode(grams(F.col(text_col)))
-                    .alias("gram"))
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(id_col, F.explode(grams(F.col("_toks"))).alias("gram"))
         .join(F.broadcast(bench_grams), "gram")
     )
     return hits.groupBy(id_col).agg(

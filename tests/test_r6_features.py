@@ -1214,7 +1214,7 @@ def test_ngram_decontaminate(spark):
     assert out[4]["n_hits"] == 3  # + 'brown fox jumps'
     plan = ngram_decontaminate(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
 
 
 def test_channel_histogram_exact(spark):
