@@ -56,3 +56,33 @@ __all__ = [
     "CELL_L_SHIFT",
     "CELL_X_SHIFT",
 ]
+
+
+class SedonaContext:
+    """Drop-in analog of the reference's Python entry point
+    (``python/sedona/spark/SedonaContext.py:33-60``): users switching
+    from the reference keep their two-line setup —
+    ``SedonaContext.builder().getOrCreate()`` then
+    ``SedonaContext.create(spark)`` — and get this engine's SQL surface
+    registered instead of a JVM extension being injected."""
+
+    @classmethod
+    def create(cls, spark):
+        """Register every ST_/RS_ SQL function on the session and return
+        it (the reference injects its JVM extensions here; this engine
+        only needs function registration — there is no UDT/serde)."""
+        register(spark)
+        return spark
+
+    @classmethod
+    def builder(cls):
+        """A SparkSession builder preconfigured the way this engine's
+        operators expect (Arrow enabled, AQE + skew-join on)."""
+        from pyspark.sql import SparkSession
+
+        return (
+            SparkSession.builder
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        )

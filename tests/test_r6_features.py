@@ -1320,3 +1320,18 @@ def test_pack_sequences_property_fuzz(spark):
                     r["offset_in_seq"]) == expect[r["doc_id"]]
 
     run()
+
+
+def test_sedona_context_drop_in(spark):
+    """The reference's two-line setup works verbatim: create() registers
+    the SQL surface on an existing session and returns it."""
+    from sedona_spark import SedonaContext
+
+    sedona = SedonaContext.create(spark)
+    assert sedona is spark
+    r = sedona.sql(
+        "select ST_Distance(0e0, 0e0, 3e0, 4e0) as d"
+    ).collect()[0]
+    assert r["d"] == 5.0
+    b = SedonaContext.builder()
+    assert type(b).__name__ == "Builder"
