@@ -271,3 +271,45 @@ def test_distance_band_weighting_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_channel_fold_plans_shuffle_partials_not_bytes(spark):
+    """channel_stats / channel_histogram: ONE exchange, and it carries
+    the fixed-width partial schema (channel/n/...), never the image
+    bytes — the map-side-combine contract of the 100 TB reduction."""
+    from sedona_spark.pipeline.images import channel_histogram, channel_stats
+    from sedona_spark.sources.images import synthesize_images
+
+    imgs = synthesize_images(spark, 8)
+    for op in (channel_stats, channel_histogram):
+        plan = _plan(op(imgs))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # map-side combine below the exchange; the python fold is the
+        # exchange's CHILD (printed after it), so bytes never shuffle
+        assert "partial_sum" in plan, plan
+        assert plan.index("Exchange hashpartitioning") < \
+            plan.index("MapInPandas"), plan
+
+
+def test_aspect_buckets_single_shuffle(spark):
+    """aspect_buckets: the window's hashpartitioning(bucket_id) also
+    satisfies the groupBy's clustered distribution on (bucket_id,
+    batch_id) — exactly one exchange end to end."""
+    from sedona_spark.pipeline.images import aspect_buckets
+    from sedona_spark.sources.images import synthesize_images
+
+    plan = _plan(aspect_buckets(synthesize_images(spark, 16)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_sequences_one_global_sort(spark):
+    """pack_sequences: one single-partition exchange + sort (the total
+    order any deterministic packer needs), nothing else."""
+    from sedona_spark.pipeline.shards import pack_sequences
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 1).alias("n_tokens"))
+    plan = _plan(pack_sequences(docs, budget=128))
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan, plan
+    assert "CartesianProduct" not in plan
