@@ -1454,6 +1454,62 @@ from dec group by channel, dv
 """
 
 
+def q_geopandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GeoPandas-style layer (geopandas_api.GeoSeries — analog of
+    the reference's python/sedona/spark/geopandas tier): area/length/
+    bounds/centroid properties and the index-aligned within() predicate,
+    all pure Column composition — the oracle reuses the exact fold
+    arithmetic of the underlying ST_ functions."""
+    from sedona_spark.geopandas_api import GeoSeries
+    from sedona_spark.sources.testdata import (
+        rect_zones_from_nation,
+        zones_from_nation,
+    )
+
+    z = rect_zones_from_nation(spark, sf_dir)
+    gs = GeoSeries(z, geom="ring", index="n_nationkey")
+    centers = zones_from_nation(spark, sf_dir)
+    pts = GeoSeries.from_points(centers, "zcx", "zcy",
+                                index="n_nationkey")
+    cent = gs.centroid
+    cent_df = cent.df.select(
+        "n_nationkey",
+        F.element_at(cent.geom, 1).alias("cx"),
+        F.element_at(cent.geom, 2).alias("cy"))
+    return (
+        gs.area.join(gs.length, "n_nationkey")
+        .join(gs.bounds, "n_nationkey")
+        .join(cent_df, "n_nationkey")
+        .join(pts.within(gs), "n_nationkey")
+    )
+
+
+def _geopandas_api_sql() -> str:
+    return f"""
+with z as ({SQL_ZONES}),
+c as (select n_nationkey,
+             zcx - hx as x0, zcy - hy as y0,
+             zcx + hx as x1, zcy + hy as y1 from z),
+s as (select n_nationkey, x0, y0, x1, y1,
+             (((0e0 + (x0*y0 - x1*y0)) + (x1*y1 - x1*y0)) + (x1*y1 - x0*y1))
+              + (x0*y0 - x0*y1) as s2,
+             (((0e0 + sqrt((x1-x0)*(x1-x0) + (y0-y0)*(y0-y0)))
+                   + sqrt((x1-x1)*(x1-x1) + (y1-y0)*(y1-y0)))
+                   + sqrt((x0-x1)*(x0-x1) + (y1-y1)*(y1-y1)))
+                   + sqrt((x0-x0)*(x0-x0) + (y0-y1)*(y0-y1)) as perim,
+             (((0e0 + (x0+x1)*(x0*y0 - x1*y0)) + (x1+x1)*(x1*y1 - x1*y0))
+                   + (x1+x0)*(x1*y1 - x0*y1)) + (x0+x0)*(x0*y0 - x0*y1) as sx,
+             (((0e0 + (y0+y0)*(x0*y0 - x1*y0)) + (y0+y1)*(x1*y1 - x1*y0))
+                   + (y1+y1)*(x1*y1 - x0*y1)) + (y1+y0)*(x0*y0 - x0*y1) as sy
+      from c)
+select n_nationkey, abs(s2) / 2e0 as area, perim as length,
+       x0 as minx, y0 as miny, x1 as maxx, y1 as maxy,
+       sx / (3e0 * s2) as cx, sy / (3e0 * s2) as cy,
+       true as within
+from s
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/Pile 13-gram rule, here 5-gram
     to suit the fixture's short docs): docs with doc_id % 17 == 0 play
@@ -5929,6 +5985,7 @@ _NEW_OR_CHANGED = {
     "pack_sequences",      # r6: token-budget sequence packing
     "decontaminate",       # r6: benchmark n-gram decontamination
     "channel_histogram",   # r6: exact 256-bin dataset histogram
+    "geopandas_api",       # r6: GeoSeries/GeoDataFrame layer
 }
 
 
@@ -6130,6 +6187,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "channel_histogram": q_channel_histogram,
+        "geopandas_api": q_geopandas_api,
         "rs_value": q_rs_value,
         "rs_clip_stats": q_rs_clip_stats,
         "rs_map_algebra": q_rs_map_algebra,
@@ -6415,6 +6473,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "decontaminate": _decontaminate_sql(),
         "channel_histogram": _channel_histogram_sql(),
+        "geopandas_api": _geopandas_api_sql(),
         "rs_value": _rs_value_sql(),
         "rs_clip_stats": _rs_clip_sql(),
         "rs_map_algebra": _rs_map_algebra_sql(),

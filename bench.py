@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "decontaminate",
     "channel_histogram",
+    "geopandas_api",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

@@ -1335,3 +1335,64 @@ def test_sedona_context_drop_in(spark):
     assert r["d"] == 5.0
     b = SedonaContext.builder()
     assert type(b).__name__ == "Builder"
+
+
+def test_geopandas_api_surface(spark):
+    """GeoSeries/GeoDataFrame layer: every spelling delegates to the
+    underlying ST_ tier verbatim — parsed WKT squares give exact
+    area/length/bounds/centroid, aligned predicates behave, sjoin equals
+    pip_join output."""
+    from sedona_spark.geopandas_api import GeoDataFrame, GeoSeries
+    from sedona_spark.operators.spatial_join import pip_join
+
+    wkt = spark.createDataFrame(
+        [(0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+         (1, "POLYGON ((10 10, 12 10, 12 16, 10 16, 10 10))")],
+        "id long, wkt string")
+    gs = GeoSeries.from_wkt(wkt, "wkt")
+    area = {r["id"]: r["area"] for r in gs.area.collect()}
+    assert area == {0: 16.0, 1: 12.0}
+    length = {r["id"]: r["length"] for r in gs.length.collect()}
+    assert length == {0: 16.0, 1: 16.0}
+    b = {r["id"]: (r["minx"], r["miny"], r["maxx"], r["maxy"])
+         for r in gs.bounds.collect()}
+    assert b[0] == (0.0, 0.0, 4.0, 4.0) and b[1] == (10.0, 10.0, 12.0, 16.0)
+    c = {r["id"]: r for r in gs.centroid.df.collect()}
+    assert list(c[0]["geom"]) == [2.0, 2.0]
+    assert all(r["is_valid"] for r in gs.is_valid.collect())
+
+    # aligned binary ops: points at the centroids are within their ring
+    pts_df = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 11.0, 20.0)], "id long, px double, py double")
+    pts = GeoSeries.from_points(pts_df, "px", "py")
+    w = {r["id"]: r["within"] for r in pts.within(gs).collect()}
+    assert w == {0: True, 1: False}  # (11, 20) is outside ring 1
+    cont = {r["id"]: r["contains"] for r in gs.contains(pts).collect()}
+    assert cont == w
+    inter = {r["id"]: r["intersects"]
+             for r in gs.intersects(gs).collect()}
+    assert inter == {0: True, 1: True}  # self-intersects
+    d = {r["id"]: r["distance"] for r in pts.distance(pts).collect()}
+    assert d == {0: 0.0, 1: 0.0}
+
+    # buffer grows area; simplify keeps the square exact
+    grown = dict(
+        (r["id"], r["area"]) for r in gs.buffer(1.0).area.collect())
+    assert grown[0] > 16.0 and grown[1] > 12.0
+    simp = {r["id"]: r["area"] for r in gs.simplify(0.01).area.collect()}
+    assert simp == area
+
+    # sjoin == pip_join, row for row
+    zones = gs.df.select(F.col("id").alias("zone_id"),
+                         F.col("geom").alias("ring"))
+    many = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 15).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"))
+    gdf = GeoDataFrame(many, index="pid")
+    a = sorted((r["pid"], r["zone_id"])
+               for r in gdf.sjoin(zones).select("pid", "zone_id").collect())
+    bj = sorted((r["pid"], r["zone_id"])
+                for r in pip_join(many, zones)
+                .select("pid", "zone_id").collect())
+    assert a == bj and len(a) > 0
