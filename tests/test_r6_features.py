@@ -1396,3 +1396,85 @@ def test_geopandas_api_surface(spark):
                 for r in pip_join(many, zones)
                 .select("pid", "zone_id").collect())
     assert a == bj and len(a) > 0
+
+
+def test_stats_parity_shims(spark):
+    """sedona_spark.stats mirrors the reference python surface: dbscan /
+    local_outlier_factor delegate with renames, g_local and
+    Moran.get_global reproduce a direct numpy evaluation of the
+    reference's formulas on the same weights."""
+    import numpy as np
+
+    from sedona_spark.stats.autocorrelation.moran import Moran
+    from sedona_spark.stats.clustering.dbscan import dbscan
+    from sedona_spark.stats.hotspot_detection.getis_ord import g_local
+    from sedona_spark.stats.outlier_detection.local_outlier_factor import (
+        local_outlier_factor,
+    )
+    from sedona_spark.stats.weighting import add_binary_distance_band_column
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7) * 2.0, float(i % 5) * 2.0,
+          float((i * 13) % 11)) for i in range(35)],
+        "id long, x double, y double, value double")
+
+    # dbscan shim: rename + outlier filter
+    out = dbscan(pts, 2.5, 3, cluster_column_name="cl",
+                 include_outliers=False).collect()
+    assert all(r["cl"] != -1 for r in out)
+    lof = local_outlier_factor(pts, k=4,
+                               result_column_name="score").collect()
+    assert len(lof) == 35 and all(r["score"] > 0 for r in lof)
+
+    # weights + g_local vs direct numpy (reference GetisOrd.scala math)
+    w = add_binary_distance_band_column(pts, 3.0, include_self=True)
+    res = {r["id"]: r for r in g_local(w, "value", star=True).collect()}
+    rows = pts.collect()
+    xy = {r["id"]: (r["x"], r["y"]) for r in rows}
+    val = {r["id"]: r["value"] for r in rows}
+    n = len(rows)
+    xs = np.array([val[i] for i in sorted(val)])
+    for i in sorted(val):
+        nbrs = [j for j in val
+                if (xy[i][0]-xy[j][0])**2 + (xy[i][1]-xy[j][1])**2
+                <= 9.0 and (j != i or True)]
+        nbrs = [j for j in nbrs if j != i] + [i]  # include_self
+        W = float(len(nbrs))
+        G = sum(val[j] for j in nbrs) / xs.sum()
+        assert res[i]["G"] == pytest.approx(G, rel=1e-12)
+        EG = W / n
+        y1 = xs.sum() / n
+        y2 = (xs**2).sum() / n - y1**2
+        VG = W * (n - W) * y2 / (n**2 * (n - 1) * y1**2)
+        assert res[i]["EG"] == pytest.approx(EG, rel=1e-12)
+        assert res[i]["VG"] == pytest.approx(VG, rel=1e-12)
+        z = (G - EG) / np.sqrt(VG)
+        assert res[i]["Z"] == pytest.approx(z, rel=1e-9)
+        import math
+        p = 1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0)))
+        assert res[i]["P"] == pytest.approx(p, abs=2e-7)  # A&S poly err
+
+    # Moran vs direct numpy (symmetric binary weights, no self)
+    w2 = add_binary_distance_band_column(
+        pts.withColumnRenamed("value", "value0")
+           .withColumnRenamed("x", "px").withColumnRenamed("y", "py"),
+        3.0, x="px", y="py").withColumnRenamed("value0", "value")
+    mr = Moran.get_global(w2)
+    wm = np.zeros((n, n))
+    ids = sorted(val)
+    for a, i in enumerate(ids):
+        for b, j in enumerate(ids):
+            if i != j and (xy[i][0]-xy[j][0])**2 \
+                    + (xy[i][1]-xy[j][1])**2 <= 9.0:
+                wm[a, b] = 1.0
+    z = xs - xs.mean()
+    s0 = wm.sum()
+    inum = z @ wm @ z
+    i_stat = n / s0 * inum / (z @ z)
+    assert mr.i == pytest.approx(i_stat, rel=1e-12)
+    s1 = ((wm + wm.T)**2).sum() / 2.0
+    s2 = ((wm.sum(1) + wm.sum(0))**2).sum()
+    vi = (n*n*s1 - n*s2 + 3*s0*s0) / ((n-1)*(n+1)*s0*s0) \
+        - (1.0/(n-1))**2
+    z_norm = (i_stat - (-1.0/(n-1))) / np.sqrt(vi)
+    assert mr.z_norm == pytest.approx(z_norm, rel=1e-12)
