@@ -1478,3 +1478,41 @@ def test_stats_parity_shims(spark):
         - (1.0/(n-1))**2
     z_norm = (i_stat - (-1.0/(n-1))) / np.sqrt(vi)
     assert mr.z_norm == pytest.approx(z_norm, rel=1e-12)
+
+
+def test_sql_st_functions_dataframe_api(spark):
+    """sedona_spark.sql.st_functions: the reference's DataFrame-API
+    spellings compute correct values over packed rings."""
+    from sedona_spark.sql import st_functions as stf
+
+    df = spark.createDataFrame(
+        [(0, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")], "id long, wkt string")
+    # parse ONCE into a materialized column: Spark cannot nest a python
+    # UDF inside a higher-order-function lambda, so UDF-backed parsing
+    # must be a separate select from lambda-based measures (the module
+    # docstring documents this usage rule)
+    df = df.select("id", stf.ST_GeomFromWKT(F.col("wkt")).alias("g"))
+    g = F.col("g")
+    r = df.select(
+        stf.ST_Area(g).alias("area"),
+        stf.ST_Perimeter(g).alias("perim"),
+        stf.ST_Centroid(g).alias("cent"),
+        stf.ST_Envelope(g).alias("env"),
+        stf.ST_IsValid(g).alias("valid"),
+        stf.ST_Contains(g, stf.ST_Point(F.lit(1.0), F.lit(1.0)))
+        .alias("inside"),
+        stf.ST_Contains(g, stf.ST_Point(F.lit(9.0), F.lit(1.0)))
+        .alias("outside"),
+        stf.ST_Distance(stf.ST_Point(F.lit(0.0), F.lit(0.0)),
+                        stf.ST_Point(F.lit(3.0), F.lit(4.0))).alias("d"),
+        stf.ST_AsText(g).alias("wkt_out"),
+        stf.ST_Azimuth(stf.ST_Point(F.lit(0.0), F.lit(0.0)),
+                       stf.ST_Point(F.lit(1.0), F.lit(0.0))).alias("az"),
+    ).collect()[0]
+    assert r["area"] == 16.0 and r["perim"] == 16.0
+    assert list(r["cent"]) == [2.0, 2.0]
+    assert list(r["env"]) == [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0]
+    assert r["valid"] and r["inside"] and not r["outside"]
+    assert r["d"] == 5.0
+    assert r["wkt_out"].startswith("POLYGON")
+    assert r["az"] == pytest.approx(math.pi / 2)  # east = 90 deg
