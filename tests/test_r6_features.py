@@ -1516,3 +1516,25 @@ def test_sql_st_functions_dataframe_api(spark):
     assert r["d"] == 5.0
     assert r["wkt_out"].startswith("POLYGON")
     assert r["az"] == pytest.approx(math.pi / 2)  # east = 90 deg
+
+
+def test_sql_namespace_both_spellings(spark):
+    """Importing sedona_spark.sql.st_functions must not break the
+    physical-dispatch spelling sedona_spark.sql(spark, ...): the sql
+    package is a callable module."""
+    import importlib
+
+    import sedona_spark
+    import sedona_spark.sql.st_functions  # noqa: F401 (trigger clobber)
+
+    importlib.reload(sedona_spark.sql)  # worst case: re-import order
+    pts = spark.range(10).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 3 * 10.0).alias("x"),
+        F.lit(0.0).alias("y"))
+    pts.createOrReplaceTempView("ns_pts")
+    out = sedona_spark.sql(spark, """
+select pid, ST_DBSCAN(pid, x, y, 1.0, 2).cluster as c from ns_pts
+""").collect()
+    assert len(out) == 10
+    from sedona_spark.sql.st_functions import ST_Area  # noqa: F401
