@@ -52,8 +52,10 @@ class GeoSeries:
         """Parse a WKT column (outer ring / linestring / point) into the
         packed-ring model (Arrow-batched parser, one pass)."""
         rings = _st.st_geom_rings_from_wkt(F.col(wkt))
+        # F.get (0-based, null-safe), not element_at: EMPTY geometries
+        # parse to an empty ring list and ANSI element_at would throw
         return cls(
-            df.select(index, F.element_at(rings, 1).alias(geom)),
+            df.select(index, F.get(rings, 0).alias(geom)),
             geom, index)
 
     @classmethod

@@ -43,8 +43,11 @@ def ST_Point(x: Column, y: Column) -> Column:
 
 def ST_GeomFromWKT(wkt: Column) -> Column:
     """Outer ring of the parsed geometry (full ring LIST via
-    ``functions.st.st_geom_rings_from_wkt`` for holed/multi input)."""
-    return F.element_at(_st.st_geom_rings_from_wkt(wkt), 1)
+    ``functions.st.st_geom_rings_from_wkt`` for holed/multi input).
+    ``F.get`` (0-based, null-safe) rather than ``element_at``: EMPTY
+    geometries parse to an empty ring list, and ANSI ``element_at``
+    would abort the job instead of yielding null."""
+    return F.get(_st.st_geom_rings_from_wkt(wkt), 0)
 
 
 def ST_AsText(geom: Column) -> Column:

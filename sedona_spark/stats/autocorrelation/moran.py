@@ -73,15 +73,20 @@ class Moran:
         zrow = df.select(
             F.col(id_column).alias("id"),
             (F.col(value_column) - F.lit(y_mean)).alias("z"))
-        inum, s0, z2ss = (
+        # z2ss sums over EVERY row (Moran.scala's z2ss_comp) — rows with
+        # empty weights contribute z² here even though they vanish from
+        # the exploded inum/s0 pipeline (their zl is 0 anyway)
+        z2ss = df.select(
+            (F.col(value_column) - F.lit(y_mean)).alias("z")
+        ).agg(F.sum(F.col("z") * F.col("z"))).first()[0]
+        inum, s0 = (
             ew.join(vals, F.col("n_id") == F.col("n_id2"))
             .groupBy("id")
             .agg(F.sum(F.col("wv") * F.col("zn")).alias("zl"),
                  F.sum("wv").alias("w_sum"))
             .join(zrow, "id")
             .agg(F.sum(F.col("z") * F.col("zl")),
-                 F.sum("w_sum"),
-                 F.sum(F.col("z") * F.col("z")))
+                 F.sum("w_sum"))
             .first())
 
         i = n / s0 * inum / z2ss

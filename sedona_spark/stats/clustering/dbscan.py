@@ -39,6 +39,8 @@ def dbscan(
         out = out.filter(F.col("cluster") != -1)
     if cluster_column_name != "cluster":
         out = out.withColumnRenamed("cluster", cluster_column_name)
-    if is_core_column_name != "isCore" and "isCore" in out.columns:
-        out = out.withColumnRenamed("isCore", is_core_column_name)
+    # the operator spells the core flag is_core; the reference default
+    # (DBSCAN.scala output schema) is isCore — rename unconditionally
+    if "is_core" in out.columns and is_core_column_name != "is_core":
+        out = out.withColumnRenamed("is_core", is_core_column_name)
     return out

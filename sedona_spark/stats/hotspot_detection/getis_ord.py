@@ -63,6 +63,15 @@ def g_local(
 
     vals = dataframe.select(
         F.col(id_col).alias("_nid2"), F.col(x).alias("_nx"))
+    # a weight whose neighbor_id matches no row would silently deflate
+    # G while W (→ EG/VG) still counts it — refuse loudly instead (the
+    # reference can't hit this: it embeds neighbor values at weighting
+    # time; here, re-derive weights AFTER any row filtering)
+    nx_checked = F.assert_true(
+        F.col("_w").isNull() | F.col("_nx").isNotNull(),
+        F.lit("g_local: weights reference ids absent from the "
+              "dataframe — rebuild weights after filtering rows"),
+    ).cast("double")  # null; folded into the sum as a no-op
     wx = (
         dataframe.select(
             F.col(id_col).alias("_wid"),
@@ -70,8 +79,10 @@ def g_local(
         .join(vals, F.col("_w.neighbor_id") == F.col("_nid2"), "left")
         .groupBy("_wid")
         .agg(
-            F.coalesce(F.sum(F.col("_w.weight") * F.col("_nx")),
-                       F.lit(0.0)).alias("_wx_sum"),
+            F.coalesce(
+                F.sum(F.col("_w.weight") * F.col("_nx")
+                      + F.coalesce(nx_checked, F.lit(0.0))),
+                F.lit(0.0)).alias("_wx_sum"),
             F.coalesce(F.sum(F.col("_w.weight")), F.lit(0.0)).alias("_w"))
     )
 

@@ -35,4 +35,6 @@ def local_outlier_factor(
     out = _lof(dataframe, k=k, id_col=id_col, x=x, y=y)
     if result_column_name != "lof":
         out = out.withColumnRenamed("lof", result_column_name)
-    return out
+    # reference parity: the result is the ORIGINAL dataframe plus the
+    # lof column (the operator returns only (id, lof))
+    return dataframe.join(out, id_col)

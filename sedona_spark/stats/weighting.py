@@ -40,15 +40,19 @@ def add_distance_band_column(
     y: str = "y",
 ) -> DataFrame:
     _check(use_spheroid, geometry)
-    out = _add(
+    if saved_attributes is not None:
+        # the reference embeds the listed attributes INSIDE each
+        # neighbor struct; this engine's weight structs carry ids only
+        # (join attributes by neighbor_id after exploding) — refusing
+        # beats silently changing the struct shape
+        raise NotImplementedError(
+            "saved_attributes: weight structs carry neighbor_id — "
+            "explode and join attributes by id instead")
+    return _add(
         dataframe, threshold, binary=binary, alpha=alpha,
         include_zero=include_zero_distance_neighbors,
         include_self=include_self, self_weight=self_weight,
         id_col=id_col, x=x, y=y, result_name=result_name)
-    if saved_attributes is not None:
-        keep = list(dict.fromkeys([id_col, *saved_attributes, result_name]))
-        out = out.select(*keep)
-    return out
 
 
 def add_binary_distance_band_column(

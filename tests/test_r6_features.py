@@ -1538,3 +1538,44 @@ select pid, ST_DBSCAN(pid, x, y, 1.0, 2).cluster as c from ns_pts
 """).collect()
     assert len(out) == 10
     from sedona_spark.sql.st_functions import ST_Area  # noqa: F401
+
+
+def test_stats_shim_review_fixes(spark):
+    """Review regressions stay fixed: dbscan exposes the reference's
+    isCore default name, LOF returns the full input surface, EMPTY WKT
+    parses to null instead of aborting under ANSI, and Moran counts
+    isolated points in the z-squared denominator."""
+    import numpy as np
+
+    from sedona_spark.geopandas_api import GeoSeries
+    from sedona_spark.stats.autocorrelation.moran import Moran
+    from sedona_spark.stats.clustering.dbscan import dbscan
+    from sedona_spark.stats.outlier_detection.local_outlier_factor import (
+        local_outlier_factor,
+    )
+    from sedona_spark.stats.weighting import add_binary_distance_band_column
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 6), float(i % 4), float(i % 5)) for i in range(20)],
+        "id long, x double, y double, value double")
+    cols = dbscan(pts, 1.5, 3).columns
+    assert "isCore" in cols and "is_core" not in cols
+    lof_cols = local_outlier_factor(pts, k=3).columns
+    assert {"x", "y", "value", "lof"} <= set(lof_cols)
+
+    empty = spark.createDataFrame(
+        [(0, "POLYGON EMPTY")], "id long, wkt string")
+    r = GeoSeries.from_wkt(empty, "wkt").df.collect()[0]
+    assert r["geom"] is None  # no ANSI element_at abort
+
+    # isolated point C: z_C^2 must stay in the denominator
+    iso = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0), (1, 1.0, 0.0, 5.0), (2, 50.0, 50.0, 9.0)],
+        "id long, x double, y double, value double")
+    w = add_binary_distance_band_column(iso, 2.0)
+    mr = Moran.get_global(w)
+    xs = np.array([1.0, 5.0, 9.0])
+    z = xs - xs.mean()
+    # only the A<->B reciprocal pair carries weight; s0 = 2
+    i_expect = 3 / 2.0 * (2 * z[0] * z[1]) / (z @ z)
+    assert mr.i == pytest.approx(i_expect, rel=1e-12)
