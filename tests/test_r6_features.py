@@ -1579,3 +1579,36 @@ def test_stats_shim_review_fixes(spark):
     # only the A<->B reciprocal pair carries weight; s0 = 2
     i_expect = 3 / 2.0 * (2 * z[0] * z[1]) / (z @ z)
     assert mr.i == pytest.approx(i_expect, rel=1e-12)
+
+
+def test_sedona_raster_handle(spark, tmp_path):
+    """Driver-side SedonaRaster parity handle: as_numpy round-trips the
+    geotiffdir source's buf, affine accessors and world/grid transforms
+    agree with RS_Value."""
+    import numpy as np
+
+    from sedona_spark.raster_api import SedonaRaster
+    from sedona_spark.sources.geotiff import encode_geotiff
+    from sedona_spark.sources.pyds import register_datasources
+
+    arr = (np.arange(6 * 5 * 3, dtype=np.uint8)).reshape(6, 5, 3)
+    d = tmp_path / "tifs"
+    d.mkdir()
+    (d / "t.tif").write_bytes(
+        encode_geotiff(arr, ulx=100.0, uly=50.0, sx=0.5, sy=-0.5,
+                       srid=4326))
+    register_datasources(spark)
+    row = spark.read.format("geotiffdir").load(str(d)).collect()[0]
+    r = SedonaRaster(row["width"], row["height"], row["bands"],
+                     row["ulx"], row["uly"], row["sx"], row["sy"],
+                     row["srid"], row["buf"])
+    assert (r.width, r.height, r.num_bands, r.srid) == (5, 6, 3, 4326)
+    np.testing.assert_array_equal(r.as_numpy(),
+                                  arr.transpose(2, 0, 1))
+    assert r.affine_trans == (100.0, 0.5, 0.0, 50.0, 0.0, -0.5)
+    assert r.world_to_grid(100.0, 50.0) == (0, 0)
+    assert r.grid_to_world(2, 3) == (101.0, 48.5)
+    # value_at == direct indexing; outside extent -> None
+    assert r.value_at(101.2, 48.4, band=1) == int(arr[3, 2, 1])
+    assert r.value_at(99.0, 50.0) is None
+    assert r.value_at(100.0, 20.0) is None
