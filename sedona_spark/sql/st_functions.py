@@ -9,7 +9,8 @@ Column implementation. Usage rule: materialize UDF-backed constructors
 feeding the result to lambda-based measures — Spark cannot nest a
 python UDF INSIDE a higher-order-function lambda within one projection
 (two chained selects are fine; the optimizer splits them correctly).
- the geometry argument is the engine's packed
+
+The geometry argument is the engine's packed
 ring ``array<double>`` (a point is the 2-element ring) rather than a
 GeometryType UDT — the one deliberate model difference (see
 ``geopandas_api`` for the rationale). Names that return geometry return
@@ -177,3 +178,21 @@ def ST_HausdorffDistance(a: Column, b: Column) -> Column:
 
 def ST_FrechetDistance(a: Column, b: Column) -> Column:
     return _st.st_frechet_distance(a, b)
+
+
+# --- aggregates --------------------------------------------------------------
+
+def ST_Envelope_Aggr(geom: Column) -> Column:
+    """Aggregate envelope of a geometry group as a rect ring — a true
+    agg Column (compose inside ``groupBy().agg(...)``): four min/max
+    aggregates over per-row envelope bounds, all codegen."""
+    x0, y0, x1, y1 = _st.st_envelope_cols(geom)
+    gx0, gy0 = F.min(x0), F.min(y0)
+    gx1, gy1 = F.max(x1), F.max(y1)
+    return F.array(gx0, gy0, gx1, gy0, gx1, gy1, gx0, gy1)
+
+
+def ST_Collect_Aggr(geom: Column) -> Column:
+    """Aggregate collection (GEOMETRYCOLLECTION analog): the group's
+    rings as a deterministic sorted LIST."""
+    return F.array_sort(F.collect_list(geom))

@@ -1612,3 +1612,22 @@ def test_sedona_raster_handle(spark, tmp_path):
     assert r.value_at(101.2, 48.4, band=1) == int(arr[3, 2, 1])
     assert r.value_at(99.0, 50.0) is None
     assert r.value_at(100.0, 20.0) is None
+
+
+def test_st_functions_aggregates(spark):
+    """ST_Envelope_Aggr / ST_Collect_Aggr compose inside groupBy().agg."""
+    from sedona_spark.sql import st_functions as stf
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0]),
+         (0, [5.0, 1.0, 6.0, 1.0, 6.0, 4.0, 5.0, 4.0]),
+         (1, [-1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0])],
+        "grp long, geom array<double>")
+    out = {r["grp"]: r for r in df.groupBy("grp").agg(
+        stf.ST_Envelope_Aggr(F.col("geom")).alias("env"),
+        stf.ST_Collect_Aggr(F.col("geom")).alias("coll"),
+    ).collect()}
+    assert list(out[0]["env"]) == [0.0, 0.0, 6.0, 0.0, 6.0, 4.0, 0.0, 4.0]
+    assert list(out[1]["env"]) == [-1.0, -1.0, 1.0, -1.0, 1.0, 1.0,
+                                   -1.0, 1.0]
+    assert len(out[0]["coll"]) == 2 and len(out[1]["coll"]) == 1
