@@ -64,7 +64,14 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
-    """canonical bytes → (uint8 (h, w, 3), fmt)."""
+    """canonical bytes → (uint8 (h, w, 3), fmt). Real JPEG bytes (JFIF/
+    EXIF SOI magic) decode through the stdlib baseline codec
+    (``sources/jpeg.py`` — r6 closes the external-image seam for the
+    format cameras actually emit)."""
+    if buf[:2] == b"\xFF\xD8":
+        from sedona_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(buf)), "jpeg"
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     if magic not in (_MAGIC_LOSSLESS, _MAGIC_LOSSY):
         raise NotImplementedError("external codec decode requires an image library")

@@ -1631,3 +1631,56 @@ def test_st_functions_aggregates(spark):
     assert list(out[1]["env"]) == [-1.0, -1.0, 1.0, -1.0, 1.0, 1.0,
                                    -1.0, 1.0]
     assert len(out[0]["coll"]) == 2 and len(out[1]["coll"]) == 1
+
+
+# --- baseline JPEG codec (sources/jpeg.py) ---------------------------------
+
+
+def test_jpeg_codec_round_trips():
+    """Baseline JFIF: 4:4:4 and 4:2:0, restart markers, odd sizes,
+    grayscale — all decode; smooth content clears 50/40 dB; progressive
+    is the documented seam."""
+    import numpy as np
+
+    from sedona_spark.sources.images import decode_image, make_pixels
+    from sedona_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    g = np.zeros((50, 70, 3), np.uint8)
+    g[..., 0] = np.linspace(0, 255, 70).astype(np.uint8)[None, :]
+    g[..., 1] = np.linspace(0, 255, 50).astype(np.uint8)[:, None]
+    g[..., 2] = 100
+    buf = encode_jpeg(g, 95)
+    assert buf[:3] == b"\xff\xd8\xff" and buf[-2:] == b"\xff\xd9"
+    assert psnr(g, decode_jpeg(buf)) > 50.0
+    assert psnr(g, decode_jpeg(
+        encode_jpeg(g, 95, subsampling="420"))) > 40.0
+    # restart markers actually present and decodable
+    b_rst = encode_jpeg(g, 95, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in b_rst and b"\xff\xd0" in b_rst
+    assert psnr(g, decode_jpeg(b_rst)) > 40.0
+
+    # odd (non-multiple-of-8) size + high-frequency synthetic content
+    arr = make_pixels(5, 33, 21)
+    out = decode_jpeg(encode_jpeg(arr, 95))
+    assert out.shape == arr.shape and psnr(arr, out) > 34.0
+
+    # grayscale replicates to 3 channels
+    gray = make_pixels(2, 24, 16)[:, :, 0]
+    out = decode_jpeg(encode_jpeg(gray, 95))
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+
+    # decode_image dispatches on the SOI magic
+    a2, fmt = decode_image(encode_jpeg(g, 95))
+    assert fmt == "jpeg" and a2.shape == g.shape
+
+    # progressive (SOF2) is the documented seam
+    prog = bytearray(encode_jpeg(g, 95))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
