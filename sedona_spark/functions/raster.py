@@ -1208,6 +1208,38 @@ def _as_geotiff_deflate_udf(
     return pd.Series(out)
 
 
+@F.pandas_udf(BinaryType())
+def _as_jpeg_udf(buf: pd.Series, quality: pd.Series) -> pd.Series:
+    """RS_AsJPEG: engine raster bytes -> baseline JFIF (4:4:4,
+    sources/jpeg.py; the codec tier's lossy interop output)."""
+    from sedona_spark.sources.jpeg import encode_jpeg
+
+    out = []
+    for b, q in zip(buf, quality):
+        arr, _ = decode_image(bytes(b))
+        out.append(encode_jpeg(arr, int(q)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_jpeg_udf(buf: pd.Series) -> pd.DataFrame:
+    """RS_FromJPEG: baseline/extended-sequential JFIF bytes -> raster
+    struct (progressive/arithmetic raise - sources/jpeg.py seam).
+    No georeference in JFIF: identity geotransform, srid 0."""
+    from sedona_spark.sources.jpeg import decode_jpeg
+
+    recs = []
+    for b in buf:
+        arr = decode_jpeg(bytes(b))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            arr.shape[1], arr.shape[0], arr.shape[2],
+            0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
 @F.pandas_udf(_ARC_SCHEMA)
 def _from_geotiff_udf(buf: pd.Series) -> pd.DataFrame:
     """RS_FromGeoTiff: baseline uncompressed GeoTIFF bytes -> raster

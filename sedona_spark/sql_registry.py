@@ -1167,6 +1167,8 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "r.nodata)"),
         ("RS_AsGeoTiff", f"r {_RST}", "BINARY",
          "RS_AsGeoTiffRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, r.srid)"),
+        ("RS_AsJPEG", f"r {_RST}, quality INT", "BINARY",
+         "RS_AsJPEGRaw(r.buf, quality)"),
         ("RS_AsGeoTiffDeflate", f"r {_RST}", "BINARY",
          "RS_AsGeoTiffDeflateRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, "
          "r.srid)"),
@@ -1548,6 +1550,8 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_AsGeoTiffRaw"] = _rs._as_geotiff_udf
     pandas_catalog["RS_AsGeoTiffDeflateRaw"] = _rs._as_geotiff_deflate_udf
     pandas_catalog["RS_FromGeoTiff"] = _rs._from_geotiff_udf
+    pandas_catalog["RS_FromJPEG"] = _rs._from_jpeg_udf
+    pandas_catalog["RS_AsJPEGRaw"] = _rs._as_jpeg_udf
     pandas_catalog["RS_NetCDFInfo"] = _rs._netcdf_info_udf
     pandas_catalog["RS_FromNetCDF"] = _rs._from_netcdf_udf
     pandas_catalog["RS_AsPNGRaw"] = _rs._as_png_udf

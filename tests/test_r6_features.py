@@ -1684,3 +1684,36 @@ def test_jpeg_codec_round_trips():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
+
+
+def test_rs_jpeg_sql_round_trip(spark):
+    """RS_AsJPEG -> RS_FromJPEG in SQL: struct round-trips with the
+    codec's lossy fidelity on smooth content."""
+    import numpy as np
+
+    import sedona_spark
+    from sedona_spark.sources.images import decode_image, encode_image
+
+    sedona_spark.register(spark)
+    g = np.zeros((24, 40, 3), np.uint8)
+    g[..., 0] = np.linspace(10, 240, 40).astype(np.uint8)[None, :]
+    g[..., 1] = 77
+    g[..., 2] = np.linspace(240, 10, 24).astype(np.uint8)[:, None]
+    df = spark.createDataFrame(
+        [(encode_image(g, "fpng"), 24, 40)], "buf binary, h int, w int")
+    df.createOrReplaceTempView("jfix")
+    r = spark.sql("""
+with r as (select named_struct(
+      'buf', buf, 'w', w, 'h', h, 'bands', 3,
+      'ulx', 0e0, 'uly', 0e0, 'sx', 1e0, 'sy', -1e0,
+      'skx', 0e0, 'sky', 0e0, 'srid', 0, 'nodata', cast(null as double)
+    ) as rast from jfix),
+j as (select RS_AsJPEG(rast, 95) as jb from r)
+select jb, RS_FromJPEG(jb).w as w2, RS_FromJPEG(jb).h as h2,
+       RS_FromJPEG(jb).buf as buf2 from j
+""").collect()[0]
+    assert bytes(r["jb"])[:3] == b"\xff\xd8\xff"
+    assert (r["w2"], r["h2"]) == (40, 24)
+    back = decode_image(bytes(r["buf2"]))[0]
+    mse = np.mean((back.astype(float) - g.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 45.0
