@@ -86,6 +86,13 @@ def encode_geotiff(
         d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
         pix = zlib.compress((d & 0xFF).astype(np.uint8).tobytes(), 6)
         comp_id, predictor = 8, 2
+    elif compress == "jpeg":
+        # Compression=7 (new-style JPEG, TIFF TechNote 2): the strip is
+        # a complete JFIF stream from the stdlib baseline codec
+        from sedona_spark.sources.jpeg import encode_jpeg
+
+        pix = encode_jpeg(a[:, :, 0] if nb == 1 else a, quality=95)
+        comp_id, predictor = 7, None
     else:
         raise ValueError(f"unknown compress mode {compress!r}")
 
@@ -111,7 +118,8 @@ def encode_geotiff(
          int.from_bytes(struct.pack(f"<{nb}H", *([8] * nb)).ljust(4, b"\0"),
                         "little")),
         (_T_COMPRESSION, _TYPE_SHORT, 1, comp_id),
-        (_T_PHOTOMETRIC, _TYPE_SHORT, 1, 2 if nb >= 3 else 1),
+        (_T_PHOTOMETRIC, _TYPE_SHORT, 1,
+         (6 if compress == "jpeg" else 2) if nb >= 3 else 1),
         (_T_STRIP_OFFSETS, _TYPE_LONG, 1, None),      # patched below
         (_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, 1, nb),
         (_T_ROWS_PER_STRIP, _TYPE_LONG, 1, h),
@@ -274,10 +282,10 @@ def decode_geotiff(buf: bytes):
     h = int(tags[_T_HEIGHT][0])
     nb = int(tags.get(_T_SAMPLES_PER_PIXEL, (1,))[0])
     comp = int(tags.get(_T_COMPRESSION, (1,))[0])
-    # 5 = LZW, 8 = deflate, 32946 = legacy deflate
-    if comp not in (1, 5, 8, 32946):
+    # 5 = LZW, 7 = new-style JPEG, 8 = deflate, 32946 = legacy deflate
+    if comp not in (1, 5, 7, 8, 32946):
         raise NotImplementedError(
-            "only uncompressed, LZW and DEFLATE GeoTIFF supported "
+            "only uncompressed, LZW, JPEG and DEFLATE GeoTIFF supported "
             f"(Compression={comp} requires an image library)")
     if any(b != 8 for b in tags.get(_T_BITS, (8,))):
         raise NotImplementedError("only 8-bit samples supported")
@@ -292,8 +300,23 @@ def decode_geotiff(buf: bytes):
     predictor = int(tags.get(_T_PREDICTOR, (1,))[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"Predictor={predictor} not supported")
-    inflate = (lambda b: b) if comp == 1 else \
+    inflate = (lambda b: b) if comp in (1, 7) else \
         (_lzw_decode if comp == 5 else zlib.decompress)
+
+    def jpeg_chunk(raw: bytes) -> np.ndarray:
+        """One Compression=7 strip/tile -> (rows, cols, nb). Abbreviated
+        streams (TIFF TechNote 2) carry shared tables in the JPEGTables
+        tag (347): splice its table segments after the chunk's SOI."""
+        from sedona_spark.sources.jpeg import decode_jpeg
+
+        jt = tags.get(347)
+        if jt:
+            tbl = bytes(jt[0]) if isinstance(jt[0], (bytes, bytearray)) \
+                else bytes(jt)
+            if len(tbl) > 4 and raw[2:4] not in (b"\xff\xdb",):
+                raw = raw[:2] + tbl[2:-2] + raw[2:]
+        out = decode_jpeg(bytes(raw))
+        return out[:, :, :nb] if nb < 3 else out
 
     def unpredict(sa):
         if predictor == 2:
@@ -314,8 +337,15 @@ def decode_geotiff(buf: bytes):
         arr = np.zeros((h, w, nb), dtype=np.uint8)
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             raw = inflate(buf[o:o + c])
-            ta = unpredict(np.frombuffer(raw, dtype=np.uint8)[
-                : tw * tl * nb].reshape(tl, tw, nb))
+            if comp == 7:
+                ta = jpeg_chunk(raw)
+                pad_y, pad_x = tl - ta.shape[0], tw - ta.shape[1]
+                if pad_y or pad_x:
+                    ta = np.pad(ta, ((0, pad_y), (0, pad_x), (0, 0)),
+                                mode="edge")
+            else:
+                ta = unpredict(np.frombuffer(raw, dtype=np.uint8)[
+                    : tw * tl * nb].reshape(tl, tw, nb))
             ty, tx = divmod(ti, ntx)
             y0, x0 = ty * tl, tx * tw
             ch, cw = min(tl, h - y0), min(tw, w - x0)
@@ -331,6 +361,12 @@ def decode_geotiff(buf: bytes):
             if predictor == 2:
                 arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
                     np.uint8)
+        elif comp == 7:
+            rows = []
+            for si, (o, c) in enumerate(zip(offsets, counts)):
+                nrows = min(rps, h - si * rps)
+                rows.append(jpeg_chunk(buf[o:o + c])[:nrows, :w])
+            arr = np.concatenate(rows, axis=0)
         else:
             strips = [inflate(buf[o:o + c]) for o, c in zip(offsets, counts)]
             rows = []

@@ -278,10 +278,11 @@ def test_geotiff_codec_roundtrip():
     assert abe.ravel().tolist() == [42]
 
     bad = bytearray(buf)
-    # flip Compression (tag 259) value to 7 (JPEG — a codec the engine
-    # does NOT decode; LZW/deflate are supported since r6)
+    # flip Compression (tag 259) to 6 (deprecated old-style JPEG — a
+    # codec the engine does NOT decode; LZW/deflate/new-style JPEG are
+    # supported since r6)
     comp_off = buf.index(struct.pack("<HHL", 259, 3, 1))
-    bad[comp_off + 8] = 7
+    bad[comp_off + 8] = 6
     with _pytest.raises(NotImplementedError):
         decode_geotiff(bytes(bad))
 

