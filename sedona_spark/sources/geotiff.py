@@ -1,16 +1,17 @@
-"""Uncompressed GeoTIFF codec — pure stdlib, public spec (TIFF 6.0 +
-GeoTIFF 1.1: baseline IFD, Compression=1, chunky RGB/gray strips;
-georeference via ModelPixelScaleTag 33550 + ModelTiepointTag 33922 and
-the EPSG code via GeoKeyDirectoryTag 34735 / GeographicTypeGeoKey 2048 or
+"""GeoTIFF codec — pure stdlib, public spec (TIFF 6.0 + GeoTIFF 1.1:
+baseline IFD, chunky RGB/gray strips AND tiles; georeference via
+ModelPixelScaleTag 33550 + ModelTiepointTag 33922 and the EPSG code via
+GeoKeyDirectoryTag 34735 / GeographicTypeGeoKey 2048 or
 ProjectedCSTypeGeoKey 3072).
 
 Reference capability: ``RS_FromGeoTiff`` / ``RS_AsGeoTiff``
 (``RasterConstructors.java:68`` / ``RasterOutputs.java``, ImageIO-backed
-there). This engine previously stubbed ALL external raster formats behind
-the ``images.py`` seam; baseline uncompressed GeoTIFF is simple enough to
-implement faithfully without an image library, so the seam now only
-covers compressed/exotic variants (JPEG/deflate tiles, BigTIFF) — a
-parse of one of those raises with a clear message instead of guessing.
+there). Decode accepts Compression 1 (none), 5 (LZW), 7 (new-style JPEG
+via ``sources/jpeg.py``, incl. shared JPEGTables), 8/32946 (DEFLATE,
+Predictor 2), classic and BigTIFF containers, strip or tile layouts;
+encode emits uncompressed, deflate+predictor, or JPEG single-strip. The
+remaining seam (old-style JPEG, non-8-bit samples, planar config 2)
+raises with a clear message instead of guessing.
 
 Layout written by :func:`encode_geotiff` (and accepted, among other
 baseline layouts, by :func:`decode_geotiff`): little-endian, one strip,
