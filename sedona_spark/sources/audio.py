@@ -1,0 +1,188 @@
+"""Deterministic synthetic audio table + real RIFF/WAVE PCM codec.
+
+Multimodal training pipelines treat audio as an opaque ``binary`` column
+with typed metadata (sample rate, channel count, sample count) and push
+decode / feature-extraction / resample / chunking through Arrow-batched
+``mapInPandas`` — the same posture as the image tier (``sources/images.py``).
+No audio library exists in this environment, so the codec is the one format
+that needs none: canonical RIFF/WAVE with integer PCM payloads (the
+published WAVEFORMAT layout — ``fmt `` chunk with wFormatTag=1, interleaved
+little-endian frames, ``data`` chunk). The encoder emits byte-exact
+canonical files; the decoder walks RIFF chunks generically (skipping
+LIST/INFO etc.), so real PCM ``.wav`` files from the wild decode too.
+Compressed formats (MP3/AAC/FLAC) stay behind a clearly-marked
+``NotImplementedError`` seam, mirroring the image tier's external-codec
+seam.
+
+Synthesis is keyed off the driver testdata ``supplier`` table so the
+DuckDB oracle can regenerate every sample closed-form: sample ``t`` of
+clip ``i`` is the pure-integer waveform ``_SAMPLE_FORMULA`` below —
+exact on both engines, no float drift.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_PCM16 = 1  # WAVEFORMAT wFormatTag for integer PCM
+_SEAM_MAGICS = {
+    b"ID3": "mp3",  # ID3v2-tagged MPEG audio
+    b"\xff\xfb": "mp3",
+    b"\xff\xf3": "mp3",
+    b"fLaC": "flac",
+    b"OggS": "ogg",
+}
+
+
+def encode_wav(samples: np.ndarray, sr: int) -> bytes:
+    """int16 ``(n,)`` mono or ``(n, ch)`` interleaved → canonical
+    RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    n, ch = samples.shape
+    payload = samples.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", _PCM16, ch, sr, sr * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (int16 ``(n, ch)``, sample_rate).
+
+    Generic RIFF chunk walk: tolerates extra chunks (LIST, fact, cue)
+    and a fmt chunk longer than 16 bytes (WAVEFORMATEX cbSize tail), so
+    real-world PCM files decode, not just our canonical output. 8-bit
+    PCM is widened to int16 (offset-binary per the WAVE spec); 24/32-bit
+    and float PCM raise the documented seam."""
+    for magic, name in _SEAM_MAGICS.items():
+        if buf[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"compressed audio ({name}) requires an audio library"
+            )
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
+    sr = ch = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        clen = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != _PCM16:
+                raise NotImplementedError(
+                    f"WAVE format tag {tag} (non-PCM) requires an audio library"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAVE file missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM requires an audio library")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), int(sr)
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture — exact-integer waveform, mirrored in oracle SQL
+# --------------------------------------------------------------------------
+
+_SR = 16000
+
+# sample t of clip i (both engines evaluate this exactly, int64): a
+# pseudo-random carrier gated by a 400-sample on/off envelope, so clips
+# have genuine silent stretches (VAD / silence-ratio ops see real signal):
+#   base(i, t) = ((i*37 + t*11 + (t*t) % 101) % 1601) - 800
+#   s(i, t)    = base(i, t) * (0 if ((t // 400) + i) % 4 == 0 else 1)
+_GATE_FRAME = 400
+
+
+def make_samples(i: int, n: int) -> np.ndarray:
+    t = np.arange(n, dtype=np.int64)
+    base = ((i * 37 + t * 11 + (t * t) % 101) % 1601) - 800
+    gate = ((t // _GATE_FRAME + i) % 4 != 0).astype(np.int64)
+    return (base * gate).astype(np.int16)
+
+
+def clip_len(i: int) -> int:
+    """Deterministic per-clip sample count (mirrored in oracle SQL)."""
+    return 2000 + (i % 7) * 500
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("sr", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+    ]
+)
+
+
+def _rows_for_ids(ids: np.ndarray) -> pd.DataFrame:
+    recs = []
+    for i in map(int, ids):
+        n = clip_len(i)
+        s = make_samples(i, n)
+        recs.append((f"clip_{i:012d}", encode_wav(s, _SR), _SR, n, 1))
+    return pd.DataFrame(recs, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+
+def audio_from_supplier(
+    spark: SparkSession, sf_dir: str, id_mod: int | None = None
+) -> DataFrame:
+    """Audio table keyed off the driver testdata ``supplier`` table (so
+    oracle SQL reproduces every clip closed-form). Same scale posture as
+    ``images_from_part``: spread ids across the cluster before the
+    CPU-heavy synth+encode stage; ``id_mod`` prunes BEFORE synthesis."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ids = sup.select(F.col("s_suppkey").cast("long").alias("id"))
+    if id_mod is not None:
+        ids = ids.filter(F.col("id") % int(id_mod) == 0)
+    ids = ids.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _rows_for_ids(b["id"].to_numpy())
+
+    return ids.mapInPandas(gen, schema=_AUDIO_SCHEMA)
+
+
+def synthesize_audio(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Distributed deterministic audio table of ``n`` rows (bench feeder)."""
+    rng = spark.range(1, n + 1)
+    if partitions:
+        rng = rng.repartition(partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _rows_for_ids(b["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=_AUDIO_SCHEMA)
