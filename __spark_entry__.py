@@ -5960,7 +5960,308 @@ _ROUND = 6
 # Queries ADDED or materially CHANGED this round — they lead the driver's
 # 50-slot verification window unconditionally. Update this set (and _ROUND)
 # each round; everything else about the window order is mechanical.
+# --- multimodal audio/video tier (r6: sources/audio.py, sources/video.py,
+# pipeline/audio.py, pipeline/video.py) ----------------------------------
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode + exact-integer waveform stats (peak/sum/sumsq/zcr) over
+    the deterministic gated fixture — the DuckDB twin regenerates every
+    PCM sample closed-form, so this is a full decode-correctness oracle
+    for the RIFF/WAVE codec."""
+    from sedona_spark.pipeline.audio import wav_stats
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir)
+    out = wav_stats(clips)
+    return out.select(
+        "clip_id",
+        F.col("sr").cast("long").alias("sr"),
+        "n_samples",
+        "duration_ms",
+        "peak",
+        "sum_s",
+        "sumsq",
+        "zcr",
+        "rms",
+    )
+
+
+_AUDIO_CLIPS_SQL = """
+select cast(s_suppkey as bigint) as i,
+       2000 + (cast(s_suppkey as bigint) % 7) * 500 as n
+from supplier
+"""
+
+# s(i, t) — mirrors sources/audio.py make_samples exactly (int64 both sides)
+_AUDIO_S = (
+    "(((({i} * 37 + {t} * 11 + ({t} * {t}) % 101) % 1601) - 800)"
+    " * (case when (({t} // 400) + {i}) % 4 = 0 then 0 else 1 end))"
+)
+
+
+def _audio_features_sql() -> str:
+    s = _AUDIO_S.format(i="i", t="t.v")
+    sp = _AUDIO_S.format(i="i", t="(t.v - 1)")
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+samp as (
+  select i, n, t.v as t, {s} as s,
+         case when t.v = 0 then null else {sp} end as sp
+  from clips, lateral (select unnest(range(0, n)) as v) t)
+select printf('clip_%012d', i) as clip_id,
+       cast(16000 as bigint) as sr,
+       cast(max(n) as bigint) as n_samples,
+       cast((max(n) * 1000) // 16000 as bigint) as duration_ms,
+       cast(max(abs(s)) as bigint) as peak,
+       cast(sum(s) as bigint) as sum_s,
+       cast(sum(s * s) as bigint) as sumsq,
+       cast(sum(case when sp is not null and ((sp < 0) != (s < 0))
+                then 1 else 0 end) as bigint) as zcr,
+       floor(sqrt(cast(sum(s * s) as double) / max(n)) * 1e6 + 0.5) / 1e6 as rms
+from samp group by i
+"""
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-sample resample 16 kHz → 4 kHz: exact index map
+    src = (t·16000)//4000 = 4t, output-sum checksum mirrored closed-form."""
+    from sedona_spark.pipeline.audio import audio_resample
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir)
+    out = audio_resample(clips, 4000)
+    return out.select(
+        "clip_id", F.col("sr").cast("long").alias("sr"), "n_samples", "sum_s"
+    )
+
+
+def _audio_resample_sql() -> str:
+    s = _AUDIO_S.format(i="i", t="(4 * t.v)")
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+samp as (
+  select i, n, t.v as t, {s} as s
+  from clips, lateral (select unnest(range(0, n // 4)) as v) t)
+select printf('clip_%012d', i) as clip_id,
+       cast(4000 as bigint) as sr,
+       cast(max(n) // 4 as bigint) as n_samples,
+       cast(sum(s) as bigint) as sum_s
+from samp group by i
+"""
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 512-sample training-clip segmentation; per-chunk exact sumsq
+    (tail chunk kept short). Bytes re-encode is pytest-gated; the counts
+    and checksums are the value oracle."""
+    from sedona_spark.pipeline.audio import audio_chunks
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir)
+    out = audio_chunks(clips, 512)
+    return out.select(
+        "clip_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n", "sumsq",
+    )
+
+
+def _audio_chunks_sql() -> str:
+    s = _AUDIO_S.format(i="i", t="t.v")
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+samp as (
+  select i, t.v // 512 as chunk_idx, {s} as s
+  from clips, lateral (select unnest(range(0, n)) as v) t)
+select printf('clip_%012d', i) as clip_id,
+       cast(chunk_idx as bigint) as chunk_idx,
+       cast(count(*) as bigint) as n,
+       cast(sum(s * s) as bigint) as sumsq
+from samp group by i, chunk_idx
+"""
+
+
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level VAD silence gate (400-sample frames, peak<200): the
+    fixture's on/off envelope plants genuinely silent frames, the oracle
+    recomputes every frame peak closed-form."""
+    from sedona_spark.pipeline.audio import silence_stats
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir)
+    return silence_stats(clips, frame=400, threshold=200)
+
+
+def _audio_silence_sql() -> str:
+    s = _AUDIO_S.format(i="i", t="t.v")
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+samp as (
+  select i, t.v // 400 as k, {s} as s
+  from clips, lateral (select unnest(range(0, n)) as v) t),
+frames as (
+  select i, k, max(abs(s)) as pk from samp group by i, k)
+select printf('clip_%012d', i) as clip_id,
+       cast(count(*) as bigint) as n_frames,
+       cast(sum(case when pk < 200 then 1 else 0 end) as bigint) as n_silent,
+       floor(cast(sum(case when pk < 200 then 1 else 0 end) as double)
+             / count(*) * 1e6 + 0.5) / 1e6 as silence_ratio
+from frames group by i
+"""
+
+
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT spectral features (dominant/centroid/bandwidth/flatness) —
+    genuinely non-SQL-expressible (rows-only driver check); value
+    correctness is pinned by the analytic pure-tone pytest."""
+    from sedona_spark.pipeline.audio import spectral_features
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir, id_mod=5)
+    return spectral_features(clips)
+
+
+# video fixture mirrors: nf(i) = 8 + (i%5)*2, frame key k = i*131 + t*17,
+# pixel v(k,x,y,c) = ((k*31 + x*3 + y*5 + c*7) % 251 + (x*y*(k%13+1)) % 67) % 256
+_VID_META_SQL = """
+select cast(p_partkey as bigint) as i,
+       8 + (cast(p_partkey as bigint) % 5) * 2 as nf
+from part
+"""
+
+_VID_PIX = (
+    "((({k} * 31 + x.v * 3 + y.v * 5 + c.v * 7) % 251"
+    " + (x.v * y.v * ({k} % 13 + 1)) % 67) % 256)"
+)
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI container decode + all-frame exact pixel checksum: every byte
+    of every DIB frame feeds pix_sum, so the oracle certifies the whole
+    container walk + bottom-up BGR de-padding."""
+    from sedona_spark.pipeline.video import video_meta
+    from sedona_spark.sources.video import videos_from_part
+
+    vids = videos_from_part(spark, sf_dir, id_mod=50)
+    out = video_meta(vids)
+    return out.select(
+        "video_id",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        F.col("fps").cast("long").alias("fps"),
+        "n_frames",
+        "duration_ms",
+        "pix_sum",
+    )
+
+
+def _video_meta_sql() -> str:
+    pix = _VID_PIX.format(k="(i * 131 + t.v * 17)")
+    return f"""
+with vid as ({_VID_META_SQL}),
+sel as (select * from vid where i % 50 = 0),
+pixsum as (
+  select i, sum({pix}) as ps
+  from sel,
+       lateral (select unnest(range(0, nf)) as v) t,
+       lateral (select unnest(range(0, 32)) as v) x,
+       lateral (select unnest(range(0, 32)) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c
+  group by i)
+select printf('vid_%012d', sel.i) as video_id,
+       cast(32 as bigint) as w, cast(32 as bigint) as h,
+       cast(10 as bigint) as fps,
+       cast(nf as bigint) as n_frames,
+       cast(nf * 100 as bigint) as duration_ms,
+       cast(ps as bigint) as pix_sum
+from sel join pixsum on sel.i = pixsum.i
+"""
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frame grid (every 4th frame): exact per-channel pixel sums +
+    one mirrored IEEE divide for mean luminance."""
+    from sedona_spark.pipeline.video import frame_sample_stats
+    from sedona_spark.sources.video import videos_from_part
+
+    vids = videos_from_part(spark, sf_dir, id_mod=100)
+    out = frame_sample_stats(vids, every=4)
+    return out.select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "sum_r", "sum_g", "sum_b", "mean_lum",
+    )
+
+
+def _video_frame_stats_sql() -> str:
+    pix = _VID_PIX.format(k="(i * 131 + t.v * 17)")
+    return f"""
+with vid as ({_VID_META_SQL}),
+sel as (select * from vid where i % 100 = 0),
+px as (
+  select i, t.v as t, c.v as c, sum({pix}) as cs
+  from sel,
+       lateral (select unnest(range(0, nf)) as v) t,
+       lateral (select unnest(range(0, 32)) as v) x,
+       lateral (select unnest(range(0, 32)) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c
+  where t.v % 4 = 0
+  group by i, t.v, c.v)
+select printf('vid_%012d', i) as video_id,
+       cast(t as bigint) as frame_idx,
+       cast(sum(case when c = 0 then cs else 0 end) as bigint) as sum_r,
+       cast(sum(case when c = 1 then cs else 0 end) as bigint) as sum_g,
+       cast(sum(case when c = 2 then cs else 0 end) as bigint) as sum_b,
+       floor(cast(sum(cs) as double) / (3 * 32 * 32) * 1e6 + 0.5) / 1e6
+         as mean_lum
+from px group by i, t
+"""
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection via consecutive-frame L1 energy: cut when
+    sum |f_t − f_{t−1}| > 262144 — both frames regenerate closed-form, so
+    counts/max/mean are fully oracled."""
+    from sedona_spark.pipeline.video import scene_changes
+    from sedona_spark.sources.video import videos_from_part
+
+    vids = videos_from_part(spark, sf_dir, id_mod=100)
+    return scene_changes(vids, threshold=262144)
+
+
+def _video_scene_cuts_sql() -> str:
+    pa = _VID_PIX.format(k="(i * 131 + t.v * 17)")
+    pb = _VID_PIX.format(k="(i * 131 + (t.v - 1) * 17)")
+    return f"""
+with vid as ({_VID_META_SQL}),
+sel as (select * from vid where i % 100 = 0),
+d as (
+  select i, t.v as t, sum(abs({pa} - {pb})) as l1
+  from sel,
+       lateral (select unnest(range(1, nf)) as v) t,
+       lateral (select unnest(range(0, 32)) as v) x,
+       lateral (select unnest(range(0, 32)) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c
+  group by i, t.v)
+select printf('vid_%012d', sel.i) as video_id,
+       cast(nf as bigint) as n_frames,
+       cast(sum(case when l1 > 262144 then 1 else 0 end) as bigint) as n_cuts,
+       cast(max(l1) as bigint) as max_l1,
+       floor(avg(cast(l1 as double)) * 1e6 + 0.5) / 1e6 as mean_l1
+from sel join d on sel.i = d.i
+group by sel.i, nf
+"""
+
+
 _NEW_OR_CHANGED = {
+    "audio_features",      # r6: multimodal audio tier (WAV codec oracle)
+    "audio_resample",      # r6: nearest-sample resample checksum
+    "audio_chunks",        # r6: 512-sample segmentation
+    "audio_silence",       # r6: VAD silence gate
+    "video_meta",          # r6: AVI container decode checksum
+    "video_frame_stats",   # r6: key-frame grid channel sums
+    "video_scene_cuts",    # r6: L1 shot-boundary detection
+    "audio_spectral",      # r6: FFT features (rows-only, pytest-pinned)
     "sql_api_rs_io",       # r6: floor-mirror rounding (hash-flake pin, VERDICT #1)
     "sql_api_6",           # r6: ST_TransformEpsg -> Arrow numpy dispatch (VERDICT #2)
     "sql_api_stats",       # r6: physical-function SQL spellings (VERDICT #3)
@@ -6183,6 +6484,14 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "image_patchify": q_image_patchify,
         "image_channel_stats": q_image_channel_stats,
+        "audio_features": q_audio_features,
+        "audio_resample": q_audio_resample,
+        "audio_chunks": q_audio_chunks,
+        "audio_silence": q_audio_silence,
+        "audio_spectral": q_audio_spectral,
+        "video_meta": q_video_meta,
+        "video_frame_stats": q_video_frame_stats,
+        "video_scene_cuts": q_video_scene_cuts,
         "webdataset_manifest": q_webdataset_manifest,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -6469,6 +6778,13 @@ def oracle_sql() -> dict[str, str]:
         "aspect_bucket_batches": _aspect_bucket_batches_sql(),
         "image_patchify": _image_patchify_sql(),
         "image_channel_stats": _image_channel_stats_sql(),
+        "audio_features": _audio_features_sql(),
+        "audio_resample": _audio_resample_sql(),
+        "audio_chunks": _audio_chunks_sql(),
+        "audio_silence": _audio_silence_sql(),
+        "video_meta": _video_meta_sql(),
+        "video_frame_stats": _video_frame_stats_sql(),
+        "video_scene_cuts": _video_scene_cuts_sql(),
         "webdataset_manifest": _webdataset_manifest_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "decontaminate": _decontaminate_sql(),
