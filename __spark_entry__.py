@@ -1347,6 +1347,152 @@ from agg
 """
 
 
+def q_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact area downsample (16×16 average pooling, ``block_sum //
+    256``): bit-reproducible thumbnails. The oracle regenerates every
+    source pixel, pools with the same integer floor division, and pins
+    each pooled pixel to its location via the position-weighted
+    checksum."""
+    from sedona_spark.pipeline.images import downsample_stats
+
+    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    return downsample_stats(imgs, factor=16)
+
+
+def _image_downsample_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dec = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 8 = 0),
+dec as (
+  select i, w, h, x.v // 16 as bx, y.v // 16 as by, c.v as ch,
+         {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       (select unnest(range(0, 3)) as v) c),
+pool as (
+  select i, w // 16 as ow, h // 16 as oh, bx, by, ch,
+         sum(dv) // 256 as pv
+  from dec group by i, w, h, bx, by, ch)
+select printf('img_%012d', i) as image_id,
+       cast(ow as bigint) as out_w, cast(oh as bigint) as out_h,
+       cast(sum(case when ch = 0 then pv else 0 end) as bigint) as d0_sum,
+       cast(sum(case when ch = 1 then pv else 0 end) as bigint) as d1_sum,
+       cast(sum(case when ch = 2 then pv else 0 end) as bigint) as d2_sum,
+       cast(sum(pv * (1 + bx + by * ow + ch * ow * oh)) as bigint) as wsum
+from pool group by i, ow, oh
+"""
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic center-crop 32×32 + horizontal flip (the seeded
+    torchvision augmentation stack). The position-weighted checksum is
+    computed over POST-transform coordinates, so the oracle proves the
+    crop window and the flip, not just the pixel multiset."""
+    from sedona_spark.pipeline.images import augment_stats
+
+    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    return augment_stats(imgs, crop=32, flip=True)
+
+
+def _image_augment_sql() -> str:
+    # post-transform (x, y) reads source (x0 + 31 - x, y0 + y)
+    sx = "((w - 32) // 2 + 31 - x.v)"
+    sy = "((h - 32) // 2 + y.v)"
+    pix = _PIX.format(x=sx, y=sy)
+    dec = _DECODED.format(v=f"({pix})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 8 = 0),
+dec as (
+  select i, w, h, x.v as x, y.v as y, c.v as ch, {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, 32)) as v) x,
+       lateral (select unnest(range(0, 32)) as v) y,
+       (select unnest(range(0, 3)) as v) c)
+select printf('img_%012d', i) as image_id,
+       cast((w - 32) // 2 as bigint) as x0,
+       cast((h - 32) // 2 as bigint) as y0,
+       cast(sum(case when ch = 0 then dv else 0 end) as bigint) as a0_sum,
+       cast(sum(case when ch = 1 then dv else 0 end) as bigint) as a1_sum,
+       cast(sum(case when ch = 2 then dv else 0 end) as bigint) as a2_sum,
+       cast(sum(dv * (1 + x + y * 32 + ch * 1024)) as bigint) as wsum
+from dec group by i, w, h
+"""
+
+
+def q_image_text_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style caption↔image alignment score: Arrow-batched decode
+    tower (8 exact int64 pixel moments) × pure-Column text tower (last-4
+    caption words → vocabulary indices → deterministic embedding), fused
+    dot/norms exact in int64, ONE mirrored IEEE division for the cosine."""
+    from sedona_spark.pipeline.images import image_text_align
+
+    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    return image_text_align(imgs)
+
+
+def _image_text_align_sql() -> str:
+    pix = _PIX.format(x="x.v", y="y.v")
+    dec = _DECODED.format(v=f"({pix})")
+    # te_d = sum_j (((w_j + 1) * (2d+3)) % 97 - 48), w_j = (i*7 + j*13) % 20
+    te = [
+        " + ".join(
+            f"((((i * 7 + {j} * 13) % 20 + 1) * {2 * d + 3}) % 97 - 48)"
+            for j in range(4)
+        )
+        for d in range(8)
+    ]
+    te_cols = ",\n       ".join(
+        f"cast({expr} as bigint) as te{d}" for d, expr in enumerate(te))
+    dot = " + ".join(f"ie{d} * te{d}" for d in range(8))
+    ii = " + ".join(f"ie{d} * ie{d}" for d in range(8))
+    tt = " + ".join(f"te{d} * te{d}" for d in range(8))
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 8 = 0),
+dec as (
+  select i, x.v as x, y.v as y, c.v as ch, {dec} as dv
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       (select unnest(range(0, 3)) as v) c),
+mom as (
+  select i, ch, cast(sum(dv) as bigint) as s,
+         cast(sum(dv * x) as bigint) as mx,
+         cast(sum(dv * y) as bigint) as my
+  from dec group by i, ch),
+iev as (
+  select i,
+         sum(case when ch = 0 then s else 0 end) as ie0,
+         sum(case when ch = 1 then s else 0 end) as ie1,
+         sum(case when ch = 2 then s else 0 end) as ie2,
+         sum(case when ch = 0 then mx else 0 end) as ie3,
+         sum(case when ch = 1 then mx else 0 end) as ie4,
+         sum(case when ch = 2 then mx else 0 end) as ie5,
+         sum(case when ch = 0 then my else 0 end) as ie6,
+         sum(case when ch = 1 then my else 0 end) as ie7
+  from mom group by i),
+tev as (
+  select i,
+       {te_cols}
+  from sel),
+sc as (
+  select iev.i as i,
+         cast({dot} as bigint) as dot_it,
+         cast({ii} as bigint) as ii,
+         cast({tt} as bigint) as tt
+  from iev join tev on iev.i = tev.i)
+select printf('img_%012d', i) as image_id, dot_it,
+       floor(cast(dot_it as double)
+             / sqrt(cast(ii as double) * cast(tt as double))
+             * 1e6 + 5e-1) / 1e6 as align_score
+from sc
+"""
+
+
 def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard manifest (training-shard export tier):
     deterministic hash shard assignment + per-shard row count, payload
@@ -6254,6 +6400,9 @@ group by sel.i, nf
 
 
 _NEW_OR_CHANGED = {
+    "image_downsample",    # r6: exact area-pool thumbnails
+    "image_augment",       # r6: deterministic crop+flip checksum
+    "image_text_align",    # r6: CLIP-style two-tower alignment score
     "audio_features",      # r6: multimodal audio tier (WAV codec oracle)
     "audio_resample",      # r6: nearest-sample resample checksum
     "audio_chunks",        # r6: 512-sample segmentation
@@ -6484,6 +6633,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "image_patchify": q_image_patchify,
         "image_channel_stats": q_image_channel_stats,
+        "image_downsample": q_image_downsample,
+        "image_augment": q_image_augment,
+        "image_text_align": q_image_text_align,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_chunks": q_audio_chunks,
@@ -6778,6 +6930,9 @@ def oracle_sql() -> dict[str, str]:
         "aspect_bucket_batches": _aspect_bucket_batches_sql(),
         "image_patchify": _image_patchify_sql(),
         "image_channel_stats": _image_channel_stats_sql(),
+        "image_downsample": _image_downsample_sql(),
+        "image_augment": _image_augment_sql(),
+        "image_text_align": _image_text_align_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_chunks": _audio_chunks_sql(),

@@ -178,6 +178,18 @@ BENCH_QUERIES = [
     "decontaminate",
     "channel_histogram",
     "geopandas_api",
+    # r6b additions: image augmentation/thumbnail/alignment + audio/video
+    "image_downsample",
+    "image_augment",
+    "image_text_align",
+    "audio_features",
+    "audio_resample",
+    "audio_chunks",
+    "audio_silence",
+    "audio_spectral",
+    "video_meta",
+    "video_frame_stats",
+    "video_scene_cuts",
 ]
 
 # Catalog/plan-compile tier (VERDICT r5 next-round #10): the 25-row SQL

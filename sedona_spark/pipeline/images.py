@@ -187,6 +187,189 @@ def patchify_sums(df: DataFrame, patch: int = 16) -> DataFrame:
         run, "image_id string, px long, py long, patch_sum long")
 
 
+def downsample_stats(df: DataFrame, factor: int = 16) -> DataFrame:
+    """Exact area downsample (average pooling): each ``factor×factor``
+    block becomes one pixel valued ``block_sum // factor²`` — pure
+    integer arithmetic, so thumbnails are bit-reproducible across
+    engines and runs (the property a dedup/caching layer needs from a
+    thumbnail stage; float resamplers drift across BLAS builds).
+
+    Output: one row per image with the thumbnail dims, the exact int64
+    per-channel sums of the POOLED pixels (not the source pixels — the
+    floor division is inside the sum, so this oracles the pooled values
+    themselves) and a position-weighted checksum
+    ``Σ pooled·(1 + ox + oy·out_w + c·out_w·out_h)`` that pins every
+    pooled pixel to its location.
+
+    One ``mapInPandas`` pass, no shuffle. Requires ``w % factor ==
+    h % factor == 0`` (resize first otherwise — same contract as
+    :func:`patchify_sums`).
+    """
+    from sedona_spark.sources.images import decode_image
+
+    f2 = factor * factor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b["image_id"], b["bytes"]):
+                arr, _fmt = decode_image(bytes(buf))
+                h, w, c = arr.shape
+                if h % factor or w % factor:
+                    raise ValueError(
+                        f"downsample_stats: {iid} is {w}x{h}, not a "
+                        f"multiple of {factor} — resize first")
+                gy, gx = h // factor, w // factor
+                pooled = (arr.astype(np.int64)
+                          .reshape(gy, factor, gx, factor, c)
+                          .sum(axis=(1, 3)) // f2)  # (gy, gx, c)
+                sums = pooled.sum(axis=(0, 1))
+                oy, ox, oc = np.mgrid[0:gy, 0:gx, 0:c]
+                wsum = int((pooled * (1 + ox + oy * gx + oc * gx * gy))
+                           .sum())
+                recs.append((iid, gx, gy, int(sums[0]), int(sums[1]),
+                             int(sums[2]), wsum))
+            yield pd.DataFrame(recs, columns=[
+                "image_id", "out_w", "out_h",
+                "d0_sum", "d1_sum", "d2_sum", "wsum"])
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, "image_id string, out_w long, out_h long, "
+             "d0_sum long, d1_sum long, d2_sum long, wsum long")
+
+
+def augment_stats(df: DataFrame, crop: int = 32, flip: bool = True) -> DataFrame:
+    """Deterministic center-crop + horizontal flip — the reproducible
+    flavor of the torchvision ``CenterCrop + RandomHorizontalFlip``
+    stack (seeded trainers need the SAME augmentation per (sample,
+    epoch), so augmentation must be a pure function of the row, never
+    of executor-local RNG state).
+
+    Post-transform pixel ``(x, y, c) = src(x0 + (crop−1−x), y0 + y, c)``
+    with ``x0 = (w−crop)//2``, ``y0 = (h−crop)//2``. Channel sums are
+    flip-invariant, so the output also carries the position-weighted
+    checksum ``Σ v·(1 + x + y·crop + c·crop²)`` over POST-transform
+    coordinates — the column that proves the flip and the crop window
+    actually happened.
+
+    One ``mapInPandas`` pass, no shuffle.
+    """
+    from sedona_spark.sources.images import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b["image_id"], b["bytes"]):
+                arr, _fmt = decode_image(bytes(buf))
+                h, w, c = arr.shape
+                if w < crop or h < crop:
+                    raise ValueError(
+                        f"augment_stats: {iid} is {w}x{h} < crop {crop}")
+                x0, y0 = (w - crop) // 2, (h - crop) // 2
+                win = arr[y0:y0 + crop, x0:x0 + crop].astype(np.int64)
+                if flip:
+                    win = win[:, ::-1]
+                sums = win.sum(axis=(0, 1))
+                yy, xx, cc = np.mgrid[0:crop, 0:crop, 0:c]
+                wsum = int((win * (1 + xx + yy * crop + cc * crop * crop))
+                           .sum())
+                recs.append((iid, x0, y0, int(sums[0]), int(sums[1]),
+                             int(sums[2]), wsum))
+            yield pd.DataFrame(recs, columns=[
+                "image_id", "x0", "y0",
+                "a0_sum", "a1_sum", "a2_sum", "wsum"])
+
+    return df.select("image_id", "bytes").mapInPandas(
+        run, "image_id string, x0 long, y0 long, "
+             "a0_sum long, a1_sum long, a2_sum long, wsum long")
+
+
+#: vocabulary used by the deterministic text-embedding side of
+#: :func:`image_text_align` — must match the caption fixture's word list
+#: (sources/images.py ``_WORDS``).
+_ALIGN_DIM = 8
+
+
+def image_text_align(df: DataFrame, words: tuple[str, ...] | None = None) -> DataFrame:
+    """CLIP-style image↔caption alignment scoring, the multimodal filter
+    a web-scale pairs pipeline runs before training (drop rows whose
+    caption does not describe the image). No pretrained encoder exists
+    in this environment, so both towers are deterministic closed-form
+    embeddings — the SPARK-SIDE shape is the real thing: an
+    Arrow-batched decode tower for pixels, a pure-Column tower for
+    text, a JVM-side fused dot/norm, one mirrored IEEE division.
+
+    * image tower (``mapInPandas`` over ``bytes``): 8 exact int64
+      moments — per-channel pixel sums ``s_c``, x-weighted moments
+      ``Σ v·x`` per channel, y-weighted moments for channels 0,1.
+    * text tower (pure Column over ``caption``): split → lookup each of
+      the last 4 words in the vocabulary map → ``te_d = Σ_j
+      (((idx_j+1)·(2d+3)) mod 97) − 48`` for ``d in 0..7``.
+    * score = ``dot(ie, te) / sqrt(dot(ie,ie)·dot(te,te))`` with the
+      integer dots exact and ONE float op sequence both engines mirror.
+
+    At 100 TB: decode tower never shuffles; the join of the two towers
+    is a projection (both towers read the same row), so the whole op is
+    one map stage.
+    """
+    from sedona_spark.sources.images import _WORDS, decode_image
+
+    vocab = words if words is not None else tuple(_WORDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b["image_id"], b["bytes"]):
+                arr = decode_image(bytes(buf))[0].astype(np.int64)
+                h, w, _c = arr.shape
+                xs = np.arange(w, dtype=np.int64)[None, :, None]
+                ys = np.arange(h, dtype=np.int64)[:, None, None]
+                s = arr.sum(axis=(0, 1)) 			# s0 s1 s2
+                mx = (arr * xs).sum(axis=(0, 1))  # mx0 mx1 mx2
+                my = (arr * ys).sum(axis=(0, 1))  # my0 my1
+                ie = [int(s[0]), int(s[1]), int(s[2]),
+                      int(mx[0]), int(mx[1]), int(mx[2]),
+                      int(my[0]), int(my[1])]
+                recs.append([iid] + ie)
+            yield pd.DataFrame(recs, columns=[
+                "image_id"] + [f"ie{d}" for d in range(_ALIGN_DIM)])
+
+    ie = df.select("image_id", "bytes").mapInPandas(
+        run, "image_id string, " + ", ".join(
+            f"ie{d} long" for d in range(_ALIGN_DIM)))
+
+    # text tower: caption → last-4 word indices → te_d (pure Column)
+    pairs: list = []
+    for i, wd in enumerate(vocab):
+        pairs.extend([F.lit(wd), F.lit(i)])
+    vmap = F.create_map(*pairs)
+    toks = F.slice(F.split(F.col("caption"), " "), -4, 4)
+    idxs = F.transform(toks, lambda t: vmap[t].cast("long"))
+    te = [
+        F.aggregate(
+            idxs, F.lit(0).cast("long"),
+            lambda acc, ix: acc + ((ix + 1) * (2 * d + 3)) % 97 - 48,
+        ).alias(f"te{d}")
+        for d in range(_ALIGN_DIM)
+    ]
+    txt = df.select("image_id", "caption", *te)
+
+    j = ie.join(txt, "image_id")
+    dot = sum(F.col(f"ie{d}") * F.col(f"te{d}")
+              for d in range(_ALIGN_DIM))
+    ii = sum(F.col(f"ie{d}") * F.col(f"ie{d}")
+             for d in range(_ALIGN_DIM))
+    tt = sum(F.col(f"te{d}") * F.col(f"te{d}")
+             for d in range(_ALIGN_DIM))
+    raw = dot.cast("double") / F.sqrt(ii.cast("double") * tt.cast("double"))
+    return j.select(
+        "image_id",
+        dot.alias("dot_it"),
+        (F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("align_score"),
+    )
+
+
 def channel_histogram(df: DataFrame) -> DataFrame:
     """Exact per-channel pixel histogram: uint8 pixels make the 256-bin
     histogram EXACT (no t-digest/approx needed), and exact histograms

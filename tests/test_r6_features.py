@@ -1772,3 +1772,79 @@ def test_jpeg_in_tiff():
     gray = np.tile(np.linspace(0, 255, 48).astype(np.uint8), (24, 1))
     a2 = decode_geotiff(encode_geotiff(gray, compress="jpeg"))[0]
     assert a2.shape == (24, 48, 1)
+
+
+def test_downsample_augment_align(spark):
+    """The three r6b image ops against direct numpy on the decoded
+    pixels: exact pooled sums + positional checksum, crop+flip geometry,
+    and the two-tower alignment score."""
+    import numpy as np
+
+    from sedona_spark.pipeline.images import (
+        augment_stats,
+        downsample_stats,
+        image_text_align,
+    )
+    from sedona_spark.sources.images import _WORDS, decode_image, synthesize_images
+
+    imgs = synthesize_images(spark, 9)
+    src = {r["image_id"]: r for r in imgs.collect()}
+
+    down = {r["image_id"]: r for r in downsample_stats(imgs, 16).collect()}
+    aug = {r["image_id"]: r for r in augment_stats(imgs, 32, True).collect()}
+    align = {r["image_id"]: r for r in image_text_align(imgs).collect()}
+    assert len(down) == len(aug) == len(align) == 9
+
+    for iid, s in src.items():
+        arr = decode_image(bytes(s["bytes"]))[0].astype(np.int64)
+        h, w, _ = arr.shape
+
+        # downsample: pool then floor-divide, positions pinned
+        gy, gx = h // 16, w // 16
+        pooled = arr.reshape(gy, 16, gx, 16, 3).sum(axis=(1, 3)) // 256
+        r = down[iid]
+        assert (r["out_w"], r["out_h"]) == (gx, gy)
+        assert [r["d0_sum"], r["d1_sum"], r["d2_sum"]] == list(
+            pooled.sum(axis=(0, 1)))
+        oy, ox, oc = np.mgrid[0:gy, 0:gx, 0:3]
+        assert r["wsum"] == int(
+            (pooled * (1 + ox + oy * gx + oc * gx * gy)).sum())
+
+        # augment: center crop 32 + horizontal flip
+        x0, y0 = (w - 32) // 2, (h - 32) // 2
+        win = arr[y0:y0 + 32, x0:x0 + 32][:, ::-1]
+        r = aug[iid]
+        assert (r["x0"], r["y0"]) == (x0, y0)
+        assert [r["a0_sum"], r["a1_sum"], r["a2_sum"]] == list(
+            win.sum(axis=(0, 1)))
+        yy, xx, cc = np.mgrid[0:32, 0:32, 0:3]
+        assert r["wsum"] == int(
+            (win * (1 + xx + yy * 32 + cc * 1024)).sum())
+
+        # alignment: 8 image moments x deterministic text embedding
+        xs = np.arange(w)[None, :, None]
+        ys = np.arange(h)[:, None, None]
+        s_c = arr.sum(axis=(0, 1))
+        mx = (arr * xs).sum(axis=(0, 1))
+        my = (arr * ys).sum(axis=(0, 1))
+        ie = np.array([s_c[0], s_c[1], s_c[2], mx[0], mx[1], mx[2],
+                       my[0], my[1]], dtype=np.int64)
+        toks = s["caption"].split(" ")[-4:]
+        idxs = [_WORDS.index(t) for t in toks]
+        te = np.array(
+            [sum(((ix + 1) * (2 * d + 3)) % 97 - 48 for ix in idxs)
+             for d in range(8)], dtype=np.int64)
+        r = align[iid]
+        assert r["dot_it"] == int(ie @ te)
+        want = float(ie @ te) / np.sqrt(float(ie @ ie) * float(te @ te))
+        import math
+        assert r["align_score"] == math.floor(want * 1e6 + 0.5) / 1e6
+
+    # a flip must change the positional checksum for a non-symmetric image
+    noflip = {r["image_id"]: r
+              for r in augment_stats(imgs, 32, flip=False).collect()}
+    assert any(noflip[k]["wsum"] != aug[k]["wsum"] for k in aug)
+    assert all(
+        (noflip[k]["a0_sum"], noflip[k]["a1_sum"], noflip[k]["a2_sum"])
+        == (aug[k]["a0_sum"], aug[k]["a1_sum"], aug[k]["a2_sum"])
+        for k in aug)
