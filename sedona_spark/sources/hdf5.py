@@ -12,10 +12,12 @@ bottom layer, the subset every netCDF-4 classic-model file uses:
 * dataspace (simple, ≤3 dims) / datatype (fixed-point + IEEE float,
   little-endian) / data-layout v3 messages,
 * CONTIGUOUS layout and CHUNKED layout (v1 B-tree node type 1) with the
-  DEFLATE filter pipeline — the default compression netCDF-4 writes.
+  DEFLATE, SHUFFLE and FLETCHER32 filter pipeline — ``nc_def_var_deflate
+  (shuffle=1)`` + ``nc_def_var_fletcher32`` cover what the netCDF-4 C
+  library can attach to a classic-model variable.
 
 Out of scope (documented seam, raise ``NotImplementedError``): v2+
-superblocks, fractal-heap "new style" groups, szip/shuffle filters,
+superblocks, fractal-heap "new style" groups, the patented szip filter,
 variable-length/compound datatypes. Real-world netCDF-4 classic-model
 output from the C library defaults to exactly the supported shapes.
 
@@ -45,6 +47,57 @@ _MSG_FILTER = 0x000B
 _MSG_SYMBOL_TABLE = 0x0011
 
 _FILTER_DEFLATE = 1
+_FILTER_SHUFFLE = 2
+_FILTER_FLETCHER32 = 3
+
+
+def _shuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    """HDF5 SHUFFLE filter forward pass: regroup element bytes so all
+    byte-0s come first, then all byte-1s, … (makes deflate see long
+    same-significance runs). Trailing ``len % itemsize`` bytes are
+    copied unchanged at the end — the H5Zshuffle leftover rule, which
+    matters when an upstream FLETCHER32 appended a 4-byte checksum."""
+    if itemsize <= 1:
+        return raw
+    cut = (len(raw) // itemsize) * itemsize
+    a = np.frombuffer(raw[:cut], dtype=np.uint8).reshape(-1, itemsize)
+    return a.T.tobytes() + raw[cut:]
+
+
+def _deshuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    if itemsize <= 1:
+        return raw
+    cut = (len(raw) // itemsize) * itemsize
+    a = np.frombuffer(raw[:cut], dtype=np.uint8).reshape(itemsize, -1)
+    return a.T.tobytes() + raw[cut:]
+
+
+def _fletcher32(data: bytes) -> int:
+    """HDF5 ``H5_checksum_fletcher32``: big-endian 16-bit word Fletcher
+    sums, folded after each ≤360-word block exactly where the reference
+    C implementation folds (the fold is not a pure mod-65535, so block
+    boundaries are part of the definition)."""
+    n2 = len(data) // 2
+    words = np.frombuffer(data[: n2 * 2], dtype=">u2").astype(np.uint64)
+    s1 = np.uint64(0)
+    s2 = np.uint64(0)
+    for b0 in range(0, n2, 360):
+        blk = words[b0:b0 + 360]
+        t = np.uint64(len(blk))
+        # within-block closed form of {s1 += w; s2 += s1} per word
+        s2 = s2 + t * s1 + ((np.uint64(len(blk)) - np.arange(
+            len(blk), dtype=np.uint64)) * blk).sum()
+        s1 = s1 + blk.sum()
+        s1 = (s1 & np.uint64(0xFFFF)) + (s1 >> np.uint64(16))
+        s2 = (s2 & np.uint64(0xFFFF)) + (s2 >> np.uint64(16))
+    if len(data) % 2:
+        s1 = s1 + np.uint64(data[-1] << 8)
+        s2 = s2 + s1
+        s1 = (s1 & np.uint64(0xFFFF)) + (s1 >> np.uint64(16))
+        s2 = (s2 & np.uint64(0xFFFF)) + (s2 >> np.uint64(16))
+    s1 = (s1 & np.uint64(0xFFFF)) + (s1 >> np.uint64(16))
+    s2 = (s2 & np.uint64(0xFFFF)) + (s2 >> np.uint64(16))
+    return int((s2 << np.uint64(16)) | s1)
 
 # numpy dtype -> (class, size, signed) for fixed-point; floats special
 _INT_DTYPES = {
@@ -112,16 +165,21 @@ def encode_hdf5(
     variables: dict[str, np.ndarray],
     chunk_rows: int | None = None,
     deflate: int | None = None,
+    shuffle: bool = False,
+    fletcher32: bool = False,
 ) -> bytes:
     """Write 2-D (or 1-D/3-D) numeric arrays as root-group datasets.
 
     ``chunk_rows`` splits each array into row-block chunks (chunked
-    layout + B-tree); ``deflate`` adds the DEFLATE filter at that level.
-    Default is the contiguous layout.
+    layout + B-tree); ``deflate``/``shuffle``/``fletcher32`` add the
+    corresponding filters at that level, in netCDF-4's pipeline order
+    (FLETCHER32 → SHUFFLE → DEFLATE, the order ``nc4hdf.c`` registers
+    them). Default is the contiguous layout.
     """
     if not variables:
         raise ValueError("hdf5: at least one variable is required")
-    if deflate is not None and chunk_rows is None:
+    if ((deflate is not None or shuffle or fletcher32)
+            and chunk_rows is None):
         chunk_rows = max(1, next(iter(variables.values())).shape[0])
     names = sorted(variables)
 
@@ -196,12 +254,26 @@ def encode_hdf5(
             _patch(pieces, data_addr_pos, struct.pack("<Q", daddr))
         else:
             cshape = (min(chunk_rows, a.shape[0]),) + a.shape[1:]
+            recs_f, nf = b"", 0
+            if fletcher32:
+                # fletcher32: id=3, namelen=0, flags=0, no client values
+                recs_f += struct.pack("<HHHH", _FILTER_FLETCHER32, 0, 0, 0)
+                nf += 1
+            if shuffle:
+                # shuffle: id=2, 1 client value = element size in bytes
+                recs_f += struct.pack(
+                    "<HHHH", _FILTER_SHUFFLE, 0, 0, 1) + struct.pack(
+                    "<I", a.dtype.itemsize) + b"\0" * 4
+                nf += 1
             if deflate is not None:
                 # deflate: id=1, namelen=0, flags=0, 1 client value
-                f = struct.pack("<BB6x", 1, 1) + struct.pack(
+                recs_f += struct.pack(
                     "<HHHH", _FILTER_DEFLATE, 0, 0, 1) + struct.pack(
                     "<I", deflate) + b"\0" * 4
-                msgs.append((_MSG_FILTER, f))
+                nf += 1
+            if nf:
+                msgs.append((_MSG_FILTER,
+                             struct.pack("<BB6x", 1, nf) + recs_f))
             body = struct.pack("<BBB", 3, 2, a.ndim + 1)
             body += struct.pack("<Q", 0)  # btree addr patched below
             for d in cshape:
@@ -220,6 +292,10 @@ def encode_hdf5(
                 src = a[r0:r0 + cshape[0]]
                 chunk[: src.shape[0]] = src
                 raw = chunk.tobytes()
+                if fletcher32:
+                    raw += struct.pack("<I", _fletcher32(raw))
+                if shuffle:
+                    raw = _shuffle_bytes(raw, a.dtype.itemsize)
                 if deflate is not None:
                     raw = zlib.compress(raw, deflate)
                 caddr = put(raw)
@@ -351,6 +427,15 @@ def _read_chunked(buf: bytes, bt_addr: int, shape, cshape, dt,
             for fid, vals in reversed(filters):
                 if fid == _FILTER_DEFLATE:
                     raw = zlib.decompress(raw)
+                elif fid == _FILTER_SHUFFLE:
+                    raw = _deshuffle_bytes(
+                        raw, vals[0] if vals else dt.itemsize)
+                elif fid == _FILTER_FLETCHER32:
+                    want = struct.unpack("<I", raw[-4:])[0]
+                    raw = raw[:-4]
+                    if _fletcher32(raw) != want:
+                        raise ValueError(
+                            "hdf5: fletcher32 checksum mismatch")
                 else:
                     raise NotImplementedError(f"hdf5: filter id {fid}")
             chunk = np.frombuffer(raw, dtype=dt).reshape(cshape)

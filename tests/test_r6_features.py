@@ -1077,7 +1077,12 @@ def test_hdf5_round_trip_layouts():
         "one": np.arange(5, dtype=np.int16),
     }
     for kw in ({}, {"chunk_rows": 4}, {"chunk_rows": 4, "deflate": 6},
-               {"deflate": 1}):
+               {"deflate": 1},
+               {"chunk_rows": 4, "deflate": 6, "shuffle": True},
+               {"chunk_rows": 4, "shuffle": True},
+               {"chunk_rows": 4, "fletcher32": True},
+               {"chunk_rows": 3, "deflate": 6, "shuffle": True,
+                "fletcher32": True}):
         buf = encode_hdf5(data, **kw)
         assert buf[:8] == b"\x89HDF\r\n\x1a\n"
         out = parse_hdf5(buf)
@@ -1087,6 +1092,17 @@ def test_hdf5_round_trip_layouts():
     # deflate actually compresses the regular grids
     assert len(encode_hdf5(data, chunk_rows=4, deflate=6)) < \
         len(encode_hdf5(data))
+    # shuffle improves deflate on the wide-dtype regular grids
+    assert len(encode_hdf5(data, chunk_rows=4, deflate=6, shuffle=True)) < \
+        len(encode_hdf5(data, chunk_rows=4, deflate=6))
+    # a corrupted chunk byte trips the fletcher32 verify
+    buf = bytearray(encode_hdf5({"t": data["temp"]}, chunk_rows=4,
+                                fletcher32=True))
+    pos = buf.rindex(data["temp"][0].tobytes()[:8])
+    buf[pos] ^= 0x40
+    with pytest.raises(ValueError, match="fletcher32"):
+        from sedona_spark.sources.hdf5 import parse_hdf5 as _p
+        _p(bytes(buf))
 
 
 def test_netcdf4_dispatch_and_raster():
@@ -1261,8 +1277,9 @@ def test_hdf5_property_fuzz():
         h=st.integers(1, 23), w=st.integers(1, 23),
         dt=dtypes, chunk=st.integers(0, 9),
         level=st.integers(0, 9), seed=st.integers(0, 2**31 - 1),
+        shuf=st.booleans(), fletch=st.booleans(),
     )
-    def run(h, w, dt, chunk, level, seed):
+    def run(h, w, dt, chunk, level, seed, shuf, fletch):
         rng = np.random.default_rng(seed)
         if dt.startswith("f"):
             a = rng.standard_normal((h, w)).astype(dt)
@@ -1275,6 +1292,8 @@ def test_hdf5_property_fuzz():
             kw["chunk_rows"] = chunk
             if level > 0:
                 kw["deflate"] = level
+            kw["shuffle"] = shuf
+            kw["fletcher32"] = fletch
         buf = encode_hdf5({"v": a, "w2": a[::-1].copy()}, **kw)
         out = parse_hdf5(buf)
         np.testing.assert_array_equal(out["v"], a)
