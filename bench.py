@@ -460,6 +460,13 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # images_from_part's synthesizing mapInPandas, which emits the
         # full bytes column through Arrow (pruning can't reach inside)
         "webdataset_manifest", "aspect_bucket_batches",
+        # r6b byte-column tiers: image ops consume images_from_part's
+        # bytes exactly like image_tensorize; audio/video rows carry
+        # multi-KB WAV/AVI payloads per row
+        "image_downsample", "image_augment", "image_text_align",
+        "audio_features", "audio_resample", "audio_chunks",
+        "audio_silence", "audio_spectral",
+        "video_meta", "video_frame_stats", "video_scene_cuts",
     }
     batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # per query: one warm run then one timed run, report the min — the VM's

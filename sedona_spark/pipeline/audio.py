@@ -254,6 +254,7 @@ def spectral_features(
     pytest (a k-bin cosine must put its dominant bin at k)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
         for b in batches:
             recs = []
             for cid, buf in zip(b[id_col], b[bytes_col]):
@@ -264,7 +265,6 @@ def spectral_features(
                     c0 = np.pad(c0, (0, n_fft - len(c0)))
                     nf = 1
                 frames = c0[: nf * n_fft].reshape(nf, n_fft)
-                win = np.hanning(n_fft)
                 spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
                 p = spec.mean(axis=0)
                 freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)

@@ -308,9 +308,10 @@ def image_text_align(df: DataFrame, words: tuple[str, ...] | None = None) -> Dat
     * score = ``dot(ie, te) / sqrt(dot(ie,ie)·dot(te,te))`` with the
       integer dots exact and ONE float op sequence both engines mirror.
 
-    At 100 TB: decode tower never shuffles; the join of the two towers
-    is a projection (both towers read the same row), so the whole op is
-    one map stage.
+    At 100 TB: the whole op is one map stage — the decode pass carries
+    ``caption`` through, so the text tower is a projection over the
+    decode tower's output (never a second scan of the expensive bytes
+    source, never a join).
     """
     from sedona_spark.sources.images import _WORDS, decode_image
 
@@ -319,7 +320,8 @@ def image_text_align(df: DataFrame, words: tuple[str, ...] | None = None) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             recs = []
-            for iid, buf in zip(b["image_id"], b["bytes"]):
+            for iid, buf, cap in zip(b["image_id"], b["bytes"],
+                                     b["caption"]):
                 arr = decode_image(bytes(buf))[0].astype(np.int64)
                 h, w, _c = arr.shape
                 xs = np.arange(w, dtype=np.int64)[None, :, None]
@@ -330,21 +332,23 @@ def image_text_align(df: DataFrame, words: tuple[str, ...] | None = None) -> Dat
                 ie = [int(s[0]), int(s[1]), int(s[2]),
                       int(mx[0]), int(mx[1]), int(mx[2]),
                       int(my[0]), int(my[1])]
-                recs.append([iid] + ie)
+                recs.append([iid, cap] + ie)
             yield pd.DataFrame(recs, columns=[
-                "image_id"] + [f"ie{d}" for d in range(_ALIGN_DIM)])
+                "image_id", "caption"]
+                + [f"ie{d}" for d in range(_ALIGN_DIM)])
 
-    ie = df.select("image_id", "bytes").mapInPandas(
-        run, "image_id string, " + ", ".join(
+    ie = df.select("image_id", "bytes", "caption").mapInPandas(
+        run, "image_id string, caption string, " + ", ".join(
             f"ie{d} long" for d in range(_ALIGN_DIM)))
 
-    # text tower: caption → last-4 word indices → te_d (pure Column)
+    # text tower: caption → last-4 word indices → te_d (pure Column
+    # projection over the decode tower's output)
     pairs: list = []
     for i, wd in enumerate(vocab):
         pairs.extend([F.lit(wd), F.lit(i)])
     vmap = F.create_map(*pairs)
     toks = F.slice(F.split(F.col("caption"), " "), -4, 4)
-    idxs = F.transform(toks, lambda t: vmap[t].cast("long"))
+    idxs = F.transform(toks, lambda t: F.element_at(vmap, t).cast("long"))
     te = [
         F.aggregate(
             idxs, F.lit(0).cast("long"),
@@ -352,9 +356,7 @@ def image_text_align(df: DataFrame, words: tuple[str, ...] | None = None) -> Dat
         ).alias(f"te{d}")
         for d in range(_ALIGN_DIM)
     ]
-    txt = df.select("image_id", "caption", *te)
-
-    j = ie.join(txt, "image_id")
+    j = ie.select("image_id", *[f"ie{d}" for d in range(_ALIGN_DIM)], *te)
     dot = sum(F.col(f"ie{d}") * F.col(f"te{d}")
               for d in range(_ALIGN_DIM))
     ii = sum(F.col(f"ie{d}") * F.col(f"ie{d}")

@@ -23,12 +23,10 @@ exact on both engines, no float drift.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -95,6 +93,10 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
                     f"WAVE format tag {tag} (non-PCM) requires an audio library"
                 )
         elif cid == b"data":
+            if len(body) < clen:
+                raise ValueError(
+                    f"truncated WAVE data chunk: declared {clen} bytes, "
+                    f"got {len(body)}")
             data = body
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if sr is None or data is None:
@@ -162,27 +164,18 @@ def audio_from_supplier(
     oracle SQL reproduces every clip closed-form). Same scale posture as
     ``images_from_part``: spread ids across the cluster before the
     CPU-heavy synth+encode stage; ``id_mod`` prunes BEFORE synthesis."""
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    ids = sup.select(F.col("s_suppkey").cast("long").alias("id"))
-    if id_mod is not None:
-        ids = ids.filter(F.col("id") % int(id_mod) == 0)
-    ids = ids.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    from sedona_spark.sources.images import keyed_fixture_table
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy())
-
-    return ids.mapInPandas(gen, schema=_AUDIO_SCHEMA)
+    return keyed_fixture_table(
+        spark, _rows_for_ids, _AUDIO_SCHEMA,
+        sf_dir=sf_dir, table="supplier", key_col="s_suppkey",
+        id_mod=id_mod)
 
 
 def synthesize_audio(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
     """Distributed deterministic audio table of ``n`` rows (bench feeder)."""
-    rng = spark.range(1, n + 1)
-    if partitions:
-        rng = rng.repartition(partitions)
+    from sedona_spark.sources.images import keyed_fixture_table
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy())
-
-    return rng.mapInPandas(gen, schema=_AUDIO_SCHEMA)
+    return keyed_fixture_table(
+        spark, _rows_for_ids, _AUDIO_SCHEMA,
+        n=n, start=1, partitions=partitions)

@@ -170,17 +170,49 @@ def _rows_for_ids(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(recs, columns=[f.name for f in _IMG_SCHEMA.fields])
 
 
-def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
-    """Distributed deterministic image table of ``n`` rows."""
-    rng = spark.range(n)
+def keyed_fixture_table(
+    spark: SparkSession,
+    rows_fn,
+    schema: StructType,
+    *,
+    sf_dir: str | None = None,
+    table: str = "part",
+    key_col: str = "p_partkey",
+    id_mod: int | None = None,
+    n: int | None = None,
+    start: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Shared scaffold for the deterministic multimodal fixtures (image,
+    audio, video): take ids from a driver testdata table (oracle SQL can
+    mirror the key column) or from ``spark.range``, prune with ``id_mod``
+    BEFORE the CPU-heavy synth+encode stage (filter-pushdown posture),
+    spread across the cluster (the key table is one tiny split at test
+    SFs while synthesis is ~10⁴× CPU per input byte), then run
+    ``rows_fn(ids) -> pd.DataFrame`` as one Arrow-batched pass."""
+    if sf_dir is not None:
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        ids = src.select(F.col(key_col).cast("long").alias("id"))
+    else:
+        ids = spark.range(start, start + int(n))
+    if id_mod is not None:
+        ids = ids.filter(F.col("id") % int(id_mod) == 0)
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if partitions:
-        rng = rng.repartition(partitions)
+        ids = ids.repartition(partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy())
+            yield rows_fn(b["id"].to_numpy())
 
-    return rng.mapInPandas(gen, schema=_IMG_SCHEMA)
+    return ids.mapInPandas(gen, schema=schema)
+
+
+def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Distributed deterministic image table of ``n`` rows."""
+    return keyed_fixture_table(
+        spark, _rows_for_ids, _IMG_SCHEMA, n=n, partitions=partitions)
 
 
 def images_from_part(
@@ -197,16 +229,6 @@ def images_from_part(
     ``id_mod`` keeps only ids divisible by it BEFORE synthesis — the
     filter-pushdown any subset query needs (synthesizing 100× the rows to
     filter after the expensive stage is the anti-pattern)."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    ids = part.select(F.col("p_partkey").cast("long").alias("id"))
-    if id_mod is not None:
-        ids = ids.filter(F.col("id") % int(id_mod) == 0)
-    ids = ids.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy())
-
-    return ids.mapInPandas(gen, schema=_IMG_SCHEMA)
+    return keyed_fixture_table(
+        spark, _rows_for_ids, _IMG_SCHEMA,
+        sf_dir=sf_dir, id_mod=id_mod)

@@ -28,12 +28,10 @@ regenerates any sampled frame exactly.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -83,6 +81,11 @@ def encode_avi(
     if not frames:
         raise ValueError("encode_avi needs at least one frame")
     h, w, _ = frames[0].shape
+    for t, f in enumerate(frames):
+        if f.shape != frames[0].shape:
+            raise ValueError(
+                f"encode_avi: frame {t} is {f.shape}, expected "
+                f"{frames[0].shape} — AVI streams are fixed-shape")
     if codec == "raw":
         fourcc, ckid = b"\0\0\0\0", b"00db"
         payloads = [_dib_encode(f) for f in frames]
@@ -173,12 +176,17 @@ def decode_avi(buf: bytes) -> tuple[list[np.ndarray], int, str]:
                 w, h, compression = bw, abs(bh), comp
             elif cid in (b"00db", b"00dc"):
                 body = buf[body_lo : body_lo + clen]
-                if compression == b"MJPG" or body[:2] == b"\xff\xd8":
+                if compression == b"\0\0\0\0":
+                    # strf says raw DIB — never magic-sniff here (a raw
+                    # frame can legitimately start with FF D8 when its
+                    # bottom-left pixel is B=255, G=216)
+                    if w is None:
+                        raise ValueError("AVI frame chunk before strf header")
+                    frames.append(_dib_decode(body, w, h))
+                elif compression == b"MJPG" or body[:2] == b"\xff\xd8":
                     from sedona_spark.sources.jpeg import decode_jpeg
 
                     frames.append(decode_jpeg(bytes(body)))
-                elif compression == b"\0\0\0\0":
-                    frames.append(_dib_decode(body, w, h))
                 else:
                     raise NotImplementedError(
                         f"AVI compression {compression!r} requires a video library"
@@ -251,14 +259,8 @@ def videos_from_part(
     """Video table keyed off the driver testdata ``part`` table — same
     scale/oracle posture as ``images_from_part`` (prune ids BEFORE the
     CPU-heavy synth+encode, spread across the cluster first)."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    ids = part.select(F.col("p_partkey").cast("long").alias("id"))
-    if id_mod is not None:
-        ids = ids.filter(F.col("id") % int(id_mod) == 0)
-    ids = ids.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    from sedona_spark.sources.images import keyed_fixture_table
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield _rows_for_ids(b["id"].to_numpy(), codec)
-
-    return ids.mapInPandas(gen, schema=_VIDEO_SCHEMA)
+    return keyed_fixture_table(
+        spark, lambda ids: _rows_for_ids(ids, codec), _VIDEO_SCHEMA,
+        sf_dir=sf_dir, id_mod=id_mod)
