@@ -6197,6 +6197,46 @@ from samp group by i
 """
 
 
+def q_audio_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample 16 kHz → 6 kHz (non-integer ratio, so
+    the interpolation path actually blends): the oracle mirrors numpy's
+    exact op order — float position ``t·16000/6000``, trunc-toward-zero
+    index, ``s0·(1−fr) + s1·fr`` truncated back to int — per sample."""
+    from sedona_spark.pipeline.audio import audio_resample
+    from sedona_spark.sources.audio import audio_from_supplier
+
+    clips = audio_from_supplier(spark, sf_dir)
+    out = audio_resample(clips, 6000, linear=True)
+    return out.select(
+        "clip_id", F.col("sr").cast("long").alias("sr"), "n_samples", "sum_s"
+    )
+
+
+def _audio_resample_linear_sql() -> str:
+    s0 = _AUDIO_S.format(i="i", t="i0")
+    s1 = _AUDIO_S.format(i="i", t="i1")
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+idx as (
+  select i, n, t.v as t,
+         (t.v * 16000) / 6000 as pos,
+         least(cast(trunc((t.v * 16000) / 6000) as bigint), n - 1) as i0
+  from clips, lateral (select unnest(range(0, (n * 6000) // 16000)) as v) t),
+br as (
+  select i, n, t, pos, i0, least(i0 + 1, n - 1) as i1, pos - i0 as fr
+  from idx),
+val as (
+  select i, n,
+         cast(trunc(({s0}) * (1e0 - fr) + ({s1}) * fr) as bigint) as v
+  from br)
+select printf('clip_%012d', i) as clip_id,
+       cast(6000 as bigint) as sr,
+       cast((max(n) * 6000) // 16000 as bigint) as n_samples,
+       cast(sum(v) as bigint) as sum_s
+from val group by i
+"""
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed 512-sample training-clip segmentation; per-chunk exact sumsq
     (tail chunk kept short). Bytes re-encode is pytest-gated; the counts
@@ -6405,6 +6445,7 @@ _NEW_OR_CHANGED = {
     "image_text_align",    # r6: CLIP-style two-tower alignment score
     "audio_features",      # r6: multimodal audio tier (WAV codec oracle)
     "audio_resample",      # r6: nearest-sample resample checksum
+    "audio_resample_linear",  # r6: linear-interp resample, full oracle
     "audio_chunks",        # r6: 512-sample segmentation
     "audio_silence",       # r6: VAD silence gate
     "video_meta",          # r6: AVI container decode checksum
@@ -6638,6 +6679,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_text_align": q_image_text_align,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
+        "audio_resample_linear": q_audio_resample_linear,
         "audio_chunks": q_audio_chunks,
         "audio_silence": q_audio_silence,
         "audio_spectral": q_audio_spectral,
@@ -6935,6 +6977,7 @@ def oracle_sql() -> dict[str, str]:
         "image_text_align": _image_text_align_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
+        "audio_resample_linear": _audio_resample_linear_sql(),
         "audio_chunks": _audio_chunks_sql(),
         "audio_silence": _audio_silence_sql(),
         "video_meta": _video_meta_sql(),

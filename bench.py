@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "image_text_align",
     "audio_features",
     "audio_resample",
+    "audio_resample_linear",
     "audio_chunks",
     "audio_silence",
     "audio_spectral",
@@ -464,7 +465,8 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # bytes exactly like image_tensorize; audio/video rows carry
         # multi-KB WAV/AVI payloads per row
         "image_downsample", "image_augment", "image_text_align",
-        "audio_features", "audio_resample", "audio_chunks",
+        "audio_features", "audio_resample", "audio_resample_linear",
+        "audio_chunks",
         "audio_silence", "audio_spectral",
         "video_meta", "video_frame_stats", "video_scene_cuts",
     }
