@@ -1493,6 +1493,64 @@ from sc
 """
 
 
+def q_exif_geotags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS geotag + ImageDescription extraction from real JFIF bytes
+    (APP1 marker scan → TIFF IFD walk → GPS sub-IFD rationals), then cell
+    assignment on the decoded coordinates — the north-rule "geotagged
+    image+caption" row decoded from the image bytes alone. One
+    Arrow-batched pass, no shuffle; at 100 TB the extraction pipelines
+    with the scan and the cell id is the join/partition key downstream
+    (same posture as tile_assign). The geotag is stored as a degree-only
+    rational (abs_e7 / 1e7) so the oracle mirrors the decode exactly:
+    one int→double cast + one IEEE division per axis."""
+    from sedona_spark.cells import cell_id
+    from sedona_spark.sources.exif import exif_jpegs_from_part, with_exif
+
+    imgs = exif_jpegs_from_part(spark, sf_dir, id_mod=16)
+    out = with_exif(imgs)
+    return out.select(
+        "image_id",
+        "exif_lat",
+        "exif_lon",
+        "description",
+        cell_id(F.col("exif_lon"), F.col("exif_lat"), 6).alias("cell"),
+    )
+
+
+def _exif_geotags_sql() -> str:
+    from sedona_spark.cells import sql_cell_id
+    from sedona_spark.sources.images import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    cap = ("'caption of image ' || i || ': ' || "
+           + " || ' ' || ".join(
+               f"list_extract({words}, (i * 7 + {j} * 13) % 20 + 1)"
+               for j in range(4)))
+    # geotag_e7 closed form; decode = cast + ONE division per axis
+    # ((-a)/b == -(a/b) exactly in IEEE, so the sign rides the integer)
+    return f"""
+with img as (
+  select cast(p_partkey as bigint) as i from part
+  where p_partkey % 16 = 0),
+e as (
+  select i,
+         ((i * 2654435761) % 1000) * 2000000 + 1000000
+           - 1000000000 as lon_e7,
+         ((i * 2246822519) % 1000) * 1000000 + 500000
+           - 500000000 as lat_e7
+  from img),
+d as (
+  select i,
+         cast(lat_e7 as double) / 10000000e0 as exif_lat,
+         cast(lon_e7 as double) / 10000000e0 as exif_lon
+  from e)
+select printf('img_%012d', i) as image_id, exif_lat, exif_lon,
+       {cap} as description,
+       {sql_cell_id('exif_lon', 'exif_lat', 6)} as cell
+from d
+"""
+
+
 def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard manifest (training-shard export tier):
     deterministic hash shard assignment + per-shard row count, payload
@@ -6477,6 +6535,7 @@ _NEW_OR_CHANGED = {
     "decontaminate",       # r6: benchmark n-gram decontamination
     "channel_histogram",   # r6: exact 256-bin dataset histogram
     "geopandas_api",       # r6: GeoSeries/GeoDataFrame layer
+    "exif_geotags",        # r6: EXIF APP1 GPS + description extraction
 }
 
 
@@ -6677,6 +6736,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_downsample": q_image_downsample,
         "image_augment": q_image_augment,
         "image_text_align": q_image_text_align,
+        "exif_geotags": q_exif_geotags,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_resample_linear": q_audio_resample_linear,
@@ -6975,6 +7035,7 @@ def oracle_sql() -> dict[str, str]:
         "image_downsample": _image_downsample_sql(),
         "image_augment": _image_augment_sql(),
         "image_text_align": _image_text_align_sql(),
+        "exif_geotags": _exif_geotags_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_resample_linear": _audio_resample_linear_sql(),

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "image_downsample",
     "image_augment",
     "image_text_align",
+    "exif_geotags",
     "audio_features",
     "audio_resample",
     "audio_resample_linear",

@@ -1867,3 +1867,73 @@ def test_downsample_augment_align(spark):
         (noflip[k]["a0_sum"], noflip[k]["a1_sum"], noflip[k]["a2_sum"])
         == (aug[k]["a0_sum"], aug[k]["a1_sum"], aug[k]["a2_sum"])
         for k in aug)
+
+
+# ---------------------------------------------------------------------------
+# EXIF APP1 GPS + ImageDescription (sources/exif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_and_edge_cases(spark):
+    import struct
+
+    from sedona_spark.sources.exif import (
+        _parse_tiff_exif, build_exif_app1, extract_exif, geotag_e7,
+        inject_app1, with_exif)
+    from sedona_spark.sources.images import _caption, make_pixels
+    from sedona_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    # round trip: APP1 after APP0, decoded values exact, JPEG still decodes
+    for i in (0, 1, 7, 123, 999):
+        lat_e7, lon_e7 = geotag_e7(i)
+        buf = inject_app1(
+            encode_jpeg(make_pixels(i, 16, 16), 90),
+            build_exif_app1(lat_e7, lon_e7, _caption(i)))
+        assert buf[2:4] == b"\xff\xe0"  # canonical order kept
+        la, lo, de = extract_exif(buf)
+        assert la == lat_e7 / 10_000_000 and lo == lon_e7 / 10_000_000
+        assert de == _caption(i)
+        decode_jpeg(buf)  # image payload untouched
+
+    # no EXIF -> all None
+    assert extract_exif(encode_jpeg(make_pixels(3, 16, 16))) == (
+        None, None, None)
+
+    # big-endian (MM) TIFF + classic D/M/S triple + missing longitude
+    def mm_ifd():
+        t = bytearray(b"MM\x00*" + struct.pack(">L", 8))
+        t += struct.pack(">H", 1)
+        t += struct.pack(">HHLL", 0x8825, 4, 1, 26) + b"\x00" * 4
+        val = 26 + 2 + 12 * 3 + 4
+        t += struct.pack(">H", 3)
+        t += struct.pack(">HHL", 1, 2, 2) + b"S\x00\x00\x00"
+        t += struct.pack(">HHLL", 2, 5, 3, val)
+        t += struct.pack(">HHL", 3, 2, 2) + b"E\x00\x00\x00"
+        t += b"\x00" * 4
+        t += struct.pack(">6L", 12, 1, 30, 1, 45, 2)
+        return bytes(t)
+
+    la, lo, de = _parse_tiff_exif(mm_ifd())
+    assert la == -(12 + 30 / 60 + 45 / 2 / 3600)
+    assert lo is None and de is None
+
+    # zero denominator -> None, not a crash
+    bad = bytearray(mm_ifd())
+    bad[-20:-16] = b"\x00\x00\x00\x00"  # min denominator = 0
+    assert _parse_tiff_exif(bytes(bad))[0] is None
+
+    # Spark surface: Arrow-batched extraction matches the python codec
+    rows = []
+    for i in (4, 9, 250):
+        lat_e7, lon_e7 = geotag_e7(i)
+        rows.append((f"img_{i:012d}", inject_app1(
+            encode_jpeg(make_pixels(i, 16, 16), 90),
+            build_exif_app1(lat_e7, lon_e7, _caption(i)))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in with_exif(df).collect()}
+    for i in (4, 9, 250):
+        lat_e7, lon_e7 = geotag_e7(i)
+        r = got[f"img_{i:012d}"]
+        assert r["exif_lat"] == lat_e7 / 10_000_000
+        assert r["exif_lon"] == lon_e7 / 10_000_000
+        assert r["description"] == _caption(i)
