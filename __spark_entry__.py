@@ -1551,6 +1551,145 @@ from d
 """
 
 
+# ---------------------------------------------------------------------------
+# Iceberg-lite table format (icetable.py): the north-rule "Iceberg table of
+# geotagged image rows" — snapshots, time travel, incremental scan, pruning.
+# Fixture: pure-Column image-metadata rows keyed off `part` (same gx/gy
+# lattice as sources/images.py), two append snapshots split by id parity.
+# ---------------------------------------------------------------------------
+
+_ICE_CACHE: dict[str, str] = {}
+
+_ICE_META_SQL = """
+with img as (
+  select cast(p_partkey as bigint) as i from part),
+g as (
+  select i,
+         (i * 2654435761) % 1000 as gx,
+         (i * 2246822519) % 1000 as gy
+  from img)
+select i,
+       (gx // 250) * 4 + (gy // 250) as cell,
+       (gx + 5e-1) / 10e0 as lon,
+       (gy + 5e-1) / 10e0 as lat,
+       cast(list_extract([32, 64, 48], cast(i % 3 as int) + 1) as bigint) as w
+from g
+"""
+
+
+def _ice_meta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged image-metadata rows (image lattice of sources/images.py)
+    as pure Column math — the north-rule table shape minus the payload
+    bytes, which the format layer treats as opaque anyway."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    i = F.col("p_partkey").cast("long")
+    g = part.select(
+        i.alias("i"),
+        ((i * F.lit(2654435761)) % 1000).alias("gx"),
+        ((i * F.lit(2246822519)) % 1000).alias("gy"))
+    return g.select(
+        "i",
+        (F.expr("gx div 250") * 4 + F.expr("gy div 250")).alias("cell"),
+        ((F.col("gx").cast("double") + F.lit(0.5)) / F.lit(10.0)).alias("lon"),
+        ((F.col("gy").cast("double") + F.lit(0.5)) / F.lit(10.0)).alias("lat"),
+        F.element_at(F.array(F.lit(32), F.lit(64), F.lit(48)),
+                     (F.col("i") % 3 + 1).cast("int")).cast("long").alias("w"))
+
+
+def _ice_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a two-snapshot icetable:
+    snapshot 1 = even ids, snapshot 2 = odd ids, partitioned by cell.
+    Deterministic path, wiped before rebuild, so repeated runs never
+    accumulate state."""
+    import shutil
+
+    from sedona_spark import icetable as it
+
+    key = sf_dir.rstrip("/")
+    if key in _ICE_CACHE:
+        return _ICE_CACHE[key]
+    path = os.path.join(
+        "/tmp", "sedona_spark_ice", os.path.basename(key) or "sf")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    rows = _ice_meta_rows(spark, sf_dir)
+    it.commit_append(rows.filter(F.col("i") % 2 == 0), path,
+                     partition_by="cell")
+    it.commit_append(rows.filter(F.col("i") % 2 == 1), path)
+    _ICE_CACHE[key] = path
+    return path
+
+
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-lite snapshot scan with manifest min/max + partition
+    pruning: latest snapshot, predicate cell = 5 — the file plan keeps
+    only snapshot 1's cell=5 directory plus the snapshot-2 files whose
+    footer stats straddle cell 5, then Catalyst re-applies the filter
+    (pruning is performance-only). At 10^12 rows this is the
+    job-planning-time file pruning that replaces the reference's
+    driver-side spatial partition pruning (RangeQuery.java)."""
+    from sedona_spark import icetable as it
+
+    path = _ice_fixture(spark, sf_dir)
+    df = it.scan(spark, path, filters=[("cell", "=", 5)])
+    return df.select(
+        F.format_string("img_%012d", F.col("i")).alias("image_id"),
+        "cell", "lon", "lat")
+
+
+def _iceberg_scan_sql() -> str:
+    return f"""
+with m as ({_ICE_META_SQL})
+select printf('img_%012d', i) as image_id, cell, lon, lat
+from m where cell = 5
+"""
+
+
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read at snapshot 1 (the even-id append): per-cell
+    image count and pixel-width mass as of that snapshot — history stays
+    readable after later appends, the audit/repro posture training
+    pipelines need (re-run an experiment against the exact table state
+    it trained on)."""
+    from sedona_spark import icetable as it
+
+    path = _ice_fixture(spark, sf_dir)
+    df = it.scan(spark, path, snapshot_id=1)
+    return df.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("w").cast("long").alias("sum_w"))
+
+
+def _iceberg_time_travel_sql() -> str:
+    return f"""
+with m as ({_ICE_META_SQL})
+select cell, count(*) as n_images, cast(sum(w) as bigint) as sum_w
+from m where i % 2 = 0 group by cell
+"""
+
+
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC) scan: only the files appended after snapshot 1
+    — snapshot 2's odd ids — the per-ingest-cycle "process only new
+    shards" read. Output thinned to i % 50 == 1 to keep the driver
+    compare row-bounded; the read itself touches no snapshot-1 file."""
+    from sedona_spark import icetable as it
+
+    path = _ice_fixture(spark, sf_dir)
+    df = it.incremental_scan(spark, path, from_snapshot_id=1)
+    return df.filter(F.col("i") % 50 == 1).select(
+        F.format_string("img_%012d", F.col("i")).alias("image_id"),
+        "cell", "lon")
+
+
+def _iceberg_incremental_sql() -> str:
+    return f"""
+with m as ({_ICE_META_SQL})
+select printf('img_%012d', i) as image_id, cell, lon
+from m where i % 2 = 1 and i % 50 = 1
+"""
+
+
 def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style shard manifest (training-shard export tier):
     deterministic hash shard assignment + per-shard row count, payload
@@ -6536,6 +6675,9 @@ _NEW_OR_CHANGED = {
     "channel_histogram",   # r6: exact 256-bin dataset histogram
     "geopandas_api",       # r6: GeoSeries/GeoDataFrame layer
     "exif_geotags",        # r6: EXIF APP1 GPS + description extraction
+    "iceberg_scan",        # r6: icetable snapshot scan + stats pruning
+    "iceberg_time_travel",  # r6: icetable read at historical snapshot
+    "iceberg_incremental",  # r6: icetable CDC delta read
 }
 
 
@@ -6737,6 +6879,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment": q_image_augment,
         "image_text_align": q_image_text_align,
         "exif_geotags": q_exif_geotags,
+        "iceberg_scan": q_iceberg_scan,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_incremental": q_iceberg_incremental,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_resample_linear": q_audio_resample_linear,
@@ -7036,6 +7181,9 @@ def oracle_sql() -> dict[str, str]:
         "image_augment": _image_augment_sql(),
         "image_text_align": _image_text_align_sql(),
         "exif_geotags": _exif_geotags_sql(),
+        "iceberg_scan": _iceberg_scan_sql(),
+        "iceberg_time_travel": _iceberg_time_travel_sql(),
+        "iceberg_incremental": _iceberg_incremental_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_resample_linear": _audio_resample_linear_sql(),

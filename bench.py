@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     "image_augment",
     "image_text_align",
     "exif_geotags",
+    "iceberg_scan",
+    "iceberg_time_travel",
+    "iceberg_incremental",
     "audio_features",
     "audio_resample",
     "audio_resample_linear",

@@ -1,0 +1,500 @@
+"""Iceberg-lite: versioned table format with snapshots, time travel,
+incremental scan, and manifest-stats file pruning.
+
+The north rule stores the geotagged image+caption corpus in "an Iceberg
+table ... all stages checkpoint to Iceberg snapshots with per-partition
+lineage and row-count/byte metrics". :mod:`sedona_spark.checkpoint`
+covers the stage-resume half; this module supplies the *table format*
+half — the public Apache Iceberg spec's metadata architecture
+(https://iceberg.apache.org/spec/) re-expressed over plain JSON + parquet
+because the sandbox carries no Iceberg runtime jars:
+
+    <table>/metadata/v<N>.metadata.json   table metadata: schema,
+                                          partition spec, snapshot log,
+                                          current-snapshot pointer
+    <table>/metadata/version-hint.text    latest metadata version (the
+                                          HadoopCatalog pointer protocol)
+    <table>/metadata/snap-<id>.manifest.json
+                                          data files added by snapshot
+                                          <id>: per-file row count, byte
+                                          size, partition value, and
+                                          per-column min/max stats
+    <table>/data/s<id>/[_pt_<col>=<v>/]*.parquet
+
+Deltas from the real spec, all noted where they bite: manifests are JSON
+not avro; there is one manifest per snapshot (no manifest-list
+indirection — at 100 TB the manifest itself would be sharded exactly the
+way the data write is); and the commit protocol is the HadoopTableOperations
+one (atomic ``O_EXCL`` create of ``v<N+1>.metadata.json``, losers re-read
+and retry) rather than a catalog swap.
+
+Design points that carry to 100 TB:
+
+* **Commits are metadata-only and optimistic.** The data write lands
+  under a snapshot-scoped directory first; the commit is one O_EXCL file
+  create, so concurrent appenders conflict on the version file, not on
+  data, and retry by re-reading (``_commit`` loop). A crashed writer
+  leaves an orphan ``data/s<id>`` directory that no manifest references —
+  invisible to readers, reclaimed by :func:`expire_snapshots`.
+* **File stats are collected distributed.** Per-file rows/bytes/min-max
+  come from parquet *footers* read by an Arrow-batched executor pass
+  (:func:`_collect_file_stats`) — the driver never touches data bytes,
+  so stats cost O(files), not O(bytes).
+* **Scan pruning is file-list-time.** :func:`scan` drops every file whose
+  partition value or column min/max refutes the predicate before Spark
+  ever sees the path — the same job-planning-time pruning Iceberg does,
+  independent of directory layout (reference analog: the driver-side
+  spatial partition pruning in ``RangeQuery.java``). The surviving files
+  still get the predicate applied as a normal Catalyst filter, so
+  pruning is performance-only, never correctness-bearing.
+* **Incremental scan = CDC.** Each snapshot's manifest records exactly
+  the files *it* added, so "give me rows appended since snapshot s" is a
+  manifest union — the standard training-pipeline consumption pattern
+  (process only new shards per run).
+
+The partition column is duplicated into a ``_pt_<col>`` directory key at
+write time so data files keep the full row (no reconstruct-from-path at
+read; Spark partition discovery is never relied on across
+mixed-snapshot file lists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VERSION_HINT = "version-hint.text"
+_MAX_COMMIT_RETRIES = 20
+
+# simple predicate ops understood by the pruner; scan() re-applies the
+# same predicate as a Column filter so the list being partial is safe
+_OPS = {"=", "<", "<=", ">", ">="}
+
+
+# ---------------------------------------------------------------------------
+# metadata primitives
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _read_version(path: str) -> int:
+    """Latest committed metadata version: max of the hint file and a
+    directory scan. The scan matters twice — a lost/corrupt hint (the
+    spec's listing fallback) and a committer that created v<N> but died
+    before updating the hint (readers and retrying committers must see
+    v<N>, or the loser of a race would retry the same number forever)."""
+    hint = os.path.join(_meta_dir(path), _VERSION_HINT)
+    best = 0
+    try:
+        with open(hint) as f:
+            best = int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    if os.path.isdir(_meta_dir(path)):
+        for name in os.listdir(_meta_dir(path)):
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                try:
+                    best = max(best, int(name[1:].split(".")[0]))
+                except ValueError:
+                    pass
+    return best
+
+
+def _read_metadata(path: str) -> dict | None:
+    v = _read_version(path)
+    if v == 0:
+        return None
+    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    meta["_version"] = v
+    return meta
+
+
+def _write_hint(path: str, version: int) -> None:
+    hint = os.path.join(_meta_dir(path), _VERSION_HINT)
+    tmp = hint + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, hint)  # atomic pointer swap
+
+
+def _try_commit_metadata(path: str, version: int, meta: dict) -> bool:
+    """O_EXCL create of v<version>.metadata.json — the atomic commit.
+    Returns False when a concurrent committer won this version number."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    target = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    _write_hint(path, version)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# distributed file-stats collection (footers only)
+# ---------------------------------------------------------------------------
+
+
+def _collect_file_stats(spark: SparkSession, files: list[str],
+                        stat_cols: list[str]) -> list[dict]:
+    """Per-file row count, byte size, and min/max of ``stat_cols`` read
+    from parquet footers by the executors (Arrow-batched). O(files)
+    driver memory, zero data bytes moved."""
+    if not files:
+        return []
+    cols = list(stat_cols)
+
+    def footer(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            recs = []
+            for p in b["path"]:
+                md = pq.ParquetFile(p).metadata
+                rows = md.num_rows
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                mins: dict[str, object] = {}
+                maxs: dict[str, object] = {}
+                for c in cols:
+                    ci = names.get(c)
+                    if ci is None:
+                        continue
+                    lo = hi = None
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if ok and lo is not None:
+                        mins[c] = lo
+                        maxs[c] = hi
+                recs.append((p, int(rows), int(os.path.getsize(p)),
+                             json.dumps(mins, default=str),
+                             json.dumps(maxs, default=str)))
+            yield pd.DataFrame(
+                recs, columns=["path", "rows", "bytes", "mins", "maxs"])
+
+    fdf = spark.createDataFrame([(p,) for p in files], "path string")
+    out = fdf.repartition(min(len(files), 32)).mapInPandas(
+        footer, "path string, rows long, bytes long, mins string, maxs string"
+    ).collect()
+    stats = []
+    for r in out:
+        stats.append({
+            "path": r["path"], "rows": r["rows"], "bytes": r["bytes"],
+            "mins": json.loads(r["mins"]), "maxs": json.loads(r["maxs"]),
+        })
+    return stats
+
+
+def _list_parquet(root: str) -> list[tuple[str, dict]]:
+    """(absolute path, {partition col: string value}) for every parquet
+    file under ``root``; partition values parsed from _pt_<col>=v dirs."""
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        part: dict[str, str] = {}
+        rel = os.path.relpath(dirpath, root)
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg and seg.startswith("_pt_"):
+                    k, v = seg.split("=", 1)
+                    part[k[len("_pt_"):]] = v
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                out.append((os.path.join(dirpath, n), part))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# commits
+# ---------------------------------------------------------------------------
+
+
+def _commit(path: str, df: DataFrame, operation: str,
+            partition_by: str | None) -> int:
+    """Write data files for one snapshot, then optimistically commit the
+    metadata. Returns the new snapshot id."""
+    spark = df.sparkSession
+    meta = _read_metadata(path)
+    if meta is not None and partition_by is None:
+        partition_by = meta.get("partition_by")
+    snap_id = (max((s["snapshot_id"] for s in meta["snapshots"]), default=0)
+               + 1) if meta else 1
+
+    data_dir = os.path.join(path, "data", f"s{snap_id}")
+    writer = df
+    if partition_by:
+        writer = (df.withColumn(f"_pt_{partition_by}", F.col(partition_by))
+                    .repartition(F.col(partition_by)))
+        writer.write.mode("overwrite").partitionBy(
+            f"_pt_{partition_by}").parquet(data_dir)
+    else:
+        writer.write.mode("overwrite").parquet(data_dir)
+
+    listed = _list_parquet(data_dir)
+    stat_cols = [f.name for f in df.schema.fields
+                 if f.dataType.typeName() in
+                 ("integer", "long", "short", "byte", "float", "double",
+                  "string", "date", "timestamp")]
+    stats = {s["path"]: s for s in
+             _collect_file_stats(spark, [p for p, _ in listed], stat_cols)}
+    files = []
+    for p, part in listed:
+        s = stats[p]
+        files.append({
+            "path": os.path.relpath(p, path),
+            "rows": s["rows"], "bytes": s["bytes"],
+            "partition": part, "stats": {"min": s["mins"], "max": s["maxs"]},
+        })
+
+    man_name = f"snap-{snap_id}.manifest.json"
+    with open(os.path.join(_ensure_meta(path), man_name), "w") as f:
+        json.dump({"snapshot_id": snap_id, "files": files}, f, indent=1,
+                  default=str)
+
+    added_rows = sum(f["rows"] for f in files)
+    added_bytes = sum(f["bytes"] for f in files)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        meta = _read_metadata(path)
+        version = (meta["_version"] if meta else 0) + 1
+        snapshots = list(meta["snapshots"]) if meta else []
+        parent = snapshots[-1]["snapshot_id"] if snapshots else None
+        if operation == "append" and snapshots:
+            cur = next(s for s in snapshots
+                       if s["snapshot_id"] == meta["current_snapshot_id"])
+            manifests = list(cur["manifests"]) + [man_name]
+            total = cur["summary"]["total_rows"] + added_rows
+        else:
+            manifests = [man_name]
+            total = added_rows
+        snapshots.append({
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "manifests": manifests,
+            "summary": {"added_files": len(files), "added_rows": added_rows,
+                        "added_bytes": added_bytes, "total_rows": total},
+        })
+        new_meta = {
+            "format_version": 1,
+            "schema": json.loads(df.schema.json()),
+            "partition_by": partition_by,
+            "snapshots": snapshots,
+            "current_snapshot_id": snap_id,
+        }
+        if _try_commit_metadata(path, version, new_meta):
+            return snap_id
+    raise RuntimeError(
+        f"icetable commit to {path} lost {_MAX_COMMIT_RETRIES} races")
+
+
+def _ensure_meta(path: str) -> str:
+    d = _meta_dir(path)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def commit_append(df: DataFrame, path: str,
+                  partition_by: str | None = None) -> int:
+    """Append ``df`` as a new snapshot; returns the snapshot id."""
+    return _commit(path, df, "append", partition_by)
+
+
+def commit_overwrite(df: DataFrame, path: str,
+                     partition_by: str | None = None) -> int:
+    """Replace the table contents with ``df`` (old snapshots remain
+    time-travel readable until :func:`expire_snapshots`)."""
+    return _commit(path, df, "overwrite", partition_by)
+
+
+# ---------------------------------------------------------------------------
+# reads
+# ---------------------------------------------------------------------------
+
+
+def snapshots(path: str) -> list[dict]:
+    """The snapshot log (Iceberg ``table.snapshots()`` analog)."""
+    meta = _read_metadata(path)
+    return list(meta["snapshots"]) if meta else []
+
+
+def _resolve(meta: dict, snapshot_id: int | None,
+             as_of_ms: int | None) -> dict:
+    snaps = meta["snapshots"]
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id}")
+    if as_of_ms is not None:
+        live = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
+        if not live:
+            raise KeyError(f"no snapshot at or before {as_of_ms}")
+        return live[-1]
+    return next(s for s in snaps
+                if s["snapshot_id"] == meta["current_snapshot_id"])
+
+
+def _manifest_files(path: str, manifests: list[str]) -> list[dict]:
+    files = []
+    for m in manifests:
+        with open(os.path.join(_meta_dir(path), m)) as f:
+            files.extend(json.load(f)["files"])
+    return files
+
+
+def _refutes(f: dict, col: str, op: str, val) -> bool:
+    """True when file-level evidence proves no row of ``f`` satisfies
+    ``col op val``. Missing stats → keep the file (never prune blind)."""
+    pv = f["partition"].get(col)
+    if pv is not None and op == "=" and str(val) != pv:
+        return True
+    lo = f["stats"]["min"].get(col)
+    hi = f["stats"]["max"].get(col)
+    if lo is None or hi is None:
+        return False
+    if op == "=":
+        return val < lo or val > hi
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    if op == ">":
+        return hi <= val
+    if op == ">=":
+        return hi < val
+    return False
+
+
+def plan_files(path: str, snapshot_id: int | None = None,
+               as_of_ms: int | None = None,
+               filters: list[tuple] | None = None) -> list[dict]:
+    """The scan's file plan after min/max + partition pruning — exposed
+    so tests and operators can assert how many files a predicate touches."""
+    meta = _read_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no icetable at {path}")
+    snap = _resolve(meta, snapshot_id, as_of_ms)
+    files = _manifest_files(path, snap["manifests"])
+    for col, op, val in filters or []:
+        if op not in _OPS:
+            raise ValueError(f"unsupported pruning op {op!r}")
+        files = [f for f in files if not _refutes(f, col, op, val)]
+    return files
+
+
+def scan(spark: SparkSession, path: str, snapshot_id: int | None = None,
+         as_of_ms: int | None = None,
+         filters: list[tuple] | None = None) -> DataFrame:
+    """Read the table at a snapshot (default: current), pruning data
+    files by manifest stats before Spark plans the scan, then applying
+    the same predicates as Catalyst filters (pruning is performance-only).
+    An empty plan returns an empty DataFrame with the table schema."""
+    from pyspark.sql.types import StructType
+
+    meta = _read_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no icetable at {path}")
+    schema = StructType.fromJson(meta["schema"])
+    files = plan_files(path, snapshot_id, as_of_ms, filters)
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, f["path"]) for f in files]
+    df = spark.read.schema(schema).parquet(*paths)
+    for col, op, val in filters or []:
+        c = F.col(col)
+        df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
+                        ">": c > val, ">=": c >= val}[op])
+    return df
+
+
+def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
+                     to_snapshot_id: int | None = None) -> DataFrame:
+    """Rows in files *added* by snapshots in (from, to] — the CDC-style
+    "only what's new since my last run" read a training pipeline does
+    per ingest cycle. Overwrite snapshots in the range contribute their
+    added files (their removals are not replayed — appends-only CDC,
+    matching Iceberg's incremental append scan)."""
+    from pyspark.sql.types import StructType
+
+    meta = _read_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no icetable at {path}")
+    if to_snapshot_id is None:
+        to_snapshot_id = meta["current_snapshot_id"]
+    manifests = [f"snap-{s['snapshot_id']}.manifest.json"
+                 for s in meta["snapshots"]
+                 if from_snapshot_id < s["snapshot_id"] <= to_snapshot_id]
+    files = _manifest_files(path, manifests)
+    schema = StructType.fromJson(meta["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f["path"]) for f in files])
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the last ``keep_last`` snapshots: rewrite metadata,
+    delete manifests and any data file no retained snapshot references
+    (Iceberg ``expireSnapshots`` semantics). Orphan ``data/s<id>`` dirs
+    from crashed commits are also reclaimed. Returns counts."""
+    meta = _read_metadata(path)
+    if meta is None:
+        return {"snapshots_removed": 0, "files_removed": 0}
+    snaps = meta["snapshots"]
+    keep = snaps[-keep_last:] if keep_last > 0 else []
+    drop = snaps[: len(snaps) - len(keep)]
+
+    live_manifests = {m for s in keep for m in s["manifests"]}
+    live_files = {f["path"]
+                  for f in _manifest_files(path, sorted(live_manifests))}
+
+    removed = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for p, _part in _list_parquet(data_root):
+            rel = os.path.relpath(p, path)
+            if rel not in live_files:
+                os.remove(p)
+                removed += 1
+        # sweep now-empty directories bottom-up
+        for dirpath, dirs, names in os.walk(data_root, topdown=False):
+            if not dirs and not names and dirpath != data_root:
+                os.rmdir(dirpath)
+
+    for s in drop:
+        m = f"snap-{s['snapshot_id']}.manifest.json"
+        if m not in live_manifests:
+            try:
+                os.remove(os.path.join(_meta_dir(path), m))
+            except OSError:
+                pass
+
+    new_meta = dict(meta)
+    new_meta.pop("_version", None)
+    new_meta["snapshots"] = keep
+    version = meta["_version"] + 1
+    if not _try_commit_metadata(path, version, new_meta):
+        raise RuntimeError("expire lost a commit race; rerun")
+    return {"snapshots_removed": len(drop), "files_removed": removed}

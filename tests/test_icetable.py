@@ -1,0 +1,129 @@
+"""Iceberg-lite table format: snapshots, time travel, incremental scan,
+manifest-stats pruning, commit races, expire."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_spark import icetable as it
+
+
+def _batch(spark, lo, hi):
+    """Deterministic rows [lo, hi): id, cell in 0..3, a value column."""
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 4).alias("cell"),
+                    (F.col("id") * 7 % 100).alias("v")))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    s1 = it.commit_append(_batch(spark, 0, 40), path, partition_by="cell")
+    s2 = it.commit_append(_batch(spark, 40, 100), path)
+    assert (s1, s2) == (1, 2)
+    return path
+
+
+def test_scan_latest_and_time_travel(spark, table):
+    cur = it.scan(spark, table)
+    assert cur.count() == 100
+    assert {r["id"] for r in cur.collect()} == set(range(100))
+
+    old = it.scan(spark, table, snapshot_id=1)
+    assert {r["id"] for r in old.collect()} == set(range(40))
+
+    # as-of timestamp between the two commits resolves to snapshot 1
+    snaps = it.snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["summary"]["total_rows"] == 100
+    ts = snaps[0]["timestamp_ms"]
+    assert it.scan(spark, table, as_of_ms=ts).count() == 40
+
+
+def test_stats_pruning_is_real_and_safe(spark, table):
+    all_files = it.plan_files(table)
+    assert sum(f["rows"] for f in all_files) == 100
+    assert all(f["bytes"] > 0 for f in all_files)
+
+    # cell=2 touches only the cell=2 partition of snapshot 1 plus the
+    # unpartitioned files of snapshot 2 whose min/max straddle 2
+    pruned = it.plan_files(table, filters=[("cell", "=", 2)])
+    assert len(pruned) < len(all_files)
+    s1_files = [f for f in pruned if f["path"].startswith("data/s1")]
+    assert s1_files and all(
+        f["partition"]["cell"] == "2" for f in s1_files)
+
+    got = sorted(r["id"] for r in
+                 it.scan(spark, table, filters=[("cell", "=", 2)]).collect())
+    assert got == [i for i in range(100) if i % 4 == 2]
+
+    # range predicate on id prunes via column min/max
+    lo = it.plan_files(table, filters=[("id", "<", 5)])
+    assert all(f["path"].startswith("data/s1") for f in lo)
+    assert (it.scan(spark, table, filters=[("id", "<", 5)]).count() == 5)
+
+
+def test_incremental_scan_is_the_delta(spark, table):
+    inc = it.incremental_scan(spark, table, from_snapshot_id=1)
+    assert {r["id"] for r in inc.collect()} == set(range(40, 100))
+    none = it.incremental_scan(spark, table, 2)
+    assert none.count() == 0 and none.columns == ["id", "cell", "v"]
+
+
+def test_overwrite_then_expire(spark, table):
+    s3 = it.commit_overwrite(_batch(spark, 1000, 1010), table)
+    assert s3 == 3
+    assert it.scan(spark, table).count() == 10
+    # history still readable before expire
+    assert it.scan(spark, table, snapshot_id=2).count() == 100
+
+    # orphan dir from a "crashed" writer is reclaimed too
+    orphan = os.path.join(table, "data", "s99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "x.parquet"), "wb") as f:
+        f.write(b"torn")
+
+    res = it.expire_snapshots(table, keep_last=1)
+    assert res["snapshots_removed"] == 2 and res["files_removed"] > 0
+    assert not os.path.exists(orphan)
+    assert [s["snapshot_id"] for s in it.snapshots(table)] == [3]
+    assert it.scan(spark, table).count() == 10
+    with pytest.raises(KeyError):
+        it.scan(spark, table, snapshot_id=2)
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    path = str(tmp_path / "race")
+    it.commit_append(_batch(spark, 0, 10), path)
+    # a concurrent committer already wrote v2: our commit must land at v3
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        stolen = json.load(f)
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(stolen, f)
+    sid = it.commit_append(_batch(spark, 10, 20), path)
+    assert sid == 2
+    assert os.path.exists(os.path.join(meta_dir, "v3.metadata.json"))
+    assert it.scan(spark, path).count() == 20
+
+
+def test_version_hint_recovery(spark, tmp_path):
+    path = str(tmp_path / "hint")
+    it.commit_append(_batch(spark, 0, 10), path)
+    os.remove(os.path.join(path, "metadata", "version-hint.text"))
+    assert it.scan(spark, path).count() == 10  # listing fallback
+
+
+def test_driver_fixture_scan_prunes_files(spark):
+    """The driver query's cell=5 predicate must shrink the file plan —
+    planning-time pruning, not just a Catalyst filter."""
+    from __spark_entry__ import _ice_fixture
+    from sedona_spark import icetable as it
+
+    path = _ice_fixture(spark, "/root/testdata/sf0.001")
+    total = it.plan_files(path)
+    pruned = it.plan_files(path, filters=[("cell", "=", 5)])
+    assert 0 < len(pruned) < len(total)
