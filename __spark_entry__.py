@@ -1551,6 +1551,33 @@ from d
 """
 
 
+def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image integrity triage (ingest-time corruption taxonomy): a
+    structural container walk — JPEG marker chain / PNG chunk CRCs, no
+    entropy decode — classifies each payload ok/truncated/bad_marker/
+    not_image in one Arrow-batched narrow pass. The fixture damages real
+    JPEG bytes closed-form by id (pipeline/integrity.py corrupt_by_id),
+    so the oracle needs only ``i % 5``."""
+    from sedona_spark.pipeline.integrity import (corrupt_jpegs_from_part,
+                                                 with_validity)
+
+    imgs = corrupt_jpegs_from_part(spark, sf_dir, id_mod=16)
+    return with_validity(imgs).select("image_id", "status")
+
+
+def _image_validate_sql() -> str:
+    return """
+select printf('img_%012d', i) as image_id,
+       case cast(i % 5 as int)
+         when 1 then 'not_image'
+         when 3 then 'truncated'
+         when 4 then 'bad_marker'
+         else 'ok' end as status
+from (select cast(p_partkey as bigint) as i from part
+      where p_partkey % 16 = 0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Iceberg-lite table format (icetable.py): the north-rule "Iceberg table of
 # geotagged image rows" — snapshots, time travel, incremental scan, pruning.
@@ -6678,6 +6705,7 @@ _NEW_OR_CHANGED = {
     "iceberg_scan",        # r6: icetable snapshot scan + stats pruning
     "iceberg_time_travel",  # r6: icetable read at historical snapshot
     "iceberg_incremental",  # r6: icetable CDC delta read
+    "image_validate",      # r6: structural corruption triage
 }
 
 
@@ -6882,6 +6910,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
+        "image_validate": q_image_validate,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_resample_linear": q_audio_resample_linear,
@@ -7184,6 +7213,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan": _iceberg_scan_sql(),
         "iceberg_time_travel": _iceberg_time_travel_sql(),
         "iceberg_incremental": _iceberg_incremental_sql(),
+        "image_validate": _image_validate_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_resample_linear": _audio_resample_linear_sql(),

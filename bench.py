@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "iceberg_scan",
     "iceberg_time_travel",
     "iceberg_incremental",
+    "image_validate",
     "audio_features",
     "audio_resample",
     "audio_resample_linear",

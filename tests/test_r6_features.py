@@ -1937,3 +1937,56 @@ def test_exif_roundtrip_and_edge_cases(spark):
         assert r["exif_lat"] == lat_e7 / 10_000_000
         assert r["exif_lon"] == lon_e7 / 10_000_000
         assert r["description"] == _caption(i)
+
+
+# ---------------------------------------------------------------------------
+# Image integrity triage (pipeline/integrity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_image_integrity_classification(spark):
+    import struct
+    import zlib
+
+    from sedona_spark.pipeline.integrity import (
+        classify_image, corrupt_by_id, with_validity)
+    from sedona_spark.sources.images import make_pixels
+    from sedona_spark.sources.jpeg import encode_jpeg
+    from sedona_spark.sources.png import encode_png
+
+    # every closed-form corruption class classifies as labeled
+    for i in range(0, 25):
+        buf, want = corrupt_by_id(
+            encode_jpeg(make_pixels(i, 16, 16), quality=90), i)
+        assert classify_image(buf) == want, i
+
+    # JPEG fill bytes between segments are legal, not bad_marker
+    good = encode_jpeg(make_pixels(1, 16, 16))
+    filled = good[:2] + b"\xff" + good[2:]
+    assert classify_image(filled) == "ok"
+
+    # PNG: intact, CRC flip, truncation, bad signature
+    png = encode_png(make_pixels(2, 8, 8))
+    assert classify_image(png) == "ok"
+    flip = bytearray(png)
+    flip[40] ^= 0xFF  # inside IHDR/IDAT body -> CRC mismatch
+    assert classify_image(bytes(flip)) == "bad_marker"
+    assert classify_image(png[: len(png) - 6]) == "truncated"
+    assert classify_image(b"\x89PNX" + png[4:]) == "not_image"
+    assert classify_image(b"") == "not_image"
+
+    # zero-length declared segment (seglen < 2) is structural corruption
+    j = bytearray(good)
+    j[4:6] = struct.pack(">H", 1)
+    assert classify_image(bytes(j)) == "bad_marker"
+
+    # Spark surface agrees with the python codec
+    rows = []
+    for i in (3, 6, 11, 13, 19):
+        buf, want = corrupt_by_id(
+            encode_jpeg(make_pixels(i, 16, 16), quality=90), i)
+        rows.append((f"img_{i:012d}", buf, want))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, want string")
+    got = with_validity(df).collect()
+    assert all(r["status"] == r["want"] for r in got)
