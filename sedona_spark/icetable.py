@@ -14,12 +14,12 @@ because the sandbox carries no Iceberg runtime jars:
                                           current-snapshot pointer
     <table>/metadata/version-hint.text    latest metadata version (the
                                           HadoopCatalog pointer protocol)
-    <table>/metadata/snap-<id>.manifest.json
-                                          data files added by snapshot
-                                          <id>: per-file row count, byte
-                                          size, partition value, and
+    <table>/metadata/manifest-<token>.json
+                                          data files added by one commit
+                                          attempt: per-file row count,
+                                          byte size, partition value, and
                                           per-column min/max stats
-    <table>/data/s<id>/[_pt_<col>=<v>/]*.parquet
+    <table>/data/w-<token>/[_pt_<col>=<v>/]*.parquet
 
 Deltas from the real spec, all noted where they bite: manifests are JSON
 not avro; there is one manifest per snapshot (no manifest-list
@@ -31,11 +31,13 @@ and retry) rather than a catalog swap.
 Design points that carry to 100 TB:
 
 * **Commits are metadata-only and optimistic.** The data write lands
-  under a snapshot-scoped directory first; the commit is one O_EXCL file
-  create, so concurrent appenders conflict on the version file, not on
-  data, and retry by re-reading (``_commit`` loop). A crashed writer
-  leaves an orphan ``data/s<id>`` directory that no manifest references —
-  invisible to readers, reclaimed by :func:`expire_snapshots`.
+  under a per-attempt token directory first; the commit is one O_EXCL
+  file create, so concurrent appenders conflict on the version file,
+  never on data or manifests (both token-named), and the loser retries
+  by re-reading and re-numbering its snapshot (``_commit`` loop). A
+  crashed writer leaves an orphan ``data/w-<token>`` directory that no
+  manifest references — invisible to readers, reclaimed by
+  :func:`expire_snapshots`.
 * **File stats are collected distributed.** Per-file rows/bytes/min-max
   come from parquet *footers* read by an Arrow-batched executor pass
   (:func:`_collect_file_stats`) — the driver never touches data bytes,
@@ -205,6 +207,8 @@ def _collect_file_stats(spark: SparkSession, files: list[str],
 def _list_parquet(root: str) -> list[tuple[str, dict]]:
     """(absolute path, {partition col: string value}) for every parquet
     file under ``root``; partition values parsed from _pt_<col>=v dirs."""
+    from urllib.parse import unquote
+
     out = []
     for dirpath, _dirs, names in os.walk(root):
         part: dict[str, str] = {}
@@ -213,7 +217,9 @@ def _list_parquet(root: str) -> list[tuple[str, dict]]:
             for seg in rel.split(os.sep):
                 if "=" in seg and seg.startswith("_pt_"):
                     k, v = seg.split("=", 1)
-                    part[k[len("_pt_"):]] = v
+                    # Spark %XX-escapes special chars in partition paths;
+                    # store the logical value so pruning compares apples
+                    part[k[len("_pt_"):]] = unquote(v)
         for n in sorted(names):
             if n.endswith(".parquet"):
                 out.append((os.path.join(dirpath, n), part))
@@ -228,15 +234,23 @@ def _list_parquet(root: str) -> list[tuple[str, dict]]:
 def _commit(path: str, df: DataFrame, operation: str,
             partition_by: str | None) -> int:
     """Write data files for one snapshot, then optimistically commit the
-    metadata. Returns the new snapshot id."""
+    metadata. Returns the new snapshot id.
+
+    Everything a writer touches before winning the version race is named
+    by a per-attempt token (data dir ``data/w-<token>``, manifest
+    ``manifest-<token>.json``) so concurrent committers can never clobber
+    each other's files; the snapshot *id* is assigned only inside the
+    retry loop, from the freshest metadata, so a race loser re-numbers
+    instead of committing a duplicate id."""
+    import uuid
+
     spark = df.sparkSession
     meta = _read_metadata(path)
     if meta is not None and partition_by is None:
         partition_by = meta.get("partition_by")
-    snap_id = (max((s["snapshot_id"] for s in meta["snapshots"]), default=0)
-               + 1) if meta else 1
 
-    data_dir = os.path.join(path, "data", f"s{snap_id}")
+    token = uuid.uuid4().hex[:10]
+    data_dir = os.path.join(path, "data", f"w-{token}")
     writer = df
     if partition_by:
         writer = (df.withColumn(f"_pt_{partition_by}", F.col(partition_by))
@@ -262,17 +276,18 @@ def _commit(path: str, df: DataFrame, operation: str,
             "partition": part, "stats": {"min": s["mins"], "max": s["maxs"]},
         })
 
-    man_name = f"snap-{snap_id}.manifest.json"
-    with open(os.path.join(_ensure_meta(path), man_name), "w") as f:
-        json.dump({"snapshot_id": snap_id, "files": files}, f, indent=1,
-                  default=str)
-
+    man_name = f"manifest-{token}.json"
+    man_path = os.path.join(_ensure_meta(path), man_name)
     added_rows = sum(f["rows"] for f in files)
     added_bytes = sum(f["bytes"] for f in files)
     for _ in range(_MAX_COMMIT_RETRIES):
         meta = _read_metadata(path)
         version = (meta["_version"] if meta else 0) + 1
         snapshots = list(meta["snapshots"]) if meta else []
+        snap_id = max((s["snapshot_id"] for s in snapshots), default=0) + 1
+        with open(man_path, "w") as f:
+            json.dump({"snapshot_id": snap_id, "files": files}, f, indent=1,
+                      default=str)
         parent = snapshots[-1]["snapshot_id"] if snapshots else None
         if operation == "append" and snapshots:
             cur = next(s for s in snapshots
@@ -288,6 +303,7 @@ def _commit(path: str, df: DataFrame, operation: str,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation,
             "manifests": manifests,
+            "added_manifest": man_name,
             "summary": {"added_files": len(files), "added_rows": added_rows,
                         "added_bytes": added_bytes, "total_rows": total},
         })
@@ -334,6 +350,14 @@ def snapshots(path: str) -> list[dict]:
     return list(meta["snapshots"]) if meta else []
 
 
+def added_files(path: str, snapshot_id: int) -> list[dict]:
+    """The data files a single snapshot *added* (its own manifest)."""
+    for s in snapshots(path):
+        if s["snapshot_id"] == snapshot_id:
+            return _manifest_files(path, [s["added_manifest"]])
+    raise KeyError(f"no snapshot {snapshot_id}")
+
+
 def _resolve(meta: dict, snapshot_id: int | None,
              as_of_ms: int | None) -> dict:
     snaps = meta["snapshots"]
@@ -361,7 +385,8 @@ def _manifest_files(path: str, manifests: list[str]) -> list[dict]:
 
 def _refutes(f: dict, col: str, op: str, val) -> bool:
     """True when file-level evidence proves no row of ``f`` satisfies
-    ``col op val``. Missing stats → keep the file (never prune blind)."""
+    ``col op val``. Missing or incomparable evidence → keep the file
+    (pruning must never be correctness-bearing)."""
     pv = f["partition"].get(col)
     if pv is not None and op == "=" and str(val) != pv:
         return True
@@ -369,16 +394,24 @@ def _refutes(f: dict, col: str, op: str, val) -> bool:
     hi = f["stats"]["max"].get(col)
     if lo is None or hi is None:
         return False
-    if op == "=":
-        return val < lo or val > hi
-    if op == "<":
-        return lo >= val
-    if op == "<=":
-        return lo > val
-    if op == ">":
-        return hi <= val
-    if op == ">=":
-        return hi < val
+    if isinstance(lo, str) and not isinstance(val, str):
+        # date/datetime stats ride through the JSON manifest as str(...);
+        # str() of the probe value is the same canonical form, and ISO
+        # ordering == value ordering, so compare in string space
+        val = str(val)
+    try:
+        if op == "=":
+            return val < lo or val > hi
+        if op == "<":
+            return lo >= val
+        if op == "<=":
+            return lo > val
+        if op == ">":
+            return hi <= val
+        if op == ">=":
+            return hi < val
+    except TypeError:
+        return False
     return False
 
 
@@ -438,8 +471,7 @@ def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
         raise FileNotFoundError(f"no icetable at {path}")
     if to_snapshot_id is None:
         to_snapshot_id = meta["current_snapshot_id"]
-    manifests = [f"snap-{s['snapshot_id']}.manifest.json"
-                 for s in meta["snapshots"]
+    manifests = [s["added_manifest"] for s in meta["snapshots"]
                  if from_snapshot_id < s["snapshot_id"] <= to_snapshot_id]
     files = _manifest_files(path, manifests)
     schema = StructType.fromJson(meta["schema"])
@@ -484,7 +516,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
                 os.rmdir(dirpath)
 
     for s in drop:
-        m = f"snap-{s['snapshot_id']}.manifest.json"
+        m = s["added_manifest"]
         if m not in live_manifests:
             try:
                 os.remove(os.path.join(_meta_dir(path), m))

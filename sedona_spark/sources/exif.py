@@ -205,6 +205,12 @@ def extract_exif(jpeg: bytes):
         marker = jpeg[pos + 1]
         if marker == 0xDA or marker == 0xD9:   # SOS / EOI
             break
+        if marker == 0xFF:                     # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2                           # standalone TEM/RST, no length
+            continue
         seglen = struct.unpack(">H", jpeg[pos + 2:pos + 4])[0]
         if marker == 0xE1 and jpeg[pos + 4:pos + 10] == _EXIF_MAGIC:
             return _parse_tiff_exif(jpeg[pos + 10:pos + 2 + seglen])
@@ -234,9 +240,11 @@ def _exif_batch(b: pd.Series) -> pd.DataFrame:
         lats.append(la)
         lons.append(lo)
         descs.append(de)
+    # nullable Float64 extension arrays: a missing geotag must reach
+    # Spark as NULL (filterable, aggregate-safe), never as NaN
     return pd.DataFrame(
-        {"exif_lat": pd.array(lats, dtype="float64"),
-         "exif_lon": pd.array(lons, dtype="float64"),
+        {"exif_lat": pd.array(lats, dtype="Float64"),
+         "exif_lon": pd.array(lons, dtype="Float64"),
          "description": descs})
 
 

@@ -85,9 +85,8 @@ class OsmPbfReader(DataSourceReader):
 
         parse = {"nodes": parse_block_nodes, "ways": parse_block_ways,
                  "relations": parse_block_relations}[self.primitive]
-        fs, base = _fs_for(self.path.rsplit("/", 1)[0] or ".")
-        name = self.path.rsplit("/", 1)[-1]
-        with fs.open_input_file(f"{base}/{name}") as fh:
+        fs, inner = _fs_for(self.path)
+        with fs.open_input_file(inner) as fh:
             for off, ln in partition.offsets:
                 fh.seek(int(off))
                 for rec in parse(_parse_blob(fh.read(int(ln)))):
@@ -157,9 +156,15 @@ class GeoTiffDirReader(DataSourceReader):
 
 
 def register_datasources(spark) -> None:
-    """Idempotent registration of the Python data sources."""
-    try:
-        spark.dataSource.register(OsmPbfDataSource)
-        spark.dataSource.register(GeoTiffDirDataSource)
-    except Exception:  # already registered in this session
-        pass
+    """Idempotent registration of the Python data sources. Only the
+    duplicate-registration error is tolerated — a missing Data Source
+    API or a broken source class must surface here, not as a confusing
+    DATA_SOURCE_NOT_FOUND at read time."""
+    for src in (OsmPbfDataSource, GeoTiffDirDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception as e:  # noqa: BLE001 - classify, re-raise real ones
+            if "DATA_SOURCE_ALREADY_EXISTS" in str(e) or \
+                    "already" in str(e).lower():
+                continue
+            raise

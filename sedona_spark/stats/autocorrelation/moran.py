@@ -8,6 +8,13 @@ E[I]², z = (I−E[I])/√V, with S1 computed over symmetrized pairs exactly
 as the reference does (self-join on reciprocal edges). Only the scalar
 normal CDF differs (Zelen–Severo polynomial instead of commons-math).
 
+Parity caveat, matched bug-for-bug: the reference's S1/S2 self-join
+(``Moran.scala:63-70``) is *inner*, so an edge with no reciprocal (KNN
+asymmetry: A lists B, B doesn't list A) drops out of S1/S2 while S0
+still counts it. V[I] is therefore only textbook-correct for symmetric
+weights (distance-band), the weights the reference's own tests use —
+this port reproduces the reference's numbers either way.
+
 Distribution shape: two aggregates over the exploded weights (an
 equi-join for neighbor values / reciprocal weights, then fixed-width
 sums) — only five scalars ever reach the driver.

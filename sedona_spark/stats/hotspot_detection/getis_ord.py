@@ -94,13 +94,20 @@ def g_local(
     y1 = denom / (n - r)
     y2 = (F.col("_sumsq_all") - r * xi * xi) / (n - r) - y1 * y1
     w = F.col("_w")
-    vg = (w * (n - r - w) * y2) / ((n - r) * (n - r) * (n - 1 - r)
-                                   * y1 * y1)
+    # degenerate guards (ANSI mode turns double /0 into a job-killing
+    # DIVIDE_BY_ZERO): islands (W=0 → VG=0), constant-x (y1=0), and
+    # tiny n yield NULL Z/P instead of aborting the whole frame
+    vg = F.when(
+        (y1 != 0) & (n - 1 - r > 0),
+        (w * (n - r - w) * y2) / ((n - r) * (n - r) * (n - 1 - r)
+                                  * y1 * y1))
     out = (
-        j.withColumn("G", F.col("_wx_sum") / denom)
-        .withColumn("EG", w / (n - r))
+        j.withColumn("G", F.when(denom != 0, F.col("_wx_sum") / denom))
+        .withColumn("EG", F.when(n - r > 0, w / (n - r)))
         .withColumn("VG", vg)
-        .withColumn("Z", (F.col("G") - F.col("EG")) / F.sqrt(vg))
+        .withColumn("Z", F.when(F.col("VG") > 0,
+                                (F.col("G") - F.col("EG"))
+                                / F.sqrt(F.col("VG"))))
         .withColumn("P", F.lit(1.0) - norm_cdf(F.abs(F.col("Z"))))
     )
     return out.drop("_wx_sum", "_w", "_sum_all", "_sumsq_all", "_n_all")

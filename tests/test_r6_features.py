@@ -1990,3 +1990,49 @@ def test_image_integrity_classification(spark):
         rows, "image_id string, bytes binary, want string")
     got = with_validity(df).collect()
     assert all(r["status"] == r["want"] for r in got)
+
+
+def test_exif_interop_and_null_semantics(spark):
+    """Fill bytes / standalone markers before APP1 (real camera files)
+    still parse; absent GPS reaches Spark as NULL, never NaN."""
+    from sedona_spark.sources.exif import (
+        build_exif_app1, extract_exif, geotag_e7, inject_app1, with_exif)
+    from sedona_spark.sources.images import make_pixels
+    from sedona_spark.sources.jpeg import encode_jpeg
+
+    lat_e7, lon_e7 = geotag_e7(42)
+    buf = inject_app1(encode_jpeg(make_pixels(42, 16, 16), 90),
+                      build_exif_app1(lat_e7, lon_e7, "cap"))
+    # fill byte + RST0 + TEM injected between SOI and the APP0 segment
+    weird = buf[:2] + b"\xff\xff\xd0\xff\x01" + buf[2:]
+    la, lo, de = extract_exif(weird)
+    assert (la, lo, de) == (lat_e7 / 1e7, lon_e7 / 1e7, "cap")
+
+    plain = encode_jpeg(make_pixels(7, 16, 16), 90)  # no EXIF at all
+    df = spark.createDataFrame(
+        [("a", buf), ("b", plain)], "image_id string, bytes binary")
+    rows = {r["image_id"]: r for r in with_exif(df).collect()}
+    assert rows["a"]["exif_lat"] == lat_e7 / 1e7
+    assert rows["b"]["exif_lat"] is None          # NULL, not NaN
+    assert rows["b"]["description"] is None
+    n_null = with_exif(df).filter("exif_lat IS NULL").count()
+    assert n_null == 1
+
+
+def test_g_local_island_rows_yield_null_not_error(spark):
+    """Empty-weights rows (islands) must not abort the job under ANSI
+    double division; they get NULL Z/P while normal rows stay finite."""
+    from sedona_spark.stats.hotspot_detection.getis_ord import g_local
+
+    df = spark.createDataFrame(
+        [(1, 2.0, [(2, 1.0), (3, 1.0)]),
+         (2, 3.0, [(1, 1.0), (3, 1.0)]),
+         (3, 9.0, [(1, 1.0), (2, 1.0)]),
+         (4, 5.0, [])],
+        "id long, x double, "
+        "weights array<struct<neighbor_id: long, weight: double>>")
+    out = {r["id"]: r for r in
+           g_local(df, "x").select("id", "G", "Z", "P").collect()}
+    assert out[4]["Z"] is None and out[4]["P"] is None
+    import math
+    assert all(math.isfinite(out[i]["Z"]) for i in (1, 2, 3))
