@@ -232,7 +232,8 @@ def _list_parquet(root: str) -> list[tuple[str, dict]]:
 
 
 def _commit(path: str, df: DataFrame, operation: str,
-            partition_by: str | None) -> int:
+            partition_by: str | None,
+            properties: dict | None = None) -> int:
     """Write data files for one snapshot, then optimistically commit the
     metadata. Returns the new snapshot id.
 
@@ -306,6 +307,7 @@ def _commit(path: str, df: DataFrame, operation: str,
             "added_manifest": man_name,
             "summary": {"added_files": len(files), "added_rows": added_rows,
                         "added_bytes": added_bytes, "total_rows": total},
+            **(properties or {}),
         })
         new_meta = {
             "format_version": 1,
@@ -327,9 +329,12 @@ def _ensure_meta(path: str) -> str:
 
 
 def commit_append(df: DataFrame, path: str,
-                  partition_by: str | None = None) -> int:
-    """Append ``df`` as a new snapshot; returns the snapshot id."""
-    return _commit(path, df, "append", partition_by)
+                  partition_by: str | None = None,
+                  properties: dict | None = None) -> int:
+    """Append ``df`` as a new snapshot; returns the snapshot id.
+    ``properties`` are extra keys merged into the snapshot record
+    atomically with the commit (e.g. a streaming batch id)."""
+    return _commit(path, df, "append", partition_by, properties)
 
 
 def commit_overwrite(df: DataFrame, path: str,

@@ -128,3 +128,46 @@ def test_driver_fixture_scan_prunes_files(spark):
     total = it.plan_files(path)
     pruned = it.plan_files(path, filters=[("cell", "=", 5)])
     assert 0 < len(pruned) < len(total)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink: each micro-batch lands as one snapshot carrying
+    its batch id atomically; replays are detected and skipped."""
+    import time as _t
+
+    from sedona_spark.streaming.icesink import (
+        commit_stream_batch, committed_batch_ids, write_stream_to_icetable)
+
+    path = str(tmp_path / "sink_tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .select(F.col("value").alias("id"),
+                      (F.col("value") % 4).alias("cell")))
+    q = write_stream_to_icetable(stream, path, ckpt, partition_by="cell")
+    q.awaitTermination(60)
+    for _ in range(100):          # availableNow stops on its own
+        if not q.isActive:
+            break
+        _t.sleep(0.2)
+    assert not q.isActive
+
+    snaps = it.snapshots(path)
+    assert snaps and all("streaming_batch_id" in s for s in snaps)
+    n0 = it.scan(spark, path).count()
+    batches = committed_batch_ids(path)
+    assert batches == {s["streaming_batch_id"] for s in snaps}
+
+    # replay of an already-committed batch id is a no-op
+    replay = spark.range(0, 7).select(
+        F.col("id"), (F.col("id") % 4).alias("cell"))
+    assert commit_stream_batch(replay, path, min(batches)) is None
+    assert it.scan(spark, path).count() == n0
+
+    # a genuinely new batch appends and is incrementally readable
+    sid = commit_stream_batch(replay, path, max(batches) + 1)
+    assert sid is not None
+    assert it.scan(spark, path).count() == n0 + 7
+    inc = it.incremental_scan(spark, path, from_snapshot_id=sid - 1)
+    assert inc.count() == 7
