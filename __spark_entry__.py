@@ -1551,6 +1551,69 @@ from d
 """
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality signals for curation filters — variance-of-Laplacian
+    sharpness, exposure, 0/255 clipping — as exact int64 sums so the
+    DuckDB twin regenerates every decoded pixel (incl. the fjpg 6-bit
+    quantizer) and matches bit-for-bit. One Arrow-batched pass, no
+    shuffle; at 100 TB the signals feed Column threshold filters."""
+    from sedona_spark.pipeline.quality import image_quality_stats
+
+    imgs = images_from_part(spark, sf_dir, id_mod=24)
+    return image_quality_stats(imgs)
+
+
+def _image_quality_sql() -> str:
+    pix0 = "((i * 31 + {x} * 3 + {y} * 5) % 251 + ({x} * {y} * (i % 13 + 1)) % 67) % 256"
+    dq = "case when fmt = 'fjpg' then ({v} // 4) * 4 + 2 else {v} end"
+
+    def d(x: str, y: str) -> str:
+        return dq.format(v=f"({pix0.format(x=x, y=y)})")
+
+    lap = (f"4 * {d('x.v', 'y.v')} - {d('(x.v - 1)', 'y.v')}"
+           f" - {d('(x.v + 1)', 'y.v')} - {d('x.v', '(y.v - 1)')}"
+           f" - {d('x.v', '(y.v + 1)')}")
+    pix_all = ("((i * 31 + x.v * 3 + y.v * 5 + c.v * 7) % 251"
+               " + (x.v * y.v * (i % 13 + 1)) % 67) % 256")
+    dv_all = dq.format(v=f"({pix_all})")
+    return f"""
+with img as ({_img_meta_sql()}),
+sel as (select * from img where i % 24 = 0),
+lum as (
+  select i, cast(sum({d('x.v', 'y.v')}) as bigint) as sum_lum
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y
+  group by i),
+lap as (
+  select i,
+         cast(sum({lap}) as bigint) as lap_sum,
+         cast(sum(({lap}) * ({lap})) as bigint) as lap_sumsq
+  from sel,
+       lateral (select unnest(range(1, cast(w as bigint) - 1)) as v) x,
+       lateral (select unnest(range(1, cast(h as bigint) - 1)) as v) y
+  group by i),
+clip as (
+  select i,
+         cast(sum(case when {dv_all} = 0 then 1 else 0 end) as bigint)
+           as n_clip_lo,
+         cast(sum(case when {dv_all} = 255 then 1 else 0 end) as bigint)
+           as n_clip_hi
+  from sel,
+       lateral (select unnest(range(0, cast(w as bigint))) as v) x,
+       lateral (select unnest(range(0, cast(h as bigint))) as v) y,
+       lateral (select unnest(range(0, 3)) as v) c
+  group by i)
+select printf('img_%012d', sel.i) as image_id,
+       cast(w * h as bigint) as n_px,
+       sum_lum, lap_sum, lap_sumsq, n_clip_lo, n_clip_hi
+from sel
+join lum on lum.i = sel.i
+join lap on lap.i = sel.i
+join clip on clip.i = sel.i
+"""
+
+
 def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image integrity triage (ingest-time corruption taxonomy): a
     structural container walk — JPEG marker chain / PNG chunk CRCs, no
@@ -6706,6 +6769,7 @@ _NEW_OR_CHANGED = {
     "iceberg_time_travel",  # r6: icetable read at historical snapshot
     "iceberg_incremental",  # r6: icetable CDC delta read
     "image_validate",      # r6: structural corruption triage
+    "image_quality",       # r6: sharpness/exposure/clipping signals
 }
 
 
@@ -6911,6 +6975,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
         "image_validate": q_image_validate,
+        "image_quality": q_image_quality,
         "audio_features": q_audio_features,
         "audio_resample": q_audio_resample,
         "audio_resample_linear": q_audio_resample_linear,
@@ -7214,6 +7279,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_time_travel": _iceberg_time_travel_sql(),
         "iceberg_incremental": _iceberg_incremental_sql(),
         "image_validate": _image_validate_sql(),
+        "image_quality": _image_quality_sql(),
         "audio_features": _audio_features_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_resample_linear": _audio_resample_linear_sql(),

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "iceberg_time_travel",
     "iceberg_incremental",
     "image_validate",
+    "image_quality",
     "audio_features",
     "audio_resample",
     "audio_resample_linear",

@@ -2036,3 +2036,46 @@ def test_g_local_island_rows_yield_null_not_error(spark):
     assert out[4]["Z"] is None and out[4]["P"] is None
     import math
     assert all(math.isfinite(out[i]["Z"]) for i in (1, 2, 3))
+
+
+def test_image_quality_signals(spark):
+    """quality_signals vs a naive per-pixel reference; flat images score
+    zero sharpness; Spark surface agrees with the python codec."""
+    import numpy as np
+
+    from sedona_spark.pipeline.quality import (
+        image_quality_stats, quality_signals)
+    from sedona_spark.sources.images import encode_image, make_pixels
+
+    def naive(a3):
+        a = a3[:, :, 0].astype(int)
+        h, w = a.shape
+        ls = lq = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                v = (4 * a[y, x] - a[y - 1, x] - a[y + 1, x]
+                     - a[y, x - 1] - a[y, x + 1])
+                ls += v
+                lq += v * v
+        return (h * w, int(a.sum()), ls, lq,
+                int((a3 == 0).sum()), int((a3 == 255).sum()))
+
+    for i in (0, 5, 13):
+        arr = make_pixels(i, 12, 9)
+        assert quality_signals(arr) == naive(arr)
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    n_px, _, ls, lq, lo, hi = quality_signals(flat)
+    assert (ls, lq, lo, hi) == (0, 0, 0, 0)
+    sat = np.full((4, 4, 3), 255, dtype=np.uint8)
+    assert quality_signals(sat)[5] == 4 * 4 * 3
+
+    rows = [(f"img_{i:012d}", encode_image(make_pixels(i, 16, 16), "fpng"))
+            for i in (2, 9)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in image_quality_stats(df).collect()}
+    for i in (2, 9):
+        want = quality_signals(make_pixels(i, 16, 16))
+        r = got[f"img_{i:012d}"]
+        assert (r["n_px"], r["sum_lum"], r["lap_sum"], r["lap_sumsq"],
+                r["n_clip_lo"], r["n_clip_hi"]) == want
