@@ -281,6 +281,7 @@ def _commit(path: str, df: DataFrame, operation: str,
     man_path = os.path.join(_ensure_meta(path), man_name)
     added_rows = sum(f["rows"] for f in files)
     added_bytes = sum(f["bytes"] for f in files)
+    schema_json = json.loads(df.schema.json())
     for _ in range(_MAX_COMMIT_RETRIES):
         meta = _read_metadata(path)
         version = (meta["_version"] if meta else 0) + 1
@@ -305,13 +306,14 @@ def _commit(path: str, df: DataFrame, operation: str,
             "operation": operation,
             "manifests": manifests,
             "added_manifest": man_name,
+            "schema": schema_json,
             "summary": {"added_files": len(files), "added_rows": added_rows,
                         "added_bytes": added_bytes, "total_rows": total},
             **(properties or {}),
         })
         new_meta = {
             "format_version": 1,
-            "schema": json.loads(df.schema.json()),
+            "schema": schema_json,
             "partition_by": partition_by,
             "snapshots": snapshots,
             "current_snapshot_id": snap_id,
@@ -420,6 +422,15 @@ def _refutes(f: dict, col: str, op: str, val) -> bool:
     return False
 
 
+def _apply_filters(files: list[dict],
+                   filters: list[tuple] | None) -> list[dict]:
+    for col, op, val in filters or []:
+        if op not in _OPS:
+            raise ValueError(f"unsupported pruning op {op!r}")
+        files = [f for f in files if not _refutes(f, col, op, val)]
+    return files
+
+
 def plan_files(path: str, snapshot_id: int | None = None,
                as_of_ms: int | None = None,
                filters: list[tuple] | None = None) -> list[dict]:
@@ -429,12 +440,7 @@ def plan_files(path: str, snapshot_id: int | None = None,
     if meta is None:
         raise FileNotFoundError(f"no icetable at {path}")
     snap = _resolve(meta, snapshot_id, as_of_ms)
-    files = _manifest_files(path, snap["manifests"])
-    for col, op, val in filters or []:
-        if op not in _OPS:
-            raise ValueError(f"unsupported pruning op {op!r}")
-        files = [f for f in files if not _refutes(f, col, op, val)]
-    return files
+    return _apply_filters(_manifest_files(path, snap["manifests"]), filters)
 
 
 def scan(spark: SparkSession, path: str, snapshot_id: int | None = None,
@@ -443,14 +449,18 @@ def scan(spark: SparkSession, path: str, snapshot_id: int | None = None,
     """Read the table at a snapshot (default: current), pruning data
     files by manifest stats before Spark plans the scan, then applying
     the same predicates as Catalyst filters (pruning is performance-only).
-    An empty plan returns an empty DataFrame with the table schema."""
+    Reads use the schema *of that snapshot* (schema evolution: a later
+    append may widen the schema; time travel still sees the old shape,
+    and current reads fill columns missing from old files with NULL).
+    An empty plan returns an empty DataFrame with the snapshot schema."""
     from pyspark.sql.types import StructType
 
     meta = _read_metadata(path)
     if meta is None:
         raise FileNotFoundError(f"no icetable at {path}")
-    schema = StructType.fromJson(meta["schema"])
-    files = plan_files(path, snapshot_id, as_of_ms, filters)
+    snap = _resolve(meta, snapshot_id, as_of_ms)
+    schema = StructType.fromJson(snap.get("schema") or meta["schema"])
+    files = _apply_filters(_manifest_files(path, snap["manifests"]), filters)
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["path"]) for f in files]
@@ -464,11 +474,11 @@ def scan(spark: SparkSession, path: str, snapshot_id: int | None = None,
 
 def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
                      to_snapshot_id: int | None = None) -> DataFrame:
-    """Rows in files *added* by snapshots in (from, to] — the CDC-style
-    "only what's new since my last run" read a training pipeline does
-    per ingest cycle. Overwrite snapshots in the range contribute their
-    added files (their removals are not replayed — appends-only CDC,
-    matching Iceberg's incremental append scan)."""
+    """Rows in files *added* by APPEND snapshots in (from, to] — the
+    CDC-style "only what's new since my last run" read a training
+    pipeline does per ingest cycle. Matching Iceberg's incremental
+    append scan, overwrite and rewrite (compaction) snapshots are
+    skipped: their files re-house rows, they don't add new ones."""
     from pyspark.sql.types import StructType
 
     meta = _read_metadata(path)
@@ -477,7 +487,8 @@ def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
     if to_snapshot_id is None:
         to_snapshot_id = meta["current_snapshot_id"]
     manifests = [s["added_manifest"] for s in meta["snapshots"]
-                 if from_snapshot_id < s["snapshot_id"] <= to_snapshot_id]
+                 if from_snapshot_id < s["snapshot_id"] <= to_snapshot_id
+                 and s["operation"] == "append"]
     files = _manifest_files(path, manifests)
     schema = StructType.fromJson(meta["schema"])
     if not files:
@@ -489,6 +500,33 @@ def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------
+
+
+def rewrite_data_files(spark: SparkSession, path: str,
+                       target_file_bytes: int = 128 << 20) -> dict:
+    """Compaction (Iceberg ``rewriteDataFiles`` analog): re-house the
+    current snapshot's rows into ~``target_file_bytes`` files and commit
+    the result as a ``rewrite`` snapshot. The row set is unchanged —
+    incremental (CDC) readers skip rewrite snapshots — but a streaming
+    ingest's thousands of micro-batch files collapse so scan planning
+    stays O(few files). History remains time-travel readable until
+    :func:`expire_snapshots`. Returns before/after file counts."""
+    meta = _read_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no icetable at {path}")
+    before = plan_files(path)
+    total_bytes = sum(f["bytes"] for f in before)
+    df = scan(spark, path)
+    if not meta.get("partition_by"):
+        # partitioned tables consolidate to one file per partition value
+        # inside _commit's repartition; unpartitioned ones bin-pack here
+        n = max(1, -(-total_bytes // max(1, int(target_file_bytes))))
+        df = df.repartition(int(n))
+    sid = _commit(path, df, "rewrite", meta.get("partition_by"),
+                  {"rewrite_of": meta["current_snapshot_id"]})
+    return {"snapshot_id": sid, "files_before": len(before),
+            "files_after": len(plan_files(path)),
+            "rows": sum(f["rows"] for f in plan_files(path))}
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:

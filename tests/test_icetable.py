@@ -171,3 +171,42 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     assert it.scan(spark, path).count() == n0 + 7
     inc = it.incremental_scan(spark, path, from_snapshot_id=sid - 1)
     assert inc.count() == 7
+
+
+def test_schema_evolution_and_time_travel_schema(spark, tmp_path):
+    """A later append may widen the schema: current reads fill old files
+    with NULL; time travel reads with the old snapshot's own schema."""
+    path = str(tmp_path / "evo")
+    it.commit_append(_batch(spark, 0, 10), path)
+    wide = _batch(spark, 10, 20).withColumn(
+        "lang", F.lit("en"))
+    it.commit_append(wide, path)
+
+    cur = it.scan(spark, path)
+    assert cur.columns == ["id", "cell", "v", "lang"]
+    rows = {r["id"]: r["lang"] for r in cur.collect()}
+    assert rows[5] is None and rows[15] == "en"
+
+    old = it.scan(spark, path, snapshot_id=1)
+    assert old.columns == ["id", "cell", "v"]
+    assert old.count() == 10
+
+
+def test_rewrite_data_files_compaction(spark, tmp_path):
+    """Many micro-batch files collapse; row set identical; CDC readers
+    skip the rewrite snapshot; history stays readable."""
+    path = str(tmp_path / "compact")
+    for k in range(5):
+        it.commit_append(_batch(spark, k * 10, k * 10 + 10), path)
+    n_before = len(it.plan_files(path))
+    res = it.rewrite_data_files(spark, path)
+    assert res["files_after"] < n_before and res["rows"] == 50
+    assert ({r["id"] for r in it.scan(spark, path).collect()}
+            == set(range(50)))
+    # incremental readers see no new rows from the rewrite snapshot
+    assert it.incremental_scan(spark, path, from_snapshot_id=5).count() == 0
+    # but appends after the rewrite flow through
+    it.commit_append(_batch(spark, 100, 103), path)
+    assert it.incremental_scan(spark, path, from_snapshot_id=5).count() == 3
+    # pre-rewrite snapshots still time travel
+    assert it.scan(spark, path, snapshot_id=3).count() == 30
