@@ -10,7 +10,11 @@ incomplete buckets):
       → [stage zonal]   per-zone tile counts + byte totals    (JVM only)
 
 The lineage/bucket key is the tile cell — deterministic closed-form math,
-so replays are idempotent (SURVEY §7.1 pillar 5).
+so replays are idempotent (SURVEY §7.1 pillar 5). With ``publish_table``
+the final zonal result is additionally committed to an Iceberg-lite
+table (:mod:`sedona_spark.icetable`) as one atomic snapshot carrying the
+run key, closing the north-rule loop: bucket-replayable stage scratch →
+versioned, time-travelable, incrementally-consumable table.
 """
 
 from __future__ import annotations
@@ -46,12 +50,15 @@ def run_image_pipeline(
     tile: int = 16,
     level: int = 8,
     n_buckets: int = 32,
+    publish_table: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns {stage: manifest}.
 
     ``zones`` needs (zone key, xmin/ymin/xmax/ymax). Each stage is skipped
     if already committed under ``out_root`` — rerunning after a crash only
-    replays missing buckets of the interrupted stage.
+    replays missing buckets of the interrupted stage. With
+    ``publish_table``, the final zonal result is additionally committed
+    to an Iceberg-lite table (idempotent per run key).
     """
     manifests = {}
 
@@ -87,4 +94,50 @@ def run_image_pipeline(
     manifests["zonal"] = checkpoint.resume_stage(
         zonal, out_root, "zonal", bucket_col=zone_key, n_buckets=min(8, n_buckets)
     )
+    if publish_table is not None:
+        manifests["publish"] = publish_stage_to_icetable(
+            spark, out_root, "zonal", publish_table)
     return manifests
+
+
+def _run_key(manifest: dict) -> str:
+    """Deterministic identity of a committed stage run: stage name +
+    per-bucket row counts and byte sizes (wall time excluded — a replay
+    of the same data reproduces the same parquet bytes and must
+    collide; different data differs in at least one bucket's content).
+    Callers with an external run identity pass ``run_key=`` instead."""
+    import hashlib
+    import json as _json
+
+    parts = {b: (v["rows"], v.get("bytes", 0))
+             for b, v in manifest["partitions"].items()}
+    blob = _json.dumps([manifest["stage"], sorted(parts.items())])
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def publish_stage_to_icetable(spark: SparkSession, out_root: str,
+                              stage: str, table_path: str,
+                              run_key: str | None = None) -> dict:
+    """Publish a committed checkpoint stage into an Iceberg-lite table
+    as one atomic snapshot — the north-rule hand-off from the stage
+    layer (bucket-replayable scratch) to the table layer (versioned,
+    time-travelable, incrementally consumable). Idempotent: the run key
+    (stage + per-bucket row counts) rides inside the snapshot commit, so
+    re-publishing the same committed data is a no-op."""
+    import json as _json
+    import os as _os
+
+    from sedona_spark import icetable
+
+    man_path = _os.path.join(out_root, stage, checkpoint._MANIFEST)
+    with open(man_path) as f:
+        manifest = _json.load(f)
+    key = run_key or _run_key(manifest)
+    for s in icetable.snapshots(table_path):
+        if s.get("pipeline_run_key") == key:
+            return {"snapshot_id": s["snapshot_id"], "already_published": True}
+    df = checkpoint.read_stage(spark, out_root, stage)
+    sid = icetable.commit_append(
+        df, table_path, properties={"pipeline_run_key": key,
+                                    "source_stage": stage})
+    return {"snapshot_id": sid, "already_published": False}

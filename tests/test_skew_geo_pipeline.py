@@ -117,3 +117,45 @@ def test_pipeline_job_and_resume(spark, tmp_path):
         for r in checkpoint.read_stage(spark, root, "zonal").collect()
     }
     assert zonal2 == zonal1  # byte-identical logical output
+
+
+def test_pipeline_publish_to_icetable(spark, tmp_path):
+    """The stage layer hands off to the table layer: zonal results land
+    as one snapshot; re-publishing identical committed data is a no-op;
+    new data appends a second, incrementally-consumable snapshot."""
+    from sedona_spark import icetable
+    from sedona_spark.pipeline_job import publish_stage_to_icetable
+
+    img_path = str(tmp_path / "imgs")
+    synthesize_images(spark, 30, partitions=4).write.parquet(img_path)
+    zones = spark.createDataFrame(
+        [(0, 0.0, 0.0, 100.0, 100.0)],
+        "zone_id int, xmin double, ymin double, xmax double, ymax double")
+    root = str(tmp_path / "snap")
+    tbl = str(tmp_path / "tbl")
+
+    m = run_image_pipeline(spark, img_path, zones, root, tile=16, level=6,
+                           n_buckets=8, publish_table=tbl)
+    assert m["publish"]["already_published"] is False
+    assert len(icetable.snapshots(tbl)) == 1
+    want = {(r.zone_id, r.n_tiles) for r in
+            checkpoint.read_stage(spark, root, "zonal").collect()}
+    got = {(r.zone_id, r.n_tiles) for r in
+           icetable.scan(spark, tbl).collect()}
+    assert got == want
+
+    # identical rerun: stages skip, publish recognizes the run key
+    m2 = run_image_pipeline(spark, img_path, zones, root, tile=16, level=6,
+                            n_buckets=8, publish_table=tbl)
+    assert m2["publish"]["already_published"] is True
+    assert len(icetable.snapshots(tbl)) == 1
+
+    # a different committed run appends
+    root2 = str(tmp_path / "snap2")
+    img2 = str(tmp_path / "imgs2")
+    synthesize_images(spark, 10, partitions=2).write.parquet(img2)
+    run_image_pipeline(spark, img2, zones, root2, tile=16, level=6,
+                       n_buckets=8)
+    p = publish_stage_to_icetable(spark, root2, "zonal", tbl)
+    assert p["already_published"] is False
+    assert len(icetable.snapshots(tbl)) == 2
