@@ -106,17 +106,23 @@ def classify_image(buf: bytes) -> str:
     return NOT_IMAGE
 
 
+# DataType object, not a DDL string: executors re-import this module with
+# no active session, and string return types need one to parse
+from pyspark.sql.types import StringType as _StringType  # noqa: E402
+
+
+@pandas_udf(_StringType())
+def _status_udf(b: pd.Series) -> pd.Series:
+    return pd.Series([classify_image(bytes(v)) for v in b])
+
+
 def image_status(bytes_col: Column | str) -> Column:
     """Column of validity statuses — one Arrow-batched pass, no shuffle.
     At 100 TB this rides the ingest scan and the status feeds a cheap
-    groupBy or a quarantine filter before any decode CPU is spent."""
-
-    @pandas_udf("string")
-    def _status(b: pd.Series) -> pd.Series:
-        return pd.Series([classify_image(bytes(v)) for v in b])
-
-    return _status(F.col(bytes_col) if isinstance(bytes_col, str)
-                   else bytes_col)
+    groupBy or a quarantine filter before any decode CPU is spent.
+    (SQL spelling: ``RS_ImageStatus(bytes)``.)"""
+    return _status_udf(F.col(bytes_col) if isinstance(bytes_col, str)
+                       else bytes_col)
 
 
 def with_validity(df: DataFrame, bytes_col: str = "bytes",

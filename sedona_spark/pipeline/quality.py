@@ -52,6 +52,30 @@ def quality_signals(arr: np.ndarray) -> tuple[int, int, int, int, int, int]:
             int((arr == 0).sum()), int((arr == 255).sum()))
 
 
+def _make_quality_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    # DataType object (not a DDL string): executors re-import the module
+    # without an active session, which string parsing would require
+    sig = StructType([StructField(n, LongType())
+                      for n in ("n_px", "sum_lum", "lap_sum", "lap_sumsq",
+                                "n_clip_lo", "n_clip_hi")])
+
+    @pandas_udf(sig)
+    def _q(b: pd.Series) -> pd.DataFrame:
+        from sedona_spark.sources.images import decode_image
+
+        recs = [quality_signals(decode_image(bytes(v))[0]) for v in b]
+        return pd.DataFrame(recs, columns=[
+            "n_px", "sum_lum", "lap_sum", "lap_sumsq",
+            "n_clip_lo", "n_clip_hi"])
+
+    return _q
+
+
+_quality_udf = _make_quality_udf()  # SQL spelling: RS_ImageQuality(bytes)
+
+
 def image_quality_stats(df: DataFrame, id_col: str = "image_id",
                         bytes_col: str = "bytes") -> DataFrame:
     """Per-image exact-integer quality signals (schema above)."""

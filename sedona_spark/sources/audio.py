@@ -64,14 +64,30 @@ def encode_wav(samples: np.ndarray, sr: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_IEEE_FLOAT = 3       # WAVE_FORMAT_IEEE_FLOAT
+_EXTENSIBLE = 0xFFFE  # WAVE_FORMAT_EXTENSIBLE (effective tag in SubFormat)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes → (int16 ``(n, ch)``, sample_rate).
+    """RIFF/WAVE bytes → (integer samples ``(n, ch)``, sample_rate).
 
     Generic RIFF chunk walk: tolerates extra chunks (LIST, fact, cue)
     and a fmt chunk longer than 16 bytes (WAVEFORMATEX cbSize tail), so
-    real-world PCM files decode, not just our canonical output. 8-bit
-    PCM is widened to int16 (offset-binary per the WAVE spec); 24/32-bit
-    and float PCM raise the documented seam."""
+    real-world files decode, not just our canonical output. Sample
+    formats (all published WAVEFORMAT layouts, no audio library):
+
+    * 16-bit PCM → int16 (the canonical encode format)
+    * 8-bit PCM → int16, widened from offset-binary per the WAVE spec
+    * 24-bit PCM → int32 at full 24-bit precision (sign-extended
+      3-byte little-endian frames — the studio-master layout)
+    * 32-bit PCM → int32
+    * 32/64-bit IEEE float (tag 3) → int16 via round(clip(x,−1,1)·32767),
+      the standard float→PCM conversion
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) → effective tag read from the
+      SubFormat GUID (how >16-bit files are usually labeled)
+
+    Only genuinely compressed codecs (MP3/AAC/FLAC/ADPCM…) remain behind
+    the external-library seam."""
     for magic, name in _SEAM_MAGICS.items():
         if buf[: len(magic)] == magic:
             raise NotImplementedError(
@@ -80,7 +96,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
-    sr = ch = bits = None
+    sr = ch = bits = tag = None
     data = None
     while pos + 8 <= end:
         cid = buf[pos : pos + 4]
@@ -88,9 +104,14 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         body = buf[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             tag, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if tag != _PCM16:
+            if tag == _EXTENSIBLE and len(body) >= 26:
+                # WAVEFORMATEXTENSIBLE: cbSize(2) validBits(2) mask(4)
+                # SubFormat GUID — first 2 bytes are the effective tag
+                tag = struct.unpack_from("<H", body, 24)[0]
+            if tag not in (_PCM16, _IEEE_FLOAT):
                 raise NotImplementedError(
-                    f"WAVE format tag {tag} (non-PCM) requires an audio library"
+                    f"WAVE format tag {tag} (compressed) requires an "
+                    f"audio library"
                 )
         elif cid == b"data":
             if len(body) < clen:
@@ -101,10 +122,27 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if sr is None or data is None:
         raise ValueError("WAVE file missing fmt/data chunk")
-    if bits == 16:
+    if tag == _IEEE_FLOAT:
+        if bits == 32:
+            f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"IEEE-float WAVE with {bits}-bit samples")
+        arr = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2")
     elif bits == 8:
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif bits == 24:
+        nb = len(data) // 3
+        raw = np.frombuffer(data, dtype=np.uint8)[: nb * 3].reshape(nb, 3)
+        arr = (raw[:, 0].astype(np.int32)
+               | (raw[:, 1].astype(np.int32) << 8)
+               | (raw[:, 2].astype(np.int32) << 16))
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4")
     else:
         raise NotImplementedError(f"{bits}-bit PCM requires an audio library")
     n = len(arr) // ch

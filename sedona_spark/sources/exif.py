@@ -248,11 +248,19 @@ def _exif_batch(b: pd.Series) -> pd.DataFrame:
          "description": descs})
 
 
+def _make_exif_udf():
+    return pandas_udf(_exif_batch, _exif_struct())
+
+
+_exif_udf = _make_exif_udf()  # shared by with_exif and the SQL spelling
+
+
 def with_exif(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Add ``exif_lat`` / ``exif_lon`` / ``description`` columns decoded
     from the JPEG bytes. One Arrow-batched pass; no shuffle — at 100 TB
-    this pipelines with the scan (narrow map stage)."""
-    e = pandas_udf(_exif_batch, _exif_struct())(F.col(bytes_col))
+    this pipelines with the scan (narrow map stage).
+    (SQL spelling: ``RS_Exif(bytes)`` → struct.)"""
+    e = _exif_udf(F.col(bytes_col))
     return (df.withColumn("_e", e)
               .withColumn("exif_lat", F.col("_e.exif_lat"))
               .withColumn("exif_lon", F.col("_e.exif_lon"))

@@ -1575,6 +1575,15 @@ def register(spark: SparkSession, force: bool = False) -> None:
 
     pandas_catalog["ST_TransformEpsg"] = _crs_mod._transform_epsg_udf
     pandas_catalog["ST_TransformEpsgInv"] = _crs_mod._transform_epsg_inv_udf
+    # r6 image-pipeline tier: integrity triage, EXIF geotags, quality
+    # signals — the same Arrow-batched UDF objects the DataFrame API uses
+    from sedona_spark.pipeline.integrity import _status_udf as _img_status
+    from sedona_spark.pipeline.quality import _quality_udf as _img_quality
+    from sedona_spark.sources.exif import _exif_udf as _img_exif
+
+    pandas_catalog["RS_ImageStatus"] = _img_status
+    pandas_catalog["RS_ImageQuality"] = _img_quality
+    pandas_catalog["RS_Exif"] = _img_exif
     for name, udf in pandas_catalog.items():
         spark.udf.register(name, udf)
 

@@ -56,8 +56,9 @@ def test_wav_compressed_seams():
         decode_wav(b"ID3\x04" + b"\0" * 64)
     with pytest.raises(NotImplementedError):
         decode_wav(b"fLaC" + b"\0" * 64)
-    # non-PCM format tag
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    # genuinely compressed format tag (2 = MS ADPCM); IEEE float (3) is
+    # now a supported decode path, see test_decode_wav_wide_formats
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
@@ -251,3 +252,57 @@ def test_keyframe_tensors_byte_exact(spark):
     xi = (np.arange(16) * fr.shape[1]) // 16
     exp = np.ascontiguousarray(fr[yi[:, None], xi[None, :]].transpose(2, 0, 1))
     assert bytes(r["tensor"]) == exp.tobytes()
+
+
+def test_decode_wav_wide_formats():
+    """24-bit / 32-bit / IEEE-float / EXTENSIBLE layouts decode without
+    an audio library; only compressed codecs stay behind the seam."""
+    import struct
+
+    import numpy as np
+
+    from sedona_spark.sources.audio import decode_wav
+
+    def wav(tag, ch, sr, bits, payload, extensible=False):
+        if extensible:
+            sub = struct.pack("<H", tag) + b"\x00\x00" + bytes(12)
+            fmt = struct.pack("<HHIIHH", 0xFFFE, ch, sr,
+                              sr * ch * bits // 8, ch * bits // 8, bits)
+            fmt += struct.pack("<HHI", 22, bits, 0) + sub
+        else:
+            fmt = struct.pack("<HHIIHH", tag, ch, sr,
+                              sr * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 24-bit PCM: full precision incl. sign extension
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    payload = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    s, sr = decode_wav(wav(1, 1, 48000, 24, payload))
+    assert sr == 48000 and s.dtype == np.int32
+    assert list(s[:, 0]) == vals
+
+    # 32-bit PCM
+    v32 = [0, 2**31 - 1, -(2**31), 42]
+    s, _ = decode_wav(wav(1, 1, 16000, 32,
+                          b"".join(struct.pack("<i", v) for v in v32)))
+    assert list(s[:, 0]) == v32
+
+    # IEEE float32 → int16 round/clip
+    f = [0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0]
+    s, _ = decode_wav(wav(3, 1, 16000, 32,
+                          b"".join(struct.pack("<f", v) for v in f)))
+    assert list(s[:, 0]) == [0, 16384, -16384, 32767, -32767, 32767, -32767]
+
+    # EXTENSIBLE wrapper resolving to 24-bit PCM, stereo
+    st = [10, -10, 300000, -300000]
+    s, _ = decode_wav(wav(1, 2, 44100, 24,
+                          b"".join(struct.pack("<i", v)[:3] for v in st),
+                          extensible=True))
+    assert s.shape == (2, 2) and list(s.reshape(-1)) == st
+
+    # EXTENSIBLE resolving to a compressed subformat still raises
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(2, 1, 16000, 16, b"\x00\x00", extensible=True))

@@ -614,3 +614,47 @@ def test_sql_transform_epsg_utm_and_laea(reg):
             f" x, round(ST_TransformEpsg({lon}e0, {lat}e0, {code}).y, 3) y"
         ).collect()[0]
         assert (col["x"], col["y"]) == (sql["x"], sql["y"])
+
+
+def test_sql_image_pipeline_spellings(reg):
+    """RS_ImageStatus / RS_Exif / RS_ImageQuality address the same
+    Arrow-batched UDFs as the DataFrame API."""
+    spark = reg
+    from sedona_spark.pipeline.integrity import corrupt_by_id
+    from sedona_spark.pipeline.quality import quality_signals
+    from sedona_spark.sources.exif import (
+        build_exif_app1, geotag_e7, inject_app1)
+    from sedona_spark.sources.images import _caption, make_pixels
+    from sedona_spark.sources.jpeg import encode_jpeg
+
+    rows = []
+    for i in (3, 4, 10):  # i%5: 3 -> truncated, 4 -> bad_marker, 0 -> ok
+        jpg = encode_jpeg(make_pixels(i, 16, 16), quality=90)
+        lat_e7, lon_e7 = geotag_e7(i)
+        tagged = inject_app1(jpg, build_exif_app1(lat_e7, lon_e7, _caption(i)))
+        damaged, want = corrupt_by_id(tagged, i)
+        rows.append((i, damaged, want))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "i long, bytes binary")
+    df.createOrReplaceTempView("t_imgsql")
+
+    got = {r["i"]: r for r in spark.sql(
+        "select i, RS_ImageStatus(bytes) as st, RS_Exif(bytes) as e "
+        "from t_imgsql").collect()}
+    for i, _b, want in rows:
+        assert got[i]["st"] == want
+    lat_e7, lon_e7 = geotag_e7(10)
+    assert got[10]["e"]["exif_lat"] == lat_e7 / 1e7
+    assert got[10]["e"]["description"] == _caption(10)
+
+    # quality over the deterministic lossless codec
+    from sedona_spark.sources.images import encode_image
+    q = spark.createDataFrame(
+        [(7, encode_image(make_pixels(7, 16, 16), "fpng"))],
+        "i long, bytes binary")
+    q.createOrReplaceTempView("t_imgsql_q")
+    r = spark.sql(
+        "select RS_ImageQuality(bytes) as q from t_imgsql_q").first()["q"]
+    want = quality_signals(make_pixels(7, 16, 16))
+    assert (r["n_px"], r["sum_lum"], r["lap_sum"], r["lap_sumsq"],
+            r["n_clip_lo"], r["n_clip_hi"]) == want

@@ -31,4 +31,5 @@ exec spark-submit \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=64 \
   --conf spark.ui.enabled=false \
   --py-files /tmp/sedona_spark.zip \
-  tools/submit_job.py --images "synth:$N_IMAGES" --out "$OUT"
+  tools/submit_job.py --images "synth:$N_IMAGES" --out "$OUT" \
+  --publish-table "$OUT/_table"

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--level", type=int, default=8)
+    ap.add_argument("--publish-table", default=None,
+                    help="icetable path to publish the zonal result to")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("sedona_spark_pipeline").getOrCreate()
@@ -58,12 +60,16 @@ def main() -> None:
         ((F.col("ymax") + 90.0) / 1.8).alias("ymax"),
     )
     manifests = run_image_pipeline(
-        spark, path, zones, args.out, tile=args.tile, level=args.level
+        spark, path, zones, args.out, tile=args.tile, level=args.level,
+        publish_table=args.publish_table,
     )
-    print(json.dumps({
-        s: {"rows": sum(p["rows"] for p in m["partitions"].values())}
-        for s, m in manifests.items()
-    }))
+    out = {}
+    for s, m in manifests.items():
+        if "partitions" in m:
+            out[s] = {"rows": sum(p["rows"] for p in m["partitions"].values())}
+        else:  # the publish step reports its snapshot, not buckets
+            out[s] = m
+    print(json.dumps(out))
     spark.stop()
 
 
