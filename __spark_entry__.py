@@ -6456,6 +6456,44 @@ from samp group by i
 """
 
 
+def q_audio_wide_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM decode correctness oracle: the same gated waveform
+    scaled ×2048 into the >16-bit range, stored as 3-byte frames — every
+    statistic below certifies the sign-extended 24-bit read end to end
+    (the studio-master layout real corpora carry)."""
+    from sedona_spark.pipeline.audio import wav_stats
+    from sedona_spark.sources.audio import wav24_from_supplier
+
+    clips = wav24_from_supplier(spark, sf_dir, id_mod=5)
+    return wav_stats(clips).select(
+        "clip_id", F.col("sr").cast("long").alias("sr"), "n_samples",
+        "duration_ms", "peak", "sum_s", "sumsq", "zcr", "rms")
+
+
+def _audio_wide_decode_sql() -> str:
+    s = f"({_AUDIO_S.format(i='i', t='t.v')} * 2048)"
+    sp = f"({_AUDIO_S.format(i='i', t='(t.v - 1)')} * 2048)"
+    return f"""
+with clips as ({_AUDIO_CLIPS_SQL}),
+sel as (select * from clips where i % 5 = 0),
+samp as (
+  select i, n, t.v as t, {s} as s,
+         case when t.v = 0 then null else {sp} end as sp
+  from sel, lateral (select unnest(range(0, n)) as v) t)
+select printf('clip_%012d', i) as clip_id,
+       cast(16000 as bigint) as sr,
+       cast(max(n) as bigint) as n_samples,
+       cast((max(n) * 1000) // 16000 as bigint) as duration_ms,
+       cast(max(abs(s)) as bigint) as peak,
+       cast(sum(s) as bigint) as sum_s,
+       cast(sum(s * s) as bigint) as sumsq,
+       cast(sum(case when sp is not null and ((sp < 0) != (s < 0))
+                then 1 else 0 end) as bigint) as zcr,
+       floor(sqrt(cast(sum(s * s) as double) / max(n)) * 1e6 + 0.5) / 1e6 as rms
+from samp group by i
+"""
+
+
 def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-sample resample 16 kHz → 4 kHz: exact index map
     src = (t·16000)//4000 = 4t, output-sum checksum mirrored closed-form."""
@@ -6770,6 +6808,7 @@ _NEW_OR_CHANGED = {
     "iceberg_incremental",  # r6: icetable CDC delta read
     "image_validate",      # r6: structural corruption triage
     "image_quality",       # r6: sharpness/exposure/clipping signals
+    "audio_wide_decode",   # r6: 24-bit PCM decode oracle
 }
 
 
@@ -6977,6 +7016,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_validate": q_image_validate,
         "image_quality": q_image_quality,
         "audio_features": q_audio_features,
+        "audio_wide_decode": q_audio_wide_decode,
         "audio_resample": q_audio_resample,
         "audio_resample_linear": q_audio_resample_linear,
         "audio_chunks": q_audio_chunks,
@@ -7281,6 +7321,7 @@ def oracle_sql() -> dict[str, str]:
         "image_validate": _image_validate_sql(),
         "image_quality": _image_quality_sql(),
         "audio_features": _audio_features_sql(),
+        "audio_wide_decode": _audio_wide_decode_sql(),
         "audio_resample": _audio_resample_sql(),
         "audio_resample_linear": _audio_resample_linear_sql(),
         "audio_chunks": _audio_chunks_sql(),

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "image_validate",
     "image_quality",
     "audio_features",
+    "audio_wide_decode",
     "audio_resample",
     "audio_resample_linear",
     "audio_chunks",
@@ -471,7 +472,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # bytes exactly like image_tensorize; audio/video rows carry
         # multi-KB WAV/AVI payloads per row
         "image_downsample", "image_augment", "image_text_align",
-        "audio_features", "audio_resample", "audio_resample_linear",
+        "audio_features", "audio_wide_decode", "audio_resample", "audio_resample_linear",
         "audio_chunks",
         "audio_silence", "audio_spectral",
         "video_meta", "video_frame_stats", "video_scene_cuts",

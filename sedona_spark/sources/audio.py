@@ -64,6 +64,31 @@ def encode_wav(samples: np.ndarray, sr: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav24(samples: np.ndarray, sr: int) -> bytes:
+    """int32 mono/interleaved values in ±2²³ → 24-bit PCM RIFF/WAVE
+    (3-byte little-endian frames, the studio-master layout)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    v = samples.astype(np.int64)
+    if (v > (1 << 23) - 1).any() or (v < -(1 << 23)).any():
+        raise ValueError("24-bit PCM sample out of range")
+    u = (v & 0xFFFFFF).astype(np.uint32)
+    flat = u.reshape(-1)
+    payload = np.empty((flat.size, 3), dtype=np.uint8)
+    payload[:, 0] = flat & 0xFF
+    payload[:, 1] = (flat >> 8) & 0xFF
+    payload[:, 2] = (flat >> 16) & 0xFF
+    block = ch * 3
+    fmt = struct.pack("<HHIIHH", _PCM16, ch, sr, sr * block, block, 24)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", payload.size) + payload.tobytes()
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 _IEEE_FLOAT = 3       # WAVE_FORMAT_IEEE_FLOAT
 _EXTENSIBLE = 0xFFFE  # WAVE_FORMAT_EXTENSIBLE (effective tag in SubFormat)
 
@@ -217,3 +242,29 @@ def synthesize_audio(spark: SparkSession, n: int, partitions: int = 0) -> DataFr
     return keyed_fixture_table(
         spark, _rows_for_ids, _AUDIO_SCHEMA,
         n=n, start=1, partitions=partitions)
+
+
+def _rows24_for_ids(ids: np.ndarray) -> pd.DataFrame:
+    recs = []
+    for i in map(int, ids):
+        n = clip_len(i)
+        t = np.arange(n, dtype=np.int64)
+        base = ((i * 37 + t * 11 + (t * t) % 101) % 1601) - 800
+        gate = ((t // _GATE_FRAME + i) % 4 != 0).astype(np.int64)
+        s24 = (base * gate * 2048).astype(np.int32)  # ±1.64M, well in 24-bit
+        recs.append((f"clip_{i:012d}", encode_wav24(s24, _SR), _SR, n, 1))
+    return pd.DataFrame(recs, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+
+def wav24_from_supplier(
+    spark: SparkSession, sf_dir: str, id_mod: int | None = None
+) -> DataFrame:
+    """24-bit twin of :func:`audio_from_supplier` — same gated waveform
+    scaled ×2048 into the >16-bit range, stored as 3-byte PCM frames, so
+    an oracle can certify the 24-bit decode path end to end."""
+    from sedona_spark.sources.images import keyed_fixture_table
+
+    return keyed_fixture_table(
+        spark, _rows24_for_ids, _AUDIO_SCHEMA,
+        sf_dir=sf_dir, table="supplier", key_col="s_suppkey",
+        id_mod=id_mod)

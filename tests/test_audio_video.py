@@ -306,3 +306,17 @@ def test_decode_wav_wide_formats():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_wav(wav(2, 1, 16000, 16, b"\x00\x00", extensible=True))
+
+
+def test_encode_wav24_roundtrip():
+    import numpy as np
+
+    from sedona_spark.sources.audio import decode_wav, encode_wav24
+
+    v = np.array([0, 1, -1, 8_388_607, -8_388_608, 2048 * 800, -2048 * 800],
+                 dtype=np.int32)
+    s, sr = decode_wav(encode_wav24(v, 16000))
+    assert sr == 16000 and list(s[:, 0]) == list(v)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_wav24(np.array([1 << 23], dtype=np.int32), 16000)
