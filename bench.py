@@ -472,6 +472,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # bytes exactly like image_tensorize; audio/video rows carry
         # multi-KB WAV/AVI payloads per row
         "image_downsample", "image_augment", "image_text_align",
+        "exif_geotags", "image_validate", "image_quality",
         "audio_features", "audio_wide_decode", "audio_resample", "audio_resample_linear",
         "audio_chunks",
         "audio_silence", "audio_spectral",

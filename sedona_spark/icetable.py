@@ -58,6 +58,15 @@ The partition column is duplicated into a ``_pt_<col>`` directory key at
 write time so data files keep the full row (no reconstruct-from-path at
 read; Spark partition discovery is never relied on across
 mixed-snapshot file lists).
+
+Portability seam: the metadata layer (listing, json reads, the O_EXCL/
+hard-link commit claim) uses the driver's POSIX filesystem — the same
+contract HadoopTableOperations requires (HDFS/NFS atomic create;
+object stores need a catalog service for the swap, which the Iceberg
+spec itself delegates). Data files are read by Spark from whatever
+filesystem the table path names; only the commit protocol is
+POSIX-bound. The multi-FS data path (``sources/geoparquet._fs_for``)
+is the documented extension point.
 """
 
 from __future__ import annotations
@@ -111,13 +120,20 @@ def _read_version(path: str) -> int:
 
 
 def _read_metadata(path: str) -> dict | None:
+    # defensive: the link-based commit can't leave a torn latest file,
+    # but a half-copied table (rsync, cp mid-flight) could — fall back
+    # down the version chain rather than bricking every read
     v = _read_version(path)
-    if v == 0:
-        return None
-    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as f:
-        meta = json.load(f)
-    meta["_version"] = v
-    return meta
+    while v > 0:
+        try:
+            with open(os.path.join(_meta_dir(path),
+                                   f"v{v}.metadata.json")) as f:
+                meta = json.load(f)
+            meta["_version"] = v
+            return meta
+        except (OSError, ValueError):
+            v -= 1
+    return None
 
 
 def _write_hint(path: str, version: int) -> None:
@@ -129,16 +145,26 @@ def _write_hint(path: str, version: int) -> None:
 
 
 def _try_commit_metadata(path: str, version: int, meta: dict) -> bool:
-    """O_EXCL create of v<version>.metadata.json — the atomic commit.
+    """Atomic commit of v<version>.metadata.json. The content is written
+    FULLY to a temp file first and hard-linked into place (link fails if
+    the target exists = the atomic claim), so a writer dying mid-commit
+    can never leave a torn highest-version file that bricks readers.
     Returns False when a concurrent committer won this version number."""
+    import uuid
+
     os.makedirs(_meta_dir(path), exist_ok=True)
     target = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, target)
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f, indent=1, default=str)
+    finally:
+        os.unlink(tmp)
     _write_hint(path, version)
     return True
 
@@ -233,7 +259,8 @@ def _list_parquet(root: str) -> list[tuple[str, dict]]:
 
 def _commit(path: str, df: DataFrame, operation: str,
             partition_by: str | None,
-            properties: dict | None = None) -> int:
+            properties: dict | None = None,
+            dedupe_property: str | None = None) -> int:
     """Write data files for one snapshot, then optimistically commit the
     metadata. Returns the new snapshot id.
 
@@ -286,6 +313,16 @@ def _commit(path: str, df: DataFrame, operation: str,
         meta = _read_metadata(path)
         version = (meta["_version"] if meta else 0) + 1
         snapshots = list(meta["snapshots"]) if meta else []
+        if dedupe_property is not None and properties:
+            # atomic idempotency: the identity check re-runs on every
+            # retry against the freshest metadata, so two publishers of
+            # the same identity can't both land — the loser sees the
+            # winner's snapshot here and yields (its data dir becomes a
+            # grace-reclaimed orphan)
+            want = properties.get(dedupe_property)
+            for s in snapshots:
+                if s.get(dedupe_property) == want:
+                    return s["snapshot_id"]
         snap_id = max((s["snapshot_id"] for s in snapshots), default=0) + 1
         with open(man_path, "w") as f:
             json.dump({"snapshot_id": snap_id, "files": files}, f, indent=1,
@@ -332,11 +369,17 @@ def _ensure_meta(path: str) -> str:
 
 def commit_append(df: DataFrame, path: str,
                   partition_by: str | None = None,
-                  properties: dict | None = None) -> int:
+                  properties: dict | None = None,
+                  dedupe_property: str | None = None) -> int:
     """Append ``df`` as a new snapshot; returns the snapshot id.
     ``properties`` are extra keys merged into the snapshot record
-    atomically with the commit (e.g. a streaming batch id)."""
-    return _commit(path, df, "append", partition_by, properties)
+    atomically with the commit (e.g. a streaming batch id).
+    ``dedupe_property`` names one of them as a commit identity: if a
+    snapshot with the same value already exists (checked inside the
+    commit race, so concurrent duplicates are impossible), that
+    snapshot's id is returned and nothing new is committed."""
+    return _commit(path, df, "append", partition_by, properties,
+                   dedupe_property)
 
 
 def commit_overwrite(df: DataFrame, path: str,
@@ -394,9 +437,11 @@ def _refutes(f: dict, col: str, op: str, val) -> bool:
     """True when file-level evidence proves no row of ``f`` satisfies
     ``col op val``. Missing or incomparable evidence → keep the file
     (pruning must never be correctness-bearing)."""
-    pv = f["partition"].get(col)
-    if pv is not None and op == "=" and str(val) != pv:
-        return True
+    # No refutation on the partition *directory string*: Spark's path
+    # rendering ("5.0", "1.0E-7", "true", %XX escapes) need not match
+    # the probe value's Python rendering, and a mismatch would silently
+    # drop rows. The typed min/max footer stats subsume it anyway — in a
+    # partition directory every file has min = max = the partition value.
     lo = f["stats"]["min"].get(col)
     hi = f["stats"]["max"].get(col)
     if lo is None or hi is None:
@@ -486,6 +531,14 @@ def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
         raise FileNotFoundError(f"no icetable at {path}")
     if to_snapshot_id is None:
         to_snapshot_id = meta["current_snapshot_id"]
+    ids = {s["snapshot_id"] for s in meta["snapshots"]}
+    # a from-snapshot missing from history means snapshots between it and
+    # now were expired: the delta is UNKNOWABLE and silence would lose
+    # rows for a CDC consumer — fail loudly (Iceberg raises here too)
+    if from_snapshot_id not in ids:
+        raise KeyError(
+            f"incremental_scan: snapshot {from_snapshot_id} is not in the "
+            f"table history (expired?) — delta since it is unknowable")
     manifests = [s["added_manifest"] for s in meta["snapshots"]
                  if from_snapshot_id < s["snapshot_id"] <= to_snapshot_id
                  and s["operation"] == "append"]
@@ -529,11 +582,17 @@ def rewrite_data_files(spark: SparkSession, path: str,
             "rows": sum(f["rows"] for f in plan_files(path))}
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+def expire_snapshots(path: str, keep_last: int = 1,
+                     orphan_grace_sec: float = 24 * 3600) -> dict:
     """Drop all but the last ``keep_last`` snapshots: rewrite metadata,
-    delete manifests and any data file no retained snapshot references
-    (Iceberg ``expireSnapshots`` semantics). Orphan ``data/s<id>`` dirs
-    from crashed commits are also reclaimed. Returns counts."""
+    delete their manifests and the data files only they reference
+    (Iceberg ``expireSnapshots`` semantics). TRUE orphans — files no
+    manifest at all references, i.e. a crashed OR STILL-IN-FLIGHT
+    commit's data — are reclaimed only when older than
+    ``orphan_grace_sec`` (Iceberg's removeOrphanFiles age threshold):
+    a concurrent committer writes its data before winning the metadata
+    race, and deleting those fresh files would corrupt its snapshot.
+    Returns counts."""
     meta = _read_metadata(path)
     if meta is None:
         return {"snapshots_removed": 0, "files_removed": 0}
@@ -544,15 +603,26 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     live_manifests = {m for s in keep for m in s["manifests"]}
     live_files = {f["path"]
                   for f in _manifest_files(path, sorted(live_manifests))}
+    dropped_manifests = {s["added_manifest"] for s in drop} - live_manifests
+    dropped_files = {f["path"]
+                     for f in _manifest_files(path, sorted(dropped_manifests))}
 
     removed = 0
+    now = time.time()
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
         for p, _part in _list_parquet(data_root):
             rel = os.path.relpath(p, path)
-            if rel not in live_files:
-                os.remove(p)
-                removed += 1
+            if rel in live_files:
+                continue
+            if rel not in dropped_files:  # true orphan: apply the grace
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_sec:
+                        continue
+                except OSError:
+                    continue
+            os.remove(p)
+            removed += 1
         # sweep now-empty directories bottom-up
         for dirpath, dirs, names in os.walk(data_root, topdown=False):
             if not dirs and not names and dirpath != data_root:

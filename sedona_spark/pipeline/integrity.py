@@ -46,8 +46,10 @@ def classify_jpeg(buf: bytes) -> str:
     up to SOS, then an EOI (FFD9) tail. Entropy data is not decoded —
     this is the cheap first-pass filter; a PSNR-grade check is the
     decoder's job."""
-    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+    if len(buf) < 2 or buf[:2] != b"\xff\xd8":
         return NOT_IMAGE
+    if len(buf) < 4:
+        return TRUNCATED  # a bare SOI: framing started, payload ended
     pos = 2
     while True:
         if pos + 4 > len(buf):
@@ -113,7 +115,9 @@ from pyspark.sql.types import StringType as _StringType  # noqa: E402
 
 @pandas_udf(_StringType())
 def _status_udf(b: pd.Series) -> pd.Series:
-    return pd.Series([classify_image(bytes(v)) for v in b])
+    # NULL bytes (failed download) → NULL status, never a task crash
+    return pd.Series([None if v is None else classify_image(bytes(v))
+                      for v in b])
 
 
 def image_status(bytes_col: Column | str) -> Column:

@@ -65,10 +65,12 @@ def _make_quality_udf():
     def _q(b: pd.Series) -> pd.DataFrame:
         from sedona_spark.sources.images import decode_image
 
-        recs = [quality_signals(decode_image(bytes(v))[0]) for v in b]
+        # NULL bytes → all-NULL struct, never a task crash
+        recs = [(None,) * 6 if v is None
+                else quality_signals(decode_image(bytes(v))[0]) for v in b]
         return pd.DataFrame(recs, columns=[
             "n_px", "sum_lum", "lap_sum", "lap_sumsq",
-            "n_clip_lo", "n_clip_hi"])
+            "n_clip_lo", "n_clip_hi"], dtype="object")
 
     return _q
 

@@ -133,11 +133,16 @@ def publish_stage_to_icetable(spark: SparkSession, out_root: str,
     with open(man_path) as f:
         manifest = _json.load(f)
     key = run_key or _run_key(manifest)
+    prior = {s["snapshot_id"] for s in icetable.snapshots(table_path)}
     for s in icetable.snapshots(table_path):
         if s.get("pipeline_run_key") == key:
             return {"snapshot_id": s["snapshot_id"], "already_published": True}
     df = checkpoint.read_stage(spark, out_root, stage)
+    # dedupe_property makes the idempotency atomic: the key is re-checked
+    # inside the commit race, so two concurrent publishers of the same
+    # committed stage land exactly one snapshot
     sid = icetable.commit_append(
         df, table_path, properties={"pipeline_run_key": key,
-                                    "source_stage": stage})
-    return {"snapshot_id": sid, "already_published": False}
+                                    "source_stage": stage},
+        dedupe_property="pipeline_run_key")
+    return {"snapshot_id": sid, "already_published": sid in prior}

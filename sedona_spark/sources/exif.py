@@ -236,7 +236,9 @@ def _exif_struct():
 def _exif_batch(b: pd.Series) -> pd.DataFrame:
     lats, lons, descs = [], [], []
     for buf in b:
-        la, lo, de = extract_exif(bytes(buf))
+        # NULL bytes (failed download) → all-NULL row, never a crash
+        la, lo, de = ((None, None, None) if buf is None
+                      else extract_exif(bytes(buf)))
         lats.append(la)
         lons.append(lo)
         descs.append(de)

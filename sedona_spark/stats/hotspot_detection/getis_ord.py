@@ -96,14 +96,19 @@ def g_local(
     w = F.col("_w")
     # degenerate guards (ANSI mode turns double /0 into a job-killing
     # DIVIDE_BY_ZERO): islands (W=0 → VG=0), constant-x (y1=0), and
-    # tiny n yield NULL Z/P instead of aborting the whole frame
+    # tiny n yield NULL Z/P instead of aborting the whole frame.
+    # NESTED whens, not one AND: Spark does not short-circuit AND
+    # conjuncts in vectorized eval, so (y1 != 0) — which itself divides
+    # by n-r — must only be evaluated under the n-guard branch
     vg = F.when(
-        (y1 != 0) & (n - 1 - r > 0),
-        (w * (n - r - w) * y2) / ((n - r) * (n - r) * (n - 1 - r)
-                                  * y1 * y1))
+        n - 1 - r > 0,
+        F.when(
+            y1 != 0,
+            (w * (n - r - w) * y2) / ((n - r) * (n - r) * (n - 1 - r)
+                                      * y1 * y1)))
     out = (
         j.withColumn("G", F.when(denom != 0, F.col("_wx_sum") / denom))
-        .withColumn("EG", F.when(n - r > 0, w / (n - r)))
+        .withColumn("EG", F.when(n - r != 0, w / (n - r)))
         .withColumn("VG", vg)
         .withColumn("Z", F.when(F.col("VG") > 0,
                                 (F.col("G") - F.col("EG"))

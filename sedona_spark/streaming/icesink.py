@@ -43,9 +43,14 @@ def commit_stream_batch(df: DataFrame, path: str, batch_id: int,
     id is not, so replay detection is exact."""
     if int(batch_id) in committed_batch_ids(path):
         return None
+    # dedupe_property re-checks the batch id INSIDE the commit race, so
+    # even two concurrent deliveries of the same batch commit exactly one
+    # snapshot (the loser returns the winner's id — same deterministic
+    # batch, identical rows)
     return icetable.commit_append(
         df, path, partition_by=partition_by,
-        properties={"streaming_batch_id": int(batch_id)})
+        properties={"streaming_batch_id": int(batch_id)},
+        dedupe_property="streaming_batch_id")
 
 
 def write_stream_to_icetable(stream_df: DataFrame, path: str,

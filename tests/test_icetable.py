@@ -81,13 +81,18 @@ def test_overwrite_then_expire(spark, table):
     # history still readable before expire
     assert it.scan(spark, table, snapshot_id=2).count() == 100
 
-    # orphan dir from a "crashed" writer is reclaimed too
-    orphan = os.path.join(table, "data", "s99")
+    # a FRESH unreferenced file (crashed OR still-in-flight commit)
+    # survives the default grace window — deleting it would corrupt a
+    # concurrent committer that wrote data but hasn't won the race yet
+    orphan = os.path.join(table, "data", "w-orphan")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "x.parquet"), "wb") as f:
         f.write(b"torn")
+    res0 = it.expire_snapshots(table, keep_last=3)  # drops nothing
+    assert res0["files_removed"] == 0
+    assert os.path.exists(os.path.join(orphan, "x.parquet"))
 
-    res = it.expire_snapshots(table, keep_last=1)
+    res = it.expire_snapshots(table, keep_last=1, orphan_grace_sec=0)
     assert res["snapshots_removed"] == 2 and res["files_removed"] > 0
     assert not os.path.exists(orphan)
     assert [s["snapshot_id"] for s in it.snapshots(table)] == [3]
@@ -210,3 +215,61 @@ def test_rewrite_data_files_compaction(spark, tmp_path):
     assert it.incremental_scan(spark, path, from_snapshot_id=5).count() == 3
     # pre-rewrite snapshots still time travel
     assert it.scan(spark, path, snapshot_id=3).count() == 30
+
+
+def test_review_hardening(spark, tmp_path):
+    """Race-loser dedupe commits, torn-metadata immunity, expired-delta
+    refusal, and rendering-safe partition pruning."""
+    import json as _json
+
+    path = str(tmp_path / "hard")
+    it.commit_append(_batch(spark, 0, 10), path,
+                     properties={"k": "a"}, dedupe_property="k")
+    # same identity: returns the existing snapshot, commits nothing
+    sid = it.commit_append(_batch(spark, 50, 60), path,
+                           properties={"k": "a"}, dedupe_property="k")
+    assert sid == 1 and len(it.snapshots(path)) == 1
+    assert it.scan(spark, path).count() == 10
+
+    # incremental from an expired snapshot raises instead of losing rows
+    it.commit_append(_batch(spark, 10, 20), path, properties={"k": "b"})
+    it.commit_append(_batch(spark, 20, 30), path, properties={"k": "c"})
+    it.expire_snapshots(path, keep_last=1, orphan_grace_sec=0)
+    with pytest.raises(KeyError):
+        it.incremental_scan(spark, path, from_snapshot_id=1)
+
+    # no torn metadata: only complete v*.metadata.json files exist
+    meta_dir = os.path.join(path, "metadata")
+    for name in os.listdir(meta_dir):
+        if name.endswith(".metadata.json"):
+            with open(os.path.join(meta_dir, name)) as f:
+                _json.load(f)  # parses
+
+    # float-partitioned table: "=" pruning must not refute on rendering
+    fpath = str(tmp_path / "fp")
+    fdf = (spark.range(0, 8)
+           .select(F.col("id"), (F.col("id") % 2).cast("double").alias("s")))
+    it.commit_append(fdf, fpath, partition_by="s")
+    got = it.scan(spark, fpath, filters=[("s", "=", 1)]).count()
+    assert got == 4  # stats-based pruning still applies, rows intact
+
+
+def test_null_bytes_never_crash(spark):
+    """RS_ImageStatus / RS_Exif / RS_ImageQuality return NULLs for NULL
+    payloads (failed downloads), not task crashes."""
+    import sedona_spark
+    from sedona_spark.sources.images import make_pixels
+    from sedona_spark.sources.jpeg import encode_jpeg
+
+    sedona_spark.register(spark)
+    df = spark.createDataFrame(
+        [("a", encode_jpeg(make_pixels(1, 8, 8), quality=90)), ("b", None)],
+        "image_id string, bytes binary")
+    df.createOrReplaceTempView("t_nullbytes")
+    rows = {r["image_id"]: r for r in spark.sql(
+        "select image_id, RS_ImageStatus(bytes) st, RS_Exif(bytes) e, "
+        "RS_ImageQuality(bytes) q from t_nullbytes").collect()}
+    assert rows["a"]["st"] == "ok" and rows["a"]["q"]["n_px"] == 64
+    assert rows["b"]["st"] is None
+    assert rows["b"]["e"]["exif_lat"] is None
+    assert rows["b"]["q"]["n_px"] is None
