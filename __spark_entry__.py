@@ -1614,6 +1614,66 @@ join clip on clip.i = sel.i
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF LZW decode correctness oracle: deterministic palette GIFs
+    (closed-form index plane + closed-form 256-color palette) decode
+    through the stdlib LZW codec; exact per-channel pixel sums certify
+    the bitstream walk, table growth/CLEAR handling, and palette
+    mapping on both engines."""
+    from sedona_spark.sources.gif import gifs_from_part
+
+    imgs = gifs_from_part(spark, sf_dir, id_mod=16)
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("w", LongType()),
+        StructField("h", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ])
+
+    def run(batches):
+        from sedona_spark.sources.gif import decode_gif
+
+        for b in batches:
+            recs = []
+            for iid, buf in zip(b["image_id"], b["bytes"]):
+                a = decode_gif(bytes(buf)).astype("int64")
+                recs.append((iid, a.shape[1], a.shape[0],
+                             int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                             int(a[:, :, 2].sum())))
+            yield pd.DataFrame(
+                recs, columns=["image_id", "w", "h",
+                               "sum_r", "sum_g", "sum_b"])
+
+    return imgs.mapInPandas(run, schema=schema)
+
+
+def _gif_decode_sql() -> str:
+    j = "((i * 7 + x.v * 3 + y.v * 11) % 256)"
+    return f"""
+with img as (
+  select cast(p_partkey as bigint) as i from part
+  where p_partkey % 16 = 0),
+pix as (
+  select i, {j} as j
+  from img,
+       lateral (select unnest(range(0, 24)) as v) x,
+       lateral (select unnest(range(0, 18)) as v) y)
+select printf('img_%012d', i) as image_id,
+       cast(24 as bigint) as w, cast(18 as bigint) as h,
+       cast(sum((j * 31 + 5) % 256) as bigint) as sum_r,
+       cast(sum((j * 59 + 7) % 256) as bigint) as sum_g,
+       cast(sum((j * 83 + 11) % 256) as bigint) as sum_b
+from pix group by i
+"""
+
+
 def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image integrity triage (ingest-time corruption taxonomy): a
     structural container walk — JPEG marker chain / PNG chunk CRCs, no
@@ -6809,6 +6869,8 @@ _NEW_OR_CHANGED = {
     "image_validate",      # r6: structural corruption triage
     "image_quality",       # r6: sharpness/exposure/clipping signals
     "audio_wide_decode",   # r6: 24-bit PCM decode oracle
+    "gif_decode",          # r6: GIF LZW decode oracle
+    "image_validate",      # r6 (changed: GIF-aware taxonomy)
 }
 
 
@@ -7015,6 +7077,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "image_validate": q_image_validate,
         "image_quality": q_image_quality,
+        "gif_decode": q_gif_decode,
         "audio_features": q_audio_features,
         "audio_wide_decode": q_audio_wide_decode,
         "audio_resample": q_audio_resample,
@@ -7320,6 +7383,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_incremental": _iceberg_incremental_sql(),
         "image_validate": _image_validate_sql(),
         "image_quality": _image_quality_sql(),
+        "gif_decode": _gif_decode_sql(),
         "audio_features": _audio_features_sql(),
         "audio_wide_decode": _audio_wide_decode_sql(),
         "audio_resample": _audio_resample_sql(),

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "iceberg_incremental",
     "image_validate",
     "image_quality",
+    "gif_decode",
     "audio_features",
     "audio_wide_decode",
     "audio_resample",
@@ -472,7 +473,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict:
         # bytes exactly like image_tensorize; audio/video rows carry
         # multi-KB WAV/AVI payloads per row
         "image_downsample", "image_augment", "image_text_align",
-        "exif_geotags", "image_validate", "image_quality",
+        "exif_geotags", "image_validate", "image_quality", "gif_decode",
         "audio_features", "audio_wide_decode", "audio_resample", "audio_resample_linear",
         "audio_chunks",
         "audio_silence", "audio_spectral",

@@ -13,14 +13,16 @@ RasterConstructors.java``; here it is explicit and cheap).
 Statuses (string enum, stable for SQL grouping):
 
     ok          structure complete (JPEG: marker chain to SOS + EOI
-                tail; PNG: chunk chain to IEND with every CRC green)
+                tail; PNG: chunk chain to IEND with every CRC green;
+                GIF: sized blocks through the 0x3B trailer)
     truncated   framing starts correctly but the payload ends early
-                (JPEG missing the EOI tail; PNG chunk running past EOF
-                or missing IEND)
+                (JPEG missing the EOI tail; PNG/GIF block running past
+                EOF or missing IEND/trailer)
     bad_marker  framing violated mid-stream (JPEG non-marker byte where
                 a segment must start, or a segment length overrunning
-                the buffer; PNG chunk CRC mismatch)
-    not_image   neither a JPEG SOI nor a PNG signature
+                the buffer; PNG chunk CRC mismatch; GIF junk block
+                introducer)
+    not_image   no known image signature (JPEG SOI, PNG, GIF8)
 """
 
 from __future__ import annotations
@@ -99,12 +101,67 @@ def classify_png(buf: bytes) -> str:
     return OK if seen_iend else TRUNCATED
 
 
+def classify_gif(buf: bytes) -> str:
+    """GIF structural walk (no CRCs in the format): header + logical
+    screen, sized extension/image blocks, 0x3B trailer."""
+    if len(buf) < 6 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return NOT_IMAGE
+    if len(buf) < 13:
+        return TRUNCATED
+    pos = 13
+    if buf[10] & 0x80:
+        pos += 3 * (2 << (buf[10] & 7))
+
+    def skip_subblocks(p: int) -> int | None:
+        while True:
+            if p >= len(buf):
+                return None
+            n = buf[p]
+            p += 1
+            if n == 0:
+                return p
+            if p + n > len(buf):
+                return None
+            p += n
+
+    saw_image = False
+    while True:
+        if pos >= len(buf):
+            return TRUNCATED
+        intro = buf[pos]
+        pos += 1
+        if intro == 0x3B:                      # trailer
+            return OK if saw_image else TRUNCATED
+        if intro == 0x21:                      # extension: label + blocks
+            nxt = skip_subblocks(pos + 1)
+            if nxt is None:
+                return TRUNCATED
+            pos = nxt
+            continue
+        if intro != 0x2C:                      # not an image separator
+            return BAD_MARKER
+        if pos + 9 > len(buf):
+            return TRUNCATED
+        iflags = buf[pos + 8]
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 7))
+        pos += 1                               # LZW minimum code size
+        nxt = skip_subblocks(pos)
+        if nxt is None:
+            return TRUNCATED
+        pos = nxt
+        saw_image = True
+
+
 def classify_image(buf: bytes) -> str:
     """Dispatch on signature; unknown leading bytes → ``not_image``."""
     if buf[:2] == b"\xff\xd8":
         return classify_jpeg(buf)
     if buf[:8] == _PNG_SIG:
         return classify_png(buf)
+    if buf[:4] == b"GIF8":
+        return classify_gif(buf)
     return NOT_IMAGE
 
 
@@ -150,7 +207,9 @@ def corrupt_by_id(buf: bytes, i: int) -> tuple[bytes, str]:
     """
     m = i % 5
     if m == 1:
-        return b"GIF8" + buf[4:], NOT_IMAGE
+        # a signature no codec owns (GIF8 would now classify as a real —
+        # if truncated — GIF, since r6 added the GIF codec)
+        return b"\x00BIN" + buf[4:], NOT_IMAGE
     if m == 3:
         cut = bytearray(buf[: max(4, len(buf) * 2 // 3)])
         while bytes(cut[-2:]) == b"\xff\xd9":

@@ -72,6 +72,17 @@ def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
         from sedona_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(buf)), "jpeg"
+    if buf[:4] == b"GIF8":
+        from sedona_spark.sources.gif import decode_gif
+
+        return decode_gif(bytes(buf)), "gif"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from sedona_spark.sources.png import decode_png
+
+        arr = decode_png(bytes(buf))
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3], "png"
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     if magic not in (_MAGIC_LOSSLESS, _MAGIC_LOSSY):
         raise NotImplementedError("external codec decode requires an image library")

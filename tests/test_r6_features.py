@@ -2079,3 +2079,64 @@ def test_image_quality_signals(spark):
         r = got[f"img_{i:012d}"]
         assert (r["n_px"], r["sum_lum"], r["lap_sum"], r["lap_sumsq"],
                 r["n_clip_lo"], r["n_clip_hi"]) == want
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (sources/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_codec_roundtrip_and_structure(spark):
+    import struct
+
+    import numpy as np
+
+    from sedona_spark.pipeline.integrity import classify_image
+    from sedona_spark.sources.gif import (
+        decode_gif, decode_gif_frames, encode_gif, gif_indices, gif_palette)
+    from sedona_spark.sources.images import decode_image
+
+    rng = np.random.default_rng(11)
+    pal = gif_palette()
+    for (h, w) in [(1, 1), (5, 3), (18, 24), (40, 33)]:
+        idx = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        buf = encode_gif(idx, pal)
+        assert (decode_gif(buf) == pal[idx]).all()
+        assert classify_image(buf) == "ok"
+
+    # interlaced variant decodes to the same image
+    h, w = 16, 8
+    idx = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    buf = bytearray(encode_gif(idx[order], pal))
+    di = 6 + 7 + 768
+    assert buf[di] == 0x2C
+    buf[di + 9] |= 0x40
+    assert (decode_gif(bytes(buf)) == pal[idx]).all()
+
+    # two frames + a skipped 89a extension; frame 2 overlays a rectangle
+    f1 = encode_gif(gif_indices(3), pal)
+    inner = encode_gif(np.full((4, 5), 9, np.uint8), pal)
+    di2 = 6 + 7 + 768
+    img2 = bytearray(inner[di2:-1])  # image block only
+    struct.pack_into("<HHHH", img2, 1, 2, 3, 5, 4)  # place at (2,3)
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
+    multi = f1[:-1] + ext + bytes(img2) + b"\x3b"
+    frames = decode_gif_frames(multi)
+    assert len(frames) == 2
+    assert (frames[0] == pal[gif_indices(3)]).all()
+    assert (frames[1][3:7, 2:7] == pal[9]).all()
+    assert classify_image(multi) == "ok"
+
+    # structural taxonomy
+    assert classify_image(multi[: len(multi) - 1]) == "truncated"
+    bad = bytearray(multi)
+    bad[di] = 0x7E  # image separator -> junk intro
+    assert classify_image(bytes(bad)) == "bad_marker"
+    assert classify_image(b"GIF89a") == "truncated"
+    assert classify_image(b"GIF9") == "not_image"
+
+    # decode_image dispatch
+    arr, fmt = decode_image(encode_gif(gif_indices(5), pal))
+    assert fmt == "gif" and (arr == pal[gif_indices(5)]).all()
