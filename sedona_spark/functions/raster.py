@@ -1300,6 +1300,76 @@ def _as_png_udf(buf: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(BinaryType())
+def _as_gif_udf(buf: pd.Series) -> pd.Series:
+    """RS_AsGIF: engine raster -> real GIF89a bytes. Exact path only:
+    the image must carry <= 256 distinct colors (a palette is built
+    from them); true-color quantization is the documented seam."""
+    from sedona_spark.sources.gif import encode_gif
+
+    out = []
+    for b in buf:
+        arr, _ = decode_image(bytes(b))
+        flat = arr.reshape(-1, arr.shape[2])[:, :3]
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise NotImplementedError(
+                "GIF encode of >256-color images requires quantization "
+                "(external image library)")
+        idx = inv.reshape(arr.shape[0], arr.shape[1]).astype(np.uint8)
+        out.append(encode_gif(idx, pal))
+    return pd.Series(out)
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_gif_udf(buf: pd.Series) -> pd.DataFrame:
+    """RS_FromGIF: GIF87a/89a bytes -> raster struct (first frame; full
+    LZW decode in sources/gif.py). No georeference in GIF: identity
+    geotransform, srid 0."""
+    from sedona_spark.sources.gif import decode_gif
+
+    recs = []
+    for b in buf:
+        arr = decode_gif(bytes(b))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            arr.shape[1], arr.shape[0], arr.shape[2],
+            0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
+@F.pandas_udf(BinaryType())
+def _as_bmp_udf(buf: pd.Series) -> pd.Series:
+    """RS_AsBMP: engine raster -> 24-bit BI_RGB BMP bytes
+    (sources/bmp.py)."""
+    from sedona_spark.sources.bmp import encode_bmp
+
+    out = []
+    for b in buf:
+        arr, _ = decode_image(bytes(b))
+        out.append(encode_bmp(arr[:, :, :3]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(_ARC_SCHEMA)
+def _from_bmp_udf(buf: pd.Series) -> pd.DataFrame:
+    """RS_FromBMP: 24/32-bit BI_RGB BMP bytes -> raster struct."""
+    from sedona_spark.sources.bmp import decode_bmp
+
+    recs = []
+    for b in buf:
+        arr = decode_bmp(bytes(b))
+        recs.append((
+            encode_image(np.ascontiguousarray(arr), "fpng"),
+            arr.shape[1], arr.shape[0], arr.shape[2],
+            0.0, 0.0, 1.0, -1.0, 0.0, 0.0, 0, None,
+        ))
+    return pd.DataFrame(
+        recs, columns=[f.name for f in _ARC_SCHEMA.fields])
+
+
 @F.pandas_udf(_ARC_SCHEMA)
 def _from_png_udf(buf: pd.Series) -> pd.DataFrame:
     """RS_FromPNG: 8-bit gray/RGB/RGBA non-interlaced PNG -> raster

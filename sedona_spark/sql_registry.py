@@ -1173,6 +1173,8 @@ def _rs_io_sql_udfs() -> list[tuple[str, str, str, str]]:
          "RS_AsGeoTiffDeflateRaw(r.buf, r.ulx, r.uly, r.sx, r.sy, "
          "r.srid)"),
         ("RS_AsPNG", f"r {_RST}", "BINARY", "RS_AsPNGRaw(r.buf)"),
+        ("RS_AsGIF", f"r {_RST}", "BINARY", "RS_AsGIFRaw(r.buf)"),
+        ("RS_AsBMP", f"r {_RST}", "BINARY", "RS_AsBMPRaw(r.buf)"),
         # value = k + y*w + x per band k
         # (RasterConstructorsForTesting.java:57-91; uint8-clipped here)
         ("RS_MakeRasterForTesting",
@@ -1556,6 +1558,10 @@ def register(spark: SparkSession, force: bool = False) -> None:
     pandas_catalog["RS_FromNetCDF"] = _rs._from_netcdf_udf
     pandas_catalog["RS_AsPNGRaw"] = _rs._as_png_udf
     pandas_catalog["RS_FromPNG"] = _rs._from_png_udf
+    pandas_catalog["RS_AsGIFRaw"] = _rs._as_gif_udf
+    pandas_catalog["RS_FromGIF"] = _rs._from_gif_udf
+    pandas_catalog["RS_AsBMPRaw"] = _rs._as_bmp_udf
+    pandas_catalog["RS_FromBMP"] = _rs._from_bmp_udf
     pandas_catalog["RS_ReprojectMatchRaw"] = _rs._reproject_match_udf
     pandas_catalog["RS_MakeTestBuf"] = _rs._make_test_raster_udf
     pandas_catalog["RS_NormalizeAllBuf"] = _rs._normalize_all_udf

@@ -658,3 +658,40 @@ def test_sql_image_pipeline_spellings(reg):
     want = quality_signals(make_pixels(7, 16, 16))
     assert (r["n_px"], r["sum_lum"], r["lap_sum"], r["lap_sumsq"],
             r["n_clip_lo"], r["n_clip_hi"]) == want
+
+
+def test_sql_gif_bmp_codecs(reg):
+    """RS_From/As GIF and BMP round-trip through SQL: pixel-exact for
+    the <=256-color GIF path and always for BMP."""
+    spark = reg
+    import numpy as np
+
+    from sedona_spark.sources.bmp import decode_bmp, encode_bmp
+    from sedona_spark.sources.gif import encode_gif, gif_indices, gif_palette
+    from sedona_spark.sources.images import decode_image
+
+    pal = gif_palette()
+    gif = encode_gif(gif_indices(4), pal)
+    arr = pal[gif_indices(4)]
+    bmp = encode_bmp(arr)
+    df = spark.createDataFrame([(gif, bmp)], "g binary, b binary")
+    df.createOrReplaceTempView("t_gifbmp")
+    r = spark.sql(
+        "select RS_FromGIF(g) as rg, RS_FromBMP(b) as rb, "
+        "RS_AsBMP(RS_FromGIF(g)) as as_bmp, "
+        "RS_AsGIF(RS_FromBMP(b)) as as_gif from t_gifbmp").first()
+    assert (r["rg"]["w"], r["rg"]["h"], r["rg"]["bands"]) == (24, 18, 3)
+    assert (r["rb"]["w"], r["rb"]["h"]) == (24, 18)
+    a1, _ = decode_image(bytes(r["rg"]["buf"]))
+    a2, _ = decode_image(bytes(r["rb"]["buf"]))
+    assert (a1 == arr).all() and (a2 == arr).all()
+    assert (decode_bmp(bytes(r["as_bmp"])) == arr).all()
+    a3, _ = decode_image(bytes(spark.sql(
+        "select RS_FromGIF(RS_AsGIF(RS_FromBMP(b))).buf as v "
+        "from t_gifbmp").first()["v"]))
+    assert (a3 == arr).all()
+
+    # BMP round trip incl. stride padding (w=33 -> stride 100) and 32bpp
+    import struct as _s
+    odd = np.arange(33 * 5 * 3, dtype=np.uint8).reshape(5, 33, 3) % 251
+    assert (decode_bmp(encode_bmp(odd)) == odd).all()
