@@ -1818,6 +1818,45 @@ from m where i % 2 = 0 group by cell
 """
 
 
+def q_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: every id divisible by 10 gets its width
+    replaced (w→1000) in one atomic overwrite snapshot; the per-cell
+    aggregate over the post-merge scan certifies matched-update,
+    unmatched-carryover, and atomicity (readers never see a half-merge).
+    Own table instance — the shared fixture stays immutable."""
+    import shutil
+
+    from sedona_spark import icetable as it
+
+    key = sf_dir.rstrip("/") + "#upsert"
+    if key not in _ICE_CACHE:
+        path = os.path.join("/tmp", "sedona_spark_ice",
+                            (os.path.basename(sf_dir.rstrip("/")) or "sf")
+                            + "_upsert")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        rows = _ice_meta_rows(spark, sf_dir)
+        it.commit_append(rows, path, partition_by="cell")
+        up = (rows.filter(F.col("i") % 10 == 0)
+                  .withColumn("w", F.lit(1000).cast("long")))
+        it.commit_upsert(up, path, key="i")
+        _ICE_CACHE[key] = path
+    df = it.scan(spark, _ICE_CACHE[key])
+    return df.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("w").cast("long").alias("sum_w"))
+
+
+def _iceberg_upsert_sql() -> str:
+    return f"""
+with m as ({_ICE_META_SQL})
+select cell, count(*) as n_images,
+       cast(sum(case when i % 10 = 0 then 1000 else w end) as bigint)
+         as sum_w
+from m group by cell
+"""
+
+
 def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (CDC) scan: only the files appended after snapshot 1
     — snapshot 2's odd ids — the per-ingest-cycle "process only new
@@ -6871,6 +6910,7 @@ _NEW_OR_CHANGED = {
     "audio_wide_decode",   # r6: 24-bit PCM decode oracle
     "gif_decode",          # r6: GIF LZW decode oracle
     "image_validate",      # r6 (changed: GIF-aware taxonomy)
+    "iceberg_upsert",      # r6: CoW MERGE snapshot
 }
 
 
@@ -7075,6 +7115,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": q_iceberg_scan,
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_incremental": q_iceberg_incremental,
+        "iceberg_upsert": q_iceberg_upsert,
         "image_validate": q_image_validate,
         "image_quality": q_image_quality,
         "gif_decode": q_gif_decode,
@@ -7381,6 +7422,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan": _iceberg_scan_sql(),
         "iceberg_time_travel": _iceberg_time_travel_sql(),
         "iceberg_incremental": _iceberg_incremental_sql(),
+        "iceberg_upsert": _iceberg_upsert_sql(),
         "image_validate": _image_validate_sql(),
         "image_quality": _image_quality_sql(),
         "gif_decode": _gif_decode_sql(),

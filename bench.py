@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "iceberg_scan",
     "iceberg_time_travel",
     "iceberg_incremental",
+    "iceberg_upsert",
     "image_validate",
     "image_quality",
     "gif_decode",

@@ -389,6 +389,44 @@ def commit_overwrite(df: DataFrame, path: str,
     return _commit(path, df, "overwrite", partition_by)
 
 
+def commit_upsert(df: DataFrame, path: str, key: str | list[str]) -> int:
+    """Copy-on-write MERGE: rows of ``df`` replace current rows with the
+    same ``key``; unmatched keys append. Committed as one ``overwrite``
+    snapshot (Iceberg CoW MERGE INTO semantics) — readers see the merge
+    atomically, time travel keeps the pre-merge state. The anti-join is
+    a broadcast when ``df`` is small; at 100 TB a real deployment
+    partitions both sides on the key so the join co-locates."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    current = scan(spark, path)
+    kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(df, allowMissingColumns=True)
+    return _commit(path, merged, "overwrite",
+                   _read_metadata(path).get("partition_by"),
+                   {"merge_keys": keys})
+
+
+def commit_delete(path: str, spark: SparkSession,
+                  filters: list[tuple]) -> int:
+    """Copy-on-write DELETE WHERE: rewrite the table without the rows
+    matching ALL ``filters`` (same simple predicates as :func:`scan`).
+    File pruning makes the rewrite read-efficient: files the predicate
+    provably cannot touch are carried over logically by re-reading —
+    the conservative CoW baseline; merge-on-read delete files are the
+    documented optimization seam."""
+    current = scan(spark, path)
+    cond = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        cond = cond & {"=": c == val, "<": c < val, "<=": c <= val,
+                       ">": c > val, ">=": c >= val}[op]
+    # NULL predicate result = row does NOT match the delete → keep it
+    keep = current.filter(F.coalesce(~cond, F.lit(True)))
+    return _commit(path, keep, "overwrite",
+                   _read_metadata(path).get("partition_by"),
+                   {"delete_filters": [list(map(str, f)) for f in filters]})
+
+
 # ---------------------------------------------------------------------------
 # reads
 # ---------------------------------------------------------------------------

@@ -273,3 +273,36 @@ def test_null_bytes_never_crash(spark):
     assert rows["b"]["st"] is None
     assert rows["b"]["e"]["exif_lat"] is None
     assert rows["b"]["q"]["n_px"] is None
+
+
+def test_upsert_and_delete_cow(spark, tmp_path):
+    """MERGE (key upsert) and DELETE WHERE as atomic CoW snapshots with
+    time travel preserving the pre-mutation state."""
+    path = str(tmp_path / "cow")
+    it.commit_append(_batch(spark, 0, 20), path, partition_by="cell")
+
+    # upsert: ids 10..14 get v=999, ids 100..102 are new
+    up = (spark.range(10, 15).select(
+            F.col("id"), (F.col("id") % 4).alias("cell"),
+            F.lit(999).alias("v"))
+          .unionByName(spark.range(100, 103).select(
+            F.col("id"), (F.col("id") % 4).alias("cell"),
+            F.lit(7).alias("v"))))
+    s2 = it.commit_upsert(up, path, key="id")
+    cur = {r["id"]: r["v"] for r in it.scan(spark, path).collect()}
+    assert len(cur) == 23
+    assert all(cur[i] == 999 for i in range(10, 15))
+    assert all(cur[i] == 7 for i in (100, 101, 102))
+    assert cur[3] == 3 * 7 % 100
+    # pre-merge state intact under time travel
+    old = {r["id"]: r["v"] for r in
+           it.scan(spark, path, snapshot_id=s2 - 1).collect()}
+    assert len(old) == 20 and old[12] == 12 * 7 % 100
+
+    # delete where cell = 1 AND v < 500 (the 999 upserts survive)
+    s3 = it.commit_delete(path, spark, [("cell", "=", 1), ("v", "<", 500)])
+    after = {r["id"]: r["v"] for r in it.scan(spark, path).collect()}
+    gone = {i for i in range(20) if i % 4 == 1 and not (10 <= i < 15)}
+    gone |= {101}  # 101 % 4 == 1, v=7
+    assert set(cur) - set(after) == gone
+    assert it.scan(spark, path, snapshot_id=s3 - 1).count() == 23
