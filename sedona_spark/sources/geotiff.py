@@ -8,7 +8,8 @@ Reference capability: ``RS_FromGeoTiff`` / ``RS_AsGeoTiff``
 (``RasterConstructors.java:68`` / ``RasterOutputs.java``, ImageIO-backed
 there). Decode accepts Compression 1 (none), 5 (LZW), 7 (new-style JPEG
 via ``sources/jpeg.py``, incl. shared JPEGTables), 8/32946 (DEFLATE,
-Predictor 2), classic and BigTIFF containers, strip or tile layouts;
+Predictor 2), 32773 (PackBits RLE), classic and BigTIFF containers,
+strip or tile layouts;
 encode emits uncompressed, deflate+predictor, or JPEG single-strip. The
 remaining seam (old-style JPEG, non-8-bit samples, planar config 2)
 raises with a clear message instead of guessing.
@@ -94,6 +95,9 @@ def encode_geotiff(
 
         pix = encode_jpeg(a[:, :, 0] if nb == 1 else a, quality=95)
         comp_id, predictor = 7, None
+    elif compress == "packbits":
+        pix = _packbits_encode(a.tobytes())
+        comp_id, predictor = 32773, None
     else:
         raise ValueError(f"unknown compress mode {compress!r}")
 
@@ -170,6 +174,53 @@ def encode_geotiff(
     for _, b in blobs:
         out += b
     out += pix
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode (TIFF spec §9): repeat runs ≥3 become
+    (257-n, byte); everything else rides as literal runs ≤128."""
+    out = bytearray()
+    i = 0
+    L = len(data)
+    while i < L:
+        # measure the repeat run at i
+        j = i + 1
+        while j < L and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run: until the next ≥3 repeat or 128 bytes
+        k = i
+        while k < L and k - i < 128:
+            if k + 2 < L and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF spec §9 / Compression=32773): control byte
+    n in 0..127 → copy n+1 literals; n in -127..-1 → repeat the next
+    byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    L = len(data)
+    while i < L:
+        n = data[i]
+        i += 1
+        if n < 128:                      # literal run
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                    # repeat run (two's complement)
+            if i < L:
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+        # n == 128: no-op
     return bytes(out)
 
 
@@ -283,11 +334,12 @@ def decode_geotiff(buf: bytes):
     h = int(tags[_T_HEIGHT][0])
     nb = int(tags.get(_T_SAMPLES_PER_PIXEL, (1,))[0])
     comp = int(tags.get(_T_COMPRESSION, (1,))[0])
-    # 5 = LZW, 7 = new-style JPEG, 8 = deflate, 32946 = legacy deflate
-    if comp not in (1, 5, 7, 8, 32946):
+    # 5 = LZW, 7 = new-style JPEG, 8 = deflate, 32946 = legacy deflate,
+    # 32773 = PackBits (the Macintosh RLE legacy TIFFs carry)
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
-            "only uncompressed, LZW, JPEG and DEFLATE GeoTIFF supported "
-            f"(Compression={comp} requires an image library)")
+            "only uncompressed, LZW, JPEG, DEFLATE and PackBits GeoTIFF "
+            f"supported (Compression={comp} requires an image library)")
     if any(b != 8 for b in tags.get(_T_BITS, (8,))):
         raise NotImplementedError("only 8-bit samples supported")
     # SampleFormat (tag 339): anything but unsigned int would decode to
@@ -302,7 +354,9 @@ def decode_geotiff(buf: bytes):
     if predictor not in (1, 2):
         raise NotImplementedError(f"Predictor={predictor} not supported")
     inflate = (lambda b: b) if comp in (1, 7) else \
-        (_lzw_decode if comp == 5 else zlib.decompress)
+        (_lzw_decode if comp == 5
+         else _packbits_decode if comp == 32773
+         else zlib.decompress)
 
     def jpeg_chunk(raw: bytes) -> np.ndarray:
         """One Compression=7 strip/tile -> (rows, cols, nb). Abbreviated

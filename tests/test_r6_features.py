@@ -2140,3 +2140,33 @@ def test_gif_codec_roundtrip_and_structure(spark):
     # decode_image dispatch
     arr, fmt = decode_image(encode_gif(gif_indices(5), pal))
     assert fmt == "gif" and (arr == pal[gif_indices(5)]).all()
+
+
+def test_geotiff_packbits():
+    """PackBits (Compression=32773) round trip, the Apple spec vector,
+    and edge runs (128-byte literal cap, long repeats)."""
+    import numpy as np
+
+    from sedona_spark.sources.geotiff import (
+        _packbits_decode, _packbits_encode, decode_geotiff, encode_geotiff)
+    from sedona_spark.sources.images import make_pixels
+
+    # the worked example from the PackBits spec (Apple TN1023)
+    dec = bytes.fromhex(
+        "aaaaaa" "80002a" "aaaaaaaa" "80002a22" + "aa" * 10)
+    enc = bytes.fromhex("feaa" "0280002a" "fdaa" "0380002a22" "f7aa")
+    assert _packbits_decode(enc) == dec
+    assert _packbits_decode(_packbits_encode(dec)) == dec
+
+    rng = np.random.default_rng(3)
+    for blob in (b"", b"\x07", b"a" * 1000, bytes(rng.integers(0, 4, 700,
+                                                              dtype=np.uint8)),
+                 bytes(rng.integers(0, 256, 513, dtype=np.uint8))):
+        assert _packbits_decode(_packbits_encode(blob)) == blob
+
+    arr = make_pixels(5, 21, 13)
+    arr[3:7] = 9  # guarantee some repeat runs
+    buf = encode_geotiff(arr, 10.0, 20.0, 0.5, -0.5, 4326,
+                         compress="packbits")
+    out, ulx, uly, sx, sy, srid = decode_geotiff(buf)
+    assert (out == arr).all() and (ulx, uly, srid) == (10.0, 20.0, 4326)
