@@ -1300,17 +1300,28 @@ def _as_png_udf(buf: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _to_rgb3(arr: np.ndarray) -> np.ndarray:
+    """Engine-decoded array -> (h, w, 3): gray replicates, RGBA drops A."""
+    if arr.shape[2] == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[:, :, :3]
+
+
 @F.pandas_udf(BinaryType())
 def _as_gif_udf(buf: pd.Series) -> pd.Series:
     """RS_AsGIF: engine raster -> real GIF89a bytes. Exact path only:
     the image must carry <= 256 distinct colors (a palette is built
-    from them); true-color quantization is the documented seam."""
+    from them); true-color quantization is the documented seam.
+    NULL payloads yield NULL."""
     from sedona_spark.sources.gif import encode_gif
 
     out = []
     for b in buf:
-        arr, _ = decode_image(bytes(b))
-        flat = arr.reshape(-1, arr.shape[2])[:, :3]
+        if b is None:
+            out.append(None)
+            continue
+        arr = _to_rgb3(decode_image(bytes(b))[0])
+        flat = arr.reshape(-1, 3)
         pal, inv = np.unique(flat, axis=0, return_inverse=True)
         if len(pal) > 256:
             raise NotImplementedError(
@@ -1330,6 +1341,9 @@ def _from_gif_udf(buf: pd.Series) -> pd.DataFrame:
 
     recs = []
     for b in buf:
+        if b is None:
+            recs.append((None,) * 12)
+            continue
         arr = decode_gif(bytes(b))
         recs.append((
             encode_image(np.ascontiguousarray(arr), "fpng"),
@@ -1348,8 +1362,11 @@ def _as_bmp_udf(buf: pd.Series) -> pd.Series:
 
     out = []
     for b in buf:
+        if b is None:
+            out.append(None)
+            continue
         arr, _ = decode_image(bytes(b))
-        out.append(encode_bmp(arr[:, :, :3]))
+        out.append(encode_bmp(_to_rgb3(arr)))
     return pd.Series(out)
 
 
@@ -1360,6 +1377,9 @@ def _from_bmp_udf(buf: pd.Series) -> pd.DataFrame:
 
     recs = []
     for b in buf:
+        if b is None:
+            recs.append((None,) * 12)
+            continue
         arr = decode_bmp(bytes(b))
         recs.append((
             encode_image(np.ascontiguousarray(arr), "fpng"),

@@ -399,8 +399,17 @@ def commit_upsert(df: DataFrame, path: str, key: str | list[str]) -> int:
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     current = scan(spark, path)
+    # whole-row replace semantics: df must carry every table column —
+    # a narrower frame would silently NULL the omitted columns of every
+    # matched row (partial UPDATE SET needs an explicit join upstream)
+    missing = set(current.columns) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"commit_upsert: incoming frame lacks table columns "
+            f"{sorted(missing)} — matched rows would lose them; select "
+            f"the full row (join against scan()) before upserting")
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(df, allowMissingColumns=True)
+    merged = kept.unionByName(df.select(*current.columns))
     return _commit(path, merged, "overwrite",
                    _read_metadata(path).get("partition_by"),
                    {"merge_keys": keys})
@@ -416,10 +425,8 @@ def commit_delete(path: str, spark: SparkSession,
     documented optimization seam."""
     current = scan(spark, path)
     cond = F.lit(True)
-    for col, op, val in filters:
-        c = F.col(col)
-        cond = cond & {"=": c == val, "<": c < val, "<=": c <= val,
-                       ">": c > val, ">=": c >= val}[op]
+    for f in filters:
+        cond = cond & _predicate(f)
     # NULL predicate result = row does NOT match the delete → keep it
     keep = current.filter(F.coalesce(~cond, F.lit(True)))
     return _commit(path, keep, "overwrite",
@@ -505,6 +512,15 @@ def _refutes(f: dict, col: str, op: str, val) -> bool:
     return False
 
 
+def _predicate(f: tuple) -> "F.Column":
+    """One (col, op, val) filter tuple → the Column predicate — the one
+    place scan() and commit_delete() share their op semantics."""
+    col, op, val = f
+    c = F.col(col)
+    return {"=": c == val, "<": c < val, "<=": c <= val,
+            ">": c > val, ">=": c >= val}[op]
+
+
 def _apply_filters(files: list[dict],
                    filters: list[tuple] | None) -> list[dict]:
     for col, op, val in filters or []:
@@ -548,10 +564,8 @@ def scan(spark: SparkSession, path: str, snapshot_id: int | None = None,
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["path"]) for f in files]
     df = spark.read.schema(schema).parquet(*paths)
-    for col, op, val in filters or []:
-        c = F.col(col)
-        df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
-                        ">": c > val, ">=": c >= val}[op])
+    for f in filters or []:
+        df = df.filter(_predicate(f))
     return df
 
 

@@ -96,7 +96,11 @@ def encode_geotiff(
         pix = encode_jpeg(a[:, :, 0] if nb == 1 else a, quality=95)
         comp_id, predictor = 7, None
     elif compress == "packbits":
-        pix = _packbits_encode(a.tobytes())
+        # TIFF 6.0 §9: writers must pack each row separately (runs may
+        # not span rows) so row-at-a-time readers stay in sync
+        rows = a.reshape(h, w * nb)
+        pix = b"".join(_packbits_encode(rows[r].tobytes())
+                       for r in range(h))
         comp_id, predictor = 32773, None
     else:
         raise ValueError(f"unknown compress mode {compress!r}")

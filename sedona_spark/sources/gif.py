@@ -158,7 +158,11 @@ def decode_gif_frames(buf: bytes) -> list[np.ndarray]:
             idx = _deinterlace(idx, w, h)
         rgb = ct[np.minimum(idx, len(ct) - 1)].reshape(h, w, 3)
         frame = screen.copy()
-        frame[y:y + h, x:x + w] = rgb
+        # clip rects that overhang the logical screen (real-world GIFs
+        # do this; browsers clip rather than reject)
+        ch, cw = min(h, sh - y), min(w, sw - x)
+        if ch > 0 and cw > 0:
+            frame[y:y + ch, x:x + cw] = rgb[:ch, :cw]
         frames.append(frame)
     if not frames:
         raise ValueError("GIF: no image data")
@@ -190,27 +194,27 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
     head += bytes([8])  # LZW minimum code size
 
     clear, end = 256, 257
-    codes: list[int] = []
-    flat = idx.reshape(-1)
-    codes.append(clear)
-    for k, px in enumerate(map(int, flat)):
-        if k and k % 254 == 0:
-            codes.append(clear)  # keep the table small, width pinned at 9
-        codes.append(px)
-    codes.append(end)
+    flat = idx.reshape(-1).astype(np.uint16)
+    # CLEAR before every 254-pixel chunk keeps the table small and the
+    # code width pinned at 9 — assembled chunk-wise, no per-pixel loop
+    chunks: list[np.ndarray] = []
+    for i in range(0, max(len(flat), 1), 254):
+        chunks.append(np.array([clear], dtype=np.uint16))
+        chunks.append(flat[i:i + 254])
+    chunks.append(np.array([end], dtype=np.uint16))
+    codes = np.concatenate(chunks)
 
-    bits = bytearray()
-    acc = 0
-    nbits = 0
-    for c in codes:
-        acc |= c << nbits
-        nbits += 9
-        while nbits >= 8:
-            bits.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        bits.append(acc & 0xFF)
+    # vectorized 9-bit LSB-first packing: 8 codes -> 9 bytes
+    n = len(codes)
+    pad = (-n) % 8
+    c = np.concatenate([codes, np.zeros(pad, dtype=np.uint16)])
+    c = c.reshape(-1, 8).astype(np.uint32)
+    g = np.empty((c.shape[0], 9), dtype=np.uint8)
+    g[:, 0] = c[:, 0] & 0xFF
+    for k in range(1, 8):
+        g[:, k] = ((c[:, k - 1] >> (9 - k)) | (c[:, k] << k)) & 0xFF
+    g[:, 8] = (c[:, 7] >> 1) & 0xFF
+    bits = g.reshape(-1)[: (9 * n + 7) // 8].tobytes()
 
     body = bytearray()
     for i in range(0, len(bits), 255):

@@ -80,9 +80,9 @@ def decode_image(buf: bytes) -> tuple[np.ndarray, str]:
         from sedona_spark.sources.png import decode_png
 
         arr = decode_png(bytes(buf))
-        if arr.shape[2] == 1:
-            arr = np.repeat(arr, 3, axis=2)
-        return arr[:, :, :3], "png"
+        if arr.shape[2] in (1, 2):      # gray / gray+alpha → RGB
+            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+        return arr[:, :, :3], "png"     # RGBA → RGB
     magic, w, h, c = _HDR.unpack_from(buf, 0)
     if magic not in (_MAGIC_LOSSLESS, _MAGIC_LOSSY):
         raise NotImplementedError("external codec decode requires an image library")

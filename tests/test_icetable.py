@@ -306,3 +306,10 @@ def test_upsert_and_delete_cow(spark, tmp_path):
     gone |= {101}  # 101 % 4 == 1, v=7
     assert set(cur) - set(after) == gone
     assert it.scan(spark, path, snapshot_id=s3 - 1).count() == 23
+
+
+def test_upsert_requires_full_rows(spark, tmp_path):
+    path = str(tmp_path / "narrow")
+    it.commit_append(_batch(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        it.commit_upsert(spark.range(0, 2).select("id"), path, key="id")

@@ -2170,3 +2170,59 @@ def test_geotiff_packbits():
                          compress="packbits")
     out, ulx, uly, sx, sy, srid = decode_geotiff(buf)
     assert (out == arr).all() and (ulx, uly, srid) == (10.0, 20.0, 4326)
+
+
+def test_gif_overhang_clip_and_null_codec_sql(spark):
+    """Frame rects past the logical screen clip like browsers do; the
+    GIF/BMP SQL codecs pass NULL payloads through as NULLs."""
+    import struct
+
+    import numpy as np
+
+    import sedona_spark
+    from sedona_spark.sources.gif import (
+        decode_gif_frames, encode_gif, gif_palette)
+
+    pal = gif_palette()
+    buf = bytearray(encode_gif(np.full((4, 4), 2, np.uint8), pal))
+    di = 6 + 7 + 768
+    struct.pack_into("<HH", buf, di + 1, 2, 3)  # move rect to (2,3): overhang
+    fr = decode_gif_frames(bytes(buf))[0]
+    assert fr.shape == (4, 4, 3)
+    assert (fr[3:, 2:] == pal[2]).all() and (fr[0, 0] == 0).all()
+
+    sedona_spark.register(spark)
+    df = spark.createDataFrame([(None,)], "g binary")
+    df.createOrReplaceTempView("t_nullgif")
+    r = spark.sql(
+        "select RS_FromGIF(g) fg, RS_FromBMP(g) fb, RS_AsGIFRaw(g) ag, "
+        "RS_AsBMPRaw(g) ab from t_nullgif").first()
+    assert r["fg"]["buf"] is None and r["fb"]["w"] is None
+    assert r["ag"] is None and r["ab"] is None
+
+
+def test_decode_image_la_png_and_gray_bmp_sql(spark):
+    import numpy as np
+
+    import sedona_spark
+    from sedona_spark.sources.bmp import decode_bmp
+    from sedona_spark.sources.images import decode_image
+    from sedona_spark.sources.png import encode_png
+
+    la = np.zeros((3, 4, 2), dtype=np.uint8)
+    la[:, :, 0] = 77
+    la[:, :, 1] = 200
+    arr, fmt = decode_image(encode_png(la))
+    assert fmt == "png" and arr.shape == (3, 4, 3) and (arr == 77).all()
+
+    # single-band raster through RS_AsBMP: gray replicates to 3 channels
+    sedona_spark.register(spark)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    df = spark.createDataFrame([(encode_png(gray),)], "p binary")
+    df.createOrReplaceTempView("t_graybmp")
+    out = spark.sql(
+        "select RS_AsBMP(RS_FromPNG(p)) b from t_graybmp").first()["b"]
+    dec = decode_bmp(bytes(out))
+    assert dec.shape == (3, 4, 3)
+    assert (dec[:, :, 0] == gray[:, :, 0]).all()
+    assert (dec[:, :, 1] == dec[:, :, 0]).all()
