@@ -602,6 +602,43 @@ def incremental_scan(spark: SparkSession, path: str, from_snapshot_id: int,
         *[os.path.join(path, f["path"]) for f in files])
 
 
+def metadata_table(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Iceberg inspection tables (``SELECT * FROM tbl.snapshots`` etc.)
+    as DataFrames: ``snapshots`` (id, parent, ts, operation, added/total
+    rows+bytes), ``files`` (current snapshot's file plan with rows,
+    bytes, partition value), ``history`` (metadata versions via the
+    snapshot log). Metadata only — never touches data bytes."""
+    meta = _read_metadata(path)
+    if meta is None:
+        raise FileNotFoundError(f"no icetable at {path}")
+    if kind == "snapshots":
+        rows = [(s["snapshot_id"], s.get("parent_id"), s["timestamp_ms"],
+                 s["operation"], s["summary"]["added_files"],
+                 s["summary"]["added_rows"], s["summary"]["added_bytes"],
+                 s["summary"]["total_rows"])
+                for s in meta["snapshots"]]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, timestamp_ms long, "
+                  "operation string, added_files long, added_rows long, "
+                  "added_bytes long, total_rows long")
+    if kind == "files":
+        rows = [(f["path"], f["rows"], f["bytes"],
+                 json.dumps(f["partition"], sort_keys=True))
+                for f in plan_files(path)]
+        return spark.createDataFrame(
+            rows, "file_path string, record_count long, "
+                  "file_size_in_bytes long, partition string")
+    if kind == "history":
+        rows = [(s["timestamp_ms"], s["snapshot_id"],
+                 s["snapshot_id"] == meta["current_snapshot_id"])
+                for s in meta["snapshots"]]
+        return spark.createDataFrame(
+            rows, "made_current_at long, snapshot_id long, "
+                  "is_current_ancestor boolean")
+    raise ValueError(f"unknown metadata table {kind!r} "
+                     "(snapshots | files | history)")
+
+
 # ---------------------------------------------------------------------------
 # maintenance
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ from pyspark.sql.functions import pandas_udf
 _EXIF_MAGIC = b"Exif\x00\x00"
 
 _T_DESCRIPTION = 0x010E  # IFD0, ASCII
+_T_ORIENTATION = 0x0112  # IFD0, SHORT 1-8 (TIFF/EXIF orientation)
 _T_GPS_IFD = 0x8825      # IFD0, LONG pointer to the GPS sub-IFD
 _G_VERSION = 0x0000      # BYTE x4
 _G_LAT_REF = 0x0001      # ASCII "N"/"S"
@@ -57,14 +58,16 @@ GPS_DEN = 10_000_000  # degree-only rational denominator (1e-7 deg)
 
 
 def build_exif_app1(lat_e7: int, lon_e7: int,
-                    description: str | None = None) -> bytes:
+                    description: str | None = None,
+                    orientation: int | None = None) -> bytes:
     """Build a little-endian EXIF APP1 segment carrying a GPS geotag
-    (signed 1e-7-degree integers → exact rationals) and an optional
-    ImageDescription string. Returns the full FFE1 segment bytes."""
+    (signed 1e-7-degree integers → exact rationals), an optional
+    ImageDescription string, and an optional Orientation (tag 0x0112,
+    values 1-8). Returns the full FFE1 segment bytes."""
     desc = (description or "").encode("ascii", "replace") + b"\x00"
 
     # --- IFD0 -------------------------------------------------------------
-    n0 = 2 if description is not None else 1
+    n0 = (1 + (description is not None) + (orientation is not None))
     ifd0_off = 8                       # right after the TIFF header
     ifd0_size = 2 + 12 * n0 + 4
     gps_off = ifd0_off + ifd0_size
@@ -102,8 +105,13 @@ def build_exif_app1(lat_e7: int, lon_e7: int,
     ifd0_entries = []
     if description is not None:
         ifd0_entries.append(_entry(_T_DESCRIPTION, _TY_ASCII, len(desc), desc))
+    if orientation is not None:
+        ifd0_entries.append(_entry(_T_ORIENTATION, _TY_SHORT, 1,
+                                   struct.pack("<H", int(orientation))))
     ifd0_entries.append(
         struct.pack("<HHLL", _T_GPS_IFD, _TY_LONG, 1, gps_off))
+    # IFD entries must be sorted by tag id (TIFF 6.0 requirement)
+    ifd0_entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
 
     tiff = bytearray(b"II*\x00" + struct.pack("<L", ifd0_off))
     tiff += struct.pack("<H", n0) + b"".join(ifd0_entries) + b"\x00\x00\x00\x00"
@@ -216,6 +224,73 @@ def extract_exif(jpeg: bytes):
             return _parse_tiff_exif(jpeg[pos + 10:pos + 2 + seglen])
         pos += 2 + seglen
     return None, None, None
+
+
+def exif_orientation(jpeg: bytes) -> int:
+    """TIFF/EXIF Orientation (tag 0x0112) from the APP1 segment; 1
+    (upright) when absent — the value every viewer assumes."""
+    if jpeg[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            break
+        marker = jpeg[pos + 1]
+        if marker == 0xDA or marker == 0xD9:
+            break
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", jpeg[pos + 2:pos + 4])[0]
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == _EXIF_MAGIC:
+            tiff = jpeg[pos + 10:pos + 2 + seglen]
+            if tiff[:2] == b"II":
+                bo = "<"
+            elif tiff[:2] == b"MM":
+                bo = ">"
+            else:
+                return 1
+            try:
+                off = struct.unpack(bo + "L", tiff[4:8])[0]
+                n = struct.unpack(bo + "H", tiff[off:off + 2])[0]
+                for k in range(n):
+                    e = off + 2 + 12 * k
+                    tag, typ, _cnt = struct.unpack(bo + "HHL",
+                                                   tiff[e:e + 8])
+                    if tag == _T_ORIENTATION and typ == _TY_SHORT:
+                        v = struct.unpack(bo + "H", tiff[e + 8:e + 10])[0]
+                        return v if 1 <= v <= 8 else 1
+            except struct.error:
+                return 1
+            return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Upright a decoded (h, w, c) array per the EXIF orientation value
+    (the transform a viewer applies so the image displays correctly):
+    1=identity, 2=flip-H, 3=rot180, 4=flip-V, 5=transpose,
+    6=rot90 CW, 7=transverse, 8=rot90 CCW."""
+    o = int(orientation)
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    if o == 5:
+        return np.swapaxes(arr, 0, 1)
+    if o == 6:
+        return np.swapaxes(arr, 0, 1)[:, ::-1]
+    if o == 7:
+        return np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.swapaxes(arr, 0, 1)[::-1, :]
+    return arr
 
 
 # ---------------------------------------------------------------------------

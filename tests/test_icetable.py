@@ -313,3 +313,16 @@ def test_upsert_requires_full_rows(spark, tmp_path):
     it.commit_append(_batch(spark, 0, 5), path)
     with pytest.raises(ValueError, match="lacks table columns"):
         it.commit_upsert(spark.range(0, 2).select("id"), path, key="id")
+
+
+def test_metadata_tables(spark, table):
+    snaps = it.metadata_table(spark, table, "snapshots").collect()
+    assert [r["snapshot_id"] for r in snaps] == [1, 2]
+    assert snaps[1]["total_rows"] == 100 and snaps[1]["operation"] == "append"
+    files = it.metadata_table(spark, table, "files")
+    assert files.count() == len(it.plan_files(table))
+    assert files.agg(F.sum("record_count")).first()[0] == 100
+    hist = it.metadata_table(spark, table, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == [1, 2]
+    with pytest.raises(ValueError):
+        it.metadata_table(spark, table, "manifests")

@@ -2226,3 +2226,41 @@ def test_decode_image_la_png_and_gray_bmp_sql(spark):
     assert dec.shape == (3, 4, 3)
     assert (dec[:, :, 0] == gray[:, :, 0]).all()
     assert (dec[:, :, 1] == dec[:, :, 0]).all()
+
+
+def test_exif_orientation_tag_and_transforms():
+    import numpy as np
+
+    from sedona_spark.sources.exif import (
+        apply_orientation, build_exif_app1, exif_orientation, extract_exif,
+        geotag_e7, inject_app1)
+    from sedona_spark.sources.images import make_pixels
+    from sedona_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    lat_e7, lon_e7 = geotag_e7(6)
+    for o in range(1, 9):
+        buf = inject_app1(
+            encode_jpeg(make_pixels(6, 16, 16), 90),
+            build_exif_app1(lat_e7, lon_e7, "cap", orientation=o))
+        assert exif_orientation(buf) == o
+        # geotag/caption decode is orientation-agnostic and still exact
+        la, lo, de = extract_exif(buf)
+        assert (la, lo, de) == (lat_e7 / 1e7, lon_e7 / 1e7, "cap")
+        decode_jpeg(buf)  # payload untouched
+    # absent tag -> 1
+    assert exif_orientation(encode_jpeg(make_pixels(1, 16, 16))) == 1
+    buf0 = inject_app1(encode_jpeg(make_pixels(2, 16, 16)),
+                       build_exif_app1(lat_e7, lon_e7, "x"))
+    assert exif_orientation(buf0) == 1
+
+    arr = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert (apply_orientation(arr, 1) == arr).all()
+    assert (apply_orientation(arr, 3) == np.rot90(arr, 2)).all()
+    assert (apply_orientation(arr, 6) == np.rot90(arr, -1)).all()
+    assert (apply_orientation(arr, 8) == np.rot90(arr, 1)).all()
+    assert (apply_orientation(arr, 2) == arr[:, ::-1]).all()
+    assert (apply_orientation(arr, 4) == arr[::-1]).all()
+    assert apply_orientation(arr, 5).shape == (7, 5, 3)
+    # 7 = transverse: transpose of rot180
+    assert (apply_orientation(arr, 7)
+            == np.swapaxes(np.rot90(arr, 2), 0, 1)).all()
