@@ -1115,7 +1115,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + stats. mean_lum = exact-int pixel sum / size → the DuckDB
     twin regenerates every pixel of the deterministic codec and matches
     bit-for-bit (full decode-correctness oracle, not just dims)."""
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "bytes"))
     return rs_decode_stats(imgs)
 
 
@@ -1124,7 +1124,7 @@ def q_rs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin regenerates the exact decoded value (incl. lossy quantization)."""
     from sedona_spark.functions.raster import rs_value
 
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "bytes"))
     i = F.substring("image_id", 5, 12).cast("long")  # img_%012d → key
     px = i % 32  # deterministic in-bounds coords (min w=32, min h=32)
     py = i % 31
@@ -1143,7 +1143,7 @@ def q_rs_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is pytest-gated; the sum is the value oracle)."""
     from sedona_spark.functions.raster import rs_clip
 
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "bytes"))
     out = rs_clip(imgs, 4, 4, 16, 16)
     return out.select(
         "image_id",
@@ -1158,8 +1158,8 @@ def q_rs_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer oracle over regenerated pixels."""
     from sedona_spark.functions.raster import rs_map_algebra
 
-    imgs = images_from_part(spark, sf_dir)
-    out = rs_map_algebra(imgs, "clamp2x")
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "bytes"))
+    out = rs_map_algebra(imgs, "clamp2x", keep_bytes=False)
     return out.select(
         "image_id", "out_sum",
         F.col("out_min").cast("long").alias("out_min"),
@@ -1180,10 +1180,11 @@ def q_rs_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=50)
+    imgs = images_from_part(spark, sf_dir, id_mod=50,
+                            columns=("image_id", "bytes"))
     nd = rs_normalized_difference(imgs, 0, 1)
     cnt = rs_count_value(imgs, 130, band=0)
-    st = rs_set_values(imgs, 200, 2, 1, 8, 6, band=0).drop("out_bytes")
+    st = rs_set_values(imgs, 200, 2, 1, 8, 6, band=0, keep_bytes=False)
     return nd.join(cnt, "image_id").join(st, "image_id")
 
 
@@ -1224,7 +1225,8 @@ def q_image_tensorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive the normalized channel means."""
     from sedona_spark.pipeline.images import tensorize
 
-    imgs = images_from_part(spark, sf_dir, id_mod=10)
+    imgs = images_from_part(spark, sf_dir, id_mod=10,
+                            columns=("image_id", "bytes"))
     return tensorize(imgs, size=32, keep_tensor=False)
 
 
@@ -1266,7 +1268,7 @@ def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-batch manifest SDXL-style trainers shard by)."""
     from sedona_spark.pipeline.images import aspect_buckets
 
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "w", "h"))
     return aspect_buckets(imgs, batch_size=8)
 
 
@@ -1289,7 +1291,8 @@ def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture sizes 32/64/48/96 are all multiples of 16)."""
     from sedona_spark.pipeline.images import patchify_sums
 
-    imgs = images_from_part(spark, sf_dir, id_mod=20)
+    imgs = images_from_part(spark, sf_dir, id_mod=20,
+                            columns=("image_id", "bytes"))
     return patchify_sums(imgs, patch=16)
 
 
@@ -1317,7 +1320,7 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles mirror the oracle's IEEE op order."""
     from sedona_spark.pipeline.images import channel_stats
 
-    imgs = images_from_part(spark, sf_dir, id_mod=4)
+    imgs = images_from_part(spark, sf_dir, id_mod=4, columns=("bytes",))
     return channel_stats(imgs)
 
 
@@ -1355,7 +1358,8 @@ def q_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum."""
     from sedona_spark.pipeline.images import downsample_stats
 
-    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    imgs = images_from_part(spark, sf_dir, id_mod=8,
+                            columns=("image_id", "bytes"))
     return downsample_stats(imgs, factor=16)
 
 
@@ -1393,7 +1397,8 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     crop window and the flip, not just the pixel multiset."""
     from sedona_spark.pipeline.images import augment_stats
 
-    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    imgs = images_from_part(spark, sf_dir, id_mod=8,
+                            columns=("image_id", "bytes"))
     return augment_stats(imgs, crop=32, flip=True)
 
 
@@ -1430,7 +1435,8 @@ def q_image_text_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot/norms exact in int64, ONE mirrored IEEE division for the cosine."""
     from sedona_spark.pipeline.images import image_text_align
 
-    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    imgs = images_from_part(spark, sf_dir, id_mod=8,
+                            columns=("image_id", "bytes", "caption"))
     return image_text_align(imgs)
 
 
@@ -1559,7 +1565,8 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; at 100 TB the signals feed Column threshold filters."""
     from sedona_spark.pipeline.quality import image_quality_stats
 
-    imgs = images_from_part(spark, sf_dir, id_mod=24)
+    imgs = images_from_part(spark, sf_dir, id_mod=24,
+                            columns=("image_id", "bytes"))
     return image_quality_stats(imgs)
 
 
@@ -1889,7 +1896,8 @@ def q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.pipeline.sampling import hash_bucket
     from sedona_spark.pipeline.shards import shard_manifest
 
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir,
+                            columns=("image_id", "w", "h", "caption"))
     i = F.substring("image_id", 5, 12).cast("long")
     payload = (F.col("w").cast("long") * F.col("h") * 3
                + F.length("caption").cast("long"))
@@ -1965,7 +1973,7 @@ def q_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width shuffle."""
     from sedona_spark.pipeline.images import channel_histogram
 
-    imgs = images_from_part(spark, sf_dir, id_mod=8)
+    imgs = images_from_part(spark, sf_dir, id_mod=8, columns=("bytes",))
     return channel_histogram(imgs)
 
 
@@ -2086,7 +2094,8 @@ def q_rs_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_value_bilinear
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=20)
+    imgs = images_from_part(spark, sf_dir, id_mod=20,
+                            columns=("image_id", "bytes", "lon", "lat"))
     i = F.regexp_extract(F.col("image_id"), r"(\d+)", 1).cast("long")
     ps = 1e-3
     imgs = imgs.withColumn(
@@ -2127,7 +2136,8 @@ def q_rs_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_convolve
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=40)
+    imgs = images_from_part(spark, sf_dir, id_mod=40,
+                            columns=("image_id", "bytes"))
     return rs_convolve(imgs, [[1, 1, 1], [1, 1, 1], [1, 1, 1]], band=0)
 
 
@@ -2155,7 +2165,7 @@ from pix group by i, w, h
 def q_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile grid of the exploded tiles (tile bytes themselves are checked by
     the pytest byte-identity/PSNR gates; zlib output is not SQL-expressible)."""
-    imgs = images_from_part(spark, sf_dir)
+    imgs = images_from_part(spark, sf_dir, columns=("image_id", "bytes"))
     t = rs_tile_explode(imgs, 16, 16)
     return t.select(
         "image_id",
@@ -2505,7 +2515,8 @@ def q_rs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_resample
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=200)
+    imgs = images_from_part(spark, sf_dir, id_mod=200,
+                            columns=("image_id", "bytes"))
     out = rs_resample(imgs, 24, 20, mode="nearest")
     return out.select(
         "image_id",
@@ -3251,12 +3262,13 @@ def q_spherical_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat0 = (k * 53 % 80 - 40).cast("double") + 0.5
     dl = F.lit(18.0)
     t = (k % 7 + 12).cast("double") + 0.25
-    sring = F.array(
-        lon0 - dl, lat0 - t, lon0 + dl, lat0 - t,
-        lon0 + dl, lat0 + t, lon0 - dl, lat0 + t,
-    )
+    # broadcast only the SCALAR zone terms; the 8-double ring array is
+    # assembled AFTER the prefilter so the cross join never copies an
+    # array per candidate row (at 10× rows the per-row array copy was
+    # the join's dominant byte traffic — guide §2.3 "project before the
+    # exchange", applied to a broadcast join's output)
     zz = na.select(
-        "n_nationkey", sring.alias("sring"),
+        "n_nationkey",
         lon0.alias("_lon0"), lat0.alias("_lat0"), t.alias("_t"),
     )
     j = pts.crossJoin(F.broadcast(zz))
@@ -3271,8 +3283,14 @@ def q_spherical_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("y") >= F.col("_lat0") - F.col("_t") - 8.0)
         & (F.col("y") <= F.col("_lat0") + F.col("_t") + 8.0)
     )
+    sring = F.array(
+        F.col("_lon0") - dl, F.col("_lat0") - F.col("_t"),
+        F.col("_lon0") + dl, F.col("_lat0") - F.col("_t"),
+        F.col("_lon0") + dl, F.col("_lat0") + F.col("_t"),
+        F.col("_lon0") - dl, F.col("_lat0") + F.col("_t"),
+    )
     return (
-        j.filter(st_contains_sphere(F.col("sring"), F.col("x"), F.col("y")))
+        j.filter(st_contains_sphere(sring, F.col("x"), F.col("y")))
         .groupBy("n_nationkey")
         .agg(F.count(F.lit(1)).alias("n_in"))
     )
@@ -3971,7 +3989,8 @@ def q_rs_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_zonal_stats_agg
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=100)
+    imgs = images_from_part(spark, sf_dir, id_mod=100,
+                            columns=("image_id", "bytes", "lon", "lat"))
     zones = diamond_zones_from_nation(spark, sf_dir)
     return rs_zonal_stats_agg(imgs, zones, band=0, pixel_size=2.0)
 
@@ -4047,7 +4066,8 @@ def q_rs_pixel_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_pixel_as_points
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=200)
+    imgs = images_from_part(spark, sf_dir, id_mod=200,
+                            columns=("image_id", "bytes", "lon", "lat"))
     return rs_pixel_as_points(imgs, band=0).select(
         "image_id",
         F.col("px").cast("long").alias("px"),
@@ -4688,7 +4708,8 @@ def q_rs_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_interpolate_idw
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=50)
+    imgs = images_from_part(spark, sf_dir, id_mod=50,
+                            columns=("image_id", "bytes"))
     out = rs_interpolate_idw(imgs, nodata=0, radius=2)
     return out.select(
         "image_id", "n_nodata", F.round("fill_sum", 2).alias("fill_sum")
@@ -4741,7 +4762,8 @@ def q_rs_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_build_pyramid
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=100)
+    imgs = images_from_part(spark, sf_dir, id_mod=100,
+                            columns=("image_id", "bytes"))
     out = rs_build_pyramid(imgs, max_level=2)
     return out.select("image_id", "level", "out_w", "out_h", "pix_sum")
 
@@ -4790,9 +4812,21 @@ def q_hilbert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.sources.testdata import points_from_events
 
     pts = points_from_events(spark, sf_dir)
-    cell = cells.hilbert_cell_id(F.col("x"), F.col("y"), 4)
-    return pts.groupBy(cell.alias("hcell")).agg(
-        F.count("*").alias("n_points")
+    # aggregate on the raw grid indices FIRST (≤ 2^4·2^4 = 256 groups),
+    # then run the unrolled Hilbert walk on the aggregated rows only:
+    # the walk's nested CASE tree re-references its inputs per level, so
+    # evaluating it per-point is the dominant cost at scale, while
+    # (gx, gy) ↔ hcell is bijective so the group sets are identical
+    # (guide §1.2: fix the distributed algorithm before the inner loop).
+    lv = 4
+    grouped = pts.groupBy(
+        cells._grid_x(F.col("x"), lv).alias("_gx"),
+        cells._grid_y(F.col("y"), lv).alias("_gy"),
+    ).agg(F.count("*").alias("n_points"))
+    d = cells.hilbert_from_grid(F.col("_gx"), F.col("_gy"), lv)
+    return grouped.select(
+        (F.lit(lv * cells._L_MULT) + d).cast("long").alias("hcell"),
+        "n_points",
     )
 
 
@@ -5041,7 +5075,8 @@ def q_sql_api_rs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.sources.images import images_from_part
 
     sedona_spark.register(spark)
-    images_from_part(spark, sf_dir, id_mod=50).createOrReplaceTempView(
+    images_from_part(spark, sf_dir, id_mod=50,
+                     columns=("image_id", "bytes", "w", "h")).createOrReplaceTempView(
         "img"
     )
     return spark.sql("""
@@ -5947,7 +5982,8 @@ def q_geotiff_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.sources.images import images_from_part
 
     sedona_spark.register(spark)
-    images_from_part(spark, sf_dir, id_mod=50).createOrReplaceTempView(
+    images_from_part(spark, sf_dir, id_mod=50,
+                     columns=("image_id", "bytes", "w", "h")).createOrReplaceTempView(
         "img"
     )
     return spark.sql("""
@@ -6217,7 +6253,8 @@ def q_rs_union_aggr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sedona_spark.functions.raster import rs_union_aggr
     from sedona_spark.sources.images import images_from_part
 
-    imgs = images_from_part(spark, sf_dir, id_mod=150)
+    imgs = images_from_part(spark, sf_dir, id_mod=150,
+                            columns=("image_id", "bytes"))
     keyed = imgs.withColumn(
         "grp",
         (F.col("image_id").substr(F.lit(5), F.lit(12)).cast("long")

@@ -235,6 +235,7 @@ def rs_map_algebra(
     expr: str = "clamp2x",
     id_col: str = "image_id",
     bytes_col: str = "bytes",
+    keep_bytes: bool = True,
 ) -> DataFrame:
     """RS_MapAlgebra analog: per-pixel arithmetic over the decoded bands,
     re-encoded losslessly. Supported expressions (vectorized numpy):
@@ -244,7 +245,12 @@ def rs_map_algebra(
     * ``band_mean`` — per-pixel mean over bands, broadcast back (grayscale)
 
     Exact integer ops only, so the DuckDB oracle regenerates the same
-    values closed-form (``_image_decode_sql`` pattern)."""
+    values closed-form (``_image_decode_sql`` pattern).
+
+    ``keep_bytes=False`` skips the zlib re-encode and emits only the
+    stats columns — the projection a stats-only caller needs (Catalyst
+    cannot prune a column out of a python stage, so the caller must ask
+    here; the encode is ~half the per-image cost)."""
     cols = images.select(id_col, bytes_col)
 
     def apply(arr: np.ndarray) -> np.ndarray:
@@ -258,24 +264,27 @@ def rs_map_algebra(
             return np.repeat(m[:, :, None], a.shape[2], axis=2).astype(np.uint8)
         raise ValueError(f"unknown map-algebra expr {expr!r}")
 
+    out_schema = _ALGEBRA_SCHEMA if keep_bytes else StructType(
+        [f for f in _ALGEBRA_SCHEMA.fields if f.name != "out_bytes"])
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             recs = []
             for iid, buf in zip(b[id_col], b[bytes_col]):
                 arr, _ = decode_image(bytes(buf))
                 t = apply(arr)
+                row = (iid,) + (
+                    (encode_image(t, "fpng"),) if keep_bytes else ())
                 recs.append(
-                    (
-                        iid,
-                        encode_image(t, "fpng"),
+                    row + (
                         int(t.sum(dtype=np.int64)),
                         int(t.min()),
                         int(t.max()),
                     )
                 )
-            yield pd.DataFrame(recs, columns=[f.name for f in _ALGEBRA_SCHEMA.fields])
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
 
-    return cols.mapInPandas(gen, schema=_ALGEBRA_SCHEMA)
+    return cols.mapInPandas(gen, schema=out_schema)
 
 
 @F.pandas_udf(DoubleType())
@@ -656,11 +665,13 @@ def rs_set_values(
     value: int,
     x0: int, y0: int, w: int, h: int,
     band: int = 0,
+    keep_bytes: bool = True,
     **kw,
 ) -> DataFrame:
     """RS_SetValues analog: burn ``value`` into the [x0, x0+w)×[y0, y0+h)
     window of ``band`` (clipped to the raster), re-encode losslessly, and
-    report the new band sum — the write path of the map-algebra family."""
+    report the new band sum — the write path of the map-algebra family.
+    ``keep_bytes=False`` skips the zlib re-encode (stats-only callers)."""
     v, bnd = int(value), int(band)
     x0, y0, w, h = int(x0), int(y0), int(w), int(h)
     id_col = kw.get("id_col", "image_id")
@@ -674,14 +685,17 @@ def rs_set_values(
                 arr, _ = decode_image(bytes(buf))
                 t = arr.copy()
                 t[y0:y0 + h, x0:x0 + w, bnd] = v
-                recs.append((
-                    iid,
-                    encode_image(t, "fpng"),
-                    int(t[:, :, bnd].sum(dtype=np.int64)),
-                ))
-            yield pd.DataFrame(recs, columns=["image_id", "out_bytes", "set_sum"])
+                row = (iid,) + (
+                    (encode_image(t, "fpng"),) if keep_bytes else ())
+                recs.append(row + (int(t[:, :, bnd].sum(dtype=np.int64)),))
+            cols_out = (["image_id"]
+                        + (["out_bytes"] if keep_bytes else [])
+                        + ["set_sum"])
+            yield pd.DataFrame(recs, columns=cols_out)
 
-    return cols.mapInPandas(gen, "image_id string, out_bytes binary, set_sum long")
+    sch = ("image_id string, out_bytes binary, set_sum long" if keep_bytes
+           else "image_id string, set_sum long")
+    return cols.mapInPandas(gen, sch)
 
 
 def rs_value_bilinear(

@@ -157,28 +157,51 @@ def _geotag(i: int) -> tuple[float, float]:
     return (gx + 0.5) / 10.0, (gy + 0.5) / 10.0
 
 
-def _rows_for_ids(ids: np.ndarray) -> pd.DataFrame:
-    recs = []
-    for i in map(int, ids):
-        w = (32, 64, 48)[i % 3]
-        h = (32, 48, 96)[i % 3]
-        fmt = "fpng" if i % 4 else "fjpg"
-        arr = make_pixels(i, w, h)
-        lon, lat = _geotag(i)
-        recs.append(
-            (
-                f"img_{i:012d}",
-                encode_image(arr, fmt),
-                w,
-                h,
-                fmt,
-                _caption(i),
-                phash64(arr),
-                lon,
-                lat,
-            )
-        )
-    return pd.DataFrame(recs, columns=[f.name for f in _IMG_SCHEMA.fields])
+def _rows_for_ids(ids: np.ndarray, columns: tuple[str, ...] | None = None) -> pd.DataFrame:
+    """Fixture rows for the given ids. ``columns`` (schema-order subset)
+    is the synth-side analog of parquet column pruning: a query that only
+    aggregates metadata (w/h/caption) must not pay for pixel synthesis +
+    zlib encode + phash of every image (guide §4: opaque python stages
+    defeat Catalyst pruning, so the pruning lives in the generator)."""
+    names = [f.name for f in _IMG_SCHEMA.fields]
+    cols = names if columns is None else [n for n in names if n in set(columns)]
+    want = set(cols)
+    ii = np.asarray(ids, dtype=np.int64)
+    mod3 = ii % 3
+    ws = np.array([32, 64, 48], dtype=np.int64)[mod3]
+    hs = np.array([32, 48, 96], dtype=np.int64)[mod3]
+    out: dict[str, object] = {}
+    if "image_id" in want:
+        out["image_id"] = [f"img_{i:012d}" for i in map(int, ii)]
+    if "bytes" in want or "phash" in want:
+        blobs: list[bytes] = []
+        hashes: list[int] = []
+        for i, w, h in zip(map(int, ii), map(int, ws), map(int, hs)):
+            arr = make_pixels(i, w, h)
+            if "bytes" in want:
+                blobs.append(encode_image(arr, "fpng" if i % 4 else "fjpg"))
+            if "phash" in want:
+                hashes.append(phash64(arr))
+        if "bytes" in want:
+            out["bytes"] = blobs
+        if "phash" in want:
+            out["phash"] = np.asarray(hashes, dtype=np.int64)
+    if "w" in want:
+        out["w"] = ws
+    if "h" in want:
+        out["h"] = hs
+    if "fmt" in want:
+        out["fmt"] = np.where(ii % 4 != 0, "fpng", "fjpg").tolist()
+    if "caption" in want:
+        out["caption"] = [_caption(int(i)) for i in ii]
+    if "lon" in want or "lat" in want:
+        gx = (ii * 2654435761) % 1000
+        gy = (ii * 2246822519) % 1000
+        if "lon" in want:
+            out["lon"] = (gx + 0.5) / 10.0
+        if "lat" in want:
+            out["lat"] = (gy + 0.5) / 10.0
+    return pd.DataFrame({c: out[c] for c in cols})
 
 
 def keyed_fixture_table(
@@ -193,6 +216,7 @@ def keyed_fixture_table(
     n: int | None = None,
     start: int = 0,
     partitions: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Shared scaffold for the deterministic multimodal fixtures (image,
     audio, video): take ids from a driver testdata table (oracle SQL can
@@ -200,7 +224,12 @@ def keyed_fixture_table(
     BEFORE the CPU-heavy synth+encode stage (filter-pushdown posture),
     spread across the cluster (the key table is one tiny split at test
     SFs while synthesis is ~10⁴× CPU per input byte), then run
-    ``rows_fn(ids) -> pd.DataFrame`` as one Arrow-batched pass."""
+    ``rows_fn(ids) -> pd.DataFrame`` as one Arrow-batched pass.
+
+    ``columns`` prunes the output schema to a subset (schema order
+    preserved) and forwards the subset to ``rows_fn(ids, columns=...)``
+    so the generator skips the synthesis of unused columns — Catalyst
+    cannot prune into a python stage, so the pruning must live here."""
     if sf_dir is not None:
         src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         ids = src.select(F.col(key_col).cast("long").alias("id"))
@@ -213,9 +242,18 @@ def keyed_fixture_table(
     if partitions:
         ids = ids.repartition(partitions)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            yield rows_fn(b["id"].to_numpy())
+    if columns is not None:
+        want = set(columns)
+        schema = StructType([f for f in schema.fields if f.name in want])
+        cols = tuple(f.name for f in schema.fields)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                yield rows_fn(b["id"].to_numpy(), columns=cols)
+    else:
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                yield rows_fn(b["id"].to_numpy())
 
     return ids.mapInPandas(gen, schema=schema)
 
@@ -227,7 +265,8 @@ def synthesize_images(spark: SparkSession, n: int, partitions: int = 0) -> DataF
 
 
 def images_from_part(
-    spark: SparkSession, sf_dir: str, id_mod: int | None = None
+    spark: SparkSession, sf_dir: str, id_mod: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Image table keyed off the driver testdata ``part`` table (so oracle
     SQL can reproduce the metadata side deterministically).
@@ -239,7 +278,10 @@ def images_from_part(
 
     ``id_mod`` keeps only ids divisible by it BEFORE synthesis — the
     filter-pushdown any subset query needs (synthesizing 100× the rows to
-    filter after the expensive stage is the anti-pattern)."""
+    filter after the expensive stage is the anti-pattern).
+
+    ``columns`` prunes synthesis to the named schema subset (e.g. a
+    metadata-only aggregate must not pay for pixels+zlib+phash)."""
     return keyed_fixture_table(
         spark, _rows_for_ids, _IMG_SCHEMA,
-        sf_dir=sf_dir, id_mod=id_mod)
+        sf_dir=sf_dir, id_mod=id_mod, columns=columns)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -88,6 +89,53 @@ def _len_field(tag: int, payload: bytes) -> bytes:
 def _packed_sint64(tag: int, vals) -> bytes:
     body = b"".join(_varint(_zigzag(v)) for v in vals)
     return _len_field(tag, body)
+
+
+def _varints_np(u: "np.ndarray") -> bytes:
+    """Vectorized varint encoding of a uint64 array — byte-identical to
+    ``b"".join(_varint(int(v)) for v in u)`` (the per-node python loop is
+    the write path's hot spot at scale; guide §4.2: hand whole batches to
+    numpy)."""
+    u = np.ascontiguousarray(u, dtype=np.uint64)
+    n = len(u)
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (u >= np.uint64(1 << (7 * k))).astype(np.int64)
+    shifts = np.uint64(7) * np.arange(10, dtype=np.uint64)
+    parts = (u[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    ks = np.arange(10, dtype=np.int64)
+    mask = ks[None, :] < nb[:, None]
+    cont = (ks[None, :] < (nb - 1)[:, None]).astype(np.uint64)
+    mat = (parts | (cont << np.uint64(7))).astype(np.uint8)
+    return mat[mask].tobytes()
+
+
+def _packed_sint64_np(tag: int, vals: "np.ndarray") -> bytes:
+    """numpy twin of :func:`_packed_sint64` (zigzag in int64 wraps like
+    the arbitrary-precision form for |v| < 2^62 — coordinate deltas are
+    ≤ 3.6e9)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    zz = ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+    return _len_field(tag, _varints_np(zz))
+
+
+def _parse_packed_sint64_np(payload: bytes) -> "np.ndarray":
+    """Vectorized packed-sint64 parse → int64 array (value-identical to
+    :func:`_parse_packed_sint64`)."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    pos_in = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+    vals7 = (b & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * pos_in.astype(np.uint64))
+    u = np.bitwise_or.reduceat(vals7, starts)
+    return ((u >> np.uint64(1))
+            ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
 
 
 def _iter_fields(buf: bytes):
@@ -210,34 +258,39 @@ def write_osm_pbf(
     if order_col is not None:
         df = df.orderBy(order_col)
     cols = [id_col, lon, lat] + ([tags_col] if tags_col else [])
-    rows = df.select(*cols).collect()
+    # Arrow transfer + numpy per-block encode: the per-node python loop
+    # (Row access + _varint per value) was the dominant cost of this
+    # driver-side sink at scale; the emitted bytes are identical.
+    pdf = df.select(*cols).toPandas()
+    n_rows = len(pdf)
+    all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    # 100-nanodegree units (granularity 100, offsets 0); np.round is
+    # round-half-even exactly like python round() on floats
+    all_lats = np.round(
+        pdf[lat].to_numpy(dtype=np.float64) * 1e7).astype(np.int64)
+    all_lons = np.round(
+        pdf[lon].to_numpy(dtype=np.float64) * 1e7).astype(np.int64)
+    all_tags = pdf[tags_col].tolist() if tags_col else None
     # HeaderBlock: required_features(4) strings
     header = (_len_field(4, b"OsmSchema-V0.6")
               + _len_field(4, b"DenseNodes"))
     out = bytearray(_blob("OSMHeader", header))
-    for i in range(0, len(rows), nodes_per_block):
-        chunk = rows[i:i + nodes_per_block]
-        ids = [int(r[id_col]) for r in chunk]
-        # 100-nanodegree units (granularity 100, offsets 0)
-        lats = [round(float(r[lat]) * 1e7) for r in chunk]
-        lons = [round(float(r[lon]) * 1e7) for r in chunk]
+    for i in range(0, n_rows, nodes_per_block):
+        ids = all_ids[i:i + nodes_per_block]
+        lats = all_lats[i:i + nodes_per_block]
+        lons = all_lons[i:i + nodes_per_block]
 
         def delta(vals):
-            prev = 0
-            out_ = []
-            for v in vals:
-                out_.append(v - prev)
-                prev = v
-            return out_
+            return np.diff(vals, prepend=np.int64(0))
 
         st = _StringTable()
-        dense = (_packed_sint64(1, delta(ids))
-                 + _packed_sint64(8, delta(lats))
-                 + _packed_sint64(9, delta(lons)))
+        dense = (_packed_sint64_np(1, delta(ids))
+                 + _packed_sint64_np(8, delta(lats))
+                 + _packed_sint64_np(9, delta(lons)))
         if tags_col:
             kv: list[int] = []
-            for r in chunk:
-                for k, v in sorted((r[tags_col] or {}).items()):
+            for tags_d in all_tags[i:i + nodes_per_block]:
+                for k, v in sorted((tags_d or {}).items()):
                     kv.append(st.add(str(k)))
                     kv.append(st.add(str(v)))
                 kv.append(0)
@@ -255,7 +308,7 @@ def write_osm_pbf(
     name = path.rsplit("/", 1)[-1]
     with fs.open_output_stream(f"{base}/{name}") as fh:
         fh.write(bytes(out))
-    return len(rows)
+    return n_rows
 
 
 # --- reader ----------------------------------------------------------------
@@ -342,6 +395,78 @@ def parse_block_nodes(block: bytes) -> list:
                 recs.append((iid, nlon * 1e-9, nlat * 1e-9,
                              nlon // 100, nlat // 100, tags_d))
     return recs
+
+
+def parse_block_nodes_df(block: bytes) -> pd.DataFrame:
+    """Vectorized DenseNodes decode → columnar frame (row-identical to
+    :func:`parse_block_nodes`; numpy cumsum replaces the per-node python
+    loop on the reader's hot path — guide §4.2)."""
+    gran, lat_off, lon_off = 100, 0, 0
+    strings: list[str] = [""]
+    groups = []
+    for tag, _w, v in _iter_fields(block):
+        if tag == 1:
+            strings = _parse_stringtable(bytes(v))
+        elif tag == 2:
+            groups.append(bytes(v))
+        elif tag == 17:
+            gran = v
+        elif tag == 19:
+            lat_off = v
+        elif tag == 20:
+            lon_off = v
+    frames = []
+    for g in groups:
+        for gtag, _gw, gv in _iter_fields(g):
+            if gtag != 2:  # DenseNodes only
+                continue
+            ids = lats = lons = None
+            kv: list[int] = []
+            for dt, _dw, dv in _iter_fields(bytes(gv)):
+                if dt == 1:
+                    ids = _parse_packed_sint64_np(bytes(dv))
+                elif dt == 8:
+                    lats = _parse_packed_sint64_np(bytes(dv))
+                elif dt == 9:
+                    lons = _parse_packed_sint64_np(bytes(dv))
+                elif dt == 10:  # keys_vals interleaving
+                    kv = _parse_packed_uint(bytes(dv))
+            if ids is None or len(ids) == 0:
+                continue
+            iid = np.cumsum(ids)
+            nlat = lat_off + gran * np.cumsum(lats)
+            nlon = lon_off + gran * np.cumsum(lons)
+            n = len(iid)
+            if kv:
+                tags_l: list[dict] = []
+                kvp = 0
+                for _ in range(n):
+                    tags_d: dict[str, str] = {}
+                    while kvp < len(kv) and kv[kvp] != 0:
+                        tags_d[strings[kv[kvp]]] = strings[kv[kvp + 1]]
+                        kvp += 2
+                    kvp += 1
+                    tags_l.append(tags_d)
+            else:
+                tags_l = [{}] * n
+            frames.append(pd.DataFrame({
+                "node_id": iid,
+                "lon": nlon * 1e-9,
+                "lat": nlat * 1e-9,
+                "lon_i7": nlon // 100,
+                "lat_i7": nlat // 100,
+                "tags": tags_l,
+            }))
+    if not frames:
+        return pd.DataFrame({
+            "node_id": np.empty(0, np.int64),
+            "lon": np.empty(0, np.float64),
+            "lat": np.empty(0, np.float64),
+            "lon_i7": np.empty(0, np.int64),
+            "lat_i7": np.empty(0, np.int64),
+            "tags": [],
+        })
+    return pd.concat(frames, ignore_index=True)
 
 
 def parse_block_ways(block: bytes) -> list:
@@ -454,17 +579,18 @@ def read_osm_pbf(
         fs, base = _fs_for(path.rsplit("/", 1)[0] or ".")
         name = path.rsplit("/", 1)[-1]
         for pdf in batches:
-            recs = []
+            parts = []
             with fs.open_input_file(f"{base}/{name}") as fh:
                 for off, ln in zip(pdf["off"], pdf["ln"]):
                     if ln == 0:
                         continue
                     fh.seek(int(off))
-                    recs.extend(parse_block_nodes(
+                    parts.append(parse_block_nodes_df(
                         _parse_blob(fh.read(int(ln)))))
-            yield pd.DataFrame(
-                recs, columns=[f.name for f in out_type.fields]
-            )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield parse_block_nodes_df(b"")
 
     return rdf.mapInPandas(gen, schema=out_type)
 
