@@ -512,7 +512,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale: explode → count → top-k)."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_docs(spark, sf_dir)
     toks = docs.select(
         F.explode(
             F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
@@ -820,7 +820,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical pipeline in DuckDB SQL."""
     from sedona_spark.pipeline.text import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_docs(spark, sf_dir)
     return tfidf_top_terms(docs, k=3)
 
 
@@ -932,7 +932,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_slice arithmetic."""
     from sedona_spark.pipeline.text import chunk_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_docs(spark, sf_dir)
     out = chunk_tokens(docs, max_tokens=32, overlap=8)
     return out.select(
         "id", "chunk_id", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_md5")
@@ -2059,7 +2059,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     → one groupBy."""
     from sedona_spark.pipeline.text import ngram_decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return ngram_decontaminate(corpus, bench, n=5)
@@ -3255,7 +3255,12 @@ def q_spherical_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference seam: GeographyUDT.scala geography type."""
     from sedona_spark.functions.st import st_contains_sphere
 
-    pts = points_from_events(spark, sf_dir)
+    # events.parquet is a couple of input splits at test SFs, but the
+    # broadcast cross join fans every point out 25× before the prefilter
+    # — spread the scan so the fan-out+filter uses the whole cluster
+    # (same single-split rationale as _spread_docs)
+    pts = points_from_events(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
     na = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
     k = F.col("n_nationkey")
     lon0 = (k * 37 % 75 + 130).cast("double")
@@ -6392,9 +6397,12 @@ def q_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams + the same two aggregations."""
     from sedona_spark.pipeline.text import crossdoc_ngram_stats
 
+    # filter BEFORE the spread so the repartition only moves the 1-in-10
+    # subset; spread before the gram explode for the same reason as
+    # _spread_docs (single input split vs CPU-heavy tokenization)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 10 == 0
-    )
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     return crossdoc_ngram_stats(docs, n=5, min_docs=1).orderBy("doc_id")
 
 

@@ -152,7 +152,14 @@ def lsh_candidate_pairs(
 
     # alias self-join on the SAME plan object: Catalyst plans ONE shuffle of
     # the banded signatures and a ReusedExchange for the other side —
-    # rename-based self-joins compute the signature pipeline twice
+    # rename-based self-joins compute the signature pipeline twice.
+    # The explicit repartition IS that shuffle (same keys), pinned to the
+    # configured parallelism: the banded rows are bytes-tiny, so AQE
+    # would coalesce the exchange to a few tasks while the join's pair
+    # OUTPUT is quadratic in bucket size — the classic cheap-input/
+    # expensive-output stage AQE cannot see.
+    npart = int(sigs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(npart, "band", "bh")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -233,13 +240,19 @@ def minhash_dedup_pairs(
     #    distinct by construction) — the array_union pass is dropped.
     sizes = hashed.select(F.col(id_col), F.size("shingles").alias("_sz"))
     csz = (
-        cands.join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "_sz_b"}), "id_b")
+        cands.join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sz_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "_sz_b"})), "id_b")
         .filter(
             F.least("_sz_a", "_sz_b").cast("double")
             >= F.lit(threshold) * F.greatest("_sz_a", "_sz_b")
         )
     )
+    # (Measured: broadcasting the checkpointed array table for map-side
+    # verify joins LOSES here — two driver-built ~80 MB hash relations
+    # per action cost more than the exchanges they remove. The explicit
+    # repartition keeps the array-heavy intersect stage at full
+    # parallelism — AQE would coalesce the bytes-tiny pair exchange to a
+    # handful of tasks and serialize the verify CPU.)
     npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     j = (
         csz.repartition(npart, "id_a")
@@ -561,9 +574,17 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("l").alias("nl"))
         )
+        # carry the pre-round label (_lo) through the step so convergence
+        # is a plain filter-count over the checkpointed result — the old
+        # formulation paid an extra equi-join of two checkpointed tables
+        # per round just to compare labels
         stepped = (
             labels.join(nbr, "id", "left")
-            .select("id", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .select(
+                "id",
+                F.col("l").alias("_lo"),
+                F.least("l", F.coalesce("nl", "l")).alias("l"),
+            )
         )
         jump = stepped.alias("a").join(
             stepped.select(F.col("id").alias("l"), F.col("l").alias("ll")).alias("b"),
@@ -572,15 +593,11 @@ def connected_components(
         )
         new_labels = jump.select(
             "id",
+            "_lo",
             F.least(F.col("l"), F.coalesce(F.col("ll"), F.col("l"))).alias("l"),
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("l") != F.col("_lo")).count()
+        labels = new_labels.select("id", "l")
         if changed == 0:
             break
     return labels.select("id", F.col("l").alias("component"))

@@ -330,21 +330,24 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
+    # dlen rides the SAME doc partitioning the rank window needs: an
+    # unordered window-sum replaces the dlen groupBy + re-join (two
+    # exchanges dropped; guide §2.4 — operations keyed the same way
+    # share one exchange). Values are identical integer sums.
+    wd = Window.partitionBy(id_col)
     scored = (
-        tf.join(dlen, id_col)
-        .join(dfreq, "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
+        .withColumn("dlen", F.sum("tf").over(wd))
         .withColumn(
             "score",
             (F.col("tf") / F.col("dlen"))
             * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("term").asc())
+    w = wd.orderBy(F.col("score").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
