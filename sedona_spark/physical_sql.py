@@ -213,7 +213,12 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     # every earlier operator's job (DBSCAN's iterative components, the
     # band self-joins) into each successive input plan, compounding the
     # statement's cost quadratically in the number of physical calls.
-    originals: dict[str, DataFrame] = {}
+    #
+    # Phase 1 (sequential): parse + rewrite the TEXT, resolving each
+    # call's base table symbolically (a later call's FROM is an earlier
+    # call's view; its base is that view's base). No operator runs here.
+    originals: dict[str, str] = {}
+    specs: list[tuple[str, list[str], str, str]] = []  # (fn, args, src, out)
     while True:
         m = _CALL_RE.search(text)
         if m is None:
@@ -224,16 +229,14 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         if fm is None:
             raise ValueError("physical function call needs a FROM table")
         src = fm.group(1)
-        composite = spark.table(src)
-        base = originals.get(src, composite)
+        base_name = originals.get(src, src)
         open_idx = m.end() - 1
         close = _match_paren(text, open_idx)
         args = _split_args(text[open_idx + 1:close - 1])
         out_col = f"__phys{n}"
-        res, idc = _dispatch(m.group(1), args, base, out_col)
         view = f"__phys_view{n}"
-        composite.join(res, idc, "left").createOrReplaceTempView(view)
-        originals[view] = base
+        originals[view] = base_name
+        specs.append((m.group(1), args, src, out_col))
         # swap the source for the view FIRST, splicing at the exact FROM
         # located above (a textual re.sub could hit an earlier "from src"
         # inside a scalar subquery), then the call for its result column
@@ -243,4 +246,29 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
         text = text[:fm.start()] + f"from {view}" + text[fm.end():]
         text = text.replace(call_text, out_col)
         n += 1
+
+    if specs:
+        # Phase 2 (concurrent): the physical operators are independent —
+        # dispatch them from a small thread pool so one operator's
+        # driver-side iteration (DBSCAN's rounds) back-fills executors
+        # with another operator's stages instead of serializing the
+        # statement (guide §2.6 "overlap independent jobs"). Job
+        # descriptions are thread-local, so the UI stays labelled.
+        from concurrent.futures import ThreadPoolExecutor
+
+        bases = [spark.table(originals[f"__phys_view{i}"])
+                 for i in range(len(specs))]
+
+        def run_i(i):
+            fn_name, args, _src, out_col = specs[i]
+            return _dispatch(fn_name, args, bases[i], out_col)
+
+        with ThreadPoolExecutor(max_workers=min(4, len(specs))) as pool:
+            results = list(pool.map(run_i, range(len(specs))))
+
+        # Phase 3 (sequential): compose the view chain in order.
+        for i, ((res, idc), spec) in enumerate(zip(results, specs)):
+            composite = spark.table(spec[2])
+            composite.join(res, idc, "left").createOrReplaceTempView(
+                f"__phys_view{i}")
     return spark.sql(text)

@@ -99,15 +99,31 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+_SHAPE_BASES: dict = {}
+
+
+def _shape_bases(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-shape constant terms of the pixel formula (three shapes exist,
+    so caching them removes the arange/broadcast rebuild per image)."""
+    b = _SHAPE_BASES.get((w, h))
+    if b is None:
+        ys = np.arange(h, dtype=np.int64)[:, None, None]
+        xs = np.arange(w, dtype=np.int64)[None, :, None]
+        cs = np.arange(3, dtype=np.int64)[None, None, :]
+        b = (xs * 3 + ys * 5 + cs * 7, xs * ys)  # (h,w,3), (h,w,1)
+        _SHAPE_BASES[(w, h)] = b
+    return b
+
+
 def make_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Deterministic pseudo-photo for image id ``i`` (no PRNG object, pure
     broadcasting: gradient + id-keyed interference pattern)."""
-    ys = np.arange(h, dtype=np.int64)[:, None, None]
-    xs = np.arange(w, dtype=np.int64)[None, :, None]
-    cs = np.arange(3, dtype=np.int64)[None, None, :]
-    v = (i * 31 + xs * 3 + ys * 5 + cs * 7) % 251
-    v = v + ((xs * ys * (i % 13 + 1)) % 67)
+    base1, base2 = _shape_bases(w, h)
+    v = (i * 31 + base1) % 251
+    v = v + (base2 * (i % 13 + 1)) % 67
     return (v % 256).astype(np.uint8)
+
+
 
 
 def phash64(arr: np.ndarray) -> int:
@@ -174,6 +190,10 @@ def _rows_for_ids(ids: np.ndarray, columns: tuple[str, ...] | None = None) -> pd
     if "image_id" in want:
         out["image_id"] = [f"img_{i:012d}" for i in map(int, ii)]
     if "bytes" in want or "phash" in want:
+        # per-image loop on purpose: a stacked (n,h,w,3) int64 synthesis
+        # measured 8× SLOWER than the cache-resident per-image formula
+        # (the broadcast intermediates thrash L2); make_pixels reuses the
+        # per-shape constant terms via _shape_bases
         blobs: list[bytes] = []
         hashes: list[int] = []
         for i, w, h in zip(map(int, ii), map(int, ws), map(int, hs)):
