@@ -6476,9 +6476,12 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells_df = blocks.filter(F.col("odd") == odd).select("cell") \
             .distinct()
         comp = compact_cells(cells_df, level=6, min_level=3)
-        n_cells = comp.count()
-        lv_min = comp.agg(F.min((F.col("cell") / F.lit(_L_MULT))
-                                .cast("long"))).collect()[0][0]
+        # one combined aggregate job per parity (count + min level were
+        # two separate actions over the same compacted frame)
+        n_cells, lv_min = comp.agg(
+            F.count("*"),
+            F.min((F.col("cell") / F.lit(_L_MULT)).cast("long")),
+        ).collect()[0]
         out_rows.append((odd, n_cells, int(lv_min)))
     per_block = spark.createDataFrame(
         out_rows, "odd int, block_cells long, min_lvl int"

@@ -346,9 +346,20 @@ def knn_join(
     bound — conservative, never wrong."""
     obj_order = [c for c in objects.columns if c not in (obj_x, obj_y)]
     qcols = queries.columns
+    # Geodesic metrics probe much wider disks (the longitude ring scales
+    # by 1/cos φ), so their map-side probes are CPU-heavy enough that the
+    # object cache must be spread across the configured parallelism
+    # rather than pinned to the source's input-split count. For euclid
+    # the probes are cheap and the extra shuffle measurably loses —
+    # cache the scan partitions as-is.
     objects_c = objects.withColumn(
         "cell", cells.cell_id(F.col(obj_x), F.col(obj_y), level)
-    ).persist()
+    )
+    if metric in ("sphere", "spheroid"):
+        npart = int(
+            objects.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        objects_c = objects_c.repartition(npart)
+    objects_c = objects_c.persist()
     n_obj = objects_c.count()  # materialize once; reused every round
 
     min_dim = cells.min_cell_dim(level)

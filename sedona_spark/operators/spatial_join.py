@@ -437,22 +437,31 @@ def pip_join_compact(
     compacted = compacted.localCheckpoint(eager=True)
     levels = [r["lvl"] for r in compacted.select("lvl").distinct().collect()]
 
+    # ONE pass over the point side: explode each point to its ancestor
+    # cell at every live level and equi-join once — cell ids embed their
+    # level, so a single join on "cell" replaces the per-level scan +
+    # union (the point table was re-scanned once per live level, ~6
+    # stages of pure overhead; candidates are identical because the
+    # compacted cover partitions each zone's area disjointly).
     home = cells.cell_id(F.col(x), F.col(y), level)
-    pc = points.withColumn("_home", home)
-    parts = []
-    for lv in sorted(levels):
-        pside = pc.withColumn(
-            "cell", cells.cell_parent(F.col("_home"), level, lv)
-        )
-        slice_ = compacted.filter(F.col("lvl") == lv).drop("lvl")
-        if broadcast_cover is True:
-            slice_ = F.broadcast(slice_)
-        elif broadcast_cover is False:
-            slice_ = slice_.hint("shuffle_hash")
-        parts.append(pside.join(slice_, "cell").drop("cell", "_home"))
-    j = parts[0]
-    for p in parts[1:]:
-        j = j.unionByName(p)
+    lvls = sorted(levels)
+    pc = (
+        points.withColumn("_home", home)
+        .withColumn("_lvl", F.explode(F.array(*[F.lit(lv) for lv in lvls])))
+    )
+    d = F.lit(level) - F.col("_lvl")
+    pw = F.pow(F.lit(2.0), d.cast("double"))
+    px_ = F.floor(cells.cell_x(F.col("_home")) / pw).cast("long")
+    py_ = F.floor(cells.cell_y(F.col("_home")) / pw).cast("long")
+    anc = (F.col("_lvl").cast("long") * F.lit(cells._L_MULT)
+           + px_ * F.lit(cells._X_MULT) + py_).cast("long")
+    pc = pc.withColumn("cell", anc)
+    cov = compacted.drop("lvl")
+    if broadcast_cover is True:
+        cov = F.broadcast(cov)
+    elif broadcast_cover is False:
+        cov = cov.hint("shuffle_hash")
+    j = pc.join(cov, "cell").drop("cell", "_home", "_lvl")
     px, py = F.col(x), F.col(y)
     x0, y0 = F.col("xmin"), F.col("ymin")
     x1, y1 = F.col("xmax"), F.col("ymax")

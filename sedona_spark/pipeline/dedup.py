@@ -552,10 +552,13 @@ def connected_components(
     converges in ~20 rounds instead of 1M. Each round ends in an EAGER
     ``localCheckpoint`` (plan reset: the loop's lineage would otherwise
     grow quadratically — same discipline as the exact kNN loop), and the
-    convergence test (sum of label changes) piggybacks on the checkpoint
-    materialization. Scale shape: state is one (id, label) row per node;
-    every step is an equi-join/groupBy on the id — AQE-skew-safe, no
-    broadcast of anything unbounded."""
+    convergence test (count of changed labels over the checkpointed
+    result) runs every OTHER round: labels are monotone non-increasing,
+    so an extra round past the fixpoint recomputes identical labels and
+    halving the convergence probes trades one cheap round for one
+    driver-blocking job per probe. Scale shape: state is one (id, label)
+    row per node; every step is an equi-join/groupBy on the id —
+    AQE-skew-safe, no broadcast of anything unbounded."""
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     )
@@ -568,7 +571,7 @@ def connected_components(
         .select(F.col("u").alias("id"), "l")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges["u"] == labels["id"])
             .groupBy(F.col("v").alias("id"))
@@ -596,10 +599,13 @@ def connected_components(
             "_lo",
             F.least(F.col("l"), F.coalesce(F.col("ll"), F.col("l"))).alias("l"),
         ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("l") != F.col("_lo")).count()
         labels = new_labels.select("id", "l")
-        if changed == 0:
-            break
+        # probe convergence every other round (and on the last): the
+        # count is a driver-blocking job, while an extra round past the
+        # fixpoint is pure recomputation of identical labels
+        if it % 2 == 1 or it == max_iter - 1:
+            if new_labels.filter(F.col("l") != F.col("_lo")).count() == 0:
+                break
     return labels.select("id", F.col("l").alias("component"))
 
 

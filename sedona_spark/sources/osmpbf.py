@@ -102,10 +102,15 @@ def _varints_np(u: "np.ndarray") -> bytes:
         return b""
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, 10):
-        nb += (u >= np.uint64(1 << (7 * k))).astype(np.int64)
-    shifts = np.uint64(7) * np.arange(10, dtype=np.uint64)
+        thr = np.uint64(1 << (7 * k))
+        more = u >= thr
+        if not more.any():
+            break
+        nb += more.astype(np.int64)
+    kmax = int(nb.max())
+    shifts = np.uint64(7) * np.arange(kmax, dtype=np.uint64)
     parts = (u[:, None] >> shifts[None, :]) & np.uint64(0x7F)
-    ks = np.arange(10, dtype=np.int64)
+    ks = np.arange(kmax, dtype=np.int64)
     mask = ks[None, :] < nb[:, None]
     cont = (ks[None, :] < (nb - 1)[:, None]).astype(np.uint64)
     mat = (parts | (cont << np.uint64(7))).astype(np.uint8)
