@@ -313,7 +313,11 @@ def q_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = rect_zones_from_nation(spark, sf_dir).select(
         "n_nationkey", F.array("ring").alias("geom")
     )
-    out = linestring_polygon_join(lines, zones, level=_LEVEL)
+    # level 5 for this fixture: line envelopes are ~3°×2°, so level 7
+    # exploded every line to ~8 cover cells (5M rows) while the candidate
+    # set stayed at 24k; the level sweep (7→4) was monotone in its favor
+    # and the exact refine makes the output level-independent
+    out = linestring_polygon_join(lines, zones, level=5)
     return out.select("event_id", "n_nationkey")
 
 

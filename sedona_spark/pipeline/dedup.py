@@ -332,6 +332,12 @@ def simhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk", "c.ck")
+    # pin the self-join's parallelism (same rationale as
+    # lsh_candidate_pairs: bytes-tiny input exchange, quadratic-in-bucket
+    # join output that AQE-coalesced tasks would serialize)
+    chunks = chunks.repartition(
+        int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "chunk", "ck")
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
@@ -492,6 +498,10 @@ def hamming_near_dup_pairs(
             for c in range(nb)
         ])).alias("_b"),
     ).select(id_col, "_hh", "_b.band", "_b.bv")
+    # pin the self-join's parallelism (see lsh_candidate_pairs)
+    bands = bands.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "band", "bv")
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a._hh").bitwiseXOR(F.col("b._hh")))
