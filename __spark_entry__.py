@@ -6401,12 +6401,12 @@ def q_crossdoc_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams + the same two aggregations."""
     from sedona_spark.pipeline.text import crossdoc_ngram_stats
 
-    # filter BEFORE the spread so the repartition only moves the 1-in-10
-    # subset; spread before the gram explode for the same reason as
-    # _spread_docs (single input split vs CPU-heavy tokenization)
+    # (spread-before-explode was trialed here and reverted: the 1-in-10
+    # subset is small enough that the repartition's overhead exceeds the
+    # parallelism gain at both test SFs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 10 == 0
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
     return crossdoc_ngram_stats(docs, n=5, min_docs=1).orderBy("doc_id")
 
 
