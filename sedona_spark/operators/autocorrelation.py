@@ -61,11 +61,17 @@ def morans_i(
         F.count(F.lit(1)).alias("w_sum"),
     ).collect()[0]
     w = int(num["w_sum"])
-    cross = num["p1"] - mean * num["p2"] + w * mean * mean
-    denom = sx2 - n * mean * mean
-
     spark = points.sparkSession
-    i_val = (n / w) * cross / denom
+    if w == 0:
+        # empty distance band (no pair within radius — possible at very
+        # sparse densities): the sums are NULL and I is undefined; emit
+        # NaN, matching the SQL mirror's 0-division/NULL fold (the old
+        # code raised on None arithmetic here)
+        i_val = float("nan")
+    else:
+        cross = num["p1"] - mean * num["p2"] + w * mean * mean
+        denom = sx2 - n * mean * mean
+        i_val = (n / w) * cross / denom
     return spark.createDataFrame(
         [(n, w, float(i_val))], "n long, w_sum long, moran_i double"
     )
